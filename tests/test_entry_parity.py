@@ -1,0 +1,39 @@
+"""Driver-contract gate: every ``queries()`` entry must hash-match its
+DuckDB ``oracle_sql()`` at sf0.01 (row count + schema + order-insensitive
+values), exactly as the driver's CORRECTNESS check does."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import assert_parity
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
+
+
+def test_every_query_has_callable_and_most_have_oracles():
+    assert QUERIES
+    for name in ORACLES:
+        assert name in QUERIES, f"oracle {name} has no query"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_parity(name, spark, duck):
+    from tests.conftest import SF_DIR
+
+    df = QUERIES[name](spark, SF_DIR)
+    if name not in ORACLES:
+        # weaker rows-only check (driver does the same)
+        assert df.columns
+        df.limit(1).collect()
+        return
+    assert_parity(df, duck.sql(ORACLES[name]))

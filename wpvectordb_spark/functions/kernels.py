@@ -1,0 +1,180 @@
+"""Vector kernels K1-K7 (SURVEY.md §2.1) as pure Catalyst Column builders.
+
+Every kernel is a composition of built-in higher-order functions
+(``transform`` / ``aggregate`` / ``zip_with`` / ``bit_count``) — JVM-side,
+whole-stage-codegen'd, no Python UDFs.  At 100 TB these run inside the scan
+stage with zero extra shuffles.
+
+Numeric-parity rules (shared with the DuckDB oracles, SURVEY.md §7.4.1):
+
+* all float math is IEEE double with **left folds** — Spark
+  ``aggregate(arr, 0.0D, (a,x) -> a + f(x))`` and DuckDB
+  ``list_reduce(list_transform(arr, f), (a,b) -> a+b)`` produce bit-identical
+  doubles because ``0.0 + x == x`` exactly;
+* reference epsilons preserved exactly: zero-magnitude guard ``1e-10``
+  (VectorTable.php:586 — ``mag == 0 ? 1e-10 : mag``, *not* a clamp) and
+  cosine denominator ``+1e-12`` (VectorTable.php:173);
+* sign rule is strictly ``x > 0`` — 0.0 maps to bit 0 (VectorTable.php:543).
+
+Binary codes are ``array<bigint>`` packed CODE_WORD_BITS (=32) sign bits per
+word via an arithmetic left fold (``acc*2 + bit``): portable (no signed-64
+overflow in any engine), and Hamming distance stays native
+``bit_count(xor(word_a, word_b))``.  Dimensions not divisible by 32 pack the
+short tail with the same fold (both engines slice short tails identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.schemas import CODE_WORD_BITS
+
+ZERO_MAG_EPS = 1e-10  # VectorTable.php:586
+COSINE_EPS = 1e-12  # VectorTable.php:173
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _d(x: Column) -> Column:
+    return x.cast("double")
+
+
+def magnitude(v: Column | str) -> Column:
+    """K1 — L2 norm ``sqrt(sum v_i^2)`` (VectorTable.php:626-632)."""
+    v = _col(v)
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + _d(x) * _d(x)))
+
+
+def normalize(v: Column | str) -> Column:
+    """K2 — unit-L2 scale with the reference's exact zero guard
+    (VectorTable.php:584-590): ``mag == 0 -> 1e-10``, not ``max(mag, eps)``.
+    """
+    v = _col(v)
+    mag = magnitude(v)
+    safe = F.when(mag == 0.0, F.lit(ZERO_MAG_EPS)).otherwise(mag)
+    return F.transform(v, lambda x: _d(x) / safe)
+
+
+def sign_bits(v: Column | str) -> Column:
+    """Sign binarization bit vector: ``v_i > 0 -> 1 else 0``
+    (VectorTable.php:541-543; strictly >, so 0.0 -> 0)."""
+    v = _col(v)
+    return F.transform(v, lambda x: F.when(_d(x) > 0.0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+
+
+def sign_code(v: Column | str, word_bits: int = CODE_WORD_BITS) -> Column:
+    """K3 — sign-quantized binary code packed ``word_bits`` bits per bigint
+    word (replaces the reference's hex-string codec, VectorTable.php:537-547).
+
+    Works for any dimension (short tail packs with the same left fold).
+    """
+    bits = sign_bits(v)
+    n_words = F.ceil(F.size(bits) / F.lit(float(word_bits))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda w: F.aggregate(
+            F.slice(bits, w * word_bits + 1, word_bits),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + b,
+        ),
+    )
+
+
+def hamming(a: Column | str, b: Column | str) -> Column:
+    """K5 — Hamming distance between two packed codes
+    (VectorTable.php:124-139): ``sum(bit_count(xor(word_a, word_b)))``."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda s, c: s + c,
+    )
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: _d(x) * _d(y)),
+        F.lit(0.0),
+        lambda s, p: s + p,
+    )
+
+
+def cosine_similarity(
+    q: Column | str,
+    v: Column | str,
+    q_mag: Column | str | None = None,
+    v_mag: Column | str | None = None,
+) -> Column:
+    """K6 — ``dot(q,v) / (|q|*|v| + 1e-12)`` (VectorTable.php:164-181).
+
+    Magnitudes may be passed precomputed (the reference stores them
+    write-time); otherwise they are derived inline.
+    """
+    qm = magnitude(q) if q_mag is None else _d(_col(q_mag))
+    vm = magnitude(v) if v_mag is None else _d(_col(v_mag))
+    return dot(q, v) / (qm * vm + F.lit(COSINE_EPS))
+
+
+def code_to_hex(code: Column | str, word_bits: int = CODE_WORD_BITS) -> Column:
+    """K4 — format-compat export of a packed code as the reference's hex
+    string (VectorTable.php:555-575; 4 bits per hex char, zero-padded words).
+    Representation detail only — never used in the query path.
+    """
+    width = word_bits // 4
+    return F.lower(
+        F.array_join(
+            F.transform(_col(code), lambda w: F.lpad(F.hex(w), width, "0")),
+            "",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments — kept adjacent to the Spark expressions so the
+# engine and the correctness oracle stay in lockstep.  `{v}` is the vector
+# column; all produce the same doubles as the builders above.
+# ---------------------------------------------------------------------------
+
+def sql_magnitude(v: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " (a, b) -> a + b))"
+    )
+
+
+def sql_normalize(v: str) -> str:
+    mag = sql_magnitude(v)
+    safe = f"(CASE WHEN {mag} = 0 THEN 1e-10 ELSE {mag} END)"
+    return f"list_transform({v}, x -> CAST(x AS DOUBLE) / {safe})"
+
+
+def sql_sign_code(v: str, word_bits: int = CODE_WORD_BITS) -> str:
+    return (
+        f"list_transform(range(0, CAST(ceil(len({v}) / {word_bits}.0) AS INT)),"
+        f" w -> list_reduce(list_transform({v}[w*{word_bits}+1 : w*{word_bits}+{word_bits}],"
+        " x -> CASE WHEN CAST(x AS DOUBLE) > 0 THEN 1 ELSE 0 END::BIGINT),"
+        " (acc, b) -> acc * 2 + b))"
+    )
+
+
+def sql_hamming(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> CAST(bit_count(xor(p[1], p[2])) AS BIGINT)), (s, c) -> s + c)"
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (s, c) -> s + c)"
+    )
+
+
+def sql_cosine(q: str, v: str, q_mag: str | None = None, v_mag: str | None = None) -> str:
+    qm = q_mag or sql_magnitude(q)
+    vm = v_mag or sql_magnitude(v)
+    return f"({sql_dot(q, v)} / ({qm} * {vm} + 1e-12))"

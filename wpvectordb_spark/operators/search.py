@@ -1,0 +1,212 @@
+"""The flagship operator: three-stage top-k vector similarity search.
+
+Re-expresses ``VectorTable::search()`` (VectorTable.php:73-233, SURVEY.md
+§2.2) as ONE lazy DataFrame DAG instead of four PHP<->MySQL round trips:
+
+    candidate filter (S2)            documents x doc_meta, QueryBuilder preds
+      -> semi-join restrict (S3)     left_semi onto the vector table
+      -> Hamming top-(10n) (S4)      packed sign codes, bit_count(xor)
+      -> cosine rerank top-(5n) (S6) exact double-precision cosine
+      -> optional metadata sort (S7) EAV pivot + orderBy
+      -> top-n projection (S8)
+
+Spark-first physical notes:
+
+* the query vector / its code / magnitude are **literal columns** — they ship
+  inside the task binary, no join, no shuffle (S1);
+* ``orderBy(...).limit(k)`` compiles to ``TakeOrderedAndProject`` — the same
+  per-partition-heap + merge the reference hand-rolls with SplMinHeap
+  (VectorTable.php:10-22), but distributed;
+* the only exchanges in the plan are the two top-k merges (and the
+  candidate ``distinct`` when a filter is present) — at 1000 executors the
+  heavy work (Hamming over the full table) is embarrassingly parallel inside
+  the scan stage, with only 10n rows ever crossing the wire;
+* tie-breaks are total orders (``hd ASC, id ASC`` / ``cos DESC, id ASC``) —
+  the reference's heap order is insertion-dependent (quirk §4.4.5); we pick
+  determinism so results are reproducible across partitionings.
+
+Funnel constants match the reference: stage-1 scan cap 1,000,000
+(VectorTable.php:81), Hamming survivors 10n (:82), cosine survivors 5n (:83).
+
+Batch mode (``search_many``) generalizes to a DataFrame of query vectors —
+the per-query top-k becomes one window ``row_number() <= k`` per query id;
+the reference (single query per call) cannot express this.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.functions import kernels as K
+
+STAGE1_LIMIT = 1_000_000  # VectorTable.php:81
+STAGE2_FACTOR = 10  # VectorTable.php:82
+STAGE3_FACTOR = 5  # VectorTable.php:83
+DEFAULT_N = 5  # VectorTable.php:73
+
+
+def _pack_code(vector: list[float], word_bits: int = 32) -> list[int]:
+    """Driver-side sign-code packing of a literal query vector (mirrors
+    kernels.sign_code exactly; bits are strictly ``x > 0``)."""
+    bits = [1 if x > 0 else 0 for x in vector]
+    words = []
+    for w in range(0, len(bits), word_bits):
+        acc = 0
+        for b in bits[w : w + word_bits]:
+            acc = acc * 2 + b
+        words.append(acc)
+    return words
+
+
+def _magnitude(vector: list[float]) -> float:
+    acc = 0.0
+    for x in vector:
+        acc += float(x) * float(x)
+    return acc**0.5
+
+
+@dataclass
+class SearchResult:
+    """The full search plan plus intermediate stages (for tests/explain)."""
+
+    result: DataFrame
+
+
+def search(
+    vectors: DataFrame,
+    query_vector: list[float],
+    n: int = DEFAULT_N,
+    candidates: DataFrame | None = None,
+    sorts: list[tuple[Column, bool]] | None = None,
+    id_col: str = "id",
+    post_id_col: str = "post_id",
+    vector_col: str = "vector",
+    code_col: str | None = "binary_code",
+    mag_col: str | None = "magnitude",
+    stage1_limit: int = STAGE1_LIMIT,
+) -> DataFrame:
+    """Three-stage top-n similarity search over a vector table.
+
+    Parameters mirror the reference's ``search(vector, n, builder)``:
+    ``candidates`` is the compiled QueryBuilder output (a DataFrame of
+    ``post_id`` to keep — S2); ``sorts`` the compiled sort keys (S7).
+    Returns ``(id, post_id, hamming_distance, cosine_similarity)`` rows,
+    top-n.  The reference returns bare embedding ids (quirk §4.4.1); we keep
+    the id as the key but also expose post_id and both scores.
+    """
+    q_code = F.lit(_pack_code(query_vector))
+    q_vec = F.array(*[F.lit(float(x)) for x in query_vector])
+    q_mag = F.lit(_magnitude(query_vector))
+
+    df = vectors
+    # S2+S3: restrict scan to filtered candidate documents (left-semi join;
+    # Catalyst broadcasts the candidate set when small).
+    if candidates is not None:
+        df = df.join(candidates.select(post_id_col).distinct(), post_id_col, "left_semi")
+    if stage1_limit is not None:
+        df = df.limit(stage1_limit)
+
+    # S4: Hamming prefilter -> top 10n (TakeOrderedAndProject).
+    code = F.col(code_col) if code_col else K.sign_code(vector_col)
+    hd = K.hamming(code, q_code).alias("hamming_distance")
+    stage2 = (
+        df.select(id_col, post_id_col, vector_col, *( [mag_col] if mag_col else [] ), hd)
+        .orderBy(F.col("hamming_distance").asc(), F.col(id_col).asc())
+        .limit(STAGE2_FACTOR * n)
+    )
+
+    # S6: exact cosine rerank -> top 5n.  No re-fetch needed (S5 obsolete:
+    # columns were carried through, unlike the reference's second query).
+    vm = F.col(mag_col) if mag_col else None
+    cos = K.cosine_similarity(q_vec, F.col(vector_col), q_mag, vm).alias("cosine_similarity")
+    stage3 = (
+        stage2.select(id_col, post_id_col, "hamming_distance", cos)
+        .orderBy(F.col("cosine_similarity").desc(), F.col(id_col).asc())
+        .limit(STAGE3_FACTOR * n)
+    )
+
+    # S7: optional metadata sort, else keep similarity order.  S8: top-n.
+    if sorts:
+        order = [c.asc() if asc else c.desc() for c, asc in sorts] + [F.col(id_col).asc()]
+        return stage3.orderBy(*order).limit(n)
+    return stage3.limit(n)
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query_vector: list[float],
+    n: int = DEFAULT_N,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Exact cosine top-n over the full table — the oracle/baseline ANN path.
+
+    One scan, one TakeOrderedAndProject: at 100 TB this is the scan-bound
+    lower bound every approximate variant must beat.
+    """
+    q_vec = F.array(*[F.lit(float(x)) for x in query_vector])
+    q_mag = F.lit(_magnitude(query_vector))
+    cos = K.cosine_similarity(q_vec, F.col(vector_col), q_mag, None)
+    # Order on the exact double; round only the projected output so the
+    # ordering is identical to any oracle computing the same fold.
+    ranked = (
+        vectors.select(id_col, cos.alias("_cos_raw"))
+        .orderBy(F.col("_cos_raw").desc(), F.col(id_col).asc())
+        .limit(n)
+    )
+    out_cos = F.round("_cos_raw", round_to) if round_to is not None else F.col("_cos_raw")
+    return ranked.select(id_col, out_cos.alias("cosine_similarity"))
+
+
+def search_many(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n: int = DEFAULT_N,
+    two_phase: bool = True,
+    id_col: str = "id",
+    vector_col: str = "vector",
+    code_col: str | None = "binary_code",
+    mag_col: str | None = "magnitude",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+) -> DataFrame:
+    """Batch top-n search: a DataFrame of query vectors joined against the
+    table, per-query top-k via window rank.
+
+    The query side is broadcast (small dim table); the big side never
+    shuffles for the join.  With ``two_phase`` the Hamming funnel keeps
+    10n rows per query before the exact rerank — the same funnel as
+    ``search`` but for Q queries in one plan.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        K.sign_code(query_vec_col).alias("_q_code"),
+        K.magnitude(query_vec_col).alias("_q_mag"),
+    )
+    joined = vectors.join(F.broadcast(q), how="cross")
+
+    if two_phase:
+        code = F.col(code_col) if code_col else K.sign_code(vector_col)
+        hd = K.hamming(code, F.col("_q_code"))
+        w_h = Window.partitionBy(query_id_col).orderBy(hd.asc(), F.col(id_col).asc())
+        joined = (
+            joined.withColumn("hamming_distance", hd)
+            .withColumn("_hrank", F.row_number().over(w_h))
+            .where(F.col("_hrank") <= STAGE2_FACTOR * n)
+        )
+
+    vm = F.col(mag_col) if mag_col else None
+    cos = K.cosine_similarity(F.col(query_vec_col), F.col(vector_col), F.col("_q_mag"), vm)
+    w_c = Window.partitionBy(query_id_col).orderBy(cos.desc(), F.col(id_col).asc())
+    out = (
+        joined.withColumn("cosine_similarity", cos)
+        .withColumn("_crank", F.row_number().over(w_c))
+        .where(F.col("_crank") <= n)
+        .select(query_id_col, id_col, F.col("_crank").alias("rank"), "cosine_similarity")
+    )
+    return out
