@@ -1,0 +1,102 @@
+"""DSL semantics tests (SURVEY.md §2.3): CNF grouping, operator whitelist,
+contains-LIKE, empty-IN tautology, EAV meta predicates, meta sort casts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.plans import Filter, QueryBuilder, Sort
+from wpvectordb_spark.sources import doc_meta_from_documents
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumnRenamed(
+        "doc_id", "post_id"
+    )
+
+
+@pytest.fixture(scope="module")
+def meta(spark, docs):
+    return doc_meta_from_documents(docs.withColumnRenamed("post_id", "doc_id"))
+
+
+def ids(df):
+    return {r["post_id"] for r in df.collect()}
+
+
+def test_operator_whitelist():
+    with pytest.raises(ValueError):
+        Filter("lang", "REGEXP", "en")
+    with pytest.raises(ValueError):
+        Sort("lang", "SIDEWAYS")
+    with pytest.raises(ValueError):
+        Sort("lang", "ASC", is_meta=True, meta_cast="json")
+
+
+def test_column_filter_and_cnf(docs, meta):
+    qb = QueryBuilder()
+    qb.add_filter("langs", Filter("lang", "=", "en"))
+    qb.add_filter("langs", Filter("lang", "=", "de"))  # OR within group
+    qb.add_filter("size", Filter("n_chars", ">", 300))  # AND across groups
+    got = ids(qb.candidates(docs, meta))
+    want = ids(
+        docs.where((F.col("lang").isin("en", "de")) & (F.col("n_chars") > 300)).select(
+            "post_id"
+        )
+    )
+    assert got == want and got
+
+
+def test_like_is_contains(docs):
+    qb = QueryBuilder()
+    qb.add_filter("t", Filter("text", "LIKE", "spark"))
+    got = ids(qb.candidates(docs))
+    want = ids(docs.where(F.col("text").contains("spark")).select("post_id"))
+    assert got == want
+
+
+def test_empty_in_tautology(docs):
+    for op in ("IN", "NOT IN"):
+        qb = QueryBuilder()
+        qb.add_filter("g", Filter("lang", op, []))
+        assert ids(qb.candidates(docs)) == ids(docs.select("post_id"))
+
+
+def test_meta_predicate_numeric_cast(docs, meta):
+    qb = QueryBuilder()
+    qb.add_filter("m", Filter("n_chars", ">", 300, is_meta=True))
+    got = ids(qb.candidates(docs, meta))
+    want = ids(docs.where(F.col("n_chars") > 300).select("post_id"))
+    assert got == want and got
+
+
+def test_meta_cross_group_single_row_semantics(docs, meta):
+    """Two meta predicates in different AND groups need one meta row to
+    satisfy both -> empty (faithful to the reference's single pm alias)."""
+    qb = QueryBuilder()
+    qb.add_filter("a", Filter("lang", "=", "en", is_meta=True))
+    qb.add_filter("b", Filter("source", "=", "src1", is_meta=True))
+    assert ids(qb.candidates(docs, meta)) == set()
+
+
+def test_meta_sort_number_cast(spark, docs, meta):
+    base = docs.select("post_id").limit(20).withColumn("id", F.col("post_id"))
+    qb = QueryBuilder()
+    qb.add_sort(Sort("n_chars", "DESC", is_meta=True, meta_cast="number"))
+    out = qb.apply_sorts(base, documents=docs, doc_meta=meta).collect()
+    n_by_id = {r["post_id"]: r["n_chars"] for r in docs.select("post_id", "n_chars").collect()}
+    vals = [n_by_id[r["post_id"]] for r in out]
+    assert vals == sorted(vals, reverse=True)
+    # string sort would differ (e.g. "99" > "100"); ensure we did numeric
+    assert len(out) == 20
+
+
+def test_column_sort(docs):
+    base = docs.select("post_id").limit(10).withColumn("id", F.col("post_id"))
+    qb = QueryBuilder()
+    qb.add_sort(Sort("source", "ASC"))
+    out = qb.apply_sorts(base, documents=docs)
+    assert out.columns == ["post_id", "id"]  # sort cols dropped after order

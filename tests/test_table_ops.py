@@ -1,0 +1,91 @@
+"""CRUD / write-path tests (SURVEY.md §2.4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.operators import table_ops as TO
+
+
+@pytest.fixture(scope="module")
+def table(spark):
+    rows = [
+        (1, 10, 0, [1.0, 2.0]),
+        (2, 10, 1, [0.0, -1.0]),
+        (3, 20, 0, [3.0, 4.0]),
+        (4, 20, 1, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, post_id long, sequence_no int, vector array<float>")
+    return TO.derive(df).withColumn("created_at", F.current_timestamp()).withColumn(
+        "updated_at", F.current_timestamp()
+    )
+
+
+def test_derive_columns(table):
+    r = {x["id"]: x for x in table.collect()}
+    assert r[3]["magnitude"] == pytest.approx(5.0)
+    assert r[3]["binary_code"] == [3]  # bits 11
+    assert r[2]["binary_code"] == [0]  # 0.0 and -1.0 both -> bit 0
+    assert r[3]["normalized_vector"] == pytest.approx([0.6, 0.8])
+
+
+def test_by_id_and_composite_get(table):
+    assert TO.by_id(table, 3).count() == 1
+    assert TO.get(table, 10, 1).collect()[0]["id"] == 2
+    assert TO.get(table, 99, 0).count() == 0
+
+
+def test_by_ids_preserves_caller_order(table):
+    got = [r["id"] for r in TO.by_ids(table, [3, 1, 4]).collect()]
+    assert got == [3, 1, 4]
+    assert TO.by_ids(table, []).count() == 0
+
+
+def test_get_all_for_post_and_count(table):
+    assert TO.get_all_for_post(table, 10).count() == 2
+    assert TO.vector_count(table) == 4
+    assert TO.get_all(table, cap=3).count() == 3
+
+
+def test_delete(table):
+    assert TO.delete(table, 1).count() == 3
+
+
+def test_upsert_latest_wins_and_recomputes_derived(spark, table):
+    new = spark.createDataFrame(
+        [(10, 0, [6.0, 8.0]), (30, 0, [1.0, 1.0])],
+        "post_id long, sequence_no int, vector array<float>",
+    )
+    out = TO.upsert(table, new)
+    assert out.count() == 5  # 4 existing - 1 replaced + 2 new = 5
+    r = {(x["post_id"], x["sequence_no"]): x for x in out.collect()}
+    # replaced row: derived columns recomputed (reference quirk 4.4.4 fixed)
+    assert r[(10, 0)]["magnitude"] == pytest.approx(10.0)
+    assert r[(30, 0)]["binary_code"] == [3]
+    # untouched row intact
+    assert r[(20, 0)]["magnitude"] == pytest.approx(5.0)
+
+
+def test_insert_all_replaces_document(spark, table):
+    new = spark.createDataFrame(
+        [(10, 0, [9.0, 0.0])], "post_id long, sequence_no int, vector array<float>"
+    )
+    out = TO.insert_all(table, 10, new)
+    assert out.where(F.col("post_id") == 10).count() == 1
+    assert out.count() == 3
+
+
+def test_latest_per_post(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+    df = spark.createDataFrame(
+        [(1, 10, t0), (2, 10, t1), (3, 20, t0)],
+        "id long, post_id long, updated_at timestamp",
+    )
+    got = {r["post_id"]: r["id"] for r in TO.latest_per_post(df).collect()}
+    assert got == {10: 2, 20: 3}
+    one = TO.get_latest_updated(df, 10).collect()
+    assert len(one) == 1 and one[0]["id"] == 2

@@ -1,0 +1,231 @@
+"""Batch job-queue state machine (SURVEY.md §2.5, VectorTableQueue.php).
+
+The reference drives a MySQL table through status transitions
+(pending -> processing -> completed|failed, with bounded retries and a
+cleanup cron).  Here the queue is a **state DataFrame** and every operator
+is a pure transform ``(state, now) -> state'`` — ``now`` is an explicit
+timestamp parameter so each step is deterministic and testable (the
+reference bakes ``NOW()`` into its SQL).
+
+Constants preserved: batch size 25 (:184), ``error_count < 3`` retryable
+(:194), 15-minute stuck-job timeout (:321), 3-day completed retention
+(:329), ``error_count > 3`` purge (:330), retry-fetch cap 25,000 (:347),
+page size 25 (:403).  The reference's ``delete_record`` bug (targets a
+nonexistent ``id`` column, quirk §4.4.6) is fixed to ``job_id``.
+
+Single-writer assumption documented as in the reference (its two-statement
+claim isn't transactional either, :189-223).  At scale the state table is a
+compacted Delta/Iceberg table and these transforms are MERGE sources.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BATCH_SIZE = 25  # VectorTableQueue.php:184
+MAX_RETRIES = 3  # :194 (error_count < 3 is retryable)
+STUCK_TIMEOUT_MINUTES = 15  # :321
+COMPLETED_RETENTION_DAYS = 3  # :329
+RETRY_FETCH_CAP = 25_000  # :347
+PAGE_SIZE = 25  # :403
+
+_TERMINAL = ("completed", "failed")
+
+
+def _now_lit(now: _dt.datetime) -> F.Column:
+    return F.lit(now).cast("timestamp")
+
+
+def add_posts(
+    queue: DataFrame, new_jobs: DataFrame, now: _dt.datetime
+) -> DataFrame:
+    """J1/J2 (:101-176): enqueue posts as ``pending``; duplicates (post_id
+    already queued) are dropped via anti-join — the reference throws on a
+    duplicate single add; set semantics are the batch equivalent."""
+    fresh = (
+        new_jobs.select("job_id", "post_id")
+        .join(queue.select("post_id"), "post_id", "left_anti")
+        .withColumn("chunk_count", F.lit(0))
+        .withColumn("status", F.lit("pending"))
+        .withColumn("queued_time", _now_lit(now))
+        .withColumn("start_time", F.lit(None).cast("timestamp"))
+        .withColumn("end_time", F.lit(None).cast("timestamp"))
+        .withColumn("error_count", F.lit(0))
+        .withColumn("error_message", F.lit(None).cast("string"))
+    )
+    return queue.unionByName(fresh)
+
+
+def dequeue_priority(queue: DataFrame, batch_size: int = BATCH_SIZE) -> DataFrame:
+    """The J3 selection (:191-204): pending first, then retryable failed
+    (error_count < 3), oldest queued_time first; deterministic job_id
+    tie-break."""
+    eligible = queue.where(
+        (F.col("status") == "pending")
+        | ((F.col("status") == "failed") & (F.col("error_count") < MAX_RETRIES))
+    )
+    prio = F.when(F.col("status") == "pending", 0).otherwise(1)
+    return (
+        eligible.withColumn("prio", prio)
+        .orderBy("prio", "queued_time", "job_id")
+        .limit(batch_size)
+        .drop("prio")
+    )
+
+
+def claim_batch(
+    queue: DataFrame, now: _dt.datetime, batch_size: int = BATCH_SIZE
+) -> tuple[DataFrame, DataFrame]:
+    """J3 claim-and-mark (:184-226): returns ``(claimed, new_state)`` —
+    claimed rows flip to ``processing`` with ``start_time = now``."""
+    claimed = dequeue_priority(queue, batch_size)
+    claimed_ids = claimed.select("job_id")
+    is_claimed = F.col("_c").isNotNull()
+    new_state = (
+        queue.join(claimed_ids.withColumn("_c", F.lit(1)), "job_id", "left")
+        .withColumn("status", F.when(is_claimed, "processing").otherwise(F.col("status")))
+        .withColumn(
+            "start_time", F.when(is_claimed, _now_lit(now)).otherwise(F.col("start_time"))
+        )
+        .drop("_c")
+    )
+    return claimed, new_state
+
+
+def update_status(
+    queue: DataFrame,
+    job_ids: list[int] | DataFrame,
+    status: str,
+    now: _dt.datetime,
+    error_message: str | None = None,
+) -> DataFrame:
+    """J4 (:236-268): whitelist completed/failed; failure bumps
+    ``error_count`` and records the message; both set ``end_time``."""
+    if status not in _TERMINAL:
+        raise ValueError(f"invalid status {status!r}; allowed: {_TERMINAL}")
+    if isinstance(job_ids, DataFrame):
+        ids_df = job_ids.select("job_id").withColumn("_u", F.lit(1))
+    else:
+        ids_df = None
+    if ids_df is not None:
+        q = queue.join(ids_df, "job_id", "left")
+        hit = F.col("_u").isNotNull()
+    else:
+        q = queue
+        hit = F.col("job_id").isin([int(j) for j in job_ids])
+    out = (
+        q.withColumn("status", F.when(hit, status).otherwise(F.col("status")))
+        .withColumn("end_time", F.when(hit, _now_lit(now)).otherwise(F.col("end_time")))
+        .withColumn(
+            "error_count",
+            F.when(hit & F.lit(status == "failed"), F.col("error_count") + 1).otherwise(
+                F.col("error_count")
+            ),
+        )
+        .withColumn(
+            "error_message",
+            F.when(hit & F.lit(status == "failed"), F.lit(error_message)).otherwise(
+                F.col("error_message")
+            ),
+        )
+    )
+    return out.drop("_u") if ids_df is not None else out
+
+
+def stats(queue: DataFrame) -> DataFrame:
+    """J5 (:293-303): per-status counts — one aggregation instead of the
+    reference's five COUNT(*) round trips."""
+    return queue.groupBy("status").agg(F.count("*").alias("n"))
+
+
+def cleanup(queue: DataFrame, now: _dt.datetime) -> DataFrame:
+    """J6 (:310-332): (a) ``processing`` older than 15 min with no end_time
+    -> ``failed`` (+1 error); (b) drop completed older than 3 days and
+    failed with error_count > 3."""
+    now_c = _now_lit(now)
+    stuck = (
+        (F.col("status") == "processing")
+        & F.col("end_time").isNull()
+        & (F.col("start_time") < now_c - F.expr(f"INTERVAL {STUCK_TIMEOUT_MINUTES} MINUTES"))
+    )
+    timed_out = (
+        queue.withColumn("error_count", F.when(stuck, F.col("error_count") + 1).otherwise(F.col("error_count")))
+        .withColumn(
+            "error_message",
+            F.when(stuck, F.lit("Job timed out")).otherwise(F.col("error_message")),
+        )
+        .withColumn("status", F.when(stuck, "failed").otherwise(F.col("status")))
+    )
+    keep = ~(
+        (
+            (F.col("status") == "completed")
+            & (F.col("end_time") < now_c - F.expr(f"INTERVAL {COMPLETED_RETENTION_DAYS} DAYS"))
+        )
+        | ((F.col("status") == "failed") & (F.col("error_count") > MAX_RETRIES))
+    )
+    return timed_out.where(keep)
+
+
+def posts_to_retry(queue: DataFrame, cap: int = RETRY_FETCH_CAP) -> DataFrame:
+    """J7 (:339-350)."""
+    return (
+        queue.where((F.col("status") == "failed") & (F.col("error_count") < MAX_RETRIES))
+        .orderBy("queued_time", "job_id")
+        .limit(cap)
+    )
+
+
+def reset_post(queue: DataFrame, post_id: int) -> DataFrame:
+    """J8 (:358-372): back to pending, null times."""
+    hit = F.col("post_id") == post_id
+    return (
+        queue.withColumn("status", F.when(hit, "pending").otherwise(F.col("status")))
+        .withColumn("start_time", F.when(hit, F.lit(None).cast("timestamp")).otherwise(F.col("start_time")))
+        .withColumn("end_time", F.when(hit, F.lit(None).cast("timestamp")).otherwise(F.col("end_time")))
+    )
+
+
+def delete_post(queue: DataFrame, post_id: int) -> DataFrame:
+    """J9a (:380-387)."""
+    return queue.where(F.col("post_id") != post_id)
+
+
+def delete_record(queue: DataFrame, job_id: int) -> DataFrame:
+    """J9b (:391-394) — fixed to target ``job_id`` (the reference targets a
+    nonexistent ``id`` column, quirk §4.4.6)."""
+    return queue.where(F.col("job_id") != job_id)
+
+
+def page_of_records(
+    queue: DataFrame,
+    page: int,
+    per_page: int = PAGE_SIZE,
+    documents: DataFrame | None = None,
+) -> DataFrame:
+    """J10 (:403-437): status-priority ordering + LIMIT/OFFSET pagination
+    (Spark >= 3.4 ``offset``); optional join to the documents dimension for
+    display columns, as the reference joins wp_posts for titles."""
+    prio = (
+        F.when(F.col("status") == "pending", 0)
+        .when(F.col("status") == "completed", 1)
+        .when(F.col("status") == "failed", 2)
+        .otherwise(3)
+    )
+    out = queue
+    if documents is not None:
+        out = out.join(documents, out.post_id == documents.doc_id, "left").drop("doc_id")
+    return (
+        out.withColumn("status_prio", prio)
+        .orderBy(F.col("status").desc(), F.col("status_prio").asc(), F.col("job_id").asc())
+        .offset((page - 1) * per_page)
+        .limit(per_page)
+        .drop("status_prio")
+    )
+
+
+def total_records(queue: DataFrame) -> int:
+    """J11 (:444-447)."""
+    return queue.count()

@@ -79,6 +79,9 @@ def search(
     vectors: DataFrame,
     query_vector: list[float],
     n: int = DEFAULT_N,
+    builder=None,
+    documents: DataFrame | None = None,
+    doc_meta: DataFrame | None = None,
     candidates: DataFrame | None = None,
     sorts: list[tuple[Column, bool]] | None = None,
     id_col: str = "id",
@@ -90,13 +93,18 @@ def search(
 ) -> DataFrame:
     """Three-stage top-n similarity search over a vector table.
 
-    Parameters mirror the reference's ``search(vector, n, builder)``:
-    ``candidates`` is the compiled QueryBuilder output (a DataFrame of
-    ``post_id`` to keep — S2); ``sorts`` the compiled sort keys (S7).
+    Signature mirrors the reference's ``search(vector, n, builder)``: pass a
+    ``plans.QueryBuilder`` (plus the ``documents`` / ``doc_meta`` frames its
+    filters and sorts reference) and its compiled candidate set restricts
+    the scan (S2) while its sort keys order the final survivors (S7 — the
+    reference sorts the 5n stage-3 survivors, then takes n).  Lower-level
+    ``candidates`` / ``sorts`` remain for pre-compiled inputs.
     Returns ``(id, post_id, hamming_distance, cosine_similarity)`` rows,
     top-n.  The reference returns bare embedding ids (quirk §4.4.1); we keep
     the id as the key but also expose post_id and both scores.
     """
+    if builder is not None and candidates is None and builder.has_filters():
+        candidates = builder.candidates(documents, doc_meta)
     q_code = F.lit(_pack_code(query_vector))
     q_vec = F.array(*[F.lit(float(x)) for x in query_vector])
     q_mag = F.lit(_magnitude(query_vector))
@@ -128,7 +136,17 @@ def search(
         .limit(STAGE3_FACTOR * n)
     )
 
-    # S7: optional metadata sort, else keep similarity order.  S8: top-n.
+    # S7: optional metadata sort over the 5n survivors, else keep
+    # similarity order.  S8: top-n.
+    if builder is not None and builder.has_sorts():
+        sorted_df = builder.apply_sorts(
+            stage3,
+            documents=documents,
+            doc_meta=doc_meta,
+            id_col=post_id_col,
+            tie_break=id_col,
+        )
+        return sorted_df.limit(n)
     if sorts:
         order = [c.asc() if asc else c.desc() for c, asc in sorts] + [F.col(id_col).asc()]
         return stage3.orderBy(*order).limit(n)

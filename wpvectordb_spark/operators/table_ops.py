@@ -1,0 +1,159 @@
+"""Vector-table write path + point-access operators (SURVEY.md §2.4).
+
+Write path (C7 ``upsert`` / C8 ``insert_all``, VectorTable.php:346-425):
+the reference runs an N+1 probe/update/insert loop; here it is one batch
+plan — derive columns (magnitude K1, normalized vector K2, sign code K3),
+then latest-wins dedup per ``(post_id, sequence_no)`` via a window.  The
+reference's stale-magnitude-on-update bug (quirk §4.4.4) is fixed: derived
+columns are always recomputed from the incoming vector.
+
+Read path (C1-C6, C9-C11): thin, deliberately mirroring the reference's
+semantics including the caller-order-preserving multi-get (C2,
+``ORDER BY FIELD(id, ...)`` -> ``array_position``) and the ``get_all`` scan
+cap of 100,000 rows (VectorTable.php:333).
+
+Scale notes: ``derive`` is a narrow map (no shuffle); ``upsert`` shuffles
+once on ``(post_id, sequence_no)``; ``insert_all`` is a partition-overwrite
+pattern — at 100 TB write the table partitioned by a post_id bucket so the
+anti-filter prunes files instead of rewriting the world.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.functions import kernels as K
+
+GET_ALL_CAP = 100_000  # VectorTable.php:333
+
+
+def derive(
+    chunks: DataFrame,
+    vector_col: str = "vector",
+    keep_normalized: bool = True,
+) -> DataFrame:
+    """Write-time derivation (VectorTable.php:353-356,383): magnitude,
+    normalized vector, packed sign code — one narrow projection."""
+    out = (
+        chunks.withColumn("magnitude", K.magnitude(vector_col))
+        .withColumn("binary_code", K.sign_code(vector_col))
+    )
+    if keep_normalized:
+        out = out.withColumn("normalized_vector", K.normalize(vector_col))
+    return out
+
+
+def upsert(
+    table: DataFrame,
+    new_chunks: DataFrame,
+    vector_col: str = "vector",
+) -> DataFrame:
+    """C7 as a batch MERGE: latest-wins per ``(post_id, sequence_no)``.
+
+    ``new_chunks`` needs (post_id, sequence_no, vector[, vector_type]).
+    Existing rows keep their ``created_at``; replaced rows get a fresh
+    ``updated_at`` and fully recomputed derived columns (fixing quirk
+    §4.4.4 where the reference's UPDATE path kept a stale magnitude).
+    """
+    now = F.current_timestamp()
+    incoming = derive(new_chunks, vector_col).withColumn(
+        "updated_at", now
+    ).withColumn("created_at", now).withColumn("_src", F.lit(1))
+    existing = table.withColumn("_src", F.lit(0))
+    merged = existing.unionByName(incoming, allowMissingColumns=True)
+    w = Window.partitionBy("post_id", "sequence_no").orderBy(F.col("_src").desc())
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
+
+
+def insert_all(
+    table: DataFrame,
+    post_id: int,
+    new_chunks: DataFrame,
+    vector_col: str = "vector",
+) -> DataFrame:
+    """C8 document replacement (VectorTable.php:401-425): delete every
+    chunk of ``post_id``, append the new derived chunks — expressed as an
+    anti-filter + union (partition-overwrite semantics on disk)."""
+    now = F.current_timestamp()
+    incoming = derive(new_chunks, vector_col).withColumn("created_at", now).withColumn(
+        "updated_at", now
+    )
+    return table.where(F.col("post_id") != post_id).unionByName(
+        incoming, allowMissingColumns=True
+    )
+
+
+# --- point access ----------------------------------------------------------
+
+def by_id(table: DataFrame, id_: int, id_col: str = "id") -> DataFrame:
+    """C1 (VectorTable.php:241-248)."""
+    return table.where(F.col(id_col) == id_)
+
+
+def by_ids(table: DataFrame, ids: list[int], id_col: str = "id") -> DataFrame:
+    """C2 (VectorTable.php:256-271): multi-get preserving the caller's id
+    order (the reference's ``ORDER BY FIELD(id, ...)``)."""
+    if not ids:
+        return table.where(F.lit(False))
+    ids_arr = F.array(*[F.lit(int(i)) for i in ids])
+    return (
+        table.where(F.col(id_col).isin(ids))
+        .orderBy(F.array_position(ids_arr, F.col(id_col)))
+    )
+
+
+def get(table: DataFrame, post_id: int, sequence_no: int) -> DataFrame:
+    """C3 composite-key lookup (VectorTable.php:281-289)."""
+    return table.where(
+        (F.col("post_id") == post_id) & (F.col("sequence_no") == sequence_no)
+    )
+
+
+def get_all_for_post(table: DataFrame, post_id: int) -> DataFrame:
+    """C4 (VectorTable.php:297-304)."""
+    return table.where(F.col("post_id") == post_id)
+
+
+def get_latest_updated(table: DataFrame, post_id: int) -> DataFrame:
+    """C5 (VectorTable.php:313-320): newest row for a document; expressed
+    with a window so it generalizes to all-documents-at-once."""
+    w = Window.partitionBy("post_id").orderBy(
+        F.col("updated_at").desc(), F.col("id").desc()
+    )
+    return (
+        table.where(F.col("post_id") == post_id)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def latest_per_post(table: DataFrame) -> DataFrame:
+    """C5 generalized (the Spark-native form): latest chunk per document in
+    one pass — what the reference would need a loop for."""
+    w = Window.partitionBy("post_id").orderBy(
+        F.col("updated_at").desc(), F.col("id").desc()
+    )
+    return table.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+
+def get_all(table: DataFrame, cap: int = GET_ALL_CAP) -> DataFrame:
+    """C6 (VectorTable.php:327-335) with the reference's hard cap."""
+    return table.limit(cap)
+
+
+def delete(table: DataFrame, id_: int, id_col: str = "id") -> DataFrame:
+    """C9 (VectorTable.php:433-445) as an anti-filter rewrite."""
+    return table.where(F.col(id_col) != id_)
+
+
+def vector_count(table: DataFrame) -> int:
+    """C10 (VectorTable.php:452-456)."""
+    return table.count()
