@@ -19,12 +19,17 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from wpvectordb_spark.functions import kernels as K
+from wpvectordb_spark.functions import text as X
+from wpvectordb_spark.operators import dedup as D
+from wpvectordb_spark.operators import events as E
 from wpvectordb_spark.operators import queue_ops as Q
 from wpvectordb_spark.operators import search as S
+from wpvectordb_spark.operators import similarity as SIM
 from wpvectordb_spark.operators import table_ops as TO
+from wpvectordb_spark.operators import text_analysis as TA
 from wpvectordb_spark.plans import Filter, QueryBuilder, Sort
 from wpvectordb_spark.sources.fixtures import QUEUE_FROM_ORDERS_SQL, QUEUE_NOW, queue_from_orders
-from wpvectordb_spark.sources.loaders import DOC_META_ORACLE_SQL, doc_meta_from_documents
+from wpvectordb_spark.sources.loaders import DOC_META_ORACLE_SQL, doc_meta_from_documents, load_events
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,6 +315,131 @@ def _q_queue_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.page_of_records(q, page=3).select("job_id", "post_id", "status")
 
 
+# --- dedup family (north-star extensions) -----------------------------------
+
+def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus an exact copy of doc_ids < 50 re-tagged +10000 —
+    gives the dedup operators real duplicates to find."""
+    docs = _docs(spark, sf_dir)
+    copy = docs.where(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 10000)
+    return docs.unionByName(copy)
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_corpus_with_dups(spark, sf_dir))
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup_pairs(_corpus_with_dups(spark, sf_dir), threshold=0.5)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_dup_pairs(_corpus_with_dups(spark, sf_dir), max_hamming=3)
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05, block_col="lang")
+
+
+def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.8, block_col="label")
+
+
+# --- text analysis -----------------------------------------------------------
+
+def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.analyze(_docs(spark, sf_dir))
+
+
+# --- events ------------------------------------------------------------------
+
+def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.tumbling_window_agg(load_events(spark, sf_dir))
+
+
+def _q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.sliding_window_agg(load_events(spark, sf_dir))
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = E.sessionize(load_events(spark, sf_dir))
+    return out.select(
+        "user_id", F.col("session_no").cast("long").alias("session_no"),
+        "session_start", "session_end", "n_events", "sum_value",
+    )
+
+
+def _q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.user_activity(load_events(spark, sf_dir)).drop("n_types_approx")
+
+
+def _q_events_user_activity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL sketch column — engine-specific, no oracle (rows-only check)
+    return E.user_activity(load_events(spark, sf_dir))
+
+
+def _q_events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.event_type_funnel(load_events(spark, sf_dir))
+
+
+# --- ANN ----------------------------------------------------------------------
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = _query_vector(spark, sf_dir)
+    return SIM.ivf_topk(_emb(spark, sf_dir), qv, k=10, n_clusters=16, n_probe=4)
+
+
+# --- relational (OLAP surface at scale) ---------------------------------------
+
+def _q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    dec = lambda c: F.col(c).cast("decimal(20,6)")
+    agg = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("_sq"),
+            F.sum(dec("l_extendedprice")).alias("_sb"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,6)")
+            ).alias("_sd"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("_sq").cast("double"), 6).alias("sum_qty"),
+        F.round(F.col("_sb").cast("double"), 6).alias("sum_base"),
+        F.round(F.col("_sd").cast("double"), 6).alias("sum_disc"),
+        F.round(F.col("_sq").cast("double") / F.col("n_rows"), 9).alias("avg_qty"),
+        "n_rows",
+    )
+
+
+def _q_rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,6)")).alias("_spend"),
+        )
+    )
+    return (
+        spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_orders",
+            F.round(F.col("_spend").cast("double"), 6).alias("total_spend"),
+        )
+        .orderBy(F.col("_spend").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "k1_magnitude": _q_k1_magnitude,
@@ -335,6 +465,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_cleanup": _q_queue_cleanup,
         "queue_retry": _q_queue_retry,
         "queue_page": _q_queue_page,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+        "text_analyze": _q_text_analyze,
+        "events_tumbling": _q_events_tumbling,
+        "events_sliding": _q_events_sliding,
+        "events_sessionize": _q_events_sessionize,
+        "events_user_activity": _q_events_user_activity,
+        "events_user_activity_approx": _q_events_user_activity_approx,
+        "events_type_rollup": _q_events_type_rollup,
+        "ann_ivf": _q_ann_ivf,
+        "rel_pricing_summary": _q_rel_pricing_summary,
+        "rel_top_customers": _q_rel_top_customers,
     }
 
 
@@ -450,7 +595,205 @@ def oracle_sql() -> dict[str, str]:
           ORDER BY (CASE WHEN status = 'pending' THEN 0 ELSE 1 END), queued_time, job_id
           LIMIT 25
     """
+    # --- extension fragments -------------------------------------------------
+    corpus = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+    """
+    fp = X.sql_string_hash("text")
+    sh3 = X.sql_shingles("text", 3)
+    shingle_hashes = X.sql_hash_elements(sh3)
+    sig = X.sql_minhash_signature(shingle_hashes, 32)
+    jac = (
+        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+        " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
+    )
+    lsh_cte = f"""
+        WITH corpus AS ({corpus}),
+        sigs AS (SELECT doc_id, {sig} AS signature FROM corpus),
+        banded AS (
+          SELECT doc_id, b.i AS band_id,
+                 array_to_string(signature[b.i*4+1 : b.i*4+4], '-') AS band_key
+          FROM sigs, range(0, 8) b(i)
+          WHERE signature IS NOT NULL
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+          FROM banded a JOIN banded bb
+            ON a.band_id = bb.band_id AND a.band_key = bb.band_key
+           AND a.doc_id < bb.doc_id
+        ),
+        sh AS (SELECT doc_id, {sh3} AS sh FROM corpus)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT id_a, id_b, round({jac}, 9) AS jaccard
+          FROM cands
+          JOIN sh sa ON cands.id_a = sa.doc_id
+          JOIN sh sb ON cands.id_b = sb.doc_id
+        ) WHERE jaccard >= 0.5
+    """
+    simhash_expr = X.sql_simhash(X.sql_token_hashes("text"))
+    simhash_cte = f"""
+        WITH corpus AS ({corpus}),
+        sh AS (
+          SELECT doc_id, {simhash_expr} AS simhash FROM corpus
+        ),
+        bucketed AS (
+          SELECT doc_id, simhash, simhash // {2 ** 24} AS bucket
+          FROM sh WHERE simhash IS NOT NULL
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+    ngram_cte = f"""
+        WITH sh AS (SELECT doc_id, lang, {sh3} AS sh FROM documents)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, round({jac}, 9) AS jaccard
+          FROM sh sa JOIN sh sb
+            ON sa.lang = sb.lang AND sa.doc_id < sb.doc_id
+        ) WHERE jaccard >= 0.05
+    """
+    emb_cos = K.sql_cosine(
+        "a.embedding", "b.embedding",
+        K.sql_magnitude("a.embedding"), K.sql_magnitude("b.embedding"),
+    )
+    emb_dup_cte = f"""
+        SELECT id_a, id_b, cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({emb_cos}, 9) AS cosine
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.8
+    """
+    qf = TA.sql_quality_features("text")
+    toks = X.sql_tokens("text")
+    analyze_sql = f"""
+        SELECT doc_id,
+               {TA.sql_language_id('text')} AS lang_pred,
+               {qf['n_tokens']} AS n_tokens,
+               {qf['mean_token_len']} AS mean_token_len,
+               {qf['punct_ratio']} AS punct_ratio,
+               {qf['stopword_ratio']} AS stopword_ratio,
+               CAST(len(list_distinct({toks})) AS BIGINT) AS n_unique_tokens,
+               {TA.sql_quality_score('text')} AS quality,
+               {fp} AS fingerprint
+        FROM documents
+    """
+    ev = "CAST(ts AS TIMESTAMP)"
+    sessionize_sql = f"""
+        WITH e AS (SELECT event_id, user_id, {ev} AS ts, value FROM events),
+        flags AS (
+          SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {30 * 60 * 1_000_000}
+                     THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+          SELECT *, CAST(sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+          ) AS BIGINT) AS session_no FROM flags
+        )
+        SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+               COUNT(*) AS n_events, round(sum(value), 6) AS sum_value
+        FROM numbered GROUP BY user_id, session_no
+    """
+    cent_cos = K.sql_cosine("e.embedding", "c.centroid", None, "c.centroid_mag")
+    ivf_sql = f"""
+        WITH cent AS (
+          SELECT vec_id AS cluster_id, embedding AS centroid,
+                 {K.sql_magnitude('embedding')} AS centroid_mag
+          FROM embeddings WHERE vec_id < 16
+        ),
+        q AS (SELECT embedding AS q_vec, {mag} AS q_mag FROM embeddings WHERE vec_id = 0),
+        probe AS (
+          SELECT cluster_id FROM cent, q
+          ORDER BY {K.sql_cosine('q.q_vec', 'cent.centroid', 'q.q_mag', 'cent.centroid_mag')} DESC,
+                   cluster_id ASC
+          LIMIT 4
+        ),
+        assigned AS (
+          SELECT vec_id, cluster_id FROM (
+            SELECT e.vec_id, c.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {cent_cos} DESC, c.cluster_id ASC
+                   ) AS rn
+            FROM embeddings e, cent c
+          ) WHERE rn = 1
+        )
+        SELECT a.vec_id, a.cluster_id,
+               round({K.sql_cosine('q.q_vec', 'e.embedding', 'q.q_mag')}, 9) AS cosine_similarity
+        FROM assigned a
+        JOIN embeddings e ON a.vec_id = e.vec_id
+        JOIN probe p ON a.cluster_id = p.cluster_id, q
+        ORDER BY {K.sql_cosine('q.q_vec', 'e.embedding', 'q.q_mag')} DESC, a.vec_id ASC
+        LIMIT 10
+    """
     return {
+        # --- dedup / text / events / ann / relational (extensions) ---
+        "dedup_exact": f"""
+            WITH corpus AS ({corpus}),
+            fps AS (SELECT doc_id, {fp} AS fingerprint FROM corpus)
+            SELECT min(doc_id) AS doc_id, fingerprint, COUNT(*) AS dup_count
+            FROM fps GROUP BY fingerprint
+        """,
+        "dedup_minhash_lsh": lsh_cte,
+        "dedup_simhash": simhash_cte,
+        "dedup_ngram_jaccard": ngram_cte,
+        "dedup_embedding_cosine": emb_dup_cte,
+        "text_analyze": analyze_sql,
+        "events_tumbling": f"""
+            SELECT time_bucket(INTERVAL '1 hour', {ev}) AS window_start, event_type,
+                   COUNT(*) AS n_events, round(sum(value), 6) AS sum_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sliding": f"""
+            SELECT ws AS window_start, COUNT(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM (
+              SELECT time_bucket(INTERVAL '15 minutes', {ev}) - k.i * INTERVAL '15 minutes' AS ws,
+                     value
+              FROM events, range(0, 4) k(i)
+            ) GROUP BY ws
+        """,
+        "events_sessionize": sessionize_sql,
+        "events_user_activity": f"""
+            SELECT user_id, COUNT(*) AS n_events,
+                   COUNT(DISTINCT event_type) AS n_types,
+                   round(sum(value), 6) AS sum_value,
+                   min({ev}) AS first_seen, max({ev}) AS last_seen
+            FROM events GROUP BY user_id
+        """,
+        "events_type_rollup": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   round(sum(value), 6) AS sum_value,
+                   round(avg(value), 9) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "ann_ivf": ivf_sql,
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_base,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_disc,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 9) AS avg_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_top_customers": """
+            SELECT c_custkey, c_name, n_orders,
+                   round(CAST(_spend AS DOUBLE), 6) AS total_spend
+            FROM (
+              SELECT o_custkey, COUNT(*) AS n_orders,
+                     sum(CAST(o_totalprice AS DECIMAL(20,6))) AS _spend
+              FROM orders GROUP BY o_custkey
+            ) s JOIN customer ON s.o_custkey = customer.c_custkey
+            ORDER BY _spend DESC, c_custkey ASC LIMIT 10
+        """,
         # --- DSL ---
         "dsl_filter_cnf": f"""
             WITH doc_meta AS ({DOC_META_ORACLE_SQL})

@@ -1,0 +1,147 @@
+"""Behavior tests for the LLM-pipeline extension operators: dedup family,
+text analysis, event windowing/sessionization, IVF ANN."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.operators import dedup as D
+from wpvectordb_spark.operators import events as E
+from wpvectordb_spark.operators import similarity as SIM
+from wpvectordb_spark.operators import text_analysis as TA
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def corpus_with_dups(spark, docs):
+    """documents plus an exact copy of doc_ids < 50 re-tagged +10000."""
+    copy = docs.where(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    return docs.unionByName(copy)
+
+
+def test_exact_dedup(corpus_with_dups):
+    out = D.exact_dedup(corpus_with_dups)
+    dups = out.where(F.col("dup_count") > 1)
+    assert dups.count() == 50
+    # winner is always the original (min id)
+    assert dups.where(F.col("doc_id") >= 10000).count() == 0
+    assert out.count() == 500  # 550 rows -> 500 distinct texts
+
+
+def test_minhash_lsh_finds_exact_copies(corpus_with_dups):
+    pairs = D.minhash_lsh_dedup_pairs(corpus_with_dups, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(i, i + 10000) for i in range(50)}
+    assert expected <= got  # identical docs always collide in every band
+    for r in pairs.where((F.col("id_b") - F.col("id_a")) == 10000).collect():
+        assert r["jaccard"] == 1.0
+
+
+def test_simhash_near_dup(corpus_with_dups):
+    pairs = D.simhash_near_dup_pairs(corpus_with_dups, max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 10000) for i in range(50)} <= got
+
+
+def test_ngram_jaccard_blocked(docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.05, block_col="lang")
+    rows = pairs.collect()
+    assert all(0.05 <= r["jaccard"] <= 1.0 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = D.embedding_near_dup_pairs(emb, threshold=0.8, block_col="label")
+    rows = pairs.collect()
+    assert all(r["cosine"] >= 0.8 for r in rows)
+
+
+def test_language_id_on_clear_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the park in a hurry"),
+            (2, "der hund und die katze ist mit einem ball zu hause"),
+            (3, "le chat et le chien est pour la maison pas loin"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", TA.language_id("text").alias("l")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_analyze_schema_and_ranges(docs):
+    out = TA.analyze(docs.limit(50))
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert r["n_unique_tokens"] <= r["n_tokens"]
+
+
+def _mk_events(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: two sessions (gap 45 min)
+        (1, base, 1, "click", 1.0),
+        (2, base + dt.timedelta(minutes=10), 1, "view", 2.0),
+        (3, base + dt.timedelta(minutes=55), 1, "click", 3.0),
+        # user 2: one session
+        (4, base + dt.timedelta(minutes=5), 2, "view", 1.5),
+        (5, base + dt.timedelta(minutes=20), 2, "view", 0.5),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_sessionize_golden(spark):
+    out = E.sessionize(_mk_events(spark)).collect()
+    sess = {(r["user_id"], r["session_no"]): r for r in out}
+    assert len(sess) == 3
+    assert sess[(1, 1)]["n_events"] == 2
+    assert sess[(1, 2)]["n_events"] == 1
+    assert sess[(2, 1)]["n_events"] == 2
+
+
+def test_tumbling_window_counts(spark):
+    out = E.tumbling_window_agg(_mk_events(spark), "1 hour").collect()
+    # all five events inside [00:00, 01:00)
+    assert sum(r["n_events"] for r in out) == 5
+    assert all(r["window_start"] == dt.datetime(2024, 1, 1, 0, 0) for r in out)
+
+
+def test_sliding_window_multiplicity(spark):
+    out = E.sliding_window_agg(_mk_events(spark), "1 hour", "15 minutes")
+    # every event appears in exactly 4 windows
+    assert sum(r["n_events"] for r in out.collect()) == 5 * 4
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    from wpvectordb_spark.operators.search import brute_force_topk
+
+    exact = [r["id"] for r in brute_force_topk(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector")), q, n=10
+    ).collect()]
+    approx = [r["vec_id"] for r in SIM.ivf_topk(emb, q, k=10, n_clusters=16, n_probe=8).collect()]
+    # probing half the clusters should recover most of the exact top-10
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5
+    # full probe == exhaustive == brute force exactly
+    full = [r["vec_id"] for r in SIM.ivf_topk(emb, q, k=10, n_clusters=16, n_probe=16).collect()]
+    assert full == exact

@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies over a ``documents(doc_id, text, ...)`` table, each the
+Spark-idiomatic shape of a published technique:
+
+* **exact** — hash-groupBy on content fingerprint; one shuffle on the
+  fingerprint, min-id winner per group.
+* **MinHash + LSH** — shingle -> portable minhash signature -> band keys ->
+  candidate pairs via band-key equi-join -> exact Jaccard verify.  The
+  banding join is THE scale move: at 100 TB nothing ever compares all
+  pairs; only rows sharing a band bucket meet, and AQE's skew-join
+  splitting handles hot buckets (identical boilerplate docs).
+* **SimHash** — 32-bit signature, near-dup = small Hamming distance;
+  bucketed by signature prefix to avoid the quadratic pair space.
+* **n-gram Jaccard** — exact shingle-set similarity on candidate pairs
+  (used standalone for small blocks, or as the verify stage of LSH).
+* **embedding cosine** — near-dup by vector similarity over an
+  ``array<float>`` column, blocked on a cheap partition key.
+
+All signatures use the portable polynomial hash (functions.text) so every
+stage is oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.functions import kernels as K
+from wpvectordb_spark.functions import text as X
+
+DEFAULT_NUM_HASHES = 32
+DEFAULT_BANDS = 8
+DEFAULT_ROWS_PER_BAND = 4
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: keep the smallest id per content fingerprint.
+
+    Hash first so the shuffle key is a bigint, not the document body —
+    at 100 TB the exchange carries 8 bytes/row instead of the text.
+    Returns (doc_id, fingerprint, dup_count).
+    """
+    fp = X.string_hash(text_col).alias("fingerprint")
+    return (
+        docs.select(F.col(id_col), fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .select(id_col, "fingerprint", "dup_count")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, signature) — minhash over distinct k-token shingles."""
+    sh = X.shingles(text_col, shingle_k)
+    hashed = F.transform(sh, lambda s: _shingle_hash(s))
+    return docs.select(
+        F.col(id_col),
+        X.minhash_signature(hashed, num_hashes).alias("signature"),
+    )
+
+
+def _shingle_hash(s):
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(s)), lambda i: F.ascii(F.substring(s, i, F.lit(1)))
+    )
+    return F.aggregate(
+        chars, F.lit(0).cast("long"), lambda a, c: (a * 31 + c.cast("long")) % X.HASH_MOD
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band key.
+
+    Explode band keys, self-equi-join on (band_id, band_key): the join is
+    hash-partitioned by band key, so only same-bucket rows ever meet.
+    """
+    keys = F.posexplode(
+        X.lsh_band_keys("signature", bands, rows_per_band)
+    )
+    banded = signatures.where(F.col("signature").isNotNull()).select(
+        F.col(id_col), keys.alias("band_id", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard over pairs, optionally blocked on a cheap key
+    (same language/source) to bound the pair space.  Returns
+    (id_a, id_b, jaccard) for pairs >= threshold.
+    """
+    base = docs.select(
+        F.col(id_col),
+        X.shingles(text_col, shingle_k).alias("sh"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 9).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
+
+    The verify join re-fetches shingle sets only for candidate ids
+    (semi-join pattern), never for the full corpus.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sh = docs.select(F.col(id_col), X.shingles(text_col, shingle_k).alias("sh"))
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cands.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", F.round(jac, 9).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """SimHash near-dup: pairs within ``max_hamming`` bits of each other.
+
+    Bucketing by the top ``prefix_bits`` bits bounds the pair space (docs
+    differing in <= max_hamming of 32 bits usually share the prefix; for
+    guaranteed recall run the standard rotations — here one block is the
+    demonstrated pattern).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        X.simhash(X.token_hashes(text_col)).alias("simhash"),
+    ).where(F.col("simhash").isNotNull())
+    # integer division (not float-divide-then-cast): ports exactly to any
+    # oracle engine's `//`
+    sh = sh.withColumn("bucket", F.expr(f"simhash div {2 ** (32 - prefix_bits)}"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    hd = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hd.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine >= threshold.
+
+    Optionally blocked (e.g. on a cluster/label column) so the join is
+    an equi-join instead of a cross product — the IVF-style scale path.
+    """
+    base = vectors.select(
+        F.col(id_col),
+        F.col(vector_col).alias("v"),
+        K.magnitude(vector_col).alias("m"),
+        *( [F.col(block_col)] if block_col else [] ),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cos = K.cosine_similarity(F.col("a.v"), F.col("b.v"), F.col("a.m"), F.col("b.m"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 9).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,109 @@
+"""Approximate nearest-neighbour search over an embedding column.
+
+Two paths beyond the reference's sign-bit/Hamming funnel (operators.search):
+
+* **brute force** — exact cosine top-k; the scan-bound baseline
+  (``search.brute_force_topk`` / ``search_many``).
+* **IVF (inverted file)** — partition vectors by nearest centroid at
+  index-build time; queries probe only the ``n_probe`` nearest centroid
+  partitions.  At 100 TB: the assignment is a broadcast join against a
+  tiny centroid table + one write partitioned by ``cluster_id``; a query
+  then prunes (1 - n_probe/n_clusters) of the data at the parquet
+  partition level before any vector math runs.
+
+Centroid selection here is deterministic (first ``n_clusters`` vectors by
+id) so results are oracle-reproducible; production would run k-means
+(pyspark.ml) — the query plan is identical either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.functions import kernels as K
+
+
+def deterministic_centroids(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """First ``n_clusters`` vectors by id as centroids (reproducible)."""
+    return (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .select(
+            F.col(id_col).alias("cluster_id"),
+            F.col(vector_col).alias("centroid"),
+            K.magnitude(vector_col).alias("centroid_mag"),
+        )
+    )
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """IVF index build: nearest centroid (max cosine) per vector via a
+    broadcast cross join + per-vector argmax window.  Deterministic
+    tie-break on cluster_id."""
+    joined = vectors.crossJoin(F.broadcast(centroids))
+    cos = K.cosine_similarity(
+        F.col(vector_col), F.col("centroid"), None, F.col("centroid_mag")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cluster_id").asc())
+    return (
+        joined.withColumn("_sim", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col(vector_col),
+            F.col("cluster_id"),
+            F.round(F.col("_sim"), 9).alias("centroid_sim"),
+        )
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """IVF query: rank centroids by query similarity, keep vectors in the
+    ``n_probe`` best clusters, exact cosine top-k within them.
+
+    On a partitioned-by-cluster table the cluster filter becomes parquet
+    partition pruning; here it is a semi-join against the probed ids.
+    """
+    centroids = deterministic_centroids(vectors, n_clusters, id_col, vector_col)
+    q_vec = F.array(*[F.lit(float(x)) for x in query_vector])
+    q_mag_val = sum(float(x) * float(x) for x in query_vector) ** 0.5
+    probe = (
+        centroids.withColumn(
+            "_qsim",
+            K.cosine_similarity(q_vec, F.col("centroid"), F.lit(q_mag_val), F.col("centroid_mag")),
+        )
+        .orderBy(F.col("_qsim").desc(), F.col("cluster_id").asc())
+        .limit(n_probe)
+        .select("cluster_id")
+    )
+    assigned = assign_clusters(vectors, centroids, id_col, vector_col)
+    in_probed = assigned.join(F.broadcast(probe), "cluster_id", "left_semi")
+    cos = K.cosine_similarity(q_vec, F.col(vector_col), F.lit(q_mag_val), None)
+    ranked = (
+        in_probed.select(id_col, "cluster_id", cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return ranked.select(
+        id_col, "cluster_id", F.round("_cos", 9).alias("cosine_similarity")
+    )

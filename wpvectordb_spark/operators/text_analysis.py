@@ -1,0 +1,159 @@
+"""Text analysis operators: language id, quality scoring, token stats,
+document fingerprinting — the per-document scoring pass of a training-data
+pipeline.  All pure Catalyst expressions (one narrow projection over the
+corpus, no shuffle), each with a DuckDB-mirrored formula for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.functions import text as X
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
+# Order matters: ties resolve to the FIRST language in this list.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ich", "mit", "ein", "zu", "nicht"),
+    "fr": ("le", "la", "les", "et", "un", "une", "est", "pas", "pour", "que"),
+    "es": ("el", "los", "las", "y", "un", "una", "es", "no", "por", "con"),
+}
+
+
+def _stopword_ratio(toks: Column, words: tuple[str, ...]) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks).cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def _sql_stopword_ratio(toks: str, words: tuple[str, ...]) -> str:
+    wl = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN"
+        f" CAST(len(list_filter({toks}, t -> t IN ({wl}))) AS DOUBLE) / len({toks})"
+        " ELSE 0.0 END"
+    )
+
+
+def language_id(text_col: Column | str = "text") -> Column:
+    """Heuristic language id: argmax stopword-hit ratio over STOPWORDS,
+    'und' (undetermined) when no list scores > 0.  Deterministic
+    first-wins tie-break in STOPWORDS order."""
+    toks = X.tokens(text_col)
+    scores = {lang: _stopword_ratio(toks, words) for lang, words in STOPWORDS.items()}
+    langs = list(STOPWORDS)
+    best = None
+    for lang in langs:
+        cond = scores[lang] > 0
+        for other in langs:
+            if other == lang:
+                continue
+            op = (
+                scores[lang] >= scores[other]
+                if langs.index(other) > langs.index(lang)
+                else scores[lang] > scores[other]
+            )
+            cond = cond & op
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    return best.otherwise("und")
+
+
+def sql_language_id(text: str) -> str:
+    toks = X.sql_tokens(text)
+    scores = {lang: _sql_stopword_ratio(toks, words) for lang, words in STOPWORDS.items()}
+    langs = list(STOPWORDS)
+    cases = []
+    for lang in langs:
+        conds = [f"({scores[lang]}) > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if langs.index(other) > langs.index(lang) else ">"
+            conds.append(f"({scores[lang]}) {op} ({scores[other]})")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
+def quality_features(text_col: Column | str = "text") -> dict[str, Column]:
+    """Cheap quality signals: token count, mean token length, punctuation
+    ratio, stopword ratio (en), uppercase-start ratio."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = X.tokens(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(t)
+    alnum_sp = F.length(F.regexp_replace(t, "[^a-zA-Z0-9 ]", ""))
+    mean_tok = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).cast("double")
+        / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    punct = F.when(
+        n_char > 0, (n_char - alnum_sp).cast("double") / n_char.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_en = _stopword_ratio(toks, STOPWORDS["en"])
+    return {
+        "n_tokens": n_tok.cast("long"),
+        "mean_token_len": F.round(mean_tok, 9),
+        "punct_ratio": F.round(punct, 9),
+        "stopword_ratio": F.round(stop_en, 9),
+    }
+
+
+def sql_quality_features(text: str) -> dict[str, str]:
+    toks = X.sql_tokens(text)
+    n_tok = f"len({toks})"
+    n_char = f"length({text})"
+    alnum_sp = f"length(regexp_replace({text}, '[^a-zA-Z0-9 ]', '', 'g'))"
+    mean_tok = (
+        f"CASE WHEN {n_tok} > 0 THEN CAST(list_reduce(list_prepend(0,"
+        f" list_transform({toks}, x -> length(x))), (a, b) -> a + b) AS DOUBLE)"
+        f" / {n_tok} ELSE 0.0 END"
+    )
+    punct = (
+        f"CASE WHEN {n_char} > 0 THEN CAST({n_char} - {alnum_sp} AS DOUBLE)"
+        f" / {n_char} ELSE 0.0 END"
+    )
+    return {
+        "n_tokens": f"CAST({n_tok} AS BIGINT)",
+        "mean_token_len": f"round({mean_tok}, 9)",
+        "punct_ratio": f"round({punct}, 9)",
+        "stopword_ratio": f"round({_sql_stopword_ratio(toks, STOPWORDS['en'])}, 9)",
+    }
+
+
+def quality_score(text_col: Column | str = "text") -> Column:
+    """Composite quality score in [0, 1]: rewards stopword presence and
+    moderate token lengths, penalizes punctuation density."""
+    f = quality_features(text_col)
+    raw = (
+        F.least(f["stopword_ratio"] * 2.0, F.lit(1.0)) * 0.4
+        + F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), 1.0).otherwise(0.3) * 0.3
+        + (1.0 - F.least(f["punct_ratio"] * 5.0, F.lit(1.0))) * 0.3
+    )
+    return F.round(raw, 9)
+
+
+def sql_quality_score(text: str) -> str:
+    f = sql_quality_features(text)
+    return (
+        f"round(least(({f['stopword_ratio']}) * 2.0, 1.0) * 0.4"
+        f" + (CASE WHEN ({f['mean_token_len']}) >= 3 AND ({f['mean_token_len']}) <= 10"
+        "    THEN 1.0 ELSE 0.3 END) * 0.3"
+        f" + (1.0 - least(({f['punct_ratio']}) * 5.0, 1.0)) * 0.3, 9)"
+    )
+
+
+def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Full per-document analysis projection: one narrow pass."""
+    feats = quality_features(text_col)
+    toks = X.tokens(text_col)
+    return docs.select(
+        F.col(id_col),
+        language_id(text_col).alias("lang_pred"),
+        *[c.alias(n) for n, c in feats.items()],
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        quality_score(text_col).alias("quality"),
+        X.string_hash(text_col).alias("fingerprint"),
+    )
