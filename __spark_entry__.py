@@ -602,16 +602,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
     """
     fp = X.sql_string_hash("text")
-    sh3 = X.sql_shingles("text", 3)
-    shingle_hashes = X.sql_hash_elements(sh3)
-    sig = X.sql_minhash_signature(shingle_hashes, 32)
+    tokh = X.sql_token_hashes("text")
+    shh = X.sql_shingle_hashes("th", 3)
+    sig = X.sql_minhash_signature("sh", 32)
     jac = (
         "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
         " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
     )
     lsh_cte = f"""
         WITH corpus AS ({corpus}),
-        sigs AS (SELECT doc_id, {sig} AS signature FROM corpus),
+        tht AS (SELECT doc_id, {tokh} AS th FROM corpus),
+        shs AS (SELECT doc_id, {shh} AS sh FROM tht),
+        sigs AS (SELECT doc_id, {sig} AS signature FROM shs),
         banded AS (
           SELECT doc_id, b.i AS band_id,
                  array_to_string(signature[b.i*4+1 : b.i*4+4], '-') AS band_key
@@ -623,13 +625,12 @@ def oracle_sql() -> dict[str, str]:
           FROM banded a JOIN banded bb
             ON a.band_id = bb.band_id AND a.band_key = bb.band_key
            AND a.doc_id < bb.doc_id
-        ),
-        sh AS (SELECT doc_id, {sh3} AS sh FROM corpus)
+        )
         SELECT id_a, id_b, jaccard FROM (
           SELECT id_a, id_b, round({jac}, 9) AS jaccard
           FROM cands
-          JOIN sh sa ON cands.id_a = sa.doc_id
-          JOIN sh sb ON cands.id_b = sb.doc_id
+          JOIN shs sa ON cands.id_a = sa.doc_id
+          JOIN shs sb ON cands.id_b = sb.doc_id
         ) WHERE jaccard >= 0.5
     """
     simhash_expr = X.sql_simhash(X.sql_token_hashes("text"))
@@ -649,10 +650,11 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
     ngram_cte = f"""
-        WITH sh AS (SELECT doc_id, lang, {sh3} AS sh FROM documents)
+        WITH tht AS (SELECT doc_id, lang, {tokh} AS th FROM documents),
+        shs AS (SELECT doc_id, lang, {shh} AS sh FROM tht)
         SELECT id_a, id_b, jaccard FROM (
           SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, round({jac}, 9) AS jaccard
-          FROM sh sa JOIN sh sb
+          FROM shs sa JOIN shs sb
             ON sa.lang = sb.lang AND sa.doc_id < sb.doc_id
         ) WHERE jaccard >= 0.05
     """

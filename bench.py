@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric", "value" (total seconds), "unit",
+"queries" (per-query seconds), "sf"}.  Each query materializes fully
+(count/collect) so the measured time covers the whole plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from wpvectordb_spark.operators import search as S
+    from wpvectordb_spark.session import get_spark
+
+    spark = get_spark("wpvectordb-bench")
+    # Single-shot batch plans at bench scale pay more in Janino whole-stage
+    # compilation than codegen saves in execution (the HOF-heavy signature
+    # expressions generate huge methods); interpreted expression mode is
+    # 2-5x faster end-to-end here.  On a long-running 100 TB cluster the
+    # compile cost amortizes — leave the Spark default (FALLBACK) there.
+    spark.conf.set(
+        "spark.sql.codegen.factoryMode",
+        os.environ.get("SPARK_GRAFT_CODEGEN", "NO_CODEGEN"),
+    )
+
+    qmap = entry.queries()
+    headline = [
+        "search_two_phase",
+        "search_brute_force",
+        "ann_ivf",
+        "index_build",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "text_analyze",
+        "events_tumbling",
+        "events_sessionize",
+        "events_user_activity",
+        "rel_pricing_summary",
+        "rel_top_customers",
+        "queue_claim_state",
+    ]
+
+    # warm the JVM/codegen once with a trivial action
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.monotonic()
+        df = qmap[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # batch search: 50 query vectors against the whole table in one plan —
+    # the Spark-native generalization (not in queries(): no single-query oracle)
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    vectors = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    qs = emb.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    t0 = time.monotonic()
+    S.search_many(vectors, qs, n=5, code_col=None, mag_col=None).count()
+    timings["search_batch_50"] = round(time.monotonic() - t0, 3)
+    print(f"# search_batch_50: {timings['search_batch_50']}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

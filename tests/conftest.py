@@ -17,6 +17,9 @@ SF_SMOKE = "/root/testdata/sf0.001"
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("wpvectordb-tests", shuffle_partitions=8)
+    # interpreted expressions: avoids per-plan Janino compilation, which
+    # dominates wall time for the HOF-heavy kernels at test scale
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     yield spark
 
 

@@ -46,22 +46,27 @@ def sql_tokens(text: str) -> str:
 # --- polynomial rolling hash -------------------------------------------------
 
 def string_hash(s: Column | str) -> Column:
-    """``h = fold(chars, h*31 + codepoint) % (1e9+7)`` — the portable hash."""
+    """``h = fold(chars, h*31 + codepoint) % (1e9+7)`` — the portable hash.
+
+    Chars come from ``split(s, '')`` — one O(n) pass; per-index
+    ``substring(s, i, 1)`` would seek from the string start each time
+    (O(n^2) on long documents)."""
     s = _col(s)
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(s)), lambda i: F.ascii(F.substring(s, i, F.lit(1)))
-    )
+    chars = F.filter(F.split(s, ""), lambda c: c != "")
     return F.aggregate(
-        chars,
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
         F.lit(0).cast("long"),
-        lambda a, c: (a * 31 + c.cast("long")) % HASH_MOD,
+        lambda a, c: (a * 31 + c) % HASH_MOD,
     )
 
 
 def sql_string_hash(s: str) -> str:
+    # list_prepend(0, ...) supplies the fold seed: harmless for non-empty
+    # input (0*31 + c == c) and keeps list_reduce defined on empty strings.
     return (
-        f"list_reduce(list_transform(range(1, length({s}) + 1),"
-        f" i -> CAST(ascii({s}[i]) AS BIGINT)), (a, c) -> (a * 31 + c) % {HASH_MOD})"
+        f"list_reduce(list_prepend(0, list_transform("
+        f"list_filter(string_split_regex({s}, ''), c -> c != ''),"
+        f" c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % {HASH_MOD})"
     )
 
 
@@ -71,18 +76,19 @@ def token_hashes(text: Column | str) -> Column:
 
 
 def _elem_hash(t: Column) -> Column:
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(t)), lambda i: F.ascii(F.substring(t, i, F.lit(1)))
-    )
+    chars = F.filter(F.split(t, ""), lambda c: c != "")
     return F.aggregate(
-        chars, F.lit(0).cast("long"), lambda a, c: (a * 31 + c.cast("long")) % HASH_MOD
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + c) % HASH_MOD,
     )
 
 
 def sql_token_hashes(text: str) -> str:
     inner = (
-        "list_reduce(list_transform(range(1, length(t) + 1),"
-        f" i -> CAST(ascii(t[i]) AS BIGINT)), (a, c) -> (a * 31 + c) % {HASH_MOD})"
+        "list_reduce(list_prepend(0, list_transform("
+        "list_filter(string_split_regex(t, ''), c -> c != ''),"
+        f" c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % {HASH_MOD})"
     )
     return f"list_transform({sql_tokens(text)}, t -> {inner})"
 
@@ -91,10 +97,76 @@ def sql_hash_elements(list_expr: str) -> str:
     """DuckDB: polynomial hash of every string element of a list —
     mirrors ``F.transform(arr, _elem_hash)``."""
     inner = (
-        "list_reduce(list_transform(range(1, length(t) + 1),"
-        f" i -> CAST(ascii(t[i]) AS BIGINT)), (a, c) -> (a * 31 + c) % {HASH_MOD})"
+        "list_reduce(list_prepend(0, list_transform("
+        "list_filter(string_split_regex(t, ''), c -> c != ''),"
+        f" c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % {HASH_MOD})"
     )
     return f"list_transform({list_expr}, t -> {inner})"
+
+
+# --- hashed shingles (the scale path for MinHash / Jaccard) ------------------
+
+def shingle_hashes(text: Column | str, k: int = 3) -> Column:
+    """Distinct hashes of k-token shingles, computed as ONE rolling fold
+    over the token-hash array (no per-shingle string building, no
+    re-evaluation of upstream hashing inside lambdas).
+
+    Shingle hash = the same polynomial fold over the window's token
+    hashes: ``h = fold(window, h*31 + token_hash) % M``.  Documents with
+    0 < n_tokens < k yield one shingle covering all tokens (mirroring the
+    short-document semantics of string shingles); empty token sets yield
+    null.  Only k=3 has the one-pass fold; other k fall back to the
+    slice-per-index shape.
+    """
+    th = token_hashes(text)
+    if k != 3:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(th) - k, F.lit(0)))
+        raw = F.transform(
+            idx,
+            lambda i: F.aggregate(
+                F.slice(th, i + 1, k),
+                F.lit(0).cast("long"),
+                lambda a, t: (a * 31 + t) % HASH_MOD,
+            ),
+        )
+        return F.when(F.size(th) > 0, F.array_distinct(raw))
+
+    init = F.struct(
+        F.lit(0).cast("long").alias("p1"),
+        F.lit(0).cast("long").alias("p2"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("whole"),
+        F.array().cast("array<long>").alias("out"),
+    )
+
+    def merge(s, t):
+        sh = ((((s["p1"] * 31 + s["p2"]) % HASH_MOD) * 31) + t) % HASH_MOD
+        return F.struct(
+            s["p2"].alias("p1"),
+            t.alias("p2"),
+            (s["cnt"] + 1).alias("cnt"),
+            ((s["whole"] * 31 + t) % HASH_MOD).alias("whole"),
+            F.when(s["cnt"] >= 2, F.array_append(s["out"], sh))
+            .otherwise(s["out"])
+            .alias("out"),
+        )
+
+    def finish(s):
+        return (
+            F.when(s["cnt"] >= 3, F.array_distinct(s["out"]))
+            .when(s["cnt"] > 0, F.array(s["whole"]))
+            .otherwise(F.lit(None).cast("array<long>"))
+        )
+
+    return F.aggregate(th, init, merge, finish)
+
+
+def sql_shingle_hashes(th: str, k: int = 3) -> str:
+    """DuckDB mirror over a token-hash list expression/column ``th`` —
+    reference it as a CTE column so it is evaluated once per row."""
+    fold = f"list_reduce(list_prepend(0, ({th})[i+1 : i+{k}]), (a, t) -> (a * 31 + t) % {HASH_MOD})"
+    raw = f"list_transform(range(0, greatest(len({th}) - {k}, 0) + 1), i -> {fold})"
+    return f"CASE WHEN len({th}) > 0 THEN list_distinct({raw}) END"
 
 
 def token_hashes_fast(text: Column | str) -> Column:
@@ -139,19 +211,33 @@ MINHASH_B = 97_531
 def minhash_signature(hashes: Column | str, num_hashes: int = 32) -> Column:
     """MinHash signature: ``sig[i] = min over token hashes of
     (a_i * h + b_i) % (2^31-1)`` with ``a_i = (K*(i+1)) % p`` (Knuth
-    multiplicative rehash).  Null for empty token sets."""
+    multiplicative rehash).  Null for empty token sets.
+
+    Shaped as ONE fold over the hash array (``aggregate`` with an
+    array accumulator) rather than ``num_hashes`` independent scans:
+    expressions referenced inside a higher-order-function lambda are
+    re-evaluated per element (Catalyst cannot CSE across lambda
+    boundaries), so the scan-per-hash shape recomputes the entire
+    upstream token/shingle hashing ``num_hashes`` times — 30-100x slower
+    on real documents.
+    """
     hs = _col(hashes)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                hs,
-                lambda x: (
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.transform(idx, lambda i: F.lit(MINHASH_PRIME).cast("long"))
+    sig = F.aggregate(
+        hs,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            idx,
+            lambda m, i: F.least(
+                m,
+                (
                     ((F.lit(MINHASH_A) * (i + 1)) % MINHASH_PRIME) * x
                     + (F.lit(MINHASH_B) * (i + 1) + 12345) % MINHASH_PRIME
                 )
                 % MINHASH_PRIME,
-            )
+            ),
         ),
     )
     return F.when(F.size(hs) > 0, sig)
@@ -189,22 +275,28 @@ def sql_lsh_band_keys(signature: str, bands: int, rows_per_band: int) -> str:
 def simhash(hashes: Column | str, bits: int = 32) -> Column:
     """SimHash over token hashes: bit i of the output is the sign of
     ``sum(+1 if bit i of token hash else -1)``; packed with the same
-    ``acc*2 + bit`` fold as sign codes.  Null for empty token sets."""
+    ``acc*2 + bit`` fold as sign codes.  Null for empty token sets.
+
+    Single fold over the hash array with a per-bit counter accumulator
+    (see minhash_signature for why the per-bit-scan shape is 30-100x
+    slower: lambda-captured subtrees re-evaluate per element).
+    """
     hs = _col(hashes)
+    idx = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))  # MSB first
+    init = F.transform(idx, lambda i: F.lit(0).cast("long"))
     bit_of = lambda h, i: (h / F.pow(F.lit(2.0), i.cast("double"))).cast("long") % 2
-    bits_arr = F.transform(
-        F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1)),
-        lambda i: F.when(
-            F.aggregate(
-                hs,
-                F.lit(0).cast("long"),
-                lambda a, h: a + F.when(bit_of(h, i) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+    counts = F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, idx, lambda c, i: c + F.when(bit_of(h, i) == 1, 1).otherwise(-1)
+        ),
     )
-    packed = F.aggregate(bits_arr, F.lit(0).cast("long"), lambda a, b: a * 2 + b)
+    packed = F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda a, c: a * 2 + F.when(c > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
     return F.when(F.size(hs) > 0, packed)
 
 

@@ -34,6 +34,16 @@ DEFAULT_BANDS = 8
 DEFAULT_ROWS_PER_BAND = 4
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's parallelism before CPU-heavy signature
+    computation.  Small corpora arrive as one or two parquet splits, which
+    would pin the expensive hashing to as many cores; at real scale the
+    input already has thousands of splits and this is a cheap rebalance of
+    same-sized partitions (ROUND_ROBIN, no key skew)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def exact_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -45,7 +55,7 @@ def exact_dedup(
     """
     fp = X.string_hash(text_col).alias("fingerprint")
     return (
-        docs.select(F.col(id_col), fp)
+        _spread(docs).select(F.col(id_col), fp)
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias(id_col),
@@ -62,21 +72,15 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(doc_id, signature) — minhash over distinct k-token shingles."""
-    sh = X.shingles(text_col, shingle_k)
-    hashed = F.transform(sh, lambda s: _shingle_hash(s))
-    return docs.select(
+    """(doc_id, signature) — minhash over distinct hashed k-token shingles.
+
+    Shingle hashes come from the one-pass rolling fold over token hashes
+    (functions.text.shingle_hashes): O(tokens) per document, no string
+    shingle materialization."""
+    hashed = X.shingle_hashes(text_col, shingle_k)
+    return _spread(docs).select(
         F.col(id_col),
         X.minhash_signature(hashed, num_hashes).alias("signature"),
-    )
-
-
-def _shingle_hash(s):
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(s)), lambda i: F.ascii(F.substring(s, i, F.lit(1)))
-    )
-    return F.aggregate(
-        chars, F.lit(0).cast("long"), lambda a, c: (a * 31 + c.cast("long")) % X.HASH_MOD
     )
 
 
@@ -88,8 +92,11 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band key.
 
-    Explode band keys, self-equi-join on (band_id, band_key): the join is
-    hash-partitioned by band key, so only same-bucket rows ever meet.
+    Explode band keys, group by (band_id, band_key), emit ordered pairs
+    from each bucket's id list.  One pass over the signatures and one
+    shuffle on the band key — a self-equi-join would run the whole
+    signature pipeline once per join side.  Buckets of size 1 (the vast
+    majority) are filtered before any pair is generated.
     """
     keys = F.posexplode(
         X.lsh_band_keys("signature", bands, rows_per_band)
@@ -97,20 +104,18 @@ def lsh_candidate_pairs(
     banded = signatures.where(F.col("signature").isNotNull()).select(
         F.col(id_col), keys.alias("band_id", "band_key")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where(F.size("ids") > 1)
     )
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(ids,"
+            " x -> transform(filter(ids, y -> y > x), y -> struct(x AS id_a, y AS id_b))))"
+        )
+    )
+    return buckets.select(pairs.alias("p")).select("p.id_a", "p.id_b").distinct()
 
 
 def ngram_jaccard_pairs(
@@ -125,9 +130,9 @@ def ngram_jaccard_pairs(
     (same language/source) to bound the pair space.  Returns
     (id_a, id_b, jaccard) for pairs >= threshold.
     """
-    base = docs.select(
+    base = _spread(docs).select(
         F.col(id_col),
-        X.shingles(text_col, shingle_k).alias("sh"),
+        X.shingle_hashes(text_col, shingle_k).alias("sh"),
         *( [F.col(block_col)] if block_col else [] ),
     )
     a = base.alias("a")
@@ -161,12 +166,20 @@ def minhash_lsh_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
 
-    The verify join re-fetches shingle sets only for candidate ids
-    (semi-join pattern), never for the full corpus.
+    The hashed shingle sets are computed ONCE and persisted (they feed
+    both the signature/banding branch and the two verify joins — without
+    the persist each consumer re-runs the tokenize+hash pipeline).  At
+    production scale this intermediate is the on-disk signature index.
     """
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    sh = (
+        _spread(docs)
+        .select(F.col(id_col), X.shingle_hashes(text_col, shingle_k).alias("sh"))
+        .persist()
+    )
+    sigs = sh.select(
+        F.col(id_col), X.minhash_signature(F.col("sh"), num_hashes).alias("signature")
+    )
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    sh = docs.select(F.col(id_col), X.shingles(text_col, shingle_k).alias("sh"))
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
     jac = inter.cast("double") / union.cast("double")
@@ -192,31 +205,31 @@ def simhash_near_dup_pairs(
     guaranteed recall run the standard rotations — here one block is the
     demonstrated pattern).
     """
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col),
         X.simhash(X.token_hashes(text_col)).alias("simhash"),
     ).where(F.col("simhash").isNotNull())
     # integer division (not float-divide-then-cast): ports exactly to any
     # oracle engine's `//`
     sh = sh.withColumn("bucket", F.expr(f"simhash div {2 ** (32 - prefix_bits)}"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    hd = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("long")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # One shuffle on the bucket, pairs generated and Hamming-filtered INSIDE
+    # each bucket's collected array: non-qualifying pairs never materialize
+    # as rows (a self-join would emit every same-bucket pair before
+    # filtering, and re-run the signature pipeline per join side).
+    buckets = sh.groupBy("bucket").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("s"))).alias(
+            "items"
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hd.alias("hamming"),
+    ).where(F.size("items") > 1)
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(items, x -> transform("
+            f" filter(items, y -> y.id > x.id AND bit_count(x.s ^ y.s) <= {max_hamming}),"
+            " y -> struct(x.id AS id_a, y.id AS id_b,"
+            " CAST(bit_count(x.s ^ y.s) AS BIGINT) AS hamming))))"
         )
-        .where(F.col("hamming") <= max_hamming)
     )
+    return buckets.select(pairs.alias("p")).select("p.id_a", "p.id_b", "p.hamming")
 
 
 def embedding_near_dup_pairs(
