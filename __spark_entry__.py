@@ -194,6 +194,37 @@ def _q_search_meta_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_k7_json_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 get_binary_code (VectorTable.php:522-529): vectors arriving as
+    JSON text are parsed then sign-coded.  The JSON round trip happens
+    Spark-side (to_json -> from_json); the oracle codes the raw vector —
+    equal outputs prove the codec is lossless."""
+    emb = _emb(spark, sf_dir)
+    parsed = F.from_json(F.to_json(F.col("embedding")), "array<float>")
+    return emb.select("vec_id", K.sign_code(parsed).alias("code"))
+
+
+def _q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction over the events props column."""
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+def _q_dsl_typed_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 typed literals: a DateTime-typed filter compiles to a timestamp
+    comparison (Filter.php:122), combined with IN."""
+    import datetime as dt
+
+    orders = _orders(spark, sf_dir).withColumnRenamed("o_orderkey", "post_id")
+    qb = QueryBuilder()
+    qb.add_filter("t", Filter("o_orderdate", ">", dt.datetime(1997, 1, 1)))
+    qb.add_filter("p", Filter("o_orderpriority", "IN", ["1-URGENT", "2-HIGH"]))
+    return qb.candidates(orders)
+
+
 # --- CRUD / point access (SURVEY.md §2.4) -----------------------------------
 
 _MULTI_GET_IDS = [42, 7, 123, 3, 77]
@@ -389,6 +420,27 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(_emb(spark, sf_dir), qv, k=10, n_clusters=16, n_probe=4)
 
 
+# --- streaming + multimodal ---------------------------------------------------
+
+def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed agg driven to completion over the
+    static file source — hash-matches the batch oracle."""
+    from wpvectordb_spark.streaming import streams as ST
+
+    stream = ST.stream_events(spark, sf_dir)
+    agg = ST.stream_tumbling_counts(stream, "1 hour")
+    return ST.run_stream_to_completion(spark, agg, output_mode="complete")
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched mapInPandas;
+    payloads are UTF-8 document bytes so features are oracle-checkable."""
+    from wpvectordb_spark.operators import multimodal as M
+
+    media = M.media_from_documents(_docs(spark, sf_dir))
+    return M.media_features(media)
+
+
 # --- relational (OLAP surface at scale) ---------------------------------------
 
 def _q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,8 +503,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_brute_force": _q_search_brute_force,
         "search_two_phase": _q_search_two_phase,
         "search_meta_sorted": _q_search_meta_sorted,
+        "k7_json_code": _q_k7_json_code,
+        "json_extract_props": _q_json_extract_props,
         "dsl_filter_cnf": _q_dsl_filter_cnf,
         "dsl_empty_in_tautology": _q_dsl_empty_in_tautology,
+        "dsl_typed_datetime": _q_dsl_typed_datetime,
         "crud_point_lookup": _q_crud_point_lookup,
         "crud_multi_get_ordered": _q_crud_multi_get_ordered,
         "crud_latest_per_user": _q_crud_latest_per_user,
@@ -480,6 +535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_customers": _q_rel_top_customers,
+        "stream_tumbling": _q_stream_tumbling,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -775,6 +832,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "ann_ivf": ivf_sql,
+        "stream_tumbling": f"""
+            SELECT time_bucket(INTERVAL '1 hour', {ev}) AS window_start, event_type,
+                   COUNT(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "multimodal_features": f"""
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                   CAST(CASE WHEN length(text) > 0 THEN ascii(text[1]) ELSE -1 END AS BIGINT) AS first_byte,
+                   {fp} AS checksum
+            FROM documents
+        """,
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_qty,
@@ -806,6 +875,16 @@ def oracle_sql() -> dict[str, str]:
               AND (d.text LIKE '%spark%')
         """,
         "dsl_empty_in_tautology": "SELECT DISTINCT doc_id AS post_id FROM documents",
+        "k7_json_code": f"SELECT vec_id, {code} AS code FROM embeddings",
+        "json_extract_props": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "dsl_typed_datetime": """
+            SELECT DISTINCT o_orderkey AS post_id FROM orders
+            WHERE o_orderdate > TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        """,
         "search_meta_sorted": meta_sorted_cte,
         # --- CRUD ---
         "crud_point_lookup": f"SELECT vec_id, label, round({mag}, 9) AS mag FROM embeddings WHERE vec_id = 42",

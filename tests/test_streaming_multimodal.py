@@ -1,0 +1,101 @@
+"""Streaming + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.operators import events as E
+from wpvectordb_spark.operators import multimodal as M
+from wpvectordb_spark.operators import queue_ops as Q
+from wpvectordb_spark.schemas import QUEUE_SCHEMA
+from wpvectordb_spark.sources.loaders import load_events
+from wpvectordb_spark.streaming import streams as ST
+from tests.conftest import SF_DIR
+
+
+def test_stream_tumbling_equals_batch(spark):
+    """The streaming windowed agg over the static file source must produce
+    exactly the batch operator's rows (same column logic, same data)."""
+    stream = ST.stream_events(spark, SF_DIR)
+    agg = ST.stream_tumbling_counts(stream, "1 hour", watermark="0 seconds")
+    # complete mode: append would hold back windows the watermark hasn't
+    # passed when the (finite) stream drains — the final window never emits
+    got = ST.run_stream_to_completion(spark, agg, output_mode="complete")
+    batch = E.tumbling_window_agg(load_events(spark, SF_DIR), "1 hour").select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+
+def test_stream_queue_ingest(spark):
+    empty = spark.createDataFrame([], QUEUE_SCHEMA)
+    ids = ST.stream_events(spark, SF_DIR).select(
+        F.col("event_id").alias("job_id"), F.col("user_id").alias("post_id")
+    )
+    get_state, query = ST.stream_queue_ingest(
+        spark, ids, empty, dt.datetime(2024, 1, 1)
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    state = get_state()
+    n_users = load_events(spark, SF_DIR).select("user_id").distinct().count()
+    # one pending job per distinct post_id (duplicates anti-joined away)
+    assert state.count() == n_users
+    assert state.where(F.col("status") != "pending").count() == 0
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return M.media_from_documents(docs)
+
+
+def test_media_schema_and_features(spark, media):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "media_type", "payload", "meta",
+    ]
+    feats = M.media_features(media)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    probe = docs[0].encode("utf-8")
+    assert rows[0]["byte_len"] == len(probe)
+    assert rows[0]["first_byte"] == probe[0]
+    assert rows[0]["checksum"] == M._checksum(probe)
+
+
+def test_media_checksum_matches_text_hash(spark, media, duck):
+    """For ASCII payloads the byte checksum equals the portable string
+    hash — ties the multimodal path into the oracle-checkable hash."""
+    from wpvectordb_spark.functions import text as X
+
+    feats = M.media_features(media).select("media_id", "checksum")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    want = docs.select(
+        F.col("doc_id").alias("media_id"), X.string_hash("text").alias("checksum")
+    )
+    assert {tuple(r) for r in feats.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_decode_requires_codec(media):
+    with pytest.raises(NotImplementedError):
+        M.decode_media(media)
+
+
+def test_decode_with_fake_codec(media):
+    out = M.decode_media(media.limit(10), codec=M.fake_codec)
+    rows = out.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 1 <= r["width"] <= 640 and 1 <= r["height"] <= 480
+        assert r["n_frames"] == 1  # text/plain

