@@ -69,18 +69,35 @@ def sign_code(v: Column | str, word_bits: int = CODE_WORD_BITS) -> Column:
     """K3 — sign-quantized binary code packed ``word_bits`` bits per bigint
     word (replaces the reference's hex-string codec, VectorTable.php:537-547).
 
-    Works for any dimension (short tail packs with the same left fold).
+    One fold over the vector with a (words, acc, cnt) accumulator: the
+    slice-per-word shape re-evaluates the bit array once per word (32x
+    upstream recompute at 1024 dims — lambda-captured subtrees are not
+    CSE'd).  Any dimension works; a short tail packs with the same fold.
     """
-    bits = sign_bits(v)
-    n_words = F.ceil(F.size(bits) / F.lit(float(word_bits))).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_words - 1),
-        lambda w: F.aggregate(
-            F.slice(bits, w * word_bits + 1, word_bits),
-            F.lit(0).cast("long"),
-            lambda acc, b: acc * 2 + b,
-        ),
+    vec = _col(v)
+    init = F.struct(
+        F.array().cast("array<long>").alias("words"),
+        F.lit(0).cast("long").alias("acc"),
+        F.lit(0).cast("long").alias("cnt"),
     )
+
+    def merge(s, x):
+        bit = F.when(_d(x) > 0.0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        acc2 = s["acc"] * 2 + bit
+        cnt2 = s["cnt"] + 1
+        full = cnt2 % word_bits == 0
+        return F.struct(
+            F.when(full, F.array_append(s["words"], acc2)).otherwise(s["words"]).alias("words"),
+            F.when(full, F.lit(0).cast("long")).otherwise(acc2).alias("acc"),
+            cnt2.alias("cnt"),
+        )
+
+    def finish(s):
+        return F.when(
+            (s["cnt"] % word_bits == 0), s["words"]
+        ).otherwise(F.array_append(s["words"], s["acc"]))
+
+    return F.aggregate(vec, init, merge, finish)
 
 
 def hamming(a: Column | str, b: Column | str) -> Column:

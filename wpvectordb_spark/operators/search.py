@@ -89,7 +89,7 @@ def search(
     vector_col: str = "vector",
     code_col: str | None = "binary_code",
     mag_col: str | None = "magnitude",
-    stage1_limit: int = STAGE1_LIMIT,
+    stage1_limit: int | None = None,
 ) -> DataFrame:
     """Three-stage top-n similarity search over a vector table.
 
@@ -114,6 +114,13 @@ def search(
     # Catalyst broadcasts the candidate set when small).
     if candidates is not None:
         df = df.join(candidates.select(post_id_col).distinct(), post_id_col, "left_semi")
+    # The reference caps the stage-1 scan at 1e6 rows (VectorTable.php:81) —
+    # a MySQL safety valve.  In Spark a limit here compiles to
+    # LocalLimit -> Exchange(SinglePartition) -> GlobalLimit: it funnels the
+    # WHOLE candidate table through one partition before the Hamming top-k,
+    # destroying scan parallelism.  Default is therefore no cap (the
+    # distributed top-k needs none); pass stage1_limit=STAGE1_LIMIT only for
+    # strict reference parity on over-1e6-row candidate sets.
     if stage1_limit is not None:
         df = df.limit(stage1_limit)
 
