@@ -492,6 +492,31 @@ def _q_rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join: local-supply revenue per ASIA nation.
+    Dimension tables broadcast; the only shuffles are lineitem x orders
+    and the final group-by."""
+    rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+    li, orders, cust, supp, nation, region = (
+        rd("lineitem"), rd("orders"), rd("customer"), rd("supplier"), rd("nation"), rd("region")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,6)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev"))
+        .select("n_name", F.round(F.col("_rev").cast("double"), 6).alias("revenue"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "k1_magnitude": _q_k1_magnitude,
@@ -535,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_customers": _q_rel_top_customers,
+        "rel_revenue_by_nation": _q_rel_revenue_by_nation,
         "stream_tumbling": _q_stream_tumbling,
         "multimodal_features": _q_multimodal_features,
     }
@@ -854,6 +880,18 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "rel_revenue_by_nation": """
+            SELECT n_name,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE), 6) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+            GROUP BY n_name
         """,
         "rel_top_customers": """
             SELECT c_custkey, c_name, n_orders,

@@ -1,0 +1,84 @@
+"""Index persistence: the C11/DDL analog.  The vector index is a
+partitioned parquet table; partition pruning must reach the scan when a
+query restricts the partition key — the on-disk shape of the IVF and
+bucketed-search scale paths."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.operators import search as S
+from wpvectordb_spark.operators import similarity as SIM
+from wpvectordb_spark.operators import table_ops as TO
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_bucketed_index_roundtrip_and_search(spark, emb, tmp_path_factory):
+    """derive -> write partitioned by post_id bucket -> reload -> search:
+    identical results to the in-memory index."""
+    out = str(tmp_path_factory.mktemp("index") / "vectors")
+    chunks = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("vec_id").alias("post_id"),
+        F.lit(0).cast("int").alias("sequence_no"),
+        F.col("embedding").alias("vector"),
+    )
+    idx = TO.derive(chunks, keep_normalized=False).withColumn(
+        "bucket", F.col("post_id") % 16
+    )
+    idx.write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+    reloaded = spark.read.parquet(out)
+    assert reloaded.count() == emb.count()
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    from_disk = S.search(reloaded, qv, n=5)
+    in_mem = S.search(idx, qv, n=5)
+    assert [tuple(r) for r in from_disk.select("id", "post_id", "hamming_distance").collect()] == [
+        tuple(r) for r in in_mem.select("id", "post_id", "hamming_distance").collect()
+    ]
+
+
+def test_partition_pruning_reaches_scan(spark, emb, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index") / "vectors")
+    idx = TO.derive(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("vec_id").alias("post_id"),
+            F.col("embedding").alias("vector"),
+        ),
+        keep_normalized=False,
+    ).withColumn("bucket", F.col("post_id") % 16)
+    idx.write.mode("overwrite").partitionBy("bucket").parquet(out)
+
+    pruned = spark.read.parquet(out).where(F.col("bucket") == 3)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert pruned.count() < emb.count()
+
+
+def test_ivf_clustered_layout_pruning(spark, emb, tmp_path_factory):
+    """IVF scale path made concrete: assignments written partitioned by
+    cluster_id; a probe query scans only the probed partitions."""
+    out = str(tmp_path_factory.mktemp("ivf") / "clustered")
+    cents = SIM.deterministic_centroids(emb, n_clusters=8)
+    assigned = SIM.assign_clusters(emb, cents)
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(out)
+
+    clustered = spark.read.parquet(out)
+    probe = clustered.where(F.col("cluster_id").isin(1, 5))
+    n_probed = probe.select("cluster_id").distinct().count()
+    assert n_probed <= 2
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the probed subset is a strict subset of the corpus
+    assert 0 < probe.count() < clustered.count()

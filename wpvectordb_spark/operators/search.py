@@ -213,11 +213,24 @@ def search_many(
         K.sign_code(query_vec_col).alias("_q_code"),
         K.magnitude(query_vec_col).alias("_q_mag"),
     )
-    joined = vectors.join(F.broadcast(q), how="cross")
+    # Derive per-row code/magnitude BEFORE the cross join: inline
+    # expressions after the join would be re-evaluated once per
+    # (vector, query) pair instead of once per vector.
+    base = vectors
+    if code_col is None and two_phase:
+        base = base.withColumn("_code", K.sign_code(vector_col))
+        code_col_eff = "_code"
+    else:
+        code_col_eff = code_col
+    if mag_col is None:
+        base = base.withColumn("_mag", K.magnitude(vector_col))
+        mag_col_eff = "_mag"
+    else:
+        mag_col_eff = mag_col
+    joined = base.join(F.broadcast(q), how="cross")
 
     if two_phase:
-        code = F.col(code_col) if code_col else K.sign_code(vector_col)
-        hd = K.hamming(code, F.col("_q_code"))
+        hd = K.hamming(F.col(code_col_eff), F.col("_q_code"))
         w_h = Window.partitionBy(query_id_col).orderBy(hd.asc(), F.col(id_col).asc())
         joined = (
             joined.withColumn("hamming_distance", hd)
@@ -225,8 +238,9 @@ def search_many(
             .where(F.col("_hrank") <= STAGE2_FACTOR * n)
         )
 
-    vm = F.col(mag_col) if mag_col else None
-    cos = K.cosine_similarity(F.col(query_vec_col), F.col(vector_col), F.col("_q_mag"), vm)
+    cos = K.cosine_similarity(
+        F.col(query_vec_col), F.col(vector_col), F.col("_q_mag"), F.col(mag_col_eff)
+    )
     w_c = Window.partitionBy(query_id_col).orderBy(cos.desc(), F.col(id_col).asc())
     out = (
         joined.withColumn("cosine_similarity", cos)
