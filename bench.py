@@ -52,7 +52,10 @@ def main() -> None:
         "events_user_activity",
         "rel_pricing_summary",
         "rel_top_customers",
+        "rel_revenue_by_nation",
         "queue_claim_state",
+        "stream_tumbling",
+        "multimodal_features",
     ]
 
     # warm the JVM/codegen once with a trivial action
@@ -79,6 +82,15 @@ def main() -> None:
     S.search_many(vectors, qs, n=5, code_col=None, mag_col=None).count()
     timings["search_batch_50"] = round(time.monotonic() - t0, 3)
     print(f"# search_batch_50: {timings['search_batch_50']}s", file=sys.stderr)
+
+    # Arrow/numpy cosine fast path vs the Catalyst expression form
+    from wpvectordb_spark.operators import similarity as SIM
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    t0 = time.monotonic()
+    SIM.brute_force_topk_arrow(emb, qv, n=10).count()
+    timings["search_brute_force_arrow"] = round(time.monotonic() - t0, 3)
+    print(f"# search_brute_force_arrow: {timings['search_brute_force_arrow']}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)

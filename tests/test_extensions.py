@@ -145,3 +145,40 @@ def test_ivf_recall_vs_brute_force(spark):
     # full probe == exhaustive == brute force exactly
     full = [r["vec_id"] for r in SIM.ivf_topk(emb, q, k=10, n_clusters=16, n_probe=16).collect()]
     assert full == exact
+
+
+def test_arrow_cosine_matches_catalyst(spark):
+    from wpvectordb_spark.operators import similarity as SIM
+    from wpvectordb_spark.operators.search import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 4).first()["embedding"]]
+    arrow = [
+        (r["vec_id"], r["cosine_similarity"])
+        for r in SIM.brute_force_topk_arrow(emb, q, n=10).collect()
+    ]
+    catalyst = [
+        (r["id"], r["cosine_similarity"])
+        for r in brute_force_topk(
+            emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector")), q, n=10
+        ).collect()
+    ]
+    assert arrow == catalyst
+
+
+def test_lsh_bucket_cap_drops_with_warning(spark):
+    import warnings
+
+    # 30 identical docs -> every band bucket holds all 30
+    df = spark.createDataFrame(
+        [(i, "same words repeated here for everyone in the bucket") for i in range(30)],
+        "doc_id long, text string",
+    )
+    sigs = D.minhash_signatures(df)
+    uncapped = D.lsh_candidate_pairs(sigs).count()
+    assert uncapped == 30 * 29 // 2
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = D.lsh_candidate_pairs(sigs, max_bucket_size=10).count()
+    assert capped == 0
+    assert any("dropping" in str(x.message) for x in w)

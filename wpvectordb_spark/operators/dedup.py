@@ -89,6 +89,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band key.
 
@@ -109,6 +110,21 @@ def lsh_candidate_pairs(
         .agg(F.collect_list(id_col).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        # Adversarial skew guard: a bucket of B ids emits B^2/2 pairs in one
+        # task.  Oversized buckets (boilerplate/empty docs that collide in
+        # every band) are dropped EXPLICITLY — callers opting in accept
+        # reduced recall on those groups; exact_dedup catches true
+        # duplicates among them.  No silent truncation by default.
+        import warnings
+
+        dropped = buckets.where(F.size("ids") > max_bucket_size).count()
+        if dropped:
+            warnings.warn(
+                f"lsh_candidate_pairs: dropping {dropped} bucket(s) larger "
+                f"than max_bucket_size={max_bucket_size}"
+            )
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
     pairs = F.explode(
         F.expr(
             "flatten(transform(ids,"

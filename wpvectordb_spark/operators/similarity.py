@@ -24,6 +24,49 @@ from pyspark.sql import functions as F
 from wpvectordb_spark.functions import kernels as K
 
 
+def brute_force_topk_arrow(
+    vectors: DataFrame,
+    query_vector: list[float],
+    n: int = 10,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Exact cosine top-k with an Arrow-vectorized numpy kernel.
+
+    The Catalyst ``aggregate``/``zip_with`` form (search.brute_force_topk)
+    is the no-dependency default; at high dimensionality (1024+) a
+    vectorized Pandas UDF computes the dot products as one BLAS matmul per
+    Arrow batch — the documented "UDFs are the slow path ... unless
+    Arrow-batched" escape hatch.  Results match the Catalyst form to
+    double rounding.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vector, dtype=np.float64)
+    q_norm = float(np.sqrt((q * q).sum()))
+
+    def _cos(col):
+        mat = np.stack(col.to_numpy()).astype(np.float64)
+        dots = mat @ q
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        return pd.Series(dots / (q_norm * norms + 1e-12))
+
+    # explicit registration: `from __future__ import annotations` stringifies
+    # type hints, which the pandas_udf signature inference cannot resolve
+    cos = pandas_udf(_cos, "double")
+
+    ranked = (
+        vectors.select(F.col(id_col), cos(F.col(vector_col)).alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+        .limit(n)
+    )
+    out = F.round("_cos", round_to) if round_to is not None else F.col("_cos")
+    return ranked.select(id_col, out.alias("cosine_similarity"))
+
+
 def deterministic_centroids(
     vectors: DataFrame,
     n_clusters: int = 16,
