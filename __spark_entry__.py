@@ -213,6 +213,17 @@ def _q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsl_negations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 negative operators: !=, <=, NOT LIKE, NOT IN together."""
+    docs = _docs_as_posts(spark, sf_dir)
+    qb = QueryBuilder()
+    qb.add_filter("a", Filter("lang", "!=", "zh"))
+    qb.add_filter("b", Filter("n_chars", "<=", 400))
+    qb.add_filter("c", Filter("text", "NOT LIKE", "window"))
+    qb.add_filter("d", Filter("source", "NOT IN", ["src3", "src7"]))
+    return qb.candidates(docs)
+
+
 def _q_dsl_typed_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 typed literals: a DateTime-typed filter compiles to a timestamp
     comparison (Filter.php:122), combined with IN."""
@@ -533,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_filter_cnf": _q_dsl_filter_cnf,
         "dsl_empty_in_tautology": _q_dsl_empty_in_tautology,
         "dsl_typed_datetime": _q_dsl_typed_datetime,
+        "dsl_negations": _q_dsl_negations,
         "crud_point_lookup": _q_crud_point_lookup,
         "crud_multi_get_ordered": _q_crud_multi_get_ordered,
         "crud_latest_per_user": _q_crud_latest_per_user,
@@ -922,6 +934,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o_orderkey AS post_id FROM orders
             WHERE o_orderdate > TIMESTAMP '1997-01-01 00:00:00'
               AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        """,
+        "dsl_negations": """
+            SELECT DISTINCT doc_id AS post_id FROM documents
+            WHERE lang != 'zh' AND n_chars <= 400
+              AND text NOT LIKE '%window%'
+              AND source NOT IN ('src3', 'src7')
         """,
         "search_meta_sorted": meta_sorted_cte,
         # --- CRUD ---

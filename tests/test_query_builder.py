@@ -100,3 +100,40 @@ def test_column_sort(docs):
     qb.add_sort(Sort("source", "ASC"))
     out = qb.apply_sorts(base, documents=docs)
     assert out.columns == ["post_id", "id"]  # sort cols dropped after order
+
+
+def test_meta_sort_date_cast(spark):
+    """Q8: meta date cast — string dates sort chronologically, not
+    lexically (e.g. '2024-2-1' vs '2024-10-1' would sort wrong as text)."""
+    base = spark.createDataFrame(
+        [(1,), (2,), (3,)], "post_id long"
+    ).withColumn("id", F.col("post_id"))
+    meta = spark.createDataFrame(
+        [
+            (1, "published", "2024-10-01"),
+            (2, "published", "2024-02-01"),
+            (3, "published", "2024-09-15"),
+        ],
+        "post_id long, meta_key string, meta_value string",
+    )
+    qb = QueryBuilder()
+    qb.add_sort(Sort("published", "ASC", is_meta=True, meta_cast="date"))
+    out = [r["post_id"] for r in qb.apply_sorts(base, doc_meta=meta).collect()]
+    assert out == [2, 3, 1]
+
+
+def test_meta_string_max_pivot_semantics(spark):
+    """§7.4.5: multiple meta rows for one key pivot via STRING max
+    (the reference's MAX(pm.meta_value) over text)."""
+    base = spark.createDataFrame([(1,), (2,)], "post_id long").withColumn(
+        "id", F.col("post_id")
+    )
+    meta = spark.createDataFrame(
+        [(1, "score", "9"), (1, "score", "10"), (2, "score", "5")],
+        "post_id long, meta_key string, meta_value string",
+    )
+    qb = QueryBuilder()
+    qb.add_sort(Sort("score", "DESC", is_meta=True, meta_cast="number"))
+    out = [r["post_id"] for r in qb.apply_sorts(base, doc_meta=meta).collect()]
+    # string max picks '9' (not '10') for post 1 -> 9 > 5 -> [1, 2]
+    assert out == [1, 2]

@@ -91,6 +91,43 @@ def run_stream_to_completion(
     return spark.table(name)
 
 
+def stream_dedup(events: DataFrame, key: str, watermark_col: str = "ts", watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup: keep the first record per key, with the
+    watermark bounding how long keys stay in state — the streaming form of
+    ``dedup.exact_dedup``.  At 100 TB ingest this is how already-seen
+    documents are dropped without a static join against the full corpus."""
+    return events.withWatermark(watermark_col, watermark).dropDuplicates([key])
+
+
+def stream_running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running event counter maintained in explicit state across
+    micro-batches (the applyInPandasWithState pattern for stateful logic
+    that windowed aggregation cannot express)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_queue_ingest(
     spark: SparkSession,
     post_ids_stream: DataFrame,
