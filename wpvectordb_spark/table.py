@@ -1,0 +1,237 @@
+"""User-facing facades mirroring the reference's two classes 1:1.
+
+``VectorTable`` (src/VectorTable.php) and ``VectorTableQueue``
+(src/VectorTableQueue.php) re-expressed over parquet-backed state: every
+method name and argument shape matches the reference so a caller can
+switch engines without relearning the API, while the implementations
+delegate to the operator modules (all lazy DataFrame plans).
+
+Storage model: each table is a parquet directory; mutating calls rewrite
+the snapshot (single-writer, like the reference's un-transactional MySQL
+usage — VectorTableQueue.php:189-223).  At production scale the same
+facade sits over Delta/Iceberg and mutations become MERGEs; the operator
+layer is unchanged.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.operators import queue_ops as Q
+from wpvectordb_spark.operators import search as S
+from wpvectordb_spark.operators import table_ops as TO
+from wpvectordb_spark.schemas import QUEUE_SCHEMA, VECTOR_TABLE_SCHEMA
+
+
+class VectorTable:
+    """Parquet-backed vector table with the reference's method surface
+    (VectorTable.php:30-633)."""
+
+    def __init__(self, spark: SparkSession, path: str, vector_length: int = 1024):
+        self.spark = spark
+        self.path = path
+        self.vector_length = vector_length  # VectorTable.php:37 default 1024
+
+    # -- DDL (C11, VectorTable.php:464-513) ---------------------------------
+    def init(self) -> None:
+        if not self.table_exists():
+            self.create_table()
+
+    def create_table(self) -> None:
+        empty = self.spark.createDataFrame([], VECTOR_TABLE_SCHEMA)
+        empty.write.mode("overwrite").parquet(self.path)
+
+    def drop_table(self) -> None:
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+
+    def table_exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS")) or (
+            os.path.isdir(self.path)
+            and any(f.endswith(".parquet") for f in os.listdir(self.path))
+        )
+
+    # -- state --------------------------------------------------------------
+    def df(self) -> DataFrame:
+        return self.spark.read.schema(VECTOR_TABLE_SCHEMA).parquet(self.path)
+
+    def _write(self, df: DataFrame) -> None:
+        # snapshot rewrite via staging dir (parquet cannot overwrite in place
+        # while reading); Delta/Iceberg replaces this with MERGE/commit.
+        staging = self.path + "__staging"
+        df.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.rename(staging, self.path)
+
+    # -- reads (C1-C6) ------------------------------------------------------
+    def id(self, id_: int) -> DataFrame:
+        return TO.by_id(self.df(), id_)
+
+    def ids(self, ids_: list[int]) -> DataFrame:
+        return TO.by_ids(self.df(), ids_)
+
+    def get(self, post_id: int, sequence_no: int) -> DataFrame:
+        return TO.get(self.df(), post_id, sequence_no)
+
+    def get_all_for_post(self, post_id: int) -> DataFrame:
+        return TO.get_all_for_post(self.df(), post_id)
+
+    def get_latest_updated(self, post_id: int) -> DataFrame:
+        return TO.get_latest_updated(self.df(), post_id)
+
+    def get_all(self) -> DataFrame:
+        return TO.get_all(self.df())
+
+    def get_vector_count(self) -> int:
+        return TO.vector_count(self.df())
+
+    # -- writes (C7-C9) ------------------------------------------------------
+    def upsert(
+        self,
+        post_id: int,
+        sequence_no: int,
+        vector: list[float],
+        vector_type: str = "",
+    ) -> None:
+        new = self.spark.createDataFrame(
+            [(int(post_id), int(sequence_no), [float(x) for x in vector], vector_type)],
+            "post_id long, sequence_no int, vector array<float>, vector_type string",
+        )
+        merged = TO.upsert(self.df(), new)
+        self._write(self._with_ids(merged))
+
+    def insert_all(self, post_id: int, vectors: list[list[float]]) -> None:
+        new = self.spark.createDataFrame(
+            [
+                (int(post_id), i, [float(x) for x in v])
+                for i, v in enumerate(vectors)
+            ],
+            "post_id long, sequence_no int, vector array<float>",
+        )
+        merged = TO.insert_all(self.df(), post_id, new)
+        self._write(self._with_ids(merged))
+
+    def delete(self, id_: int) -> None:
+        self._write(TO.delete(self.df(), id_))
+
+    def _with_ids(self, df: DataFrame) -> DataFrame:
+        """Assign stable surrogate ids to rows missing one: max(id) +
+        row_number over the natural key (AUTO_INCREMENT analog without
+        monotonically_increasing_id's non-contiguity)."""
+        from pyspark.sql import Window
+
+        max_id = (df.agg(F.max("id")).collect()[0][0]) or 0
+        w = Window.orderBy("post_id", "sequence_no")
+        return (
+            df.withColumn(
+                "_new_id", F.lit(max_id) + F.row_number().over(w)
+            )
+            .withColumn("id", F.coalesce(F.col("id"), F.col("_new_id")))
+            .drop("_new_id")
+        )
+
+    # -- search (S1-S8) ------------------------------------------------------
+    def search(
+        self,
+        vector: list[float],
+        n: int = S.DEFAULT_N,
+        builder=None,
+        documents: DataFrame | None = None,
+        doc_meta: DataFrame | None = None,
+    ) -> DataFrame:
+        return S.search(
+            self.df(),
+            [float(x) for x in vector],
+            n=n,
+            builder=builder,
+            documents=documents,
+            doc_meta=doc_meta,
+        )
+
+
+class VectorTableQueue:
+    """Parquet-backed job queue with the reference's method surface
+    (VectorTableQueue.php:20-447)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def init(self) -> None:
+        if not os.path.isdir(self.path):
+            self.spark.createDataFrame([], QUEUE_SCHEMA).write.mode("overwrite").parquet(self.path)
+
+    def df(self) -> DataFrame:
+        return self.spark.read.schema(QUEUE_SCHEMA).parquet(self.path)
+
+    def _write(self, df: DataFrame) -> None:
+        staging = self.path + "__staging"
+        df.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(self.path, ignore_errors=True)
+        os.rename(staging, self.path)
+
+    def _next_job_id(self) -> int:
+        return ((self.df().agg(F.max("job_id")).collect()[0][0]) or 0) + 1
+
+    def add_post(self, post_id: int, now: _dt.datetime | None = None) -> None:
+        self.add_posts([post_id], now)
+
+    def add_posts(self, post_ids: list[int], now: _dt.datetime | None = None) -> None:
+        now = now or _dt.datetime.utcnow()
+        base = self._next_job_id()
+        jobs = self.spark.createDataFrame(
+            [(base + i, int(p)) for i, p in enumerate(post_ids)],
+            "job_id long, post_id long",
+        )
+        self._write(Q.add_posts(self.df(), jobs, now))
+
+    def get_next_batch(
+        self, batch_size: int = Q.BATCH_SIZE, now: _dt.datetime | None = None
+    ) -> DataFrame:
+        now = now or _dt.datetime.utcnow()
+        claimed, new_state = Q.claim_batch(self.df(), now, batch_size)
+        claimed_rows = claimed.collect()  # materialize before state rewrite
+        self._write(new_state)
+        return self.spark.createDataFrame(claimed_rows, QUEUE_SCHEMA)
+
+    def update_status(
+        self,
+        job_ids: list[int],
+        status: str,
+        error_message: str | None = None,
+        now: _dt.datetime | None = None,
+    ) -> None:
+        now = now or _dt.datetime.utcnow()
+        self._write(Q.update_status(self.df(), job_ids, status, now, error_message))
+
+    def get_stats(self) -> dict[str, int]:
+        return {r["status"]: r["n"] for r in Q.stats(self.df()).collect()}
+
+    def cleanup(self, now: _dt.datetime | None = None) -> None:
+        now = now or _dt.datetime.utcnow()
+        self._write(Q.cleanup(self.df(), now))
+
+    def get_posts_to_retry(self) -> DataFrame:
+        return Q.posts_to_retry(self.df())
+
+    def reset_post(self, post_id: int) -> None:
+        self._write(Q.reset_post(self.df(), post_id))
+
+    def delete_post(self, post_id: int) -> None:
+        self._write(Q.delete_post(self.df(), post_id))
+
+    def delete_record(self, job_id: int) -> None:
+        self._write(Q.delete_record(self.df(), job_id))
+
+    def get_page_of_records(
+        self, page: int, per_page: int = Q.PAGE_SIZE, documents: DataFrame | None = None
+    ) -> DataFrame:
+        return Q.page_of_records(self.df(), page, per_page, documents)
+
+    def get_total_records(self) -> int:
+        return Q.total_records(self.df())
