@@ -431,6 +431,22 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(_emb(spark, sf_dir), qv, k=10, n_clusters=16, n_probe=4)
 
 
+def _q_search_two_phase_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship funnel through the SQL API (same plan via Catalyst)."""
+    from wpvectordb_spark.plans.sql_queries import run_two_phase_search_sql
+
+    return run_two_phase_search_sql(spark, sf_dir, n=5, lang="en")
+
+
+def _q_events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return E.conversion_funnel(load_events(spark, sf_dir))
+
+
+def _q_dedup_embedding_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-matmul variant of embedding near-dup (BLAS per block)."""
+    return D.embedding_near_dup_pairs_arrow(_emb(spark, sf_dir), threshold=0.8)
+
+
 # --- streaming + multimodal ---------------------------------------------------
 
 def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k6_cosine": _q_k6_cosine,
         "search_brute_force": _q_search_brute_force,
         "search_two_phase": _q_search_two_phase,
+        "search_two_phase_sql": _q_search_two_phase_sql,
         "search_meta_sorted": _q_search_meta_sorted,
         "k7_json_code": _q_k7_json_code,
         "json_extract_props": _q_json_extract_props,
@@ -569,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_activity": _q_events_user_activity,
         "events_user_activity_approx": _q_events_user_activity_approx,
         "events_type_rollup": _q_events_type_rollup,
+        "events_conversion_funnel": _q_events_conversion_funnel,
+        "dedup_embedding_arrow": _q_dedup_embedding_arrow,
         "ann_ivf": _q_ann_ivf,
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_customers": _q_rel_top_customers,
@@ -840,6 +859,19 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": simhash_cte,
         "dedup_ngram_jaccard": ngram_cte,
         "dedup_embedding_cosine": emb_dup_cte,
+        "dedup_embedding_arrow": emb_dup_cte,
+        "events_conversion_funnel": """
+            SELECT user_id, first_t, then_t,
+                   CAST(CASE WHEN then_t IS NOT NULL AND then_t >= first_t
+                              AND epoch_us(then_t) - epoch_us(first_t) <= 86400000000
+                         THEN 1 ELSE 0 END AS INT) AS converted
+            FROM (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS first_t,
+                     min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS then_t
+              FROM events GROUP BY user_id
+            ) WHERE first_t IS NOT NULL
+        """,
         "text_analyze": analyze_sql,
         "events_tumbling": f"""
             SELECT time_bucket(INTERVAL '1 hour', {ev}) AS window_start, event_type,
@@ -1029,4 +1061,5 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY {cos} DESC, e.vec_id ASC LIMIT 10
         """,
         "search_two_phase": search_cte,
+        "search_two_phase_sql": search_cte,
     }

@@ -248,6 +248,47 @@ def simhash_near_dup_pairs(
     return buckets.select(pairs.alias("p")).select("p.id_a", "p.id_b", "p.hamming")
 
 
+def embedding_near_dup_pairs_arrow(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Blocked-matmul near-dup: per block, one numpy gram matrix instead of
+    per-pair folds — the BLAS form of ``embedding_near_dup_pairs``.
+
+    ``applyInPandas`` groups by the blocking key; each block computes
+    ``V @ V.T`` and emits only the above-threshold upper-triangle pairs.
+    At scale, blocks are IVF clusters and this is the standard
+    within-cluster dedup kernel.  Values match the Catalyst form to 9-dp
+    rounding (dot products differ only in summation order).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vector_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / (np.outer(norms, norms) + 1e-12)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": np.round(sims[iu, ju][keep], 9)}
+        )
+
+    return (
+        vectors.select(id_col, vector_col, block_col)
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, out_schema)
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

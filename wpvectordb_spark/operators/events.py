@@ -94,6 +94,37 @@ def user_activity(events: DataFrame) -> DataFrame:
     )
 
 
+def conversion_funnel(
+    events: DataFrame,
+    first_type: str = "signup",
+    then_type: str = "purchase",
+    within_hours: int = 24,
+) -> DataFrame:
+    """Conversion funnel: users whose first ``first_type`` event is
+    followed by a ``then_type`` event within the window.  One aggregation
+    pass (min per type per user) + a timestamp comparison — no self-join
+    of the event log."""
+    agg = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == first_type, F.col("ts"))).alias("first_t"),
+        F.min(F.when(F.col("event_type") == then_type, F.col("ts"))).alias("then_t"),
+    )
+    converted = (
+        F.col("then_t").isNotNull()
+        & F.col("first_t").isNotNull()
+        & (F.col("then_t") >= F.col("first_t"))
+        & (
+            F.unix_micros(F.col("then_t")) - F.unix_micros(F.col("first_t"))
+            <= within_hours * 3600 * 1_000_000
+        )
+    )
+    return agg.where(F.col("first_t").isNotNull()).select(
+        "user_id",
+        "first_t",
+        "then_t",
+        converted.cast("int").alias("converted"),
+    )
+
+
 def event_type_funnel(events: DataFrame) -> DataFrame:
     """Per-type totals — the trivial rollup, one map-side-combined shuffle."""
     return events.groupBy("event_type").agg(
