@@ -544,6 +544,47 @@ def _q_rel_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over returnflag x linestatus — a standard OLAP shape absent
+    from the reference (SURVEY §2.7), free on Spark."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(20,6)")).cast("double"), 6
+            ).alias("sum_qty"),
+        )
+    )
+
+
+def _q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP of region -> nation customer counts (hierarchy totals)."""
+    rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+    cust, nation, region = rd("customer"), rd("nation"), rd("region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(F.count("*").alias("n_customers"))
+
+
+def _q_rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over customer-key sets: customers with
+    orders vs high-balance customers."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    high_bal = cust.where(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    both = with_orders.intersect(high_bal).withColumn("category", F.lit("both"))
+    only_orders = with_orders.exceptAll(high_bal).distinct().withColumn(
+        "category", F.lit("orders_only")
+    )
+    return both.unionByName(only_orders)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "k1_magnitude": _q_k1_magnitude,
@@ -592,6 +633,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": _q_rel_pricing_summary,
         "rel_top_customers": _q_rel_top_customers,
         "rel_revenue_by_nation": _q_rel_revenue_by_nation,
+        "rel_cube": _q_rel_cube,
+        "rel_rollup": _q_rel_rollup,
+        "rel_set_ops": _q_rel_set_ops,
         "stream_tumbling": _q_stream_tumbling,
         "multimodal_features": _q_multimodal_features,
     }
@@ -936,6 +980,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN region   ON n_regionkey = r_regionkey
             WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "rel_cube": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "rel_rollup": """
+            SELECT r_name, n_name, COUNT(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "rel_set_ops": """
+            WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+            high_bal AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+            SELECT custkey, 'both' AS category
+            FROM (SELECT custkey FROM with_orders INTERSECT SELECT custkey FROM high_bal)
+            UNION ALL
+            SELECT custkey, 'orders_only' AS category
+            FROM (SELECT custkey FROM with_orders EXCEPT SELECT custkey FROM high_bal)
         """,
         "rel_top_customers": """
             SELECT c_custkey, c_name, n_orders,

