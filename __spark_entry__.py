@@ -585,6 +585,54 @@ def _q_rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only_orders)
 
 
+def _q_rel_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: top-3 orders per customer by price, with rank and
+    running total."""
+    from pyspark.sql import Window
+
+    orders = _orders(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "running_spend",
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk", "running_spend")
+    )
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread into one column per type."""
+    ev = load_events(spark, sf_dir)
+    types = ["click", "view", "signup", "purchase", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count("event_id"))  # count(*) is invalid inside Pivot
+        .na.fill(0, types)
+    )
+
+
+def _q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type (the exact
+    form; approx_percentile is the sketch path at scale)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 9).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 9).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 9).alias("p99"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "k1_magnitude": _q_k1_magnitude,
@@ -636,6 +684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cube": _q_rel_cube,
         "rel_rollup": _q_rel_rollup,
         "rel_set_ops": _q_rel_set_ops,
+        "rel_window_ranks": _q_rel_window_ranks,
+        "events_pivot": _q_events_pivot,
+        "events_percentiles": _q_events_percentiles,
         "stream_tumbling": _q_stream_tumbling,
         "multimodal_features": _q_multimodal_features,
     }
@@ -1002,6 +1053,33 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT custkey, 'orders_only' AS category
             FROM (SELECT custkey FROM with_orders EXCEPT SELECT custkey FROM high_bal)
+        """,
+        "rel_window_ranks": """
+            SELECT o_custkey, o_orderkey, rnk, running_spend FROM (
+              SELECT o_custkey, o_orderkey,
+                     CAST(row_number() OVER w AS INT) AS rnk,
+                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6)))
+                       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_spend
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+            ) WHERE rnk <= 3
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+            FROM events GROUP BY user_id
+        """,
+        "events_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 9) AS p50,
+                   round(quantile_cont(value, 0.9), 9) AS p90,
+                   round(quantile_cont(value, 0.99), 9) AS p99
+            FROM events GROUP BY event_type
         """,
         "rel_top_customers": """
             SELECT c_custkey, c_name, n_orders,
