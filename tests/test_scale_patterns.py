@@ -1,0 +1,73 @@
+"""Scale-pattern demos that only show up in plans: bucketed co-located
+joins (no shuffle) and salted aggregation for hot keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.operators.skew import salted_agg
+from wpvectordb_spark.sources.loaders import load_events
+from tests.conftest import SF_DIR
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    ev = load_events(spark, SF_DIR)
+    got = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("event_id", "count"),
+            "total": ("value", "sum"),
+            "first_id": ("event_id", "min"),
+            "last_id": ("event_id", "max"),
+        },
+        salt_buckets=8,
+    )
+    want = ev.groupBy("event_type").agg(
+        F.count("event_id").alias("n"),
+        F.sum("value").alias("total"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )
+    g = {r["event_type"]: (r["n"], round(r["total"], 6), r["first_id"], r["last_id"]) for r in got.collect()}
+    w = {r["event_type"]: (r["n"], round(r["total"], 6), r["first_id"], r["last_id"]) for r in want.collect()}
+    assert g == w
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    ev = load_events(spark, SF_DIR)
+    with pytest.raises(ValueError):
+        salted_agg(ev, ["event_type"], {"m": ("value", "median")})
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key: the sort-merge join reads
+    bucket-aligned files and the plan has NO Exchange — the co-located
+    join layout for repeated large-large joins at scale."""
+    import uuid
+
+    # spark.sql.warehouse.dir is static; managed tables land in
+    # ./spark-warehouse (gitignored) and are dropped on exit
+    suffix = uuid.uuid4().hex[:8]
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    (emb.write.mode("overwrite").bucketBy(8, "vec_id").sortBy("vec_id")
+        .saveAsTable(f"emb_b_{suffix}"))
+    (docs.withColumnRenamed("doc_id", "vec_id").write.mode("overwrite")
+        .bucketBy(8, "vec_id").sortBy("vec_id").saveAsTable(f"docs_b_{suffix}"))
+
+    a = spark.table(f"emb_b_{suffix}")
+    b = spark.table(f"docs_b_{suffix}")
+    # disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "vec_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == emb.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql(f"DROP TABLE IF EXISTS emb_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS docs_b_{suffix}")
