@@ -236,6 +236,41 @@ def _q_dsl_typed_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qb.candidates(orders)
 
 
+def _q_search_multi_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 with two sort keys of mixed kinds: meta number DESC then column
+    ASC, over the stage-3 survivors."""
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.col("vec_id").alias("post_id"),
+        F.col("embedding").alias("vector"),
+    )
+    docs = _docs_as_posts(spark, sf_dir)
+    meta = doc_meta_from_documents(_docs(spark, sf_dir))
+    qb = QueryBuilder()
+    qb.add_filter("langs", Filter("lang", "IN", ["en", "fr", "es"], is_meta=True))
+    qb.add_sort(Sort("n_chars", "DESC", is_meta=True, meta_cast="number"))
+    qb.add_sort(Sort("source", "ASC"))
+    qv = _query_vector(spark, sf_dir)
+    out = S.search(
+        emb, qv, n=5, builder=qb, documents=docs, doc_meta=meta,
+        code_col=None, mag_col=None,
+    )
+    return out.select(
+        "id", "post_id", "hamming_distance",
+        F.round("cosine_similarity", 9).alias("cosine_similarity"),
+    )
+
+
+def _q_queue_page_with_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 full shape: pagination joined to the documents dimension for
+    display columns (the reference joins wp_posts for titles)."""
+    q = queue_from_orders(_orders(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return Q.page_of_records(q, page=2, documents=docs).select(
+        "job_id", "post_id", "status", "source"
+    )
+
+
 # --- CRUD / point access (SURVEY.md §2.4) -----------------------------------
 
 _MULTI_GET_IDS = [42, 7, 123, 3, 77]
@@ -645,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_two_phase": _q_search_two_phase,
         "search_two_phase_sql": _q_search_two_phase_sql,
         "search_meta_sorted": _q_search_meta_sorted,
+        "search_multi_sorted": _q_search_multi_sorted,
         "k7_json_code": _q_k7_json_code,
         "json_extract_props": _q_json_extract_props,
         "dsl_filter_cnf": _q_dsl_filter_cnf,
@@ -663,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_cleanup": _q_queue_cleanup,
         "queue_retry": _q_queue_retry,
         "queue_page": _q_queue_page,
+        "queue_page_with_docs": _q_queue_page_with_docs,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -1118,6 +1155,41 @@ def oracle_sql() -> dict[str, str]:
               AND source NOT IN ('src3', 'src7')
         """,
         "search_meta_sorted": meta_sorted_cte,
+        "search_multi_sorted": f"""
+        WITH doc_meta AS ({DOC_META_ORACLE_SQL}),
+        q AS (
+          SELECT embedding AS q_vec, {mag} AS q_mag, {code} AS q_code
+          FROM embeddings WHERE vec_id = 0
+        ),
+        cand AS (
+          SELECT DISTINCT d.doc_id AS post_id
+          FROM documents d LEFT JOIN doc_meta pm ON d.doc_id = pm.post_id
+          WHERE pm.meta_key = 'lang' AND pm.meta_value IN ('en', 'fr', 'es')
+        ),
+        scan AS (
+          SELECT e.vec_id AS id, e.vec_id AS post_id, e.embedding,
+                 {ham} AS hamming_distance
+          FROM embeddings e, q
+          WHERE e.vec_id IN (SELECT post_id FROM cand)
+        ),
+        s4 AS (SELECT * FROM scan ORDER BY hamming_distance ASC, id ASC LIMIT 50),
+        s6 AS (
+          SELECT s4.id, s4.post_id, s4.hamming_distance,
+                 {K.sql_cosine("q.q_vec", "s4.embedding", "q.q_mag")} AS cos_raw
+          FROM s4, q ORDER BY cos_raw DESC, id ASC LIMIT 25
+        ),
+        mpivot2 AS (
+          SELECT post_id, max(CASE WHEN meta_key = 'n_chars' THEN meta_value END) AS mv
+          FROM doc_meta GROUP BY post_id
+        )
+        SELECT s6.id, s6.post_id, s6.hamming_distance,
+               round(cos_raw, 9) AS cosine_similarity
+        FROM s6
+        LEFT JOIN mpivot2 ON s6.post_id = mpivot2.post_id
+        LEFT JOIN documents d ON s6.post_id = d.doc_id
+        ORDER BY CAST(mpivot2.mv AS DECIMAL(18,3)) DESC, d.source ASC, s6.id ASC
+        LIMIT 5
+        """,
         # --- CRUD ---
         "crud_point_lookup": f"SELECT vec_id, label, round({mag}, 9) AS mag FROM embeddings WHERE vec_id = 42",
         "crud_multi_get_ordered": f"""
@@ -1159,6 +1231,17 @@ def oracle_sql() -> dict[str, str]:
             FROM queue q LEFT JOIN claimed c ON q.job_id = c.job_id
         """,
         "queue_cleanup": cleanup_cte,
+        "queue_page_with_docs": f"""
+            WITH queue AS ({QUEUE_FROM_ORDERS_SQL})
+            SELECT q.job_id, q.post_id, q.status, d.source FROM queue q
+            LEFT JOIN documents d ON q.post_id = d.doc_id
+            ORDER BY q.status DESC,
+                     (CASE WHEN q.status = 'pending' THEN 0
+                           WHEN q.status = 'completed' THEN 1
+                           WHEN q.status = 'failed' THEN 2 ELSE 3 END) ASC,
+                     q.job_id ASC
+            OFFSET 25 LIMIT 25
+        """,
         "queue_retry": f"""
             WITH queue AS ({QUEUE_FROM_ORDERS_SQL})
             SELECT job_id, post_id, error_count FROM queue

@@ -82,3 +82,16 @@ def test_ivf_clustered_layout_pruning(spark, emb, tmp_path_factory):
     assert "PartitionFilters" in plan
     # the probed subset is a strict subset of the corpus
     assert 0 < probe.count() < clustered.count()
+
+
+def test_ivf_index_build_and_query(spark, emb, tmp_path_factory):
+    """Persisted IVF index: same results as the inline ivf_topk, with the
+    probe filter pruning partitions at the scan."""
+    path = str(tmp_path_factory.mktemp("ivf2") / "index")
+    SIM.build_ivf_index(emb, path, n_clusters=16)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    from_index = SIM.ivf_topk_from_index(spark, path, qv, k=10, n_probe=4)
+    inline = SIM.ivf_topk(emb, qv, k=10, n_clusters=16, n_probe=4)
+    assert [tuple(r) for r in from_index.collect()] == [tuple(r) for r in inline.collect()]
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan

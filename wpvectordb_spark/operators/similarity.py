@@ -112,6 +112,63 @@ def assign_clusters(
     )
 
 
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the IVF layout: assignments written partitioned by
+    ``cluster_id`` (parquet partition pruning skips unprobed clusters at
+    query time), centroids written alongside for the probe step.
+    Returns the centroid DataFrame."""
+    centroids = deterministic_centroids(vectors, n_clusters, id_col, vector_col)
+    assigned = assign_clusters(vectors, centroids, id_col, vector_col)
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{path}/vectors"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    query_vector: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: rank stored centroids, push a
+    ``cluster_id IN (probed)`` filter that prunes parquet partitions, and
+    rerank only the probed clusters' vectors."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q_mag_val = sum(float(x) * float(x) for x in query_vector) ** 0.5
+    q_vec = F.array(*[F.lit(float(x)) for x in query_vector])
+    probe = [
+        r["cluster_id"]
+        for r in centroids.withColumn(
+            "_qsim",
+            K.cosine_similarity(q_vec, F.col("centroid"), F.lit(q_mag_val), F.col("centroid_mag")),
+        )
+        .orderBy(F.col("_qsim").desc(), F.col("cluster_id").asc())
+        .limit(n_probe)
+        .collect()
+    ]
+    clustered = spark.read.parquet(f"{path}/vectors").where(
+        F.col("cluster_id").isin(probe)  # literal IN -> partition pruning
+    )
+    cos = K.cosine_similarity(q_vec, F.col(vector_col), F.lit(q_mag_val), None)
+    ranked = (
+        clustered.select(id_col, "cluster_id", cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return ranked.select(id_col, "cluster_id", F.round("_cos", 9).alias("cosine_similarity"))
+
+
 def ivf_topk(
     vectors: DataFrame,
     query_vector: list[float],
