@@ -428,6 +428,25 @@ def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.analyze(_docs(spark, sf_dir))
 
 
+def _q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term frequency per source: explode tokens, count, keep top 5 per
+    source by (count DESC, term ASC)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("source", F.explode(X.tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("source", "term", "n", "rnk")
+    )
+
+
 # --- events ------------------------------------------------------------------
 
 def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "text_analyze": _q_text_analyze,
+        "text_top_terms": _q_text_top_terms,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
         "events_sessionize": _q_events_sessionize,
@@ -1005,6 +1025,18 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE first_t IS NOT NULL
         """,
         "text_analyze": analyze_sql,
+        "text_top_terms": f"""
+            SELECT source, term, n, rnk FROM (
+              SELECT source, term, n,
+                     CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, term ASC) AS INT) AS rnk
+              FROM (
+                SELECT source, term, COUNT(*) AS n FROM (
+                  SELECT source, unnest({X.sql_tokens('text')}) AS term
+                  FROM documents
+                ) GROUP BY source, term
+              )
+            ) WHERE rnk <= 5
+        """,
         "events_tumbling": f"""
             SELECT time_bucket(INTERVAL '1 hour', {ev}) AS window_start, event_type,
                    COUNT(*) AS n_events, round(sum(value), 6) AS sum_value,

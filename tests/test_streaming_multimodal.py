@@ -128,3 +128,50 @@ def test_stream_stateful_user_counts(spark):
     for r in got.collect():
         last[r["user_id"]] = r["n_events"]
     assert last == batch
+
+
+def test_streaming_index_ingest_lifecycle(spark, tmp_path):
+    """End-to-end ingest: stream document batches -> derive vector index
+    columns per micro-batch -> append to the parquet index -> search sees
+    the new vectors.  The streaming form of the write path (C7/C8)."""
+    import os
+    from pyspark.sql import types as T
+    from wpvectordb_spark.operators import table_ops as TO
+    from wpvectordb_spark.operators import search as S
+
+    src = str(tmp_path / "incoming")
+    idx = str(tmp_path / "index")
+    os.makedirs(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("post_id", T.LongType()),
+            T.StructField("sequence_no", T.IntegerType()),
+            T.StructField("vector", T.ArrayType(T.FloatType())),
+        ]
+    )
+    # two "arriving" files
+    batch1 = [(1, 0, [1.0, 0.0, 0.0, 0.0]), (2, 0, [0.0, 1.0, 0.0, 0.0])]
+    batch2 = [(3, 0, [0.9, 0.1, 0.0, 0.0])]
+    spark.createDataFrame(batch1, schema).write.parquet(src + "/b1")
+    spark.createDataFrame(batch2, schema).write.parquet(src + "/b2")
+
+    stream = spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(src)
+
+    def ingest(batch_df, batch_id):
+        derived = TO.derive(batch_df, keep_normalized=False).withColumn(
+            "id", F.col("post_id")
+        )
+        derived.write.mode("append").parquet(idx)
+
+    ckpt = str(tmp_path / "ckpt")
+    q = stream.writeStream.foreachBatch(ingest).option("checkpointLocation", ckpt).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    table = spark.read.parquet(idx)
+    assert table.count() == 3
+    top = S.search(table, [1.0, 0.0, 0.0, 0.0], n=2).collect()
+    assert [r["post_id"] for r in top] == [1, 3]  # exact match then near
