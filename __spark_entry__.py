@@ -501,6 +501,41 @@ def _q_dedup_embedding_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs_arrow(_emb(spark, sf_dir), threshold=0.8)
 
 
+def _q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before it (union-trick implementation, one shuffle, no join node)."""
+    from wpvectordb_spark.operators.joins import asof_join
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(purchases, clicks, "user_id", right_cols=["click_id"])
+    return out.select("purchase_id", "user_id", "click_id_asof")
+
+
+def _q_join_interval_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join: events matched back into their user's session
+    windows (every event lands in >= 1)."""
+    from wpvectordb_spark.operators.joins import interval_join
+
+    ev = load_events(spark, sf_dir)
+    sessions = E.sessionize(ev).select(
+        "user_id",
+        F.col("session_start").alias("start"),
+        F.col("session_end").alias("end"),
+        F.col("session_no").cast("long").alias("session_no"),
+    )
+    out = interval_join(
+        ev.select("user_id", "ts", "event_id"), sessions, "user_id",
+        bin_width_seconds=1800,
+    )
+    return out.select("event_id", "user_id", "session_no")
+
+
 # --- streaming + multimodal ---------------------------------------------------
 
 def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,6 +768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_activity_approx": _q_events_user_activity_approx,
         "events_type_rollup": _q_events_type_rollup,
         "events_conversion_funnel": _q_events_conversion_funnel,
+        "join_asof": _q_join_asof,
+        "join_interval_sessions": _q_join_interval_sessions,
         "dedup_embedding_arrow": _q_dedup_embedding_arrow,
         "ann_ivf": _q_ann_ivf,
         "rel_pricing_summary": _q_rel_pricing_summary,
@@ -1052,6 +1089,40 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY ws
         """,
         "events_sessionize": sessionize_sql,
+        "join_asof": """
+            WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+            p AS (SELECT event_id AS purchase_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS click_id, user_id, ts FROM e WHERE event_type = 'click')
+            SELECT purchase_id, user_id, click_id AS click_id_asof FROM (
+              SELECT p.purchase_id, p.user_id, c.click_id,
+                     row_number() OVER (
+                       PARTITION BY p.purchase_id
+                       ORDER BY c.ts DESC NULLS LAST, c.click_id DESC NULLS LAST
+                     ) AS rn
+              FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+            ) WHERE rn = 1
+        """,
+        "join_interval_sessions": f"""
+            WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+            flags AS (
+              SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {30 * 60 * 1_000_000}
+                         THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+              SELECT *, CAST(sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+              ) AS BIGINT) AS session_no FROM flags
+            ),
+            sess AS (
+              SELECT user_id, session_no, min(ts) AS s_start, max(ts) AS s_end
+              FROM numbered GROUP BY user_id, session_no
+            )
+            SELECT e.event_id, e.user_id, sess.session_no
+            FROM e JOIN sess ON e.user_id = sess.user_id
+            WHERE e.ts >= sess.s_start AND e.ts <= sess.s_end
+        """,
         "events_user_activity": f"""
             SELECT user_id, COUNT(*) AS n_events,
                    COUNT(DISTINCT event_type) AS n_types,
