@@ -447,6 +447,31 @@ def _q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over (doc, term): tf * ln(N / df), top-3 terms per document
+    by score.  One explode + two aggregations + a window."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    terms = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
 # --- events ------------------------------------------------------------------
 
 def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_dedup_embedding_cosine,
         "text_analyze": _q_text_analyze,
         "text_top_terms": _q_text_top_terms,
+        "text_tfidf": _q_text_tfidf,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
         "events_sessionize": _q_events_sessionize,
@@ -1062,6 +1088,26 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE first_t IS NOT NULL
         """,
         "text_analyze": analyze_sql,
+        "text_tfidf": f"""
+            WITH terms AS (
+              SELECT doc_id, unnest({X.sql_tokens('text')}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+            dfx AS (
+              SELECT term, COUNT(*) AS df
+              FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+            ),
+            scored AS (
+              SELECT doc_id, tf.term,
+                     round(tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / df), 9) AS tfidf
+              FROM tf JOIN dfx ON tf.term = dfx.term
+            )
+            SELECT doc_id, term, tfidf, rnk FROM (
+              SELECT *, CAST(row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+              ) AS INT) AS rnk FROM scored
+            ) WHERE rnk <= 3
+        """,
         "text_top_terms": f"""
             SELECT source, term, n, rnk FROM (
               SELECT source, term, n,

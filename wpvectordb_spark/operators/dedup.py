@@ -227,15 +227,14 @@ def simhash_near_dup_pairs(
     ).where(F.col("simhash").isNotNull())
     # integer division (not float-divide-then-cast): ports exactly to any
     # oracle engine's `//`
-    sh = sh.withColumn(
-        "bucket", F.expr(f"simhash div {2 ** (32 - prefix_bits)}")
-    ).persist()
-    # Persisted self-join on the bucket: signatures compute once (persist),
-    # and the pair work of a HOT bucket distributes across tasks — a
-    # collect_list + in-array pair generation would run a B^2 loop for a
-    # B-doc bucket inside ONE task (measured 5x slower under the near-
-    # degenerate skew of boilerplate-heavy corpora); AQE's skew-join
-    # splitting balances the join output instead.
+    sh = sh.withColumn("bucket", F.expr(f"simhash div {2 ** (32 - prefix_bits)}"))
+    # Self-join on the bucket: the pair work of a HOT bucket distributes
+    # across tasks — a collect_list + in-array pair generation would run a
+    # B^2 loop for a B-doc bucket inside ONE task (measured 5x slower under
+    # the near-degenerate skew of boilerplate-heavy corpora); AQE's
+    # skew-join splitting balances the join instead.  The signature
+    # recompute per join side is cheaper than a persist barrier (single
+    # fold, ~0.3s for 5k docs).
     a = sh.alias("a")
     b = sh.alias("b")
     hd = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
