@@ -71,3 +71,25 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS emb_b_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS docs_b_{suffix}")
+
+
+def test_grouped_agg_pandas_udaf(spark):
+    """UDAF extension surface: weighted mean via grouped-agg pandas_udf
+    equals the exact expression form; trimmed mean drops outliers."""
+    from wpvectordb_spark.functions.udafs import weighted_mean, trimmed_mean
+
+    ev = load_events(spark, SF_DIR).withColumn(
+        "w", (F.col("event_id") % 5 + 1).cast("double")
+    )
+    got = ev.groupBy("event_type").agg(
+        weighted_mean()(F.col("value"), F.col("w")).alias("wm"),
+        trimmed_mean()(F.col("value")).alias("tm"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value") * F.col("w")) / F.sum("w")).alias("wm_exact"),
+        F.avg("value").alias("plain_mean"),
+    )
+    j = {r["event_type"]: r for r in got.join(exact, "event_type").collect()}
+    for r in j.values():
+        assert r["wm"] == pytest.approx(r["wm_exact"], rel=1e-9)
+        assert r["tm"] == pytest.approx(r["plain_mean"], rel=0.2)  # robust, same ballpark
