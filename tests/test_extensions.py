@@ -182,3 +182,28 @@ def test_lsh_bucket_cap_drops_with_warning(spark):
         capped = D.lsh_candidate_pairs(sigs, max_bucket_size=10).count()
     assert capped == 0
     assert any("dropping" in str(x.message) for x in w)
+
+
+def test_kmeans_ivf_recall_beats_deterministic(spark):
+    """Trained centroids should give at least as good recall@10 as the
+    deterministic first-k selection at the same probe budget."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id").isin(0, 100, 200, 300, 400)).collect()
+    ]
+    km = SIM.kmeans_centroids(emb, n_clusters=16)
+
+    def ivf_det(vectors, qv, k):
+        return SIM.ivf_topk(vectors, qv, k=k, n_clusters=16, n_probe=4)
+
+    def ivf_km(vectors, qv, k):
+        return SIM.ivf_topk(vectors, qv, k=k, n_probe=4, centroids=km)
+
+    r_det = SIM.ann_recall(emb, qvs, k=10, topk_fn=ivf_det)
+    r_km = SIM.ann_recall(emb, qvs, k=10, topk_fn=ivf_km)
+    assert SIM.ann_recall(emb, qvs, k=10) == 1.0  # brute force == itself
+    assert 0.0 <= r_det <= 1.0 and 0.0 <= r_km <= 1.0
+    # trained partitions shouldn't be materially worse than arbitrary ones
+    assert r_km >= r_det - 0.2
+    assert r_km >= 0.5

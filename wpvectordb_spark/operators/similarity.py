@@ -67,6 +67,63 @@ def brute_force_topk_arrow(
     return ranked.select(id_col, out.alias("cosine_similarity"))
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Production centroid training: pyspark.ml KMeans over the embedding
+    column (array -> ml Vector -> fit -> centers back as array<double>).
+
+    Returns the same (cluster_id, centroid, centroid_mag) shape as
+    ``deterministic_centroids`` so the IVF build/query path is unchanged.
+    Not oracle-checkable (iterative, implementation-defined); covered by
+    recall tests instead.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(array_to_vector(F.col(vector_col)).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(feat)
+    spark = vectors.sparkSession
+    rows = [
+        (i, [float(x) for x in center]) for i, center in enumerate(model.clusterCenters())
+    ]
+    cents = spark.createDataFrame(rows, f"cluster_id long, centroid array<double>")
+    return cents.select(
+        "cluster_id", "centroid", K.magnitude("centroid").alias("centroid_mag")
+    )
+
+
+def ann_recall(
+    vectors: DataFrame,
+    query_vectors: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    topk_fn=None,
+) -> float:
+    """Mean recall@k of ``topk_fn`` (defaults to brute force = 1.0)
+    against exact brute-force results, over the given query vectors."""
+    from wpvectordb_spark.operators.search import brute_force_topk
+
+    renamed = vectors.select(
+        F.col(id_col).alias("id"), F.col(vector_col).alias("vector")
+    )
+    total = 0.0
+    for qv in query_vectors:
+        exact = {r["id"] for r in brute_force_topk(renamed, qv, n=k).collect()}
+        if topk_fn is None:
+            got = exact
+        else:
+            got = {r[0] for r in topk_fn(vectors, qv, k).collect()}
+        total += len(exact & got) / k
+    return total / len(query_vectors)
+
+
 def deterministic_centroids(
     vectors: DataFrame,
     n_clusters: int = 16,
@@ -177,14 +234,18 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF query: rank centroids by query similarity, keep vectors in the
     ``n_probe`` best clusters, exact cosine top-k within them.
 
-    On a partitioned-by-cluster table the cluster filter becomes parquet
-    partition pruning; here it is a semi-join against the probed ids.
+    ``centroids`` may be pretrained (kmeans_centroids) — defaults to the
+    deterministic oracle-reproducible selection.  On a partitioned-by-
+    cluster table the cluster filter becomes parquet partition pruning;
+    here it is a semi-join against the probed ids.
     """
-    centroids = deterministic_centroids(vectors, n_clusters, id_col, vector_col)
+    if centroids is None:
+        centroids = deterministic_centroids(vectors, n_clusters, id_col, vector_col)
     q_vec = F.array(*[F.lit(float(x)) for x in query_vector])
     q_mag_val = sum(float(x) * float(x) for x in query_vector) ** 0.5
     probe = (
