@@ -472,6 +472,37 @@ def _q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=3 token shingles, w=4 window) per
+    document: (doc_id, fingerprint) rows — the rolling-hash copy-detection
+    index of a training-data pipeline."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.explode(X.winnow_fingerprints("text")).alias("fingerprint")
+    )
+
+
+def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish pre-token counts, aggregated per language."""
+    docs = _docs(spark, sf_dir)
+    per = docs.select(
+        "lang",
+        X.ws_token_count("text").alias("ws"),
+        F.size(X.bpe_pretokens("text")).cast("long").alias("bpe"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+    )
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-band-bucketed ANN: sign-code band overlap prefilter + exact
+    cosine rerank (similarity.lsh_topk)."""
+    return SIM.lsh_topk(_emb(spark, sf_dir), _query_vector(spark, sf_dir), k=10)
+
+
 # --- events ------------------------------------------------------------------
 
 def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,6 +818,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analyze": _q_text_analyze,
         "text_top_terms": _q_text_top_terms,
         "text_tfidf": _q_text_tfidf,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_token_counts": _q_text_token_counts,
+        "ann_lsh": _q_ann_lsh,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
         "events_sessionize": _q_events_sessionize,
@@ -1012,6 +1046,36 @@ def oracle_sql() -> dict[str, str]:
                {fp} AS fingerprint
         FROM documents
     """
+    winnow_cte = f"""
+        WITH tht AS (SELECT doc_id, {X.sql_token_hashes('text')} AS th FROM documents)
+        SELECT doc_id, unnest({X.sql_winnow_fingerprints('th')}) AS fingerprint
+        FROM tht
+    """
+    token_counts_sql = f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(sum(ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+        FROM (
+          SELECT lang, {X.sql_ws_token_count('text')} AS ws,
+                 CAST(len({X.sql_bpe_pretokens('text')}) AS BIGINT) AS bpe
+          FROM documents
+        ) GROUP BY lang
+    """
+    ann_lsh_sql = f"""
+        WITH q AS (
+          SELECT embedding AS q_vec, {mag} AS q_mag, {code} AS q_code
+          FROM embeddings WHERE vec_id = 0
+        ),
+        qk AS (SELECT {SIM.sql_band_keys('q_code', band_bits=8)} AS qkeys, q_vec, q_mag FROM q),
+        codes AS (SELECT vec_id, embedding, {code} AS code FROM embeddings),
+        cand AS (
+          SELECT c.vec_id, {K.sql_cosine('qk.q_vec', 'c.embedding', 'qk.q_mag')} AS cos_raw
+          FROM codes c, qk
+          WHERE len(list_intersect({SIM.sql_band_keys('c.code', band_bits=8)}, qk.qkeys)) > 0
+        )
+        SELECT vec_id, round(cos_raw, 9) AS cosine_similarity
+        FROM cand ORDER BY cos_raw DESC, vec_id ASC LIMIT 10
+    """
     ev = "CAST(ts AS TIMESTAMP)"
     sessionize_sql = f"""
         WITH e AS (SELECT event_id, user_id, {ev} AS ts, value FROM events),
@@ -1088,6 +1152,9 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE first_t IS NOT NULL
         """,
         "text_analyze": analyze_sql,
+        "text_fingerprint": winnow_cte,
+        "text_token_counts": token_counts_sql,
+        "ann_lsh": ann_lsh_sql,
         "text_tfidf": f"""
             WITH terms AS (
               SELECT doc_id, unnest({X.sql_tokens('text')}) AS term FROM documents

@@ -207,3 +207,16 @@ def test_kmeans_ivf_recall_beats_deterministic(spark):
     # trained partitions shouldn't be materially worse than arbitrary ones
     assert r_km >= r_det - 0.2
     assert r_km >= 0.5
+
+
+def test_lsh_topk_self_retrieval_and_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    rows = SIM.lsh_topk(emb, qv, k=10).collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cosine_similarity"] == 1.0
+    assert len(rows) <= 10
+    # candidates are a subset of the corpus ranked by true cosine: recall
+    # against brute force is in [0, 1] and the query itself always recalls
+    qvs = [qv]
+    r = SIM.ann_recall(emb, qvs, k=10, topk_fn=lambda v, q, k: SIM.lsh_topk(v, q, k=k))
+    assert 0.1 <= r <= 1.0

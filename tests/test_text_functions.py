@@ -109,3 +109,73 @@ def test_fragments_parity_on_documents(spark, duck, docs):
         """
     )
     assert_parity(q, o)
+
+
+def test_winnow_fingerprints_streaming_matches_direct(spark):
+    """The one-pass fold must equal the direct formula: gram_i = fold of
+    token hashes i..i+2, fingerprints = sorted distinct window-4 minima."""
+    text = "the quick brown fox jumps over the lazy dog today"
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(X.winnow_fingerprints("t").alias("f")).collect()[0]["f"]
+
+    th = [r["h"] for r in
+          spark.createDataFrame([(w,) for w in text.split()], "w string")
+          .select(X.string_hash("w").alias("h")).collect()]
+    M = X.HASH_MOD
+    grams = []
+    for i in range(len(th) - 2):
+        a = 0
+        for t in th[i : i + 3]:
+            a = (a * 31 + t) % M
+        grams.append(a)
+    expect = sorted({min(grams[j : j + 4]) for j in range(len(grams) - 3)})
+    assert got == expect
+
+
+def test_winnow_fingerprints_degenerate(spark):
+    df = spark.createDataFrame(
+        [("",), ("one two",), ("a b c d e",)], "t string"
+    )
+    rows = [r["f"] for r in df.select(X.winnow_fingerprints("t").alias("f")).collect()]
+    assert rows[0] is None  # no tokens
+    assert rows[1] is not None and len(rows[1]) == 1  # < k tokens -> whole fold
+    assert len(rows[2]) == 1  # 3 grams < w=4 -> single min
+
+
+def test_winnow_fingerprints_shared_run_overlaps(spark):
+    """Docs sharing a long token run share at least one fingerprint; the
+    winnowing guarantee for overlaps longer than w + k - 1 tokens."""
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, "xx yy " + common), (2, common + " zz qq pp")], "id long, t string"
+    )
+    rows = {r["id"]: set(r["f"]) for r in
+            df.select("id", X.winnow_fingerprints("t").alias("f")).collect()}
+    assert rows[1] & rows[2]
+
+
+def test_bpe_pretokens_golden(spark):
+    df = spark.createDataFrame([("Don't stop, it's 42 now!",)], "t string")
+    got = df.select(X.bpe_pretokens("t").alias("r")).collect()[0]["r"]
+    assert got == ["don", "'t", " stop", ",", " it", "'s", " 42", " now", "!"]
+
+
+def test_token_count_parity_on_docs(spark, docs):
+    """Spark vs DuckDB: identical ws + bpe token counts on real documents."""
+    import duckdb
+
+    sdf = docs.select(
+        "doc_id",
+        X.ws_token_count("text").alias("ws"),
+        F.size(X.bpe_pretokens("text")).cast("long").alias("bpe"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    d = con.sql(
+        f"SELECT doc_id, {X.sql_ws_token_count('text')} AS ws,"
+        f" CAST(len({X.sql_bpe_pretokens('text')}) AS BIGINT) AS bpe"
+        " FROM documents"
+    ).fetchall()
+    assert sorted(map(tuple, sdf.collect())) == sorted(d)

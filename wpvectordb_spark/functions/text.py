@@ -314,3 +314,128 @@ def sql_simhash(hashes: str, bits: int = 32) -> str:
         f"CASE WHEN len({hashes}) > 0 THEN"
         f" list_reduce({bits_arr}, (a, b) -> a * 2 + b) END"
     )
+
+
+# --- winnowing fingerprints (rolling hash) -----------------------------------
+
+def winnow_fingerprints(text: Column | str, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): the
+    distinct minima of a ``w``-gram sliding window over the positional
+    k-token-shingle rolling hashes.  Robust to insertions/reordering —
+    the standard near-copy fingerprint for plagiarism/dedup at scale.
+
+    One O(n) fold per document (no positional slice re-evaluation): the
+    accumulator carries the last k-1 token hashes, the last w-1 gram
+    hashes, the running gram minimum and the emitted window minima.
+    Degenerate inputs mirror ``shingle_hashes``: fewer grams than ``w``
+    -> one fingerprint (min over all grams); fewer tokens than ``k`` ->
+    the whole-document fold; no tokens -> null.  Output is the sorted
+    distinct fingerprint array.
+    """
+    if k != 3:
+        raise NotImplementedError("winnow_fingerprints implements the k=3 one-pass fold")
+    if w < 2:
+        raise ValueError("window w must be >= 2")
+    th = token_hashes(text)
+    init = F.struct(
+        F.lit(0).cast("long").alias("p1"),
+        F.lit(0).cast("long").alias("p2"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("whole"),
+        F.lit(HASH_MOD).cast("long").alias("gmin"),
+        F.array().cast("array<long>").alias("buf"),
+        F.array().cast("array<long>").alias("out"),
+    )
+
+    def merge(s, t):
+        gram = ((((s["p1"] * 31 + s["p2"]) % HASH_MOD) * 31) + t) % HASH_MOD
+        has_gram = s["cnt"] >= 2
+        full = F.size(s["buf"]) == w - 1
+        return F.struct(
+            s["p2"].alias("p1"),
+            t.alias("p2"),
+            (s["cnt"] + 1).alias("cnt"),
+            ((s["whole"] * 31 + t) % HASH_MOD).alias("whole"),
+            F.when(has_gram, F.least(s["gmin"], gram)).otherwise(s["gmin"]).alias("gmin"),
+            F.when(has_gram & full, F.concat(F.slice(s["buf"], 2, w - 2), F.array(gram)))
+            .when(has_gram, F.array_append(s["buf"], gram))
+            .otherwise(s["buf"])
+            .alias("buf"),
+            F.when(
+                has_gram & full,
+                F.array_append(s["out"], F.least(F.array_min(s["buf"]), gram)),
+            )
+            .otherwise(s["out"])
+            .alias("out"),
+        )
+
+    def finish(s):
+        return (
+            F.when(s["cnt"] >= k + w - 1, F.array_sort(F.array_distinct(s["out"])))
+            .when(s["cnt"] >= k, F.array(s["gmin"]))
+            .when(s["cnt"] > 0, F.array(s["whole"]))
+            .otherwise(F.lit(None).cast("array<long>"))
+        )
+
+    return F.aggregate(th, init, merge, finish)
+
+
+def sql_winnow_fingerprints(th: str, k: int = 3, w: int = 4) -> str:
+    """DuckDB mirror of ``winnow_fingerprints`` over a token-hash list
+    column/expression ``th`` — direct (non-streaming) formula; identical
+    values.  Returns a list expression (sorted distinct fingerprints)."""
+    fold = f"(a, b) -> (a * 31 + b) % {HASH_MOD}"
+    whole = f"list_reduce(list_prepend(0, {th}), {fold})"
+    grams = (
+        f"list_transform(range(1, len({th}) - {k} + 2), i ->"
+        f" list_reduce(list_prepend(0, list_slice({th}, i, i + {k - 1})), {fold}))"
+    )
+    g = f"CASE WHEN len({th}) = 0 THEN NULL WHEN len({th}) < {k} THEN [{whole}] ELSE {grams} END"
+    mins = (
+        f"list_transform(range(1, len(g) - {w} + 2), j ->"
+        f" list_aggregate(list_slice(g, j, j + {w - 1}), 'min'))"
+    )
+    return (
+        f"(SELECT CASE WHEN g IS NULL THEN NULL"
+        f" WHEN len(g) < {w} THEN [list_aggregate(g, 'min')]"
+        f" ELSE list_sort(list_distinct({mins})) END"
+        f" FROM (SELECT {g} AS g))"
+    )
+
+
+# --- BPE-ish tokenization (token counting) -----------------------------------
+
+# GPT-2-style pre-tokenizer, simplified to the Java-regex/RE2 common subset
+# (no lookarounds): contraction tails, space-prefixed word/number/punct runs,
+# whitespace runs.  Applied to lowercased text in both engines.
+BPE_SPLIT_RE = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+
+
+def bpe_pretokens(text: Column | str) -> Column:
+    """BPE-ish pre-tokens of lowercased ``text`` (whitespace-run matches
+    dropped) — the unit a byte-pair encoder would merge within; counting
+    them approximates LLM token counts far better than word counts."""
+    matches = F.regexp_extract_all(F.lower(_col(text)), F.lit(BPE_SPLIT_RE), F.lit(0))
+    return F.filter(matches, lambda m: F.trim(m) != "")
+
+
+def sql_bpe_pretokens(text: str) -> str:
+    pat = BPE_SPLIT_RE.replace("\\", "\\").replace("'", "''")
+    return (
+        f"list_filter(regexp_extract_all(lower({text}), '{pat}'),"
+        " m -> trim(m) != '')"
+    )
+
+
+def ws_token_count(text: Column | str) -> Column:
+    """Whitespace-run token count (the cheap baseline)."""
+    return F.size(
+        F.filter(F.split(_col(text), "\\s+"), lambda x: x != "")
+    ).cast("long")
+
+
+def sql_ws_token_count(text: str) -> str:
+    return (
+        f"CAST(len(list_filter(string_split_regex({text}, '\\s+'),"
+        " x -> x != '')) AS BIGINT)"
+    )

@@ -268,3 +268,107 @@ def ivf_topk(
     return ranked.select(
         id_col, "cluster_id", F.round("_cos", 9).alias("cosine_similarity")
     )
+
+
+# --- LSH-bucketed ANN (sign-code band buckets) -------------------------------
+
+BAND_SHIFT = 1 << 32  # band-id tag stays clear of the 16-bit chunk value
+
+
+def band_keys(
+    vector_col,
+    word_bits: int = 32,
+    band_bits: int = 16,
+) -> F.Column:
+    """LSH band keys of a vector's sign code: each ``band_bits`` slice of
+    the packed sign bits, tagged with its band index (``band_idx * 2^32 +
+    chunk``).  Two vectors share a key iff they agree on all sign bits of
+    that band — the classic bit-sampling LSH family for Hamming space.
+
+    At 100 TB this column is the bucket/partition key: write the table
+    bucketed by an exploded band key and a query touches only the
+    ``n_bands`` matching buckets instead of the full scan.  Smaller bands
+    -> more candidates / higher recall (the b,r tradeoff of banded LSH).
+    ``band_bits`` must divide ``word_bits``.
+    """
+    if word_bits % band_bits != 0:
+        raise ValueError("band_bits must divide word_bits")
+    n_sub = word_bits // band_bits
+    chunk_mask = (1 << band_bits) - 1
+    code = K.sign_code(vector_col, word_bits)
+    return F.flatten(
+        F.transform(
+            code,
+            lambda w, i: F.array(
+                *[
+                    (i.cast("long") * n_sub + j) * F.lit(BAND_SHIFT)
+                    + F.shiftright(w, word_bits - band_bits * (j + 1)).bitwiseAND(
+                        F.lit(chunk_mask)
+                    )
+                    for j in range(n_sub)
+                ]
+            ),
+        )
+    )
+
+
+def sql_band_keys(code: str, word_bits: int = 32, band_bits: int = 16) -> str:
+    """DuckDB mirror of ``band_keys`` over a packed sign-code list expr."""
+    n_sub = word_bits // band_bits
+    chunks = ", ".join(
+        f"CAST({n_sub} * (i - 1) + {j} AS BIGINT) * {BAND_SHIFT}"
+        f" + (({code}[i] // {1 << (word_bits - band_bits * (j + 1))}) % {1 << band_bits})"
+        for j in range(n_sub)
+    )
+    return f"flatten(list_transform(range(1, len({code}) + 1), i -> [{chunks}]))"
+
+
+def band_keys_py(
+    code_words: list[int], word_bits: int = 32, band_bits: int = 16
+) -> list[int]:
+    """Driver-side band keys of a literal query vector's packed code
+    (mirrors ``band_keys`` exactly)."""
+    n_sub = word_bits // band_bits
+    chunk_mask = (1 << band_bits) - 1
+    keys = []
+    for i, w in enumerate(code_words):
+        for j in range(n_sub):
+            chunk = (w >> (word_bits - band_bits * (j + 1))) & chunk_mask
+            keys.append((i * n_sub + j) * BAND_SHIFT + chunk)
+    return keys
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    band_bits: int = 8,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates are vectors sharing >= 1 sign-code
+    band with the query (``arrays_overlap`` against a literal key set —
+    a narrow scan, no shuffle, no index build), then exact cosine top-k.
+
+    The scale path alternative to IVF: no training step, and candidate
+    generation is pure predicate (pushable to a bucketed layout), at the
+    cost of recall on vectors that differ in every band.
+    """
+    from wpvectordb_spark.operators.search import _magnitude, _pack_code
+
+    qkeys = band_keys_py(_pack_code(query_vector, 32), 32, band_bits)
+    q_vec = F.array(*[F.lit(float(x)) for x in query_vector])
+    q_mag = _magnitude(query_vector)
+    cand = vectors.where(
+        F.arrays_overlap(
+            band_keys(vector_col, 32, band_bits),
+            F.array(*[F.lit(int(x)) for x in qkeys]),
+        )
+    )
+    cos = K.cosine_similarity(q_vec, F.col(vector_col), F.lit(q_mag), None)
+    return (
+        cand.select(id_col, cos.alias("_cos"))
+        .orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, F.round("_cos", 9).alias("cosine_similarity"))
+    )
