@@ -472,6 +472,21 @@ def _q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched two-phase search: 5 query vectors through ONE plan (cross
+    broadcast join + per-query Hamming funnel + rerank windows) — the
+    Spark-native generalization of the reference's single-query search."""
+    emb = _emb(spark, sf_dir)
+    vectors = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    out = S.search_many(vectors, qs, n=5, two_phase=True, code_col=None, mag_col=None)
+    return out.select(
+        "query_id", "id", "rank", F.round("cosine_similarity", 9).alias("cosine_similarity")
+    )
+
+
 def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k=3 token shingles, w=4 window) per
     document: (doc_id, fingerprint) rows — the rolling-hash copy-detection
@@ -789,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_brute_force": _q_search_brute_force,
         "search_two_phase": _q_search_two_phase,
         "search_two_phase_sql": _q_search_two_phase_sql,
+        "search_batch": _q_search_batch,
         "search_meta_sorted": _q_search_meta_sorted,
         "search_multi_sorted": _q_search_multi_sorted,
         "k7_json_code": _q_k7_json_code,
@@ -1046,6 +1062,38 @@ def oracle_sql() -> dict[str, str]:
                {fp} AS fingerprint
         FROM documents
     """
+    batch_ham = K.sql_hamming(K.sql_sign_code("e.embedding"), "q.q_code")
+    search_batch_sql = f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS q_vec,
+                 {code} AS q_code, {mag} AS q_mag
+          FROM embeddings WHERE vec_id < 5
+        ),
+        hd AS (
+          SELECT q.query_id, e.vec_id AS id, e.embedding, q.q_vec, q.q_mag,
+                 {batch_ham} AS hamming_distance
+          FROM embeddings e, q
+        ),
+        hranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY hamming_distance ASC, id ASC
+          ) AS hrank FROM hd
+        ),
+        surv AS (SELECT * FROM hranked WHERE hrank <= 50),
+        cosx AS (
+          SELECT query_id, id,
+                 {K.sql_cosine('q_vec', 'embedding', 'q_mag')} AS cos_raw
+          FROM surv
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_raw DESC, id ASC
+          ) AS rnk FROM cosx
+        )
+        SELECT query_id, id, CAST(rnk AS INT) AS rank,
+               round(cos_raw, 9) AS cosine_similarity
+        FROM ranked WHERE rnk <= 5
+    """
     winnow_cte = f"""
         WITH tht AS (SELECT doc_id, {X.sql_token_hashes('text')} AS th FROM documents)
         SELECT doc_id, unnest({X.sql_winnow_fingerprints('th')}) AS fingerprint
@@ -1152,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE first_t IS NOT NULL
         """,
         "text_analyze": analyze_sql,
+        "search_batch": search_batch_sql,
         "text_fingerprint": winnow_cte,
         "text_token_counts": token_counts_sql,
         "ann_lsh": ann_lsh_sql,
