@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from wpvectordb_spark.functions import kernels as K
 from wpvectordb_spark.functions import text as X
+from wpvectordb_spark.operators import curation as CU
 from wpvectordb_spark.operators import dedup as D
 from wpvectordb_spark.operators import events as E
 from wpvectordb_spark.operators import queue_ops as Q
@@ -512,6 +513,25 @@ def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold sampling per language (zero-shuffle
+    data-mixing filter)."""
+    from wpvectordb_spark.operators import curation as CU
+
+    docs = _docs(spark, sf_dir)
+    return CU.stratified_sample(
+        docs, fractions={"en": 0.5, "de": 0.25, "fr": 0.1}, default_fraction=0.05
+    ).select("doc_id", "lang")
+
+
+def _q_curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-language token cumsum ->
+    fixed 2048-token training-sequence ranges per document."""
+    from wpvectordb_spark.operators import curation as CU
+
+    return CU.pack_sequences(_docs(spark, sf_dir), seq_len=2048)
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-band-bucketed ANN: sign-code band overlap prefilter + exact
     cosine rerank (similarity.lsh_topk)."""
@@ -836,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "text_fingerprint": _q_text_fingerprint,
         "text_token_counts": _q_text_token_counts,
+        "curate_stratified_sample": _q_curate_stratified_sample,
+        "curate_pack_sequences": _q_curate_pack_sequences,
         "ann_lsh": _q_ann_lsh,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
@@ -1201,6 +1223,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_analyze": analyze_sql,
         "search_batch": search_batch_sql,
+        "curate_stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {CU.sql_stratified_sample_pred(
+                {"en": 0.5, "de": 0.25, "fr": 0.1}, default_fraction=0.05
+            )}
+        """,
+        "curate_pack_sequences": CU.sql_pack_sequences(seq_len=2048),
         "text_fingerprint": winnow_cte,
         "text_token_counts": token_counts_sql,
         "ann_lsh": ann_lsh_sql,

@@ -1,0 +1,58 @@
+"""Curation operator tests: hash-threshold stratified sampling and
+concat-and-chunk sequence packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.operators import curation as CU
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_id_hash_uniform_and_deterministic(spark):
+    df = spark.range(0, 20000).select(CU.id_hash("id").alias("h"))
+    frac = df.where(F.col("h") < int(0.3 * CU.HASH_RANGE)).count() / 20000
+    assert 0.27 < frac < 0.33  # avalanche over sequential ids
+    a = [r["h"] for r in df.limit(5).collect()]
+    b = [r["h"] for r in spark.range(0, 5).select(CU.id_hash("id").alias("h")).collect()]
+    assert a == b
+
+
+def test_stratified_sample_fractions_and_monotonicity(docs):
+    small = CU.stratified_sample(docs, {"en": 0.2}, default_fraction=0.0)
+    big = CU.stratified_sample(docs, {"en": 0.6}, default_fraction=0.0)
+    n_en = docs.where(F.col("lang") == "en").count()
+    n_small, n_big = small.count(), big.count()
+    assert 0.05 * n_en < n_small < 0.4 * n_en
+    assert n_small < n_big
+    # raising a fraction only ADDS rows (threshold filter is monotone)
+    ids_small = {r["doc_id"] for r in small.select("doc_id").collect()}
+    ids_big = {r["doc_id"] for r in big.select("doc_id").collect()}
+    assert ids_small <= ids_big
+    assert small.where(F.col("lang") != "en").count() == 0
+
+
+def test_pack_sequences_invariants(docs):
+    packed = CU.pack_sequences(docs, seq_len=512).collect()
+    assert packed and all(r["seq_start"] <= r["seq_end"] for r in packed)
+    by_lang: dict[str, list] = {}
+    for r in packed:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["seq_start"] == cum // 512
+            cum += r["n_tokens"]
+            assert r["seq_end"] == (cum - 1) // 512
+        # every sequence index up to the last is covered by some document
+        covered = set()
+        for r in rows:
+            covered.update(range(r["seq_start"], r["seq_end"] + 1))
+        assert covered == set(range((cum - 1) // 512 + 1))

@@ -1,0 +1,149 @@
+"""Corpus curation operators for training-data pipelines: deterministic
+stratified sampling and concat-and-chunk sequence packing.
+
+Both are designed scale-first:
+
+* ``stratified_sample`` is a PURE FILTER — an integer-hash threshold per
+  stratum.  No shuffle, no per-stratum count pass, no state; at 100 TB it
+  rides the scan (and pushes to parquet row groups when the stratum column
+  is a partition key).  The trade: the kept fraction is exact only in
+  expectation (law of large numbers makes it tight at scale).
+* ``pack_sequences`` assigns every document its [start, end] training-
+  sequence index after corpus concatenation into fixed ``seq_len`` token
+  windows — one window cumsum per stratum.  At 100 TB the per-stratum
+  running sum becomes the classic two-pass prefix-sum (per-partition
+  subtotals + offset join); within-stratum windows is the practical shard
+  layout and keeps the plan a single shuffle on the stratum key.
+
+No reference analog (the reference is a vector store, not a corpus
+pipeline); these extend SURVEY.md §7.3 alongside dedup/text analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.functions import text as X
+
+HASH_RANGE = 1 << 32
+WANG_MUL = 0x45D9F3B
+
+
+def id_hash(id_col: Column | str) -> Column:
+    """Deterministic pseudo-uniform 32-bit hash of an integer id (Wang's
+    shift-xor-multiply rounds).  A purely multiplicative (Lehmer) step is
+    NOT enough here: small sequential ids stay linear and never reach a
+    frac*2^32 threshold — the xor rounds give real avalanche.  All
+    intermediates stay < 2^58, safe in signed 64-bit; every op (//, xor,
+    %, *) is portable to the oracle engine."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = c % F.lit(HASH_RANGE)
+    for _ in range(2):
+        h = (F.shiftright(h, 16).bitwiseXOR(h)) * F.lit(WANG_MUL) % F.lit(HASH_RANGE)
+    return F.shiftright(h, 16).bitwiseXOR(h)
+
+
+def sql_id_hash(id_col: str) -> str:
+    h = f"({id_col} % {HASH_RANGE})"
+    for _ in range(2):
+        h = f"((xor({h} // 65536, {h}) * {WANG_MUL}) % {HASH_RANGE})"
+    return f"xor({h} // 65536, {h})"
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row iff ``id_hash(id) < fraction(stratum) * 2^32`` —
+    the data-mixing sampler of a training pipeline as a zero-shuffle
+    narrow filter.  Deterministic: re-runs and backfills select the same
+    rows, and changing one stratum's fraction only grows/shrinks that
+    stratum's kept set monotonically."""
+    thr = None
+    for stratum, frac in sorted(fractions.items()):
+        t = F.when(F.col(stratum_col) == stratum, F.lit(int(frac * HASH_RANGE)))
+        thr = t if thr is None else thr.when(F.col(stratum_col) == stratum, F.lit(int(frac * HASH_RANGE)))
+    thr = (
+        thr.otherwise(F.lit(int(default_fraction * HASH_RANGE)))
+        if thr is not None
+        else F.lit(int(default_fraction * HASH_RANGE))
+    )
+    return docs.where(id_hash(id_col) < thr)
+
+
+def sql_stratified_sample_pred(
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB predicate mirroring ``stratified_sample``'s filter."""
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN {int(f * HASH_RANGE)}"
+        for s, f in sorted(fractions.items())
+    )
+    thr = f"CASE {cases} ELSE {int(default_fraction * HASH_RANGE)} END"
+    return f"{sql_id_hash(id_col)} < ({thr})"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk packing: documents are concatenated in ``id``
+    order within each stratum and split into fixed ``seq_len``-token
+    training sequences; each document gets the [seq_start, seq_end] range
+    of sequences it lands in (a doc may straddle a boundary — exactly how
+    GPT-style pretraining packs).  Token counts are the BPE-ish pre-token
+    counts (text.bpe_pretokens); empty documents are dropped."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(X.bpe_pretokens(text_col)).cast("long")
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select(F.col(id_col), F.col(stratum_col), n_tok.alias("n_tokens"))
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return c.where(F.col("n_tokens") > 0).select(
+        id_col,
+        stratum_col,
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {seq_len}").alias("seq_start"),
+        F.expr(f"(cum - 1) div {seq_len}").alias("seq_end"),
+    )
+
+
+def sql_pack_sequences(
+    seq_len: int = 2048,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``pack_sequences`` (full query string)."""
+    bpe = X.sql_bpe_pretokens("text")
+    return f"""
+        WITH t AS (
+          SELECT {id_col}, {stratum_col},
+                 CAST(len({bpe}) AS BIGINT) AS n_tokens
+          FROM {table}
+        ),
+        c AS (
+          SELECT *, sum(n_tokens) OVER (
+            PARTITION BY {stratum_col} ORDER BY {id_col} ASC
+            ROWS UNBOUNDED PRECEDING
+          ) AS cum FROM t
+        )
+        SELECT {id_col}, {stratum_col}, n_tokens,
+               CAST((cum - n_tokens) // {seq_len} AS BIGINT) AS seq_start,
+               CAST((cum - 1) // {seq_len} AS BIGINT) AS seq_end
+        FROM c WHERE n_tokens > 0
+    """
