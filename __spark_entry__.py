@@ -491,8 +491,10 @@ def _q_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (k=3 token shingles, w=4 window) per
     document: (doc_id, fingerprint) rows — the rolling-hash copy-detection
-    index of a training-data pipeline."""
+    index of a training-data pipeline.  Repartitioned before the CPU-heavy
+    fold: small corpora arrive as 1-2 parquet splits (dedup._spread)."""
     docs = _docs(spark, sf_dir)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.select(
         "doc_id", F.explode(X.winnow_fingerprints("text")).alias("fingerprint")
     )

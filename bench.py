@@ -56,6 +56,9 @@ def main() -> None:
         "queue_claim_state",
         "stream_tumbling",
         "multimodal_features",
+        "ann_lsh",
+        "text_fingerprint",
+        "curate_pack_sequences",
     ]
 
     # warm the JVM/codegen once with a trivial action
