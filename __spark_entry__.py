@@ -641,6 +641,16 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ST.run_stream_to_completion(spark, agg, output_mode="complete")
 
 
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming sessionization driven to
+    completion — hash-matches the batch lag/cumsum sessionizer's oracle."""
+    from wpvectordb_spark.streaming import streams as ST
+
+    stream = ST.stream_events(spark, sf_dir)
+    sw = ST.stream_session_counts(stream, gap="30 minutes", watermark="0 seconds")
+    return ST.run_stream_to_completion(spark, sw, output_mode="complete")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched mapInPandas;
     payloads are UTF-8 document bytes so features are oracle-checkable."""
@@ -882,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _q_events_pivot,
         "events_percentiles": _q_events_percentiles,
         "stream_tumbling": _q_stream_tumbling,
+        "stream_sessionize": _q_stream_sessionize,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -1334,6 +1345,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL '1 hour', {ev}) AS window_start, event_type,
                    COUNT(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "stream_sessionize": f"""
+            WITH e AS (SELECT event_id, user_id, {ev} AS ts, value FROM events),
+            flags AS (
+              SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {30 * 60 * 1_000_000}
+                         THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            numbered AS (
+              SELECT *, sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+              ) AS session_no FROM flags
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   COUNT(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM numbered GROUP BY user_id, session_no
         """,
         "multimodal_features": f"""
             SELECT doc_id AS media_id,

@@ -93,3 +93,41 @@ def test_grouped_agg_pandas_udaf(spark):
     for r in j.values():
         assert r["wm"] == pytest.approx(r["wm_exact"], rel=1e-9)
         assert r["tm"] == pytest.approx(r["plain_mean"], rel=0.2)  # robust, same ballpark
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_topk_plan_is_shuffle_free(spark):
+    """Band-bucket ANN must stay a narrow scan: literal-key overlap filter
+    + TakeOrderedAndProject, NO Exchange (the property that lets it ride a
+    bucketed layout at scale)."""
+    from wpvectordb_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    plan = _plan(SIM.lsh_topk(emb, qv, k=10))
+    assert "Exchange" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_stratified_sample_plan_is_pure_filter(spark):
+    """The sampler must compile to scan+filter only — no shuffle, no
+    aggregation pass (zero-coordination sampling at 100 TB)."""
+    from wpvectordb_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(CU.stratified_sample(docs, {"en": 0.5}, 0.1))
+    assert "Exchange" not in plan, plan
+    assert "Aggregate" not in plan, plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing is ONE hash exchange on the stratum key (the window's
+    partitioning); anything more would be a regression."""
+    from wpvectordb_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(CU.pack_sequences(docs, seq_len=512))
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -175,3 +175,20 @@ def test_streaming_index_ingest_lifecycle(spark, tmp_path):
     assert table.count() == 3
     top = S.search(table, [1.0, 0.0, 0.0, 0.0], n=2).collect()
     assert [r["post_id"] for r in top] == [1, 3]  # exact match then near
+
+
+def test_stream_session_window_equals_batch_sessionize(spark):
+    """Native session_window streaming sessionization must reproduce the
+    batch lag/cumsum sessionizer: same (user, session_start, n, sum)."""
+    stream = ST.stream_events(spark, SF_DIR)
+    sw = ST.stream_session_counts(stream, gap="30 minutes", watermark="0 seconds")
+    got = ST.run_stream_to_completion(spark, sw, output_mode="complete")
+    batch = E.sessionize(load_events(spark, SF_DIR), gap_minutes=30).select(
+        "user_id",
+        "session_start",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert g == b and len(g) > 0

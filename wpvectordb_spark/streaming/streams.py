@@ -91,6 +91,31 @@ def run_stream_to_completion(
     return spark.table(name)
 
 
+def stream_session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming sessionization via native ``session_window`` (dynamic-gap
+    merging windows, state bounded by the watermark) — the streaming form
+    of ``events.sessionize``: same 30-minute-gap session semantics, same
+    per-session aggregates.  ``session_start`` equals the batch operator's
+    (min event ts per session); the window END differs by construction
+    (last ts + gap) so it is not emitted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_dedup(events: DataFrame, key: str, watermark_col: str = "ts", watermark: str = "1 day") -> DataFrame:
     """Streaming exact dedup: keep the first record per key, with the
     watermark bounding how long keys stay in state — the streaming form of
