@@ -192,3 +192,37 @@ def test_stream_session_window_equals_batch_sessionize(spark):
     g = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_sample_frames_uniform_and_deterministic(spark):
+    from wpvectordb_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    media = MM.media_from_documents(docs).withColumn(
+        "media_type", F.lit("video/mp4")
+    )
+    frames = MM.sample_frames(
+        media, k=3, codec=MM.fake_codec, frame_extractor=MM.fake_frame_extractor
+    )
+    rows = frames.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r)
+    n_by_id = {
+        r["media_id"]: MM.fake_codec("video/mp4", bytes(r["payload"]))["n_frames"]
+        for r in media.collect()
+    }
+    assert set(per) <= set(n_by_id)
+    for mid, rs in per.items():
+        assert len(rs) == min(3, n_by_id[mid])
+        assert all(x["frame_checksum"] >= 0 and x["frame_bytes"] <= 16 for x in rs)
+    again = sorted(map(tuple, frames.collect()))
+    assert again == sorted(map(tuple, rows))
+
+
+def test_sample_frames_requires_codec(spark):
+    from wpvectordb_spark.operators import multimodal as MM
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(1)
+    with pytest.raises(NotImplementedError):
+        MM.sample_frames(MM.media_from_documents(docs))

@@ -148,3 +148,71 @@ def fake_codec(media_type: str, payload: bytes) -> dict:
         "height": ((n * 7) % 480) + 1,
         "n_frames": 1 if media_type.startswith(("image", "text")) else (n % 30) + 1,
     }
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    k: int = 3,
+    codec: Callable[[str, bytes], dict] | None = None,
+    frame_extractor: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Uniform frame sampling: decode each item's frame count, pick ``k``
+    evenly-spaced frame indices, extract each frame's bytes — a 1-to-N
+    ``mapInPandas`` stage (one input row fans out to <= k frame rows, all
+    inside the Arrow batch, no explode/shuffle).  Real deployments pass an
+    ffmpeg-backed codec/extractor; this environment stubs both
+    (``fake_codec`` / ``fake_frame_extractor``)."""
+    if codec is None or frame_extractor is None:
+        raise NotImplementedError(
+            "no media codec available in this environment; pass codec= and "
+            "frame_extractor= (e.g. fake_codec / fake_frame_extractor)"
+        )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mt, pl in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                n_frames = int(codec(mt, pl)["n_frames"])
+                if n_frames <= 0:
+                    continue
+                if n_frames <= k:
+                    idxs = list(range(n_frames))
+                else:
+                    idxs = sorted({(j * (n_frames - 1)) // (k - 1) for j in range(k)})
+                for i in idxs:
+                    fb = frame_extractor(pl, i)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_no": i,
+                            "frame_bytes": len(fb),
+                            "frame_checksum": _checksum(fb),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_no", "frame_bytes", "frame_checksum"]
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        sample, FRAME_SCHEMA
+    )
+
+
+def fake_frame_extractor(payload: bytes, idx: int) -> bytes:
+    """Deterministic stand-in frame extractor: a rotating 16-byte slice of
+    the payload (so different frames of the same item differ)."""
+    if payload is None or len(payload) == 0:
+        return b""
+    start = (idx * 16) % len(payload)
+    window = (payload + payload)[start : start + 16]
+    return bytes(window)
