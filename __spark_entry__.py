@@ -777,6 +777,27 @@ def _q_rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only_orders)
 
 
+def _q_rel_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI + LEFT SEMI join coverage: per market segment, customers
+    with vs without any order (two join-pruned aggregates, one union)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    keys = orders.select(F.col("o_custkey").alias("c_custkey"))
+    without = (
+        cust.join(keys, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .withColumn("has_orders", F.lit(0))
+    )
+    with_ = (
+        cust.join(keys, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .withColumn("has_orders", F.lit(1))
+    )
+    return without.unionByName(with_)
+
+
 def _q_rel_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window functions: top-3 orders per customer by price, with rank and
     running total."""
@@ -888,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cube": _q_rel_cube,
         "rel_rollup": _q_rel_rollup,
         "rel_set_ops": _q_rel_set_ops,
+        "rel_anti_semi": _q_rel_anti_semi,
         "rel_window_ranks": _q_rel_window_ranks,
         "events_pivot": _q_events_pivot,
         "events_percentiles": _q_events_percentiles,
@@ -1405,6 +1427,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "rel_anti_semi": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers, 0 AS has_orders
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
+            UNION ALL
+            SELECT c_mktsegment, COUNT(*) AS n_customers, 1 AS has_orders
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
         """,
         "rel_set_ops": """
             WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
