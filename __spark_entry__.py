@@ -376,6 +376,43 @@ def _q_queue_claim_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_state.select("job_id", "status", "start_time", "error_count")
 
 
+def _q_queue_update_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: claim a batch, complete the even job_ids and fail the odd ones
+    (error_count bump + message + end_time), return the terminal rows."""
+    q = queue_from_orders(_orders(spark, sf_dir))
+    claimed, state = Q.claim_batch(q, QUEUE_NOW)
+    ids = claimed.select("job_id")
+    even = ids.where(F.col("job_id") % 2 == 0)
+    odd = ids.where(F.col("job_id") % 2 == 1)
+    state = Q.update_status(state, even, "completed", QUEUE_NOW)
+    state = Q.update_status(state, odd, "failed", QUEUE_NOW, error_message="embed worker oom")
+    return state.join(ids, "job_id", "left_semi").select(
+        "job_id", "post_id", "status", "error_count", "error_message", "end_time"
+    )
+
+
+def _q_crud_insert_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 document replacement: delete-then-append for one post, derived
+    columns recomputed (timestamps excluded: they are write-time values)."""
+    emb = _emb(spark, sf_dir)
+    table = TO.derive(
+        emb.where(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("post_id"),
+            F.lit(0).cast("int").alias("sequence_no"),
+            F.col("embedding").alias("vector"),
+        )
+    )
+    new_chunks = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 205)).select(
+        F.lit(10).cast("long").alias("post_id"),
+        (F.col("vec_id") - 200).cast("int").alias("sequence_no"),
+        F.col("embedding").alias("vector"),
+    )
+    out = TO.insert_all(table, 10, new_chunks)
+    return out.select(
+        "post_id", "sequence_no", F.round("magnitude", 9).alias("magnitude")
+    )
+
+
 def _q_queue_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = queue_from_orders(_orders(spark, sf_dir))
     return Q.cleanup(q, QUEUE_NOW).select(
@@ -875,6 +912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_stats": _q_queue_stats,
         "queue_next_batch": _q_queue_next_batch,
         "queue_claim_state": _q_queue_claim_state,
+        "queue_update_status": _q_queue_update_status,
+        "crud_insert_all": _q_crud_insert_all,
         "queue_cleanup": _q_queue_cleanup,
         "queue_retry": _q_queue_retry,
         "queue_page": _q_queue_page,
@@ -1586,6 +1625,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.job_id IS NOT NULL THEN {qnow} ELSE q.start_time END AS start_time,
                    q.error_count
             FROM queue q LEFT JOIN claimed c ON q.job_id = c.job_id
+        """,
+        "queue_update_status": f"""
+            WITH queue AS ({QUEUE_FROM_ORDERS_SQL}),
+            claimed AS ({claim_sel})
+            SELECT q.job_id, q.post_id,
+                   CASE WHEN q.job_id % 2 = 0 THEN 'completed' ELSE 'failed' END AS status,
+                   CASE WHEN q.job_id % 2 = 1 THEN q.error_count + 1
+                        ELSE q.error_count END AS error_count,
+                   CASE WHEN q.job_id % 2 = 1 THEN 'embed worker oom'
+                        ELSE q.error_message END AS error_message,
+                   {qnow} AS end_time
+            FROM queue q JOIN claimed c ON q.job_id = c.job_id
+        """,
+        "crud_insert_all": f"""
+            SELECT post_id, sequence_no, round({mag}, 9) AS magnitude FROM (
+              SELECT vec_id AS post_id, 0 AS sequence_no, embedding
+              FROM embeddings WHERE vec_id < 100 AND vec_id != 10
+              UNION ALL
+              SELECT 10 AS post_id, CAST(vec_id - 200 AS INTEGER) AS sequence_no, embedding
+              FROM embeddings WHERE vec_id >= 200 AND vec_id < 205
+            )
         """,
         "queue_cleanup": cleanup_cte,
         "queue_page_with_docs": f"""
