@@ -376,6 +376,18 @@ def _q_queue_claim_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_state.select("job_id", "status", "start_time", "error_count")
 
 
+def _q_queue_enqueue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: batch enqueue with duplicate post_ids dropped by anti-join;
+    new jobs land pending with queued_time = now."""
+    q = queue_from_orders(_orders(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    new_jobs = docs.select(
+        (F.col("doc_id") + 100000).alias("job_id"), F.col("doc_id").alias("post_id")
+    )
+    out = Q.add_posts(q, new_jobs, QUEUE_NOW)
+    return out.select("job_id", "post_id", "status", "queued_time", "error_count")
+
+
 def _q_queue_update_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: claim a batch, complete the even job_ids and fail the odd ones
     (error_count bump + message + end_time), return the terminal rows."""
@@ -912,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_stats": _q_queue_stats,
         "queue_next_batch": _q_queue_next_batch,
         "queue_claim_state": _q_queue_claim_state,
+        "queue_enqueue": _q_queue_enqueue,
         "queue_update_status": _q_queue_update_status,
         "crud_insert_all": _q_crud_insert_all,
         "queue_cleanup": _q_queue_cleanup,
@@ -1625,6 +1638,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.job_id IS NOT NULL THEN {qnow} ELSE q.start_time END AS start_time,
                    q.error_count
             FROM queue q LEFT JOIN claimed c ON q.job_id = c.job_id
+        """,
+        "queue_enqueue": f"""
+            WITH queue AS ({QUEUE_FROM_ORDERS_SQL}),
+            incoming AS (
+              SELECT doc_id + 100000 AS job_id, doc_id AS post_id FROM documents
+            ),
+            dd AS (
+              SELECT job_id, post_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY post_id ORDER BY job_id) AS rn
+                FROM incoming
+              ) WHERE rn = 1
+            ),
+            fresh AS (
+              SELECT job_id, post_id FROM dd
+              WHERE post_id NOT IN (SELECT post_id FROM queue)
+            )
+            SELECT job_id, post_id, status, queued_time, error_count FROM queue
+            UNION ALL
+            SELECT job_id, post_id, 'pending' AS status, {qnow} AS queued_time,
+                   0 AS error_count
+            FROM fresh
         """,
         "queue_update_status": f"""
             WITH queue AS ({QUEUE_FROM_ORDERS_SQL}),
