@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from wpvectordb_spark.operators import table_ops as TO
+from tests.conftest import SF_DIR
 
 
 @pytest.fixture(scope="module")
@@ -89,3 +90,39 @@ def test_latest_per_post(spark):
     assert got == {10: 2, 20: 3}
     one = TO.get_latest_updated(df, 10).collect()
     assert len(one) == 1 and one[0]["id"] == 2
+
+
+def test_reference_format_roundtrip(spark, tmp_path):
+    """Export to the reference wire format (JSON vectors + hex codes) and
+    import back: native arrays, packed codes, magnitudes all survive."""
+    from wpvectordb_spark.sources import export as EX
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100)
+    table = TO.derive(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("vec_id").alias("post_id"),
+            F.col("embedding").alias("vector"),
+        )
+    )
+    path = str(tmp_path / "refdump")
+    EX.export_reference_json(table, path)
+    back = EX.import_reference_json(spark, path)
+    orig = {r["id"]: r for r in table.collect()}
+    got = {r["id"]: r for r in back.collect()}
+    assert set(got) == set(orig)
+    for i, r in got.items():
+        o = orig[i]
+        assert r["binary_code"] == o["binary_code"]  # hex_to_code inverts K4
+        assert r["magnitude"] == pytest.approx(o["magnitude"], rel=1e-6)
+        assert r["vector"] == pytest.approx(list(o["vector"]), rel=1e-6)
+
+
+def test_hex_to_code_handles_empty_and_short(spark):
+    from wpvectordb_spark.functions import kernels as K
+
+    df = spark.createDataFrame([("",), ("0f",), ("deadbeef01",)], "h string")
+    rows = [r["c"] for r in df.select(K.hex_to_code("h").alias("c")).collect()]
+    assert rows[0] == []
+    assert rows[1] == [15]  # short chunk parses as-is
+    assert rows[2] == [0xDEADBEEF, 1]

@@ -149,6 +149,25 @@ def code_to_hex(code: Column | str, word_bits: int = CODE_WORD_BITS) -> Column:
     )
 
 
+def hex_to_code(hex_col: Column | str, word_bits: int = CODE_WORD_BITS) -> Column:
+    """K4 inverse — parse the reference's hex string back into packed
+    words (``array<long>``), for importing reference-format exports.
+    Chunk the string into ``word_bits/4`` hex chars and base-16 decode
+    each (``conv``); strict inverse of ``code_to_hex`` for codes produced
+    by ``sign_code``."""
+    width = word_bits // 4
+    h = _col(hex_col)
+    n_words = F.ceil(F.length(h) / width).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda i: F.conv(h.substr(i * width + 1, F.lit(width)), 16, 10).cast("long"),
+    )
+    # sequence(0, -1) would count DOWN for empty input — guard explicitly
+    return F.when(F.length(h) > 0, words).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle fragments — kept adjacent to the Spark expressions so the
 # engine and the correctness oracle stay in lockstep.  `{v}` is the vector

@@ -1,0 +1,88 @@
+"""Reference-format export/import sink: the wire format a WPVectorDb
+MySQL table holds (VectorTable.php:469-481) — JSON-text vectors, hex-string
+binary codes — written as JSON lines so a reference deployment can be
+migrated in either direction.
+
+Columns map 1:1 to the reference schema: ``vector`` / ``normalized_vector``
+as JSON float arrays (the reference stores JSON columns,
+VectorTable.php:356), ``binary_code`` as the 4-bit/char hex string
+(:537-575), ``magnitude`` as float.  Import parses everything back to the
+engine's native types (``array<float>`` vectors, ``array<long>`` packed
+codes) — `functions.kernels.hex_to_code` is the K4 inverse.
+
+Scale note: the export is a narrow projection + file write (no shuffle);
+imports re-derive nothing — the derived columns ride along, and a
+consistency re-check is one `kernels.sign_code` comparison away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wpvectordb_spark.functions import kernels as K
+
+REFERENCE_EXPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("post_id", T.LongType()),
+        T.StructField("sequence_no", T.IntegerType()),
+        T.StructField("vector", T.StringType()),  # JSON float array
+        T.StructField("normalized_vector", T.StringType()),  # JSON float array
+        T.StructField("vector_type", T.StringType()),
+        T.StructField("binary_code", T.StringType()),  # hex, 4 bits/char
+        T.StructField("magnitude", T.DoubleType()),
+    ]
+)
+
+
+def to_reference_rows(table: DataFrame) -> DataFrame:
+    """Project an engine-native vector table into the reference's column
+    formats (JSON text + hex codes).  Missing optional columns are filled
+    with the reference's defaults."""
+    cols = set(table.columns)
+    out = table
+    if "id" not in cols:
+        out = out.withColumn("id", F.col("post_id"))
+    if "sequence_no" not in cols:
+        out = out.withColumn("sequence_no", F.lit(0).cast("int"))
+    if "vector_type" not in cols:
+        out = out.withColumn("vector_type", F.lit("default"))
+    if "normalized_vector" not in cols:
+        out = out.withColumn("normalized_vector", K.normalize("vector"))
+    if "binary_code" not in cols:
+        out = out.withColumn("binary_code", K.sign_code("vector"))
+    if "magnitude" not in cols:
+        out = out.withColumn("magnitude", K.magnitude("vector"))
+    return out.select(
+        F.col("id").cast("long"),
+        F.col("post_id").cast("long"),
+        F.col("sequence_no").cast("int"),
+        F.to_json(F.col("vector")).alias("vector"),
+        F.to_json(F.col("normalized_vector")).alias("normalized_vector"),
+        F.col("vector_type"),
+        K.code_to_hex("binary_code").alias("binary_code"),
+        F.col("magnitude").cast("double"),
+    )
+
+
+def export_reference_json(table: DataFrame, path: str) -> None:
+    """Write the reference wire format as JSON lines (the natural dump of
+    a JSON-column MySQL table)."""
+    to_reference_rows(table).write.mode("overwrite").json(path)
+
+
+def import_reference_json(spark: SparkSession, path: str) -> DataFrame:
+    """Read a reference-format dump back into engine-native types."""
+    raw = spark.read.schema(REFERENCE_EXPORT_SCHEMA).json(path)
+    return raw.select(
+        "id",
+        "post_id",
+        "sequence_no",
+        F.from_json("vector", "array<float>").alias("vector"),
+        F.from_json("normalized_vector", "array<float>").alias("normalized_vector"),
+        "vector_type",
+        K.hex_to_code("binary_code").alias("binary_code"),
+        "magnitude",
+    )
