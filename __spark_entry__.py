@@ -376,6 +376,21 @@ def _q_queue_claim_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_state.select("job_id", "status", "start_time", "error_count")
 
 
+def _q_queue_reset_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8+J9: reset the lowest failed post back to pending (null times),
+    then delete the lowest completed post's rows and the highest job_id."""
+    q = queue_from_orders(_orders(spark, sf_dir))
+    reset_target = q.where(F.col("status") == "failed").agg(F.min("post_id")).first()[0]
+    del_post = q.where(F.col("status") == "completed").agg(F.min("post_id")).first()[0]
+    del_job = q.agg(F.max("job_id")).first()[0]
+    state = Q.reset_post(q, int(reset_target))
+    state = Q.delete_post(state, int(del_post))
+    state = Q.delete_record(state, int(del_job))
+    return state.select(
+        "job_id", "post_id", "status", "start_time", "end_time", "error_count"
+    )
+
+
 def _q_queue_enqueue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/J2: batch enqueue with duplicate post_ids dropped by anti-join;
     new jobs land pending with queued_time = now."""
@@ -925,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_next_batch": _q_queue_next_batch,
         "queue_claim_state": _q_queue_claim_state,
         "queue_enqueue": _q_queue_enqueue,
+        "queue_reset_delete": _q_queue_reset_delete,
         "queue_update_status": _q_queue_update_status,
         "crud_insert_all": _q_crud_insert_all,
         "queue_cleanup": _q_queue_cleanup,
@@ -1638,6 +1654,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.job_id IS NOT NULL THEN {qnow} ELSE q.start_time END AS start_time,
                    q.error_count
             FROM queue q LEFT JOIN claimed c ON q.job_id = c.job_id
+        """,
+        "queue_reset_delete": f"""
+            WITH queue AS ({QUEUE_FROM_ORDERS_SQL}),
+            tgt AS (
+              SELECT
+                (SELECT min(post_id) FROM queue WHERE status = 'failed') AS reset_post,
+                (SELECT min(post_id) FROM queue WHERE status = 'completed') AS del_post,
+                (SELECT max(job_id) FROM queue) AS del_job
+            )
+            SELECT q.job_id, q.post_id,
+                   CASE WHEN q.post_id = t.reset_post THEN 'pending' ELSE q.status END AS status,
+                   CASE WHEN q.post_id = t.reset_post THEN NULL ELSE q.start_time END AS start_time,
+                   CASE WHEN q.post_id = t.reset_post THEN NULL ELSE q.end_time END AS end_time,
+                   q.error_count
+            FROM queue q, tgt t
+            WHERE q.post_id != t.del_post AND q.job_id != t.del_job
         """,
         "queue_enqueue": f"""
             WITH queue AS ({QUEUE_FROM_ORDERS_SQL}),
