@@ -717,10 +717,13 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched mapInPandas;
-    payloads are UTF-8 document bytes so features are oracle-checkable."""
+    payloads are UTF-8 document bytes so features are oracle-checkable.
+    Repartitioned first: the small corpus arrives as one parquet split,
+    which would pin all Python decode workers to one core."""
     from wpvectordb_spark.operators import multimodal as M
 
-    media = M.media_from_documents(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    media = M.media_from_documents(docs)
     return M.media_features(media)
 
 
