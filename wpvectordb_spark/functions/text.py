@@ -224,7 +224,12 @@ def minhash_signature(hashes: Column | str, num_hashes: int = 32) -> Column:
     hs = _col(hashes)
     idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     init = F.transform(idx, lambda i: F.lit(MINHASH_PRIME).cast("long"))
-    sig = F.aggregate(
+    # Empty-input detection happens in the FINISH lambda, not via
+    # `when(size(hs) > 0, ...)`: that guard would evaluate the entire
+    # upstream shingle/token pipeline a second time (no CSE across the
+    # expression tree).  Rehashed values are always < PRIME, so an
+    # untouched accumulator lane == PRIME iff the input was empty.
+    return F.aggregate(
         hs,
         init,
         lambda acc, x: F.zip_with(
@@ -239,8 +244,10 @@ def minhash_signature(hashes: Column | str, num_hashes: int = 32) -> Column:
                 % MINHASH_PRIME,
             ),
         ),
+        lambda acc: F.when(
+            F.element_at(acc, 1) != MINHASH_PRIME, acc
+        ),
     )
-    return F.when(F.size(hs) > 0, sig)
 
 
 def sql_minhash_signature(hashes: str, num_hashes: int = 32) -> str:
@@ -283,21 +290,33 @@ def simhash(hashes: Column | str, bits: int = 32) -> Column:
     """
     hs = _col(hashes)
     idx = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))  # MSB first
-    init = F.transform(idx, lambda i: F.lit(0).cast("long"))
     bit_of = lambda h, i: (h / F.pow(F.lit(2.0), i.cast("double"))).cast("long") % 2
-    counts = F.aggregate(
-        hs,
-        init,
-        lambda acc, h: F.zip_with(
-            acc, idx, lambda c, i: c + F.when(bit_of(h, i) == 1, 1).otherwise(-1)
-        ),
+    # Element count rides in the accumulator so the empty-input guard does
+    # NOT re-evaluate the upstream token pipeline (same trick as
+    # minhash_signature's finish-lambda sentinel).
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.transform(idx, lambda i: F.lit(0).cast("long")).alias("c"),
     )
-    packed = F.aggregate(
-        counts,
-        F.lit(0).cast("long"),
-        lambda a, c: a * 2 + F.when(c > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
-    )
-    return F.when(F.size(hs) > 0, packed)
+
+    def merge(acc, h):
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            F.zip_with(
+                acc["c"], idx, lambda c, i: c + F.when(bit_of(h, i) == 1, 1).otherwise(-1)
+            ).alias("c"),
+        )
+
+    def finish(acc):
+        packed = F.aggregate(
+            acc["c"],
+            F.lit(0).cast("long"),
+            lambda a, c: a * 2
+            + F.when(c > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        )
+        return F.when(acc["n"] > 0, packed)
+
+    return F.aggregate(hs, init, merge, finish)
 
 
 def sql_simhash(hashes: str, bits: int = 32) -> str:
