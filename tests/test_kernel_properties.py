@@ -119,3 +119,17 @@ def test_minhash_monotone_under_superset(spark, hashes):
         for r in df.select("id", X.minhash_signature("hs", 16).alias("sig")).collect()
     }
     assert all(b <= a for a, b in zip(sigs[1], sigs[2]))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=0, max_size=8))
+def test_hex_roundtrip_inverts(spark, words):
+    """hex_to_code(code_to_hex(w)) == w for any packed 32-bit word array —
+    the K4 export format loses nothing."""
+    from wpvectordb_spark.functions import kernels as K
+
+    df = spark.createDataFrame([(words,)], "code array<long>")
+    back = df.select(
+        K.hex_to_code(K.code_to_hex("code")).alias("back")
+    ).collect()[0]["back"]
+    assert back == words
