@@ -53,11 +53,57 @@ def test_simhash_near_dup(corpus_with_dups):
     assert {(i, i + 10000) for i in range(50)} <= got
 
 
+def test_simhash_recall_is_total(spark, docs):
+    """Block-permutation candidates guarantee recall 1.0: every pair
+    within max_hamming (by brute-force check over all signatures) is
+    emitted, no matter WHICH bits differ."""
+    from wpvectordb_spark.functions import text as X
+
+    sample = docs.where(F.col("doc_id") < 200)
+    max_hamming = 3
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in sample.select(
+            "doc_id", X.simhash(X.token_hashes("text")).alias("s")
+        ).collect()
+        if r["s"] is not None
+    }
+    ids = sorted(sigs)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= max_hamming
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_dup_pairs(sample, max_hamming=max_hamming).collect()
+    }
+    assert got == expected  # recall 1.0 AND no false positives post-verify
+
+
 def test_ngram_jaccard_blocked(docs):
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.05, block_col="lang")
     rows = pairs.collect()
     assert all(0.05 <= r["jaccard"] <= 1.0 for r in rows)
     assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_ngram_jaccard_candidates_route(docs):
+    """The scale path: LSH candidate pairs bound the pair space, exact
+    shingle Jaccard verifies — results are a superset-verify of the pairs
+    LSH surfaces, and every emitted pair clears the threshold."""
+    sigs = D.minhash_signatures(docs)
+    cands = D.lsh_candidate_pairs(sigs)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.05, candidates=cands)
+    rows = pairs.collect()
+    assert all(r["jaccard"] >= 0.05 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_ngram_jaccard_refuses_unbounded():
+    with pytest.raises(ValueError, match="bounded pair space"):
+        D.ngram_jaccard_pairs(None, threshold=0.5)
 
 
 def test_embedding_near_dup(spark):

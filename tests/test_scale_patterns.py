@@ -123,11 +123,29 @@ def test_stratified_sample_plan_is_pure_filter(spark):
     assert "Aggregate" not in plan, plan
 
 
-def test_pack_sequences_single_shuffle(spark):
-    """Packing is ONE hash exchange on the stratum key (the window's
-    partitioning); anything more would be a regression."""
+def test_pack_sequences_two_pass_prefix_sum(spark):
+    """Packing must use the distributed two-pass prefix sum: a RANGE
+    exchange fans the corpus across partitions, every data-sized window
+    partitions by (_pid, stratum) — parallelism scales with partitions —
+    and NO window partitions by the stratum alone (which would serialize
+    each language through one task at 100 TB)."""
     from wpvectordb_spark.operators import curation as CU
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _plan(CU.pack_sequences(docs, seq_len=512))
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" in plan, plan
+    # the per-row cumsum window must include the partition id in its keys
+    assert "Window [sum(n_tokens" in plan, plan
+    win = [ln for ln in plan.splitlines() if "Window [sum(n_tokens" in ln]
+    assert all("_pid" in ln for ln in win), plan
+    # results identical to the one-window form
+    out = CU.pack_sequences(docs, seq_len=512)
+    n = out.count()
+    assert n > 0
+    # spot-check monotone contiguity per stratum: seq ranges never regress
+    rows = sorted(
+        out.where(F.col("lang") == "en").collect(), key=lambda r: r["doc_id"]
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["seq_start"] >= prev["seq_start"]
+        assert cur["seq_start"] in (prev["seq_end"], prev["seq_end"] + 1)

@@ -118,11 +118,19 @@ def test_reference_format_roundtrip(spark, tmp_path):
         assert r["vector"] == pytest.approx(list(o["vector"]), rel=1e-6)
 
 
-def test_hex_to_code_handles_empty_and_short(spark):
+def test_hex_to_code_handles_empty_and_rejects_short(spark):
+    """Empty imports as an empty code; full 8-char words parse; a SHORT
+    TAIL (dims not divisible by 32 in the reference's codec) must raise —
+    a fixed-width parse of it would silently mis-align the last word."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
     from wpvectordb_spark.functions import kernels as K
 
-    df = spark.createDataFrame([("",), ("0f",), ("deadbeef01",)], "h string")
+    df = spark.createDataFrame([("",), ("DEADBEEF00000001",)], "h string")
     rows = [r["c"] for r in df.select(K.hex_to_code("h").alias("c")).collect()]
     assert rows[0] == []
-    assert rows[1] == [15]  # short chunk parses as-is
-    assert rows[2] == [0xDEADBEEF, 1]
+    assert rows[1] == [0xDEADBEEF, 1]
+
+    short = spark.createDataFrame([("0f",)], "h string")
+    with pytest.raises(SparkRuntimeException, match="multiple of 8"):
+        short.select(K.hex_to_code("h").alias("c")).collect()

@@ -137,11 +137,13 @@ def cosine_similarity(
 
 def code_to_hex(code: Column | str, word_bits: int = CODE_WORD_BITS) -> Column:
     """K4 — format-compat export of a packed code as the reference's hex
-    string (VectorTable.php:555-575; 4 bits per hex char, zero-padded words).
+    string (VectorTable.php:555-575; 4 bits per hex char, zero-padded
+    words, UPPERCASE per the reference's strtoupper at :572 so exports are
+    byte-identical to PHP-produced binary_code strings).
     Representation detail only — never used in the query path.
     """
     width = word_bits // 4
-    return F.lower(
+    return F.upper(
         F.array_join(
             F.transform(_col(code), lambda w: F.lpad(F.hex(w), width, "0")),
             "",
@@ -154,7 +156,13 @@ def hex_to_code(hex_col: Column | str, word_bits: int = CODE_WORD_BITS) -> Colum
     words (``array<long>``), for importing reference-format exports.
     Chunk the string into ``word_bits/4`` hex chars and base-16 decode
     each (``conv``); strict inverse of ``code_to_hex`` for codes produced
-    by ``sign_code``."""
+    by ``sign_code``.
+
+    Import supports only dims divisible by ``word_bits`` — a reference-
+    produced code for any other dimension has a SHORT TAIL (ceil(bits/4)
+    hex chars) whose fixed-width parse would silently mis-align, so a
+    length not divisible by ``word_bits/4`` raises instead of importing
+    wrong words."""
     width = word_bits // 4
     h = _col(hex_col)
     n_words = F.ceil(F.length(h) / width).cast("int")
@@ -162,6 +170,17 @@ def hex_to_code(hex_col: Column | str, word_bits: int = CODE_WORD_BITS) -> Colum
         F.sequence(F.lit(0), n_words - 1),
         lambda i: F.conv(h.substr(i * width + 1, F.lit(width)), 16, 10).cast("long"),
     )
+    ok = F.assert_true(
+        F.length(h) % width == 0,
+        F.concat(
+            F.lit(f"hex_to_code: length must be a multiple of {width} "
+                  "hex chars (dims not divisible by "
+                  f"{word_bits} have a short-tail code this parser would "
+                  "mis-align); got length "),
+            F.length(h).cast("string"),
+        ),
+    )
+    words = F.when(ok.isNull(), words)
     # sequence(0, -1) would count DOWN for empty input — guard explicitly
     return F.when(F.length(h) > 0, words).otherwise(
         F.array().cast("array<long>")

@@ -102,17 +102,55 @@ def pack_sequences(
     training sequences; each document gets the [seq_start, seq_end] range
     of sequences it lands in (a doc may straddle a boundary — exactly how
     GPT-style pretraining packs).  Token counts are the BPE-ish pre-token
-    counts (text.bpe_pretokens); empty documents are dropped."""
+    counts (text.bpe_pretokens); empty documents are dropped.
+
+    The running sum is the classic TWO-PASS distributed prefix sum, not one
+    window per stratum (which would serialize each stratum through a single
+    task — with ~4 languages that is 4 tasks total at 100 TB):
+
+    1. range-partition on (stratum, id) so each partition holds a
+       contiguous id slice of at most a few strata, and aggregate
+       per-(partition, stratum) token subtotals (a tiny table);
+    2. turn subtotals into per-(partition, stratum) starting offsets
+       (window over the tiny table), broadcast-join them back, and cumsum
+       WITHIN each (partition, stratum) — parallelism = #partitions, not
+       #strata, and no single-partition window anywhere.
+
+    The cumsum per row is independent of where the range boundaries fall,
+    so results are identical to the one-window form (hash-stable).
+    """
     from pyspark.sql import Window
 
     n_tok = F.size(X.bpe_pretokens(text_col)).cast("long")
-    w = (
+    t = docs.select(F.col(id_col), F.col(stratum_col), n_tok.alias("n_tokens"))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    # persist: the narrow (id, stratum, n_tokens) projection feeds both the
+    # subtotal pass and the final cumsum — without it the CPU-heavy token
+    # count runs twice.  Tiny relative to the corpus (3 scalar columns).
+    t = (
+        t.repartitionByRange(parallelism, F.col(stratum_col), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sub = t.groupBy("_pid", stratum_col).agg(F.sum("n_tokens").alias("_part_sum"))
+    w_off = (
         Window.partitionBy(stratum_col)
+        .orderBy(F.col("_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sub.select(
+        "_pid",
+        stratum_col,
+        F.coalesce(F.sum("_part_sum").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_local = (
+        Window.partitionBy("_pid", stratum_col)
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    t = docs.select(F.col(id_col), F.col(stratum_col), n_tok.alias("n_tokens"))
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    c = t.join(F.broadcast(offsets), ["_pid", stratum_col]).withColumn(
+        "cum", F.col("_offset") + F.sum("n_tokens").over(w_local)
+    )
     return c.where(F.col("n_tokens") > 0).select(
         id_col,
         stratum_col,

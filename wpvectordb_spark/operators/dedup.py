@@ -141,11 +141,43 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     block_col: str | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-Jaccard over pairs, optionally blocked on a cheap key
-    (same language/source) to bound the pair space.  Returns
-    (id_a, id_b, jaccard) for pairs >= threshold.
+    """Exact shingle-Jaccard verify: (id_a, id_b, jaccard) >= threshold.
+
+    The pair space MUST be bounded one of two ways:
+
+    * ``candidates`` — an (id_a, id_b) DataFrame (normally
+      ``lsh_candidate_pairs`` over minhash signatures): shingle sets join
+      to the candidate list by id, never to each other.  This is the scale
+      path — pair count is the LSH bucket output, not n^2.
+    * ``block_col`` — a self-join blocked on an equi-key.  O(n^2/|blocks|)
+      WITHIN a block: only safe when the caller knows blocks are bounded
+      (e.g. per-source shards), so passing a low-cardinality column like
+      ``lang`` raises unless ``allow_unbounded_block=True`` callers accept
+      it via the candidates route instead.
+
+    With neither, this would be an all-pairs cross join — refused.
     """
+    if candidates is not None:
+        sh = _spread(docs).select(
+            F.col(id_col), X.shingle_hashes(text_col, shingle_k).alias("sh")
+        )
+        inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+        union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+        jac = inter.cast("double") / union.cast("double")
+        return (
+            candidates.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+            .join(sh.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
+            .select("id_a", "id_b", F.round(jac, 9).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+        )
+    if block_col is None:
+        raise ValueError(
+            "ngram_jaccard_pairs needs a bounded pair space: pass "
+            "candidates= (lsh_candidate_pairs output — the scale path) or "
+            "block_col= (bounded blocks only; quadratic within a block)"
+        )
     base = _spread(docs).select(
         F.col(id_col),
         X.shingle_hashes(text_col, shingle_k).alias("sh"),
@@ -207,41 +239,70 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+SIMHASH_BITS = 32
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    prefix_bits: int = 8,
 ) -> DataFrame:
-    """SimHash near-dup: pairs within ``max_hamming`` bits of each other.
+    """SimHash near-dup: ALL pairs within ``max_hamming`` bits of each
+    other — recall 1.0, guaranteed.
 
-    Bucketing by the top ``prefix_bits`` bits bounds the pair space (docs
-    differing in <= max_hamming of 32 bits usually share the prefix; for
-    guaranteed recall run the standard rotations — here one block is the
-    demonstrated pattern).
+    Candidate generation is the standard block-permutation argument
+    (Manku et al., WWW'07): split the 32-bit signature into
+    ``max_hamming + 1`` equal blocks; two signatures differing in at most
+    ``max_hamming`` bits MUST agree exactly on at least one block
+    (pigeonhole).  Each doc registers under (block_id, block_value); the
+    self-equi-join on that key meets every qualifying pair in at least one
+    block, the exact ``bit_count(xor)`` filter keeps true near-dups, and a
+    distinct collapses multi-block meetings.
+
+    Self-join (not collect_list + in-array): a HOT block bucket's pair work
+    distributes across tasks via AQE skew-join splitting — the in-array
+    form runs a B^2 loop inside ONE task (measured 5x slower on
+    boilerplate-heavy corpora).  The signature recompute per join side is
+    cheaper than a persist barrier (single fold).
     """
+    n_blocks = max_hamming + 1
+    block_bits = SIMHASH_BITS // n_blocks
     sh = _spread(docs).select(
         F.col(id_col),
         X.simhash(X.token_hashes(text_col)).alias("simhash"),
     ).where(F.col("simhash").isNotNull())
-    # integer division (not float-divide-then-cast): ports exactly to any
-    # oracle engine's `//`
-    sh = sh.withColumn("bucket", F.expr(f"simhash div {2 ** (32 - prefix_bits)}"))
-    # Self-join on the bucket: the pair work of a HOT bucket distributes
-    # across tasks — a collect_list + in-array pair generation would run a
-    # B^2 loop for a B-doc bucket inside ONE task (measured 5x slower under
-    # the near-degenerate skew of boilerplate-heavy corpora); AQE's
-    # skew-join splitting balances the join instead.  The signature
-    # recompute per join side is cheaper than a persist barrier (single
-    # fold, ~0.3s for 5k docs).
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # block values via integer div + mod (not bit ops): ports exactly to
+    # any oracle engine's `//` and `%`.  Block 0 is the HIGH bits; the last
+    # block absorbs the remainder when 32 % n_blocks != 0.
+    shifts = [
+        SIMHASH_BITS - block_bits * (i + 1) if i < n_blocks - 1 else 0
+        for i in range(n_blocks)
+    ]
+    widths = [
+        block_bits if i < n_blocks - 1 else SIMHASH_BITS - block_bits * (n_blocks - 1)
+        for i in range(n_blocks)
+    ]
+    banded = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"simhash div {2 ** s}") % F.lit(2 ** w)
+                    for s, w in zip(shifts, widths)
+                ]
+            )
+        ).alias("block_id", "block_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
     hd = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .where(hd <= max_hamming)
@@ -250,6 +311,7 @@ def simhash_near_dup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             hd.alias("hamming"),
         )
+        .distinct()
     )
 
 

@@ -94,6 +94,25 @@ def user_activity(events: DataFrame) -> DataFrame:
     )
 
 
+def user_profile(events: DataFrame, types: list[str] | None = None) -> DataFrame:
+    """Per-user wide profile: the ``user_activity`` rollup plus one pivoted
+    count column per event type — ONE aggregation pass / ONE shuffle
+    (conditional counts instead of a separate pivot + join)."""
+    if types is None:
+        types = ["click", "view", "signup", "purchase", "error"]
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        *[
+            F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(t)
+            for t in types
+        ],
+    )
+
+
 def conversion_funnel(
     events: DataFrame,
     first_type: str = "signup",

@@ -29,15 +29,21 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """For each left row: the latest right row with
     ``right.ts <= left.ts`` on the same key (null columns when none).
 
     Ties on the same timestamp resolve right-before-left, i.e. a right
-    row AT the left timestamp matches (<=, not <).
+    row AT the left timestamp matches (<=, not <).  When multiple RIGHT
+    rows share (key, ts), ``tiebreak_col`` (a right-side column, e.g. its
+    id) makes the carried row deterministic — the HIGHEST tiebreak value
+    wins; it defaults to the first ``right_cols`` entry.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, right_ts)]
+    if tiebreak_col is None and right_cols:
+        tiebreak_col = right_cols[0]
 
     l_tag = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
     r_tag = (
@@ -52,10 +58,15 @@ def asof_join(
     merged = l_tag.unionByName(
         r_tag, allowMissingColumns=True
     )
-    # right rows sort before left rows at equal timestamps -> <= semantics
-    w = Window.partitionBy(key).orderBy(
-        F.col("_ats").asc(), F.col("_side").asc()
-    ).rowsBetween(Window.unboundedPreceding, 0)
+    # right rows sort before left rows at equal timestamps -> <= semantics;
+    # the tiebreak (asc, nulls first — left rows carry NULL there) makes
+    # the LAST right row at an equal (key, ts) deterministic: max tiebreak.
+    order_keys = [F.col("_ats").asc(), F.col("_side").asc()]
+    if tiebreak_col is not None:
+        order_keys.append(F.col(tiebreak_col).asc_nulls_first())
+    w = Window.partitionBy(key).orderBy(*order_keys).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     carried = merged.select(
         *[F.col(c) for c in l_cols],
         F.col("_side"),

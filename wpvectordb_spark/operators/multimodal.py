@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -70,11 +71,41 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+# Growable per-worker cache of 31^i % HASH_MOD (ascending i).  The rolling
+# hash h = ((...)*31 + b) % p is the polynomial sum(b_i * 31^(n-1-i)) % p, so
+# a payload checksums as ONE numpy dot product against the reversed power
+# vector instead of a per-byte Python loop (the loop was 37% of bench time).
+_POW31 = np.array([1], dtype=np.int64)
+
+# Chunk bound for the int64 dot product: each term is < 256 * HASH_MOD
+# (~2.6e11), so 2^25 terms stay under 2^63.  Chunks reduce mod p as they go.
+_CHUNK = 1 << 25
+
+
+def _powers(n: int) -> np.ndarray:
+    global _POW31
+    if len(_POW31) < n:
+        grow = np.empty(n, dtype=np.int64)
+        grow[: len(_POW31)] = _POW31
+        for i in range(len(_POW31), n):
+            grow[i] = (grow[i - 1] * 31) % HASH_MOD
+        _POW31 = grow
+    return _POW31[:n]
+
+
 def _checksum(data: bytes) -> int:
+    """Polynomial rolling hash ``h = (h*31 + byte) % p`` over the payload,
+    vectorized: bytes -> int64 array, dot with the reversed 31^i powers in
+    overflow-safe chunks."""
+    if not data:
+        return 0
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    n = len(arr)
+    coef = _powers(n)[::-1]
     h = 0
-    for b in data:
-        h = (h * 31 + b) % HASH_MOD
-    return h
+    for s in range(0, n, _CHUNK):
+        h = (h + np.dot(arr[s : s + _CHUNK], coef[s : s + _CHUNK])) % HASH_MOD
+    return int(h)
 
 
 def media_features(media: DataFrame) -> DataFrame:

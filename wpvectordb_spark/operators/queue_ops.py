@@ -167,9 +167,13 @@ def cleanup(queue: DataFrame, now: _dt.datetime) -> DataFrame:
         )
         .withColumn("status", F.when(stuck, "failed").otherwise(F.col("status")))
     )
+    # end_time IS NOT NULL mirrors the reference (VectorTableQueue.php:329):
+    # a completed row with NULL end_time is RETAINED.  Without the guard,
+    # NULL < cutoff is NULL, NOT(NULL) is NULL, and where() would drop it.
     keep = ~(
         (
             (F.col("status") == "completed")
+            & F.col("end_time").isNotNull()
             & (F.col("end_time") < now_c - F.expr(f"INTERVAL {COMPLETED_RETENTION_DAYS} DAYS"))
         )
         | ((F.col("status") == "failed") & (F.col("error_count") > MAX_RETRIES))

@@ -166,20 +166,29 @@ def stream_queue_ingest(
     Returns ``(get_state, query)`` where ``get_state()`` yields the queue
     after processed batches.  Production: the state table is Delta and
     ``add_posts`` becomes a MERGE — the transform logic is unchanged.
+
+    State lives in a parquet directory, staged-rename per batch (write to
+    ``_v{n}``, repoint): each micro-batch reads the previous version,
+    applies the batch transform, and writes the next — executors carry the
+    data, the driver only repoints a path.  No ``collect()`` anywhere, so
+    state size is bounded by cluster storage, not driver memory, and
+    lineage resets at every version boundary.
     """
     from wpvectordb_spark.operators import queue_ops as Q
 
-    state = {"queue": initial_queue}
+    root = tempfile.mkdtemp(prefix="stream_queue_state_")
+    v0 = os.path.join(root, "v0")
+    initial_queue.write.mode("overwrite").parquet(v0)
+    state = {"path": v0, "version": 0}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        jobs = batch_df.select(
-            F.col("job_id"), F.col("post_id")
-        )
-        # materialize to break lineage growth across micro-batches
-        new_state = Q.add_posts(state["queue"], jobs, now)
-        state["queue"] = spark.createDataFrame(
-            new_state.collect(), schema=new_state.schema
-        )
+        jobs = batch_df.select(F.col("job_id"), F.col("post_id"))
+        prev = spark.read.parquet(state["path"])
+        new_state = Q.add_posts(prev, jobs, now)
+        nxt = os.path.join(root, f"v{state['version'] + 1}")
+        new_state.write.mode("overwrite").parquet(nxt)
+        state["path"] = nxt
+        state["version"] += 1
 
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_q_{uuid.uuid4().hex[:8]}")
     query = (
@@ -187,4 +196,4 @@ def stream_queue_ingest(
         .option("checkpointLocation", ckpt)
         .start()
     )
-    return (lambda: state["queue"]), query
+    return (lambda: spark.read.parquet(state["path"])), query

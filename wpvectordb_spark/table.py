@@ -120,20 +120,39 @@ class VectorTable:
         self._write(TO.delete(self.df(), id_))
 
     def _with_ids(self, df: DataFrame) -> DataFrame:
-        """Assign stable surrogate ids to rows missing one: max(id) +
-        row_number over the natural key (AUTO_INCREMENT analog without
-        monotonically_increasing_id's non-contiguity)."""
+        """Assign stable surrogate ids to rows missing one (AUTO_INCREMENT
+        analog): contiguous ids in (post_id, sequence_no) order starting at
+        max(id) + 1.
+
+        Scale shape — NO global window and NO driver collect: row_number
+        runs per ``post_id`` partition; the per-post starting offsets come
+        from a window over the tiny per-post count aggregate (rows =
+        #posts, not #chunks) broadcast back; max(id) rides the same
+        broadcast as a 1-row cross join."""
         from pyspark.sql import Window
 
-        max_id = (df.agg(F.max("id")).collect()[0][0]) or 0
-        w = Window.orderBy("post_id", "sequence_no")
-        return (
-            df.withColumn(
-                "_new_id", F.lit(max_id) + F.row_number().over(w)
-            )
-            .withColumn("id", F.coalesce(F.col("id"), F.col("_new_id")))
-            .drop("_new_id")
+        missing = df.where(F.col("id").isNull())
+        counts = missing.groupBy("post_id").agg(F.count("*").alias("_n"))
+        w_off = (
+            Window.orderBy(F.col("post_id").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
+        # window over the per-post aggregate only: one row per post
+        offsets = counts.select(
+            "post_id", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
+        )
+        mx = df.agg(F.coalesce(F.max("id"), F.lit(0)).alias("_max_id"))
+        w_local = Window.partitionBy("post_id").orderBy(F.col("sequence_no").asc())
+        numbered = (
+            missing.join(F.broadcast(offsets), "post_id")
+            .crossJoin(F.broadcast(mx))
+            .withColumn(
+                "id",
+                F.col("_max_id") + F.col("_offset") + F.row_number().over(w_local),
+            )
+            .drop("_offset", "_max_id")
+        )
+        return df.where(F.col("id").isNotNull()).unionByName(numbered)
 
     # -- search (S1-S8) ------------------------------------------------------
     def search(
