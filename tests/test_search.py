@@ -87,3 +87,15 @@ def test_batch_search_matches_single(spark, emb, qv):
 def test_stage1_parity_cap_still_available(emb, qv):
     capped = S.search(emb, qv, n=5, code_col=None, mag_col=None, stage1_limit=100)
     assert len(capped.collect()) == 5
+
+
+def test_two_phase_sql_matches_dataframe_api(spark):
+    """The SQL-API form of the flagship funnel (plans.sql_queries) produces
+    the identical result set as the DataFrame form — same Catalyst plan
+    surface, kept in lockstep (driver key: search_two_phase)."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    a = sorted(map(tuple, entry._q_search_two_phase(spark, SF_DIR).collect()), key=repr)
+    b = sorted(map(tuple, entry._q_search_two_phase_sql(spark, SF_DIR).collect()), key=repr)
+    assert a == b
