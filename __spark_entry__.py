@@ -500,7 +500,25 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- text analysis -----------------------------------------------------------
 
 def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bench-surface form (frozen key); the driver registers the superset
     return TA.analyze(_docs(spark, sf_dir))
+
+
+def _q_text_analyze_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc analysis superset: language id, quality features, both
+    token-count variants, repetition signals — one narrow projection."""
+    return TA.analyze_full(_docs(spark, sf_dir))
+
+
+def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus (doc_id >= 20) flagged against
+    the holdout/eval slice (doc_id < 20) by shared-shingle count."""
+    docs = _docs(spark, sf_dir)
+    return CU.decontaminate(
+        docs.where(F.col("doc_id") >= 20),
+        docs.where(F.col("doc_id") < 20),
+        threshold=5,
+    )
 
 
 def _q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_variants": _q_dsl_variants,
         "crud_get_delete": _q_crud_get_delete,
         "curate_sample_pack": _q_curate_sample_pack,
+        "curate_decontaminate": _q_curate_decontaminate,
         "events_windows": _q_events_windows,
         "text_terms_tfidf": _q_text_terms_tfidf,
         # --- green in round 1 (back of window) ------------------------------
@@ -1110,8 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_page_with_docs": _q_queue_page_with_docs,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "text_analyze": _q_text_analyze,
-        "text_token_counts": _q_text_token_counts,
+        "text_analyze": _q_text_analyze_full,
         "text_fingerprint": _q_text_fingerprint,
     }
 
@@ -1295,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE cosine >= 0.8
     """
     qf = TA.sql_quality_features("text")
+    rep = TA.sql_repetition_features("text")
     toks = X.sql_tokens("text")
     analyze_sql = f"""
         SELECT doc_id,
@@ -1305,7 +1324,12 @@ def oracle_sql() -> dict[str, str]:
                {qf['stopword_ratio']} AS stopword_ratio,
                CAST(len(list_distinct({toks})) AS BIGINT) AS n_unique_tokens,
                {TA.sql_quality_score('text')} AS quality,
-               {fp} AS fingerprint
+               {fp} AS fingerprint,
+               {X.sql_ws_token_count('text')} AS ws_tokens,
+               CAST(len({X.sql_bpe_pretokens('text')}) AS BIGINT) AS bpe_tokens,
+               {rep['n_lines']} AS n_lines,
+               {rep['dup_line_ratio']} AS dup_line_ratio,
+               {rep['dup_token_ratio']} AS dup_token_ratio
         FROM documents
     """
     batch_ham = K.sql_hamming(K.sql_sign_code("e.embedding"), "q.q_code")
@@ -1344,16 +1368,6 @@ def oracle_sql() -> dict[str, str]:
         WITH tht AS (SELECT doc_id, {X.sql_token_hashes('text')} AS th FROM documents)
         SELECT doc_id, unnest({X.sql_winnow_fingerprints('th')}) AS fingerprint
         FROM tht
-    """
-    token_counts_sql = f"""
-        SELECT lang, COUNT(*) AS n_docs,
-               CAST(sum(ws) AS BIGINT) AS ws_tokens,
-               CAST(sum(bpe) AS BIGINT) AS bpe_tokens
-        FROM (
-          SELECT lang, {X.sql_ws_token_count('text')} AS ws,
-                 CAST(len({X.sql_bpe_pretokens('text')}) AS BIGINT) AS bpe
-          FROM documents
-        ) GROUP BY lang
     """
     ann_lsh_sql = f"""
         WITH q AS (
@@ -1464,7 +1478,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({CU.sql_pack_sequences(seq_len=2048)})
         """,
         "text_fingerprint": winnow_cte,
-        "text_token_counts": token_counts_sql,
+        "curate_decontaminate": CU.sql_decontaminate(threshold=5),
         "ann_lsh_ivf": f"""
             SELECT 'lsh' AS method, vec_id, CAST(NULL AS BIGINT) AS cluster_id,
                    cosine_similarity

@@ -56,3 +56,44 @@ def test_pack_sequences_invariants(docs):
         for r in rows:
             covered.update(range(r["seq_start"], r["seq_end"] + 1))
         assert covered == set(range((cum - 1) // 512 + 1))
+
+
+def test_decontaminate_flags_holdout_copies(spark):
+    """A corpus doc that IS a holdout doc shares all its shingles ->
+    contaminated; disjoint text stays clean."""
+    from pyspark.sql import functions as F
+
+    from wpvectordb_spark.operators import curation as CU
+
+    hold = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog again and again"),
+            (101, "completely unrelated words about spark shuffles and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CU.decontaminate(corpus, hold, threshold=3).collect()}
+    assert out[100]["contaminated"] == 1
+    assert out[100]["n_matched"] == out[100]["n_shingles"]
+    assert out[101]["contaminated"] == 0
+    assert out[101]["n_matched"] == 0
+
+
+def test_decontaminate_plan_broadcasts_holdout(spark):
+    """The holdout shingle set must reach the corpus join as a broadcast —
+    no shuffle of the corpus side on the shingle hash."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from wpvectordb_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = CU.decontaminate(
+        docs.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

@@ -266,3 +266,27 @@ def test_lsh_topk_self_retrieval_and_recall(spark):
     qvs = [qv]
     r = SIM.ann_recall(emb, qvs, k=10, topk_fn=lambda v, q, k: SIM.lsh_topk(v, q, k=k))
     assert 0.1 <= r <= 1.0
+
+
+def test_repetition_features(spark):
+    from wpvectordb_spark.operators import text_analysis as TA
+
+    df = spark.createDataFrame(
+        [
+            (1, "same line\nsame line\nsame line\nother line"),
+            (2, "all words totally distinct here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rep = TA.repetition_features("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[c.alias(n) for n, c in rep.items()]).collect()
+    }
+    assert rows[1]["n_lines"] == 4
+    assert rows[1]["dup_line_ratio"] == 0.5  # 2 distinct of 4
+    assert rows[1]["dup_token_ratio"] > 0
+    assert rows[2]["dup_line_ratio"] == 0.0
+    assert rows[2]["dup_token_ratio"] == 0.0
+    assert rows[3]["n_lines"] == 0 and rows[3]["dup_line_ratio"] == 0.0

@@ -160,6 +160,87 @@ def pack_sequences(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    holdout: DataFrame,
+    threshold: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    ``threshold`` hashed k-token shingles with the holdout/eval set —
+    the standard guard against test-set leakage into training data.
+
+    Scale shape: the holdout side (eval benchmarks — thousands of docs,
+    not billions) reduces to a DISTINCT shingle-hash set and BROADCASTS;
+    the corpus side is a narrow scan -> explode -> broadcast-hash-join ->
+    one aggregation on ``id``.  No shuffle ever carries document text,
+    and the corpus is never self-joined.
+
+    Returns (id, n_shingles, n_matched, contaminated 0/1) for every
+    corpus document.
+    """
+    sh = docs.select(
+        F.col(id_col), X.shingle_hashes(text_col, shingle_k).alias("sh")
+    )
+    hold = (
+        holdout.select(F.explode(X.shingle_hashes(text_col, shingle_k)).alias("h"))
+        .distinct()
+    )
+    matched = (
+        sh.select(F.col(id_col), F.explode("sh").alias("h"))
+        .join(F.broadcast(hold), "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )
+    return (
+        sh.select(F.col(id_col), F.size("sh").cast("long").alias("n_shingles"))
+        .join(matched, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
+            (F.coalesce(F.col("n_matched"), F.lit(0)) >= threshold)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def sql_decontaminate(
+    threshold: int = 5,
+    shingle_k: int = 3,
+    corpus_pred: str = "doc_id >= 20",
+    holdout_pred: str = "doc_id < 20",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``decontaminate`` with predicate-split sides."""
+    tokh = X.sql_token_hashes("text")
+    shh = X.sql_shingle_hashes("th", shingle_k)
+    return f"""
+        WITH hold AS (
+          SELECT DISTINCT unnest({shh}) AS h
+          FROM (SELECT {tokh} AS th FROM {table} WHERE {holdout_pred})
+        ),
+        corpus AS (
+          SELECT doc_id, {shh} AS sh
+          FROM (SELECT doc_id, {tokh} AS th FROM {table} WHERE {corpus_pred})
+        ),
+        matched AS (
+          SELECT doc_id, COUNT(*) AS n_matched FROM (
+            SELECT doc_id, unnest(sh) AS h FROM corpus
+          ) c JOIN hold USING (h)
+          GROUP BY doc_id
+        )
+        SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+               CAST(CASE WHEN COALESCE(m.n_matched, 0) >= {threshold}
+                    THEN 1 ELSE 0 END AS INT) AS contaminated
+        FROM corpus c LEFT JOIN matched m USING (doc_id)
+    """
+
+
 def sql_pack_sequences(
     seq_len: int = 2048,
     stratum_col: str = "lang",

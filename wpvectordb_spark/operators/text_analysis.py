@@ -145,6 +145,50 @@ def sql_quality_score(text: str) -> str:
     )
 
 
+def repetition_features(text_col: Column | str = "text") -> dict[str, Column]:
+    """Gopher-style within-document repetition signals: fraction of
+    duplicate lines and fraction of duplicate tokens (1 - distinct/total,
+    0.0 for empty).  Pure array expressions — no shuffle."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.filter(F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n_lines = F.size(lines)
+    dup_lines = F.when(
+        n_lines > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    toks = X.tokens(text_col)
+    n_tok = F.size(toks)
+    dup_toks = F.when(
+        n_tok > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_tok.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_lines": n_lines.cast("long"),
+        "dup_line_ratio": F.round(dup_lines, 9),
+        "dup_token_ratio": F.round(dup_toks, 9),
+    }
+
+
+def sql_repetition_features(text: str) -> dict[str, str]:
+    lines = f"list_filter(string_split({text}, chr(10)), l -> length(trim(l)) > 0)"
+    toks = X.sql_tokens(text)
+    dup_lines = (
+        f"CASE WHEN len({lines}) > 0 THEN"
+        f" 1.0 - CAST(len(list_distinct({lines})) AS DOUBLE) / len({lines})"
+        " ELSE 0.0 END"
+    )
+    dup_toks = (
+        f"CASE WHEN len({toks}) > 0 THEN"
+        f" 1.0 - CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks})"
+        " ELSE 0.0 END"
+    )
+    return {
+        "n_lines": f"CAST(len({lines}) AS BIGINT)",
+        "dup_line_ratio": f"round({dup_lines}, 9)",
+        "dup_token_ratio": f"round({dup_toks}, 9)",
+    }
+
+
 def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Full per-document analysis projection: one narrow pass."""
     feats = quality_features(text_col)
@@ -156,4 +200,25 @@ def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
         quality_score(text_col).alias("quality"),
         X.string_hash(text_col).alias("fingerprint"),
+    )
+
+
+def analyze_full(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``analyze`` plus token-count variants (whitespace + BPE-ish) and
+    repetition signals — still ONE narrow projection, no join/shuffle."""
+    feats = quality_features(text_col)
+    rep = repetition_features(text_col)
+    toks = X.tokens(text_col)
+    return docs.select(
+        F.col(id_col),
+        language_id(text_col).alias("lang_pred"),
+        *[c.alias(n) for n, c in feats.items()],
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        quality_score(text_col).alias("quality"),
+        X.string_hash(text_col).alias("fingerprint"),
+        X.ws_token_count(text_col).alias("ws_tokens"),
+        F.size(X.bpe_pretokens(text_col)).cast("long").alias("bpe_tokens"),
+        *[c.alias(n) for n, c in rep.items()],
     )
