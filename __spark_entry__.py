@@ -592,21 +592,6 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace vs BPE-ish pre-token counts, aggregated per language."""
-    docs = _docs(spark, sf_dir)
-    per = docs.select(
-        "lang",
-        X.ws_token_count("text").alias("ws"),
-        F.size(X.bpe_pretokens("text")).cast("long").alias("bpe"),
-    )
-    return per.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("ws").cast("long").alias("ws_tokens"),
-        F.sum("bpe").cast("long").alias("bpe_tokens"),
-    )
-
-
 def _q_curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-threshold sampling per language (zero-shuffle
     data-mixing filter)."""

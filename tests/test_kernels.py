@@ -127,3 +127,55 @@ def test_kernels_against_duckdb_on_real_embeddings(spark, duck):
         """
     )
     assert_parity(q, o)
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    from tests.conftest import SF_DIR
+
+    """Symmetric int8 quantization: |x - dequant(quant(x))| <= scale/2
+    per element, codes stay in [-127, 127], zeros stay zeros."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    out = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        K.quantize_scale("embedding").alias("s"),
+        K.quantize("embedding").alias("q"),
+    ).select(
+        "vec_id", "v", "s", "q", K.dequantize("q", "s").alias("back")
+    )
+    for r in out.collect():
+        assert all(-127 <= c <= 127 for c in r["q"])
+        for orig, rec in zip(r["v"], r["back"]):
+            assert abs(float(orig) - rec) <= r["s"] / 2 + 1e-12
+
+
+def test_quantized_cosine_tracks_exact(spark):
+    from tests.conftest import SF_DIR
+
+    """Quantized cosine drifts < 0.01 from the exact float cosine on real
+    embeddings (scales cancel; only rounding noise remains)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec"),
+        K.quantize("embedding").alias("q_codes"),
+        K.quantize_scale("embedding").alias("q_scale"),
+    )
+    out = (
+        emb.limit(100)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            K.cosine_similarity("q_vec", "embedding", None, None).alias("exact"),
+            K.quantized_cosine(
+                "q_codes", K.quantize("embedding"), "q_scale", K.quantize_scale("embedding")
+            ).alias("approx"),
+        )
+    )
+    for r in out.collect():
+        assert abs(r["exact"] - r["approx"]) < 0.01, (r["vec_id"], r["exact"], r["approx"])
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "id long, v array<float>")
+    r = df.select(K.quantize("v").alias("q")).collect()[0]
+    assert r["q"] == [0, 0, 0]

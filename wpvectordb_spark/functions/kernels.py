@@ -188,6 +188,55 @@ def hex_to_code(hex_col: Column | str, word_bits: int = CODE_WORD_BITS) -> Colum
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar quantization — the storage/IO lever for embedding columns at
+# scale: a 1024-dim float32 vector (4 KiB) stores as 1 KiB of int8 + one
+# double scale.  Symmetric per-vector quantization (scale = max|x| / 127),
+# pure HOF expressions, no UDF.  Approximate by design (no oracle row);
+# tests bound the round-trip error and the quantized-cosine drift.
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 127
+
+
+def quantize_scale(v: Column | str) -> Column:
+    """Per-vector symmetric scale ``max|x| / 127`` (1e-30 floor so an
+    all-zero vector quantizes to zeros instead of dividing by zero)."""
+    v = _col(v)
+    max_abs = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(_d(x))))
+    return F.greatest(max_abs, F.lit(1e-30)) / F.lit(float(QUANT_LEVELS))
+
+
+def quantize(v: Column | str, scale: Column | None = None) -> Column:
+    """int8-range codes ``round(x / scale)`` as ``array<int>`` (stored as
+    byte-packed parquet; values always in [-127, 127])."""
+    v = _col(v)
+    s = quantize_scale(v) if scale is None else scale
+    return F.transform(v, lambda x: F.round(_d(x) / s).cast("int"))
+
+
+def dequantize(q: Column | str, scale: Column | str) -> Column:
+    """Reconstruct doubles ``q_i * scale``."""
+    s = _d(_col(scale))
+    return F.transform(_col(q), lambda x: _d(x) * s)
+
+
+def quantized_cosine(
+    qa: Column | str, qb: Column | str, scale_a: Column | str, scale_b: Column | str
+) -> Column:
+    """Cosine on quantized codes: the integer dot product scales by
+    ``scale_a * scale_b``, magnitudes likewise — so the scales CANCEL and
+    the result equals the cosine of the dequantized vectors exactly.
+    Integer muls inside the fold keep this cheap on the scan."""
+    da = F.aggregate(
+        F.zip_with(_col(qa), _col(qb), lambda x, y: _d(x) * _d(y)),
+        F.lit(0.0), lambda s, p: s + p,
+    )
+    ma = F.sqrt(F.aggregate(_col(qa), F.lit(0.0), lambda a, x: a + _d(x) * _d(x)))
+    mb = F.sqrt(F.aggregate(_col(qb), F.lit(0.0), lambda a, x: a + _d(x) * _d(x)))
+    return da / (ma * mb + F.lit(COSINE_EPS))
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle fragments — kept adjacent to the Spark expressions so the
 # engine and the correctness oracle stay in lockstep.  `{v}` is the vector
 # column; all produce the same doubles as the builders above.
