@@ -166,9 +166,7 @@ def test_quantized_cosine_tracks_exact(spark):
         .select(
             "vec_id",
             K.cosine_similarity("q_vec", "embedding", None, None).alias("exact"),
-            K.quantized_cosine(
-                "q_codes", K.quantize("embedding"), "q_scale", K.quantize_scale("embedding")
-            ).alias("approx"),
+            K.quantized_cosine("q_codes", K.quantize("embedding")).alias("approx"),
         )
     )
     for r in out.collect():

@@ -99,3 +99,23 @@ def test_two_phase_sql_matches_dataframe_api(spark):
     a = sorted(map(tuple, entry._q_search_two_phase(spark, SF_DIR).collect()), key=repr)
     b = sorted(map(tuple, entry._q_search_two_phase_sql(spark, SF_DIR).collect()), key=repr)
     assert a == b
+
+
+def test_quantized_topk_recall_and_plan(spark):
+    """Quantized-scan + exact-rerank top-k: the oversampled int8 stage
+    recovers the exact float top-10, and both stages compile to
+    TakeOrderedAndProject merges (no full-result shuffle)."""
+    from tests.conftest import SF_DIR
+    from wpvectordb_spark.operators import similarity as SIM
+    from wpvectordb_spark.operators.search import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["id"] for r in brute_force_topk(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector")), q, n=10
+    ).collect()]
+    out = SIM.quantized_topk(emb, q, n=10)
+    got = [r["vec_id"] for r in out.collect()]
+    assert set(got) == set(exact)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") == 2, plan

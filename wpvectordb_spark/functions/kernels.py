@@ -220,13 +220,11 @@ def dequantize(q: Column | str, scale: Column | str) -> Column:
     return F.transform(_col(q), lambda x: _d(x) * s)
 
 
-def quantized_cosine(
-    qa: Column | str, qb: Column | str, scale_a: Column | str, scale_b: Column | str
-) -> Column:
-    """Cosine on quantized codes: the integer dot product scales by
-    ``scale_a * scale_b``, magnitudes likewise — so the scales CANCEL and
-    the result equals the cosine of the dequantized vectors exactly.
-    Integer muls inside the fold keep this cheap on the scan."""
+def quantized_cosine(qa: Column | str, qb: Column | str) -> Column:
+    """Cosine directly on quantized codes — no scales needed: the per-
+    vector scales multiply both the dot product and the magnitudes, so
+    they CANCEL and this equals the cosine of the dequantized vectors
+    exactly.  Integer muls inside the fold keep it cheap on the scan."""
     da = F.aggregate(
         F.zip_with(_col(qa), _col(qb), lambda x, y: _d(x) * _d(y)),
         F.lit(0.0), lambda s, p: s + p,

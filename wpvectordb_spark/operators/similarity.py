@@ -67,6 +67,58 @@ def brute_force_topk_arrow(
     return ranked.select(id_col, out.alias("cosine_similarity"))
 
 
+def quantized_topk(
+    vectors: DataFrame,
+    query_vector: list[float],
+    n: int = 10,
+    candidate_factor: int = 4,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Two-stage top-k over int8-quantized codes: scan stage ranks by
+    QUANTIZED cosine (integer-mul folds over 1/4 the bytes — at 100 TB
+    the table stores only ``(id, codes int8[], scale)`` and the float
+    vectors live in a separate re-fetch table), keep ``candidate_factor
+    * n`` survivors, then rerank the survivors with the exact float
+    cosine.  Same funnel shape as the reference's Hamming stage — both
+    stages are TakeOrderedAndProject merges, no full-result shuffle.
+
+    Quantized cosine equals the cosine of the dequantized vectors
+    (scales cancel), so ranking drift comes only from int8 rounding —
+    the oversampled candidate set absorbs it.
+    """
+    q = [float(x) for x in query_vector]
+    max_abs = max((abs(x) for x in q), default=0.0)
+    q_scale = max(max_abs, 1e-30) / K.QUANT_LEVELS
+    q_codes = F.array(*[F.lit(int(round(x / q_scale))) for x in q])
+
+    quant = vectors.select(
+        F.col(id_col),
+        F.col(vector_col),
+        K.quantize(vector_col).alias("_codes"),
+    )
+    scan = quant.select(
+        F.col(id_col),
+        F.col(vector_col),
+        K.quantized_cosine("_codes", q_codes).alias("_qcos"),
+    )
+    survivors = scan.orderBy(F.col("_qcos").desc(), F.col(id_col).asc()).limit(
+        candidate_factor * n
+    )
+    exact = K.cosine_similarity(F.array(*[F.lit(x) for x in q]), vector_col, None, None)
+    out = survivors.select(
+        F.col(id_col),
+        (F.round(exact, round_to) if round_to else exact).alias("cosine_similarity"),
+        exact.alias("_raw"),
+    )
+    return (
+        out.orderBy(F.col("_raw").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_raw")
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_clusters: int = 16,
