@@ -108,23 +108,59 @@ def _checksum(data: bytes) -> int:
     return int(h)
 
 
+def _batch_checksums(payloads: list[bytes]) -> np.ndarray:
+    """Checksums for a whole Arrow batch in ONE numpy pass: concatenate
+    payloads, build the per-segment reversed 31^i coefficient vector by
+    slicing a shared power table, multiply elementwise, and segment-sum
+    with ``np.add.reduceat``.  Per-document Python work is two slices —
+    everything else is vectorized over the concatenated buffer.
+
+    Falls back to per-payload ``_checksum`` when the batch is large
+    enough that segment products could overflow the chunked-dot bound
+    (any single payload >= _CHUNK bytes)."""
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+    if len(lens) == 0:
+        return np.empty(0, dtype=np.int64)
+    if lens.max(initial=0) >= _CHUNK:
+        return np.fromiter((_checksum(p) for p in payloads), dtype=np.int64, count=len(payloads))
+    total = int(lens.sum())
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+    pw = _powers(int(lens.max(initial=1)))
+    coef = np.empty(total, dtype=np.int64)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    for i, (s, n) in enumerate(zip(starts, lens)):
+        coef[s : s + n] = pw[n - 1 :: -1] if n else 0
+    if total == 0:
+        return np.zeros(len(lens), dtype=np.int64)
+    prods = (buf * coef) % HASH_MOD
+    # reduceat segment sums: each segment < _CHUNK terms * HASH_MOD < 2^63.
+    # Clip start indices (an empty LAST segment would index past the end)
+    # and zero empty segments afterwards (reduceat returns the neighbor's
+    # first element for an empty segment).
+    sums = np.add.reduceat(prods, np.minimum(starts, total - 1))
+    sums[lens == 0] = 0
+    return sums % HASH_MOD
+
+
 def media_features(media: DataFrame) -> DataFrame:
     """Byte-level features via mapInPandas: Arrow batches in, Arrow batches
-    out — the decode-stage shape without a codec dependency."""
+    out — the decode-stage shape without a codec dependency.  The whole
+    batch checksums in one vectorized pass (see _batch_checksums)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+            firsts = np.fromiter(
+                (p[0] if p else -1 for p in payloads), dtype=np.int64, count=len(payloads)
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "byte_len": payloads.map(lambda p: len(p) if p is not None else 0),
-                    "first_byte": payloads.map(
-                        lambda p: int(p[0]) if p is not None and len(p) else -1
-                    ),
-                    "checksum": payloads.map(
-                        lambda p: _checksum(p) if p is not None else 0
-                    ),
+                    "byte_len": lens,
+                    "first_byte": firsts,
+                    "checksum": _batch_checksums(payloads),
                 }
             )
 
