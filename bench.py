@@ -65,8 +65,12 @@ def main() -> None:
     }
     headline = list(qmap)
 
-    # warm the JVM/codegen once with a trivial action
+    # warm the JVM/codegen once with a trivial action, and the Python
+    # worker pool with a trivial mapInPandas (so the first Pandas-UDF
+    # query measures the operator, not 32 interpreter forks + imports)
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    warm = spark.range(64).repartition(32)
+    warm.mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in headline:
