@@ -226,3 +226,16 @@ def test_sample_frames_requires_codec(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(1)
     with pytest.raises(NotImplementedError):
         MM.sample_frames(MM.media_from_documents(docs))
+
+
+def test_batch_checksums_empty_segment_patterns():
+    """Regression: a trailing/interleaved EMPTY payload must not corrupt
+    its neighbors' checksums (reduceat boundary handling)."""
+    import itertools
+
+    from wpvectordb_spark.operators.multimodal import _batch_checksums, _checksum
+
+    for n in range(6):
+        for bits in itertools.product([0, 1], repeat=n):
+            ps = [b"payload%d" % i if b else b"" for i, b in enumerate(bits)]
+            assert list(_batch_checksums(ps)) == [_checksum(p) for p in ps], ps

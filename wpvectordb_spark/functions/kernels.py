@@ -208,9 +208,13 @@ def quantize_scale(v: Column | str) -> Column:
 
 def quantize(v: Column | str, scale: Column | None = None) -> Column:
     """int8-range codes ``round(x / scale)`` as ``array<int>`` (stored as
-    byte-packed parquet; values always in [-127, 127])."""
+    byte-packed parquet; values always in [-127, 127]).
+
+    PASS ``scale`` (projected as its own column first) in any hot path:
+    a lambda-captured ``quantize_scale`` fold re-evaluates PER ELEMENT
+    (no CSE inside transform) — O(d^2) per vector instead of O(d)."""
     v = _col(v)
-    s = quantize_scale(v) if scale is None else scale
+    s = quantize_scale(v) if scale is None else _d(_col(scale))
     return F.transform(v, lambda x: F.round(_d(x) / s).cast("int"))
 
 

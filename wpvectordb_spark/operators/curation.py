@@ -96,6 +96,7 @@ def pack_sequences(
     stratum_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist: bool = True,
 ) -> DataFrame:
     """Concat-and-chunk packing: documents are concatenated in ``id``
     order within each stratum and split into fixed ``seq_len``-token
@@ -124,14 +125,19 @@ def pack_sequences(
     n_tok = F.size(X.bpe_pretokens(text_col)).cast("long")
     t = docs.select(F.col(id_col), F.col(stratum_col), n_tok.alias("n_tokens"))
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    # persist: the narrow (id, stratum, n_tokens) projection feeds both the
-    # subtotal pass and the final cumsum — without it the CPU-heavy token
-    # count runs twice.  Tiny relative to the corpus (3 scalar columns).
-    t = (
-        t.repartitionByRange(parallelism, F.col(stratum_col), F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    t = t.repartitionByRange(parallelism, F.col(stratum_col), F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    if persist:
+        # The narrow (id, stratum, n_tokens) projection feeds both the
+        # subtotal pass and the final cumsum; exchange reuse does NOT kick
+        # in across the broadcast boundary (measured: 2 range exchanges
+        # without this), so caching halves the CPU-heavy token counting.
+        # Repeat calls on the same input do not accumulate entries — the
+        # CacheManager dedups identical plans — but callers running many
+        # DISTINCT corpora through one session can pass persist=False and
+        # accept the double scan instead of the cache residency.
+        t = t.persist()
     sub = t.groupBy("_pid", stratum_col).agg(F.sum("n_tokens").alias("_part_sum"))
     w_off = (
         Window.partitionBy(stratum_col)

@@ -153,9 +153,9 @@ def ngram_jaccard_pairs(
       path — pair count is the LSH bucket output, not n^2.
     * ``block_col`` — a self-join blocked on an equi-key.  O(n^2/|blocks|)
       WITHIN a block: only safe when the caller knows blocks are bounded
-      (e.g. per-source shards), so passing a low-cardinality column like
-      ``lang`` raises unless ``allow_unbounded_block=True`` callers accept
-      it via the candidates route instead.
+      (e.g. per-source shards or IVF clusters); a low-cardinality column
+      like ``lang`` goes quadratic at scale — prefer the candidates
+      route there.
 
     With neither, this would be an all-pairs cross join — refused.
     """

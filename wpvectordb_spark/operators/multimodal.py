@@ -135,11 +135,15 @@ def _batch_checksums(payloads: list[bytes]) -> np.ndarray:
         return np.zeros(len(lens), dtype=np.int64)
     prods = (buf * coef) % HASH_MOD
     # reduceat segment sums: each segment < _CHUNK terms * HASH_MOD < 2^63.
-    # Clip start indices (an empty LAST segment would index past the end)
-    # and zero empty segments afterwards (reduceat returns the neighbor's
-    # first element for an empty segment).
-    sums = np.add.reduceat(prods, np.minimum(starts, total - 1))
-    sums[lens == 0] = 0
+    # Index ONLY non-empty segments' starts: empty segments share a start
+    # with their successor (or sit past the end when last), and feeding
+    # those duplicate/out-of-range indices to reduceat would split the
+    # neighboring segment and corrupt its sum.  A non-empty segment always
+    # runs exactly to the next non-empty start (empties contribute 0
+    # bytes), so the non-empty starts are strictly increasing and valid.
+    nonempty = lens > 0
+    sums = np.zeros(len(lens), dtype=np.int64)
+    sums[nonempty] = np.add.reduceat(prods, starts[nonempty])
     return sums % HASH_MOD
 
 

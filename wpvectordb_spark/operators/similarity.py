@@ -93,10 +93,18 @@ def quantized_topk(
     q_scale = max(max_abs, 1e-30) / K.QUANT_LEVELS
     q_codes = F.array(*[F.lit(int(round(x / q_scale))) for x in q])
 
-    quant = vectors.select(
+    # scale projected FIRST so the quantize transform references a plain
+    # column — embedding the max|x| fold in the lambda would re-evaluate
+    # it per element (O(d^2)/vector)
+    scaled = vectors.select(
         F.col(id_col),
         F.col(vector_col),
-        K.quantize(vector_col).alias("_codes"),
+        K.quantize_scale(vector_col).alias("_scale"),
+    )
+    quant = scaled.select(
+        F.col(id_col),
+        F.col(vector_col),
+        K.quantize(vector_col, F.col("_scale")).alias("_codes"),
     )
     scan = quant.select(
         F.col(id_col),
@@ -109,7 +117,9 @@ def quantized_topk(
     exact = K.cosine_similarity(F.array(*[F.lit(x) for x in q]), vector_col, None, None)
     out = survivors.select(
         F.col(id_col),
-        (F.round(exact, round_to) if round_to else exact).alias("cosine_similarity"),
+        (F.round(exact, round_to) if round_to is not None else exact).alias(
+            "cosine_similarity"
+        ),
         exact.alias("_raw"),
     )
     return (

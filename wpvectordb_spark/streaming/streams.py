@@ -167,13 +167,17 @@ def stream_queue_ingest(
     after processed batches.  Production: the state table is Delta and
     ``add_posts`` becomes a MERGE — the transform logic is unchanged.
 
-    State lives in a parquet directory, staged-rename per batch (write to
-    ``_v{n}``, repoint): each micro-batch reads the previous version,
-    applies the batch transform, and writes the next — executors carry the
-    data, the driver only repoints a path.  No ``collect()`` anywhere, so
-    state size is bounded by cluster storage, not driver memory, and
-    lineage resets at every version boundary.
+    State lives in a versioned parquet directory: each micro-batch reads
+    the previous version, applies the batch transform, writes the next
+    version, repoints, and DELETES the superseded version — executors
+    carry the data, the driver only repoints a path.  No ``collect()``
+    anywhere, so state size is bounded by cluster storage, not driver
+    memory; lineage resets at every version boundary; disk holds at most
+    two versions at any instant (the Delta/iceberg form of this is a
+    MERGE with table history doing the same job).
     """
+    import shutil
+
     from wpvectordb_spark.operators import queue_ops as Q
 
     root = tempfile.mkdtemp(prefix="stream_queue_state_")
@@ -183,12 +187,14 @@ def stream_queue_ingest(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         jobs = batch_df.select(F.col("job_id"), F.col("post_id"))
-        prev = spark.read.parquet(state["path"])
+        prev_path = state["path"]
+        prev = spark.read.parquet(prev_path)
         new_state = Q.add_posts(prev, jobs, now)
         nxt = os.path.join(root, f"v{state['version'] + 1}")
         new_state.write.mode("overwrite").parquet(nxt)
         state["path"] = nxt
         state["version"] += 1
+        shutil.rmtree(prev_path, ignore_errors=True)
 
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_q_{uuid.uuid4().hex[:8]}")
     query = (

@@ -134,23 +134,29 @@ class VectorTable:
         missing = df.where(F.col("id").isNull())
         counts = missing.groupBy("post_id").agg(F.count("*").alias("_n"))
         w_off = (
-            Window.orderBy(F.col("post_id").asc())
+            Window.orderBy(F.col("post_id").asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         # window over the per-post aggregate only: one row per post
         offsets = counts.select(
-            "post_id", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
+            F.col("post_id").alias("_off_post"),
+            F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset"),
         )
         mx = df.agg(F.coalesce(F.max("id"), F.lit(0)).alias("_max_id"))
         w_local = Window.partitionBy("post_id").orderBy(F.col("sequence_no").asc())
+        # eqNullSafe: groupBy keeps a NULL post_id group, so a plain join
+        # on post_id would silently DROP missing-id rows with NULL keys
         numbered = (
-            missing.join(F.broadcast(offsets), "post_id")
+            missing.join(
+                F.broadcast(offsets),
+                F.col("post_id").eqNullSafe(F.col("_off_post")),
+            )
             .crossJoin(F.broadcast(mx))
             .withColumn(
                 "id",
                 F.col("_max_id") + F.col("_offset") + F.row_number().over(w_local),
             )
-            .drop("_offset", "_max_id")
+            .drop("_off_post", "_offset", "_max_id")
         )
         return df.where(F.col("id").isNotNull()).unionByName(numbered)
 
