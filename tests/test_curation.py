@@ -97,3 +97,25 @@ def test_decontaminate_plan_broadcasts_holdout(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_decontaminate_threshold_monotone(spark):
+    """Raising the threshold can only shrink the contaminated set, and
+    n_matched is invariant to the threshold."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from wpvectordb_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus, hold = docs.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20)
+    by_thr = {}
+    matched = {}
+    for thr in (1, 5, 50):
+        rows = {r["doc_id"]: r for r in CU.decontaminate(corpus, hold, threshold=thr).collect()}
+        by_thr[thr] = {d for d, r in rows.items() if r["contaminated"]}
+        matched[thr] = {d: r["n_matched"] for d, r in rows.items()}
+    assert by_thr[50] <= by_thr[5] <= by_thr[1]
+    assert matched[1] == matched[5] == matched[50]
+    # every corpus doc gets a row, contaminated or not
+    assert len(matched[1]) == corpus.count()

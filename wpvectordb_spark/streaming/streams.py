@@ -74,7 +74,11 @@ def run_stream_to_completion(
     spark: SparkSession, streaming_df: DataFrame, output_mode: str = "append"
 ) -> DataFrame:
     """Run a streaming query over its (static) file source until all
-    available data is processed; return the memory-sink contents."""
+    available data is processed; return the memory-sink contents.
+    The throwaway checkpoint directory is deleted once the query stops —
+    each call would otherwise leave a dir in the temp root forever."""
+    import shutil
+
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     q = (
@@ -88,6 +92,7 @@ def run_stream_to_completion(
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
