@@ -133,3 +133,29 @@ def test_hex_roundtrip_inverts(spark, words):
         K.hex_to_code(K.code_to_hex("code")).alias("back")
     ).collect()[0]["back"]
     assert back == words
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(vectors, min_size=1, max_size=8))
+def test_quantization_properties(spark, vecs):
+    """For ANY finite float vector: codes stay in [-127, 127], round-trip
+    error is bounded by scale/2 per element, and the quantized cosine of
+    a vector with itself is ~1 (unless all-zero)."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, v array<float>"
+    )
+    rows = df.select(
+        "id",
+        "v",
+        K.quantize_scale("v").alias("s"),
+        K.quantize("v").alias("q"),
+        K.dequantize(K.quantize("v"), K.quantize_scale("v")).alias("back"),
+        K.quantized_cosine(K.quantize("v"), K.quantize("v")).alias("self_cos"),
+    ).collect()
+    for r, v in zip(sorted(rows, key=lambda r: r["id"]), vecs):
+        assert all(-127 <= c <= 127 for c in r["q"])
+        for orig, rec in zip(r["v"], r["back"]):
+            assert abs(float(orig) - rec) <= r["s"] / 2 + 1e-9
+        # vectors entirely below the 1e-30 scale floor quantize to zeros
+        if max((abs(float(F32(x))) for x in v), default=0.0) > 1e-30:
+            assert r["self_cos"] == pytest.approx(1.0, abs=1e-6)
