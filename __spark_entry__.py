@@ -1871,7 +1871,7 @@ def oracle_sql() -> dict[str, str]:
                      (CASE WHEN q.status = 'pending' THEN 0
                            WHEN q.status = 'completed' THEN 1
                            WHEN q.status = 'failed' THEN 2 ELSE 3 END) ASC,
-                     q.job_id ASC
+                     q.queued_time ASC, q.job_id ASC
             OFFSET 25 LIMIT 25
         """,
         "queue_retry": f"""

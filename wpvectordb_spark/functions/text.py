@@ -60,48 +60,37 @@ def string_hash(s: Column | str) -> Column:
     )
 
 
-def sql_string_hash(s: str) -> str:
-    # list_prepend(0, ...) supplies the fold seed: harmless for non-empty
-    # input (0*31 + c == c) and keeps list_reduce defined on empty strings.
+def _sql_char_fold(expr: str) -> str:
+    """The ONE DuckDB form of the portable hash fold — every SQL mirror
+    builds on this so a constant/fold tweak changes exactly one place.
+    ``list_prepend(0, ...)`` supplies the fold seed: harmless for
+    non-empty input (0*31 + c == c) and keeps ``list_reduce`` defined on
+    empty strings."""
     return (
         f"list_reduce(list_prepend(0, list_transform("
-        f"list_filter(string_split_regex({s}, ''), c -> c != ''),"
+        f"list_filter(string_split_regex({expr}, ''), c -> c != ''),"
         f" c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % {HASH_MOD})"
     )
+
+
+def sql_string_hash(s: str) -> str:
+    return _sql_char_fold(s)
 
 
 def token_hashes(text: Column | str) -> Column:
-    """Hash of every token of ``text`` (portable)."""
-    return F.transform(tokens(text), lambda t: _elem_hash(t))
-
-
-def _elem_hash(t: Column) -> Column:
-    chars = F.filter(F.split(t, ""), lambda c: c != "")
-    return F.aggregate(
-        F.transform(chars, lambda c: F.ascii(c).cast("long")),
-        F.lit(0).cast("long"),
-        lambda a, c: (a * 31 + c) % HASH_MOD,
-    )
+    """Hash of every token of ``text`` — ``string_hash`` applied per
+    element (it accepts any Column, including a lambda variable)."""
+    return F.transform(tokens(text), lambda t: string_hash(t))
 
 
 def sql_token_hashes(text: str) -> str:
-    inner = (
-        "list_reduce(list_prepend(0, list_transform("
-        "list_filter(string_split_regex(t, ''), c -> c != ''),"
-        f" c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % {HASH_MOD})"
-    )
-    return f"list_transform({sql_tokens(text)}, t -> {inner})"
+    return f"list_transform({sql_tokens(text)}, t -> {_sql_char_fold('t')})"
 
 
 def sql_hash_elements(list_expr: str) -> str:
     """DuckDB: polynomial hash of every string element of a list —
-    mirrors ``F.transform(arr, _elem_hash)``."""
-    inner = (
-        "list_reduce(list_prepend(0, list_transform("
-        "list_filter(string_split_regex(t, ''), c -> c != ''),"
-        f" c -> CAST(ascii(c) AS BIGINT))), (a, c) -> (a * 31 + c) % {HASH_MOD})"
-    )
-    return f"list_transform({list_expr}, t -> {inner})"
+    mirrors ``F.transform(arr, string_hash)``."""
+    return f"list_transform({list_expr}, t -> {_sql_char_fold('t')})"
 
 
 # --- hashed shingles (the scale path for MinHash / Jaccard) ------------------
@@ -439,7 +428,9 @@ def bpe_pretokens(text: Column | str) -> Column:
 
 
 def sql_bpe_pretokens(text: str) -> str:
-    pat = BPE_SPLIT_RE.replace("\\", "\\").replace("'", "''")
+    # only quotes need doubling: DuckDB single-quoted literals do not
+    # process backslash escapes, so the \s classes pass through verbatim
+    pat = BPE_SPLIT_RE.replace("'", "''")
     return (
         f"list_filter(regexp_extract_all(lower({text}), '{pat}'),"
         " m -> trim(m) != '')"

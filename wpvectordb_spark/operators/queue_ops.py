@@ -115,7 +115,9 @@ def update_status(
     if status not in _TERMINAL:
         raise ValueError(f"invalid status {status!r}; allowed: {_TERMINAL}")
     if isinstance(job_ids, DataFrame):
-        ids_df = job_ids.select("job_id").withColumn("_u", F.lit(1))
+        # distinct: set semantics like the list path's isin() — a duplicate
+        # id in the frame would otherwise MULTIPLY its queue row via the join
+        ids_df = job_ids.select("job_id").distinct().withColumn("_u", F.lit(1))
     else:
         ids_df = None
     if ids_df is not None:
@@ -217,9 +219,17 @@ def page_of_records(
     per_page: int = PAGE_SIZE,
     documents: DataFrame | None = None,
 ) -> DataFrame:
-    """J10 (:403-437): status-priority ordering + LIMIT/OFFSET pagination
-    (Spark >= 3.4 ``offset``); optional join to the documents dimension for
-    display columns, as the reference joins wp_posts for titles."""
+    """J10 (:403-437): LIMIT/OFFSET pagination (Spark >= 3.4 ``offset``);
+    optional join to the documents dimension for display columns, as the
+    reference joins wp_posts for titles.
+
+    Ordering preserves the reference's QUIRK verbatim (:417-425): ``status
+    DESC`` sorts FIRST, which makes the status-priority CASE that follows
+    dead code (it only breaks ties within one status, where it is
+    constant) — so pages come out processing > pending > failed >
+    completed, lexicographic.  Then ``queued_time ASC`` as the reference
+    writes, plus a ``job_id`` tie-break for determinism (queued_time
+    collides in real queues; MySQL's page split would be arbitrary)."""
     prio = (
         F.when(F.col("status") == "pending", 0)
         .when(F.col("status") == "completed", 1)
@@ -231,7 +241,12 @@ def page_of_records(
         out = out.join(documents, out.post_id == documents.doc_id, "left").drop("doc_id")
     return (
         out.withColumn("status_prio", prio)
-        .orderBy(F.col("status").desc(), F.col("status_prio").asc(), F.col("job_id").asc())
+        .orderBy(
+            F.col("status").desc(),
+            F.col("status_prio").asc(),
+            F.col("queued_time").asc(),
+            F.col("job_id").asc(),
+        )
         .offset((page - 1) * per_page)
         .limit(per_page)
         .drop("status_prio")

@@ -104,7 +104,7 @@ def search(
     the id as the key but also expose post_id and both scores.
     """
     if builder is not None and candidates is None and builder.has_filters():
-        candidates = builder.candidates(documents, doc_meta)
+        candidates = builder.candidates(documents, doc_meta, id_col=post_id_col)
     q_code = F.lit(_pack_code(query_vector))
     q_vec = F.array(*[F.lit(float(x)) for x in query_vector])
     q_mag = F.lit(_magnitude(query_vector))

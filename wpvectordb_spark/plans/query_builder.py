@@ -9,7 +9,11 @@ expressions instead of SQL strings:
 * **Operator whitelist** — ``=, !=, >, <, >=, <=, IN, NOT IN, LIKE,
   NOT LIKE`` (Filter.php:14-47); anything else raises.
 * **LIKE is substring-contains** — the reference wraps values ``'%v%'``
-  (Filter.php:110-112), so we compile to ``col.contains(v)``.
+  (Filter.php:110-112), so we compile to ``col.contains(v)``.  Edge
+  divergence, adjudicated: a ``%`` or ``_`` INSIDE the value is an active
+  wildcard in the reference's raw SQL but a literal character here — the
+  reference's wrapping shows substring intent, and literal matching is
+  the safe reading of user-supplied values.
 * **Empty IN / NOT IN is a tautology** — both compile to ``1=1``
   (Filter.php:89-93); preserved verbatim (including the surprising empty
   NOT IN pass-through, quirk §4.4.10).
@@ -98,7 +102,10 @@ class Filter:
         # meta_value is stored as text (SURVEY.md §1.3); typed comparisons
         # cast explicitly where MySQL would coerce implicitly.
         if isinstance(value, bool):
-            value = str(value)
+            # Spark's boolean->string cast writes lowercase "true"/"false"
+            # (doc_meta is built via cast), so compare against that form —
+            # Python str(True) == "True" would silently never match
+            value = "true" if value else "false"
         elif isinstance(value, (int, float)) and self.operator not in ("LIKE", "NOT LIKE"):
             val_col = val_col.cast("double")
             value = float(value)

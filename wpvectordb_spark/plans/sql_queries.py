@@ -22,10 +22,15 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+# empty-vector guard: sequence(0, -1) counts DOWN and would emit a
+# garbage two-word code where kernels.sign_code returns [] — same pitfall
+# kernels.hex_to_code guards against
 _SIGN_CODE = (
-    "transform(sequence(0, cast(ceil(size({v}) / 32.0) as int) - 1),"
+    "(CASE WHEN size({v}) > 0 THEN"
+    " transform(sequence(0, cast(ceil(size({v}) / 32.0) as int) - 1),"
     " w -> aggregate(slice(transform({v}, x -> if(cast(x as double) > 0d, 1L, 0L)),"
     " w * 32 + 1, 32), 0L, (acc, b) -> acc * 2 + b))"
+    " ELSE cast(array() as array<bigint>) END)"
 )
 _MAG = "sqrt(aggregate({v}, 0d, (a, x) -> a + cast(x as double) * cast(x as double)))"
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), 0d, (s, p) -> s + p)"

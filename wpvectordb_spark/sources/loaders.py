@@ -31,7 +31,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet reader rejects; read the physical int64 (nanosAsLong) and
     truncate to microseconds with integer division — the same truncation
     DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP (double division would
-    round and diverge in the last microsecond)."""
+    round and diverge in the last microsecond).
+
+    SESSION-WIDE side effect, deliberate: nanosAsLong has no per-read
+    option, so this flips the session default (get_spark sets it too).
+    It only changes how TIMESTAMP(NANOS) physical columns read — events
+    is the sole NANOS table here; micros/millis tables are unaffected."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
