@@ -1374,7 +1374,7 @@ def oracle_sql() -> dict[str, str]:
         WITH e AS (SELECT event_id, user_id, {ev} AS ts, value FROM events),
         flags AS (
           SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {30 * 60 * 1_000_000}
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {30 * 60 * 1_000_000}
                      THEN 1 ELSE 0 END AS is_new
           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
@@ -1436,16 +1436,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'arrow' AS engine, id_a, id_b, cosine FROM ({emb_dup_cte})
         """,
         "events_conversion_funnel": """
-            SELECT user_id, first_t, then_t,
-                   CAST(CASE WHEN then_t IS NOT NULL AND then_t >= first_t
-                              AND epoch_us(then_t) - epoch_us(first_t) <= 86400000000
+            WITH firsts AS (
+              SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_t
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            thens AS (
+              SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS then_t
+              FROM events e JOIN firsts f ON e.user_id = f.user_id
+              WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= f.first_t
+              GROUP BY e.user_id
+            )
+            SELECT f.user_id, f.first_t, t.then_t,
+                   CAST(CASE WHEN t.then_t IS NOT NULL
+                              AND epoch_us(t.then_t) - epoch_us(f.first_t) <= 86400000000
                          THEN 1 ELSE 0 END AS INT) AS converted
-            FROM (
-              SELECT user_id,
-                     min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS first_t,
-                     min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS then_t
-              FROM events GROUP BY user_id
-            ) WHERE first_t IS NOT NULL
+            FROM firsts f LEFT JOIN thens t ON f.user_id = t.user_id
         """,
         "text_analyze": analyze_sql,
         "search_batch": search_batch_sql,
@@ -1536,7 +1541,7 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
             flags AS (
               SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {30 * 60 * 1_000_000}
+                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {30 * 60 * 1_000_000}
                          THEN 1 ELSE 0 END AS is_new
               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
@@ -1577,7 +1582,7 @@ def oracle_sql() -> dict[str, str]:
               WITH e AS (SELECT event_id, user_id, {ev} AS ts, value FROM events),
               flags AS (
                 SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {30 * 60 * 1_000_000}
+                                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {30 * 60 * 1_000_000}
                            THEN 1 ELSE 0 END AS is_new
                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
               ),

@@ -290,3 +290,43 @@ def test_repetition_features(spark):
     assert rows[2]["dup_line_ratio"] == 0.0
     assert rows[2]["dup_token_ratio"] == 0.0
     assert rows[3]["n_lines"] == 0 and rows[3]["dup_line_ratio"] == 0.0
+
+
+def test_conversion_funnel_ignores_pre_signup_purchase(spark):
+    """A purchase BEFORE the first signup must not mask a later
+    qualifying purchase."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 1, "purchase", 1.0),
+        (2, dt.datetime(2024, 1, 1, 10), 1, "signup", 0.0),
+        (3, dt.datetime(2024, 1, 1, 11), 1, "purchase", 2.0),
+        (4, dt.datetime(2024, 1, 2, 10), 2, "signup", 0.0),
+        (5, dt.datetime(2024, 1, 1, 9), 2, "purchase", 1.0),  # only BEFORE
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r["user_id"]: r for r in E.conversion_funnel(ev).collect()}
+    assert got[1]["converted"] == 1
+    assert got[1]["then_t"] == dt.datetime(2024, 1, 1, 11)
+    assert got[2]["converted"] == 0 and got[2]["then_t"] is None
+
+
+def test_sessionize_boundary_matches_session_window(spark):
+    """An event EXACTLY gap after the previous starts a new session —
+    the same half-open semantics as native session_window."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0), 1, "click", 1.0),
+        (2, dt.datetime(2024, 1, 1, 10, 30), 1, "click", 1.0),  # == gap
+        (3, dt.datetime(2024, 1, 1, 10, 59), 1, "click", 1.0),  # < gap
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    sess = E.sessionize(ev, gap_minutes=30).collect()
+    assert len(sess) == 2
+    counts = sorted(r["n_events"] for r in sess)
+    assert counts == [1, 2]

@@ -107,3 +107,21 @@ def test_interval_join_matches_naive_against_sessions(spark):
     assert bset == nset
     # every event belongs to at least one session
     assert len({e for e, _ in bset}) == ev.count()
+
+
+def test_asof_carries_whole_row_not_mixed_columns(spark):
+    """The carried right row is atomic: a NULL column in the most recent
+    right row stays NULL instead of being backfilled from an OLDER row."""
+    import datetime as dt
+
+    from wpvectordb_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    right = spark.createDataFrame(
+        [(1, t(1), 10.0, 5), (1, t(2), None, 7)],
+        "user_id long, ts timestamp, price double, qty long",
+    )
+    left = spark.createDataFrame([(1, t(3), 100)], "user_id long, ts timestamp, order_id long")
+    row = asof_join(left, right, "user_id", right_cols=["price", "qty"], tiebreak_col="qty").collect()[0]
+    assert row["qty_asof"] == 7
+    assert row["price_asof"] is None  # NOT 10.0 from the older row

@@ -23,7 +23,9 @@ def test_stream_tumbling_equals_batch(spark):
     agg = ST.stream_tumbling_counts(stream, "1 hour", watermark="0 seconds")
     # complete mode: append would hold back windows the watermark hasn't
     # passed when the (finite) stream drains — the final window never emits
-    got = ST.run_stream_to_completion(spark, agg, output_mode="complete")
+    got = ST.run_stream_to_completion(spark, agg, output_mode="complete").select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )  # n_users_approx is HLL (engine-specific) — compare the exact columns
     batch = E.tumbling_window_agg(load_events(spark, SF_DIR), "1 hour").select(
         "window_start", "event_type", "n_events", "sum_value"
     )

@@ -134,3 +134,44 @@ def test_hex_to_code_handles_empty_and_rejects_short(spark):
     short = spark.createDataFrame([("0f",)], "h string")
     with pytest.raises(SparkRuntimeException, match="multiple of 8"):
         short.select(K.hex_to_code("h").alias("c")).collect()
+
+
+def test_upsert_preserves_id_and_created_at(spark):
+    """The reference's UPDATE path keeps id and created_at on a replaced
+    row; only updated_at and derived columns refresh."""
+    import datetime as dt
+
+    old = dt.datetime(2020, 1, 1)
+    table = spark.createDataFrame(
+        [(77, 1, 0, [1.0, 0.0], old, old)],
+        "id long, post_id long, sequence_no int, vector array<float>, "
+        "created_at timestamp, updated_at timestamp",
+    )
+    table = TO.derive(table)
+    incoming = spark.createDataFrame(
+        [(1, 0, [0.0, 2.0]), (2, 0, [3.0, 4.0])],
+        "post_id long, sequence_no int, vector array<float>",
+    )
+    out = {r["post_id"]: r for r in TO.upsert(table, incoming).collect()}
+    assert out[1]["id"] == 77  # kept
+    assert out[1]["created_at"] == old  # kept
+    assert out[1]["updated_at"] != old  # refreshed
+    assert out[1]["magnitude"] == pytest.approx(2.0)  # recomputed
+    assert out[2]["id"] is None  # brand-new key awaits _with_ids
+
+
+def test_delete_and_insert_all_keep_null_key_rows(spark):
+    """MySQL's DELETE WHERE key = x never touches NULL-key rows; the
+    anti-filters must be null-safe to match."""
+    table = spark.createDataFrame(
+        [(1, 10, 0, [1.0]), (None, None, 0, [2.0])],
+        "id long, post_id long, sequence_no int, vector array<float>",
+    )
+    kept = TO.delete(table, 1)
+    assert kept.count() == 1
+    assert kept.collect()[0]["id"] is None  # NULL row survived
+    out = TO.insert_all(
+        TO.derive(table), 10,
+        spark.createDataFrame([(10, 0, [5.0])], "post_id long, sequence_no int, vector array<float>"),
+    )
+    assert out.where(F.col("post_id").isNull()).count() == 1

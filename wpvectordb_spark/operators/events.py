@@ -59,14 +59,19 @@ def sessionize(
     user_col: str = "user_id",
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the user's
-    inter-event gap exceeds ``gap_minutes``.  Classic two-window form —
+    inter-event gap reaches ``gap_minutes``.  Classic two-window form —
     lag to flag boundaries, running sum to number sessions; one shuffle
-    on user_id covers both windows."""
+    on user_id covers both windows.
+
+    Boundary semantics are ``gap >= threshold`` starts a new session —
+    EXACTLY Structured Streaming's native ``session_window`` (half-open
+    ``[start, last + gap)``), so batch and stream sessionizers agree on
+    events landing precisely on the gap boundary."""
     w_user = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
     # microsecond-exact gap (unix_micros) — second-truncated arithmetic
     # diverges from interval comparisons at the boundary
     gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(F.col(ts_col)).over(w_user))
-    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    is_new = F.when(gap.isNull() | (gap >= gap_minutes * 60 * 1_000_000), 1).otherwise(0)
     numbered = events.withColumn("_new", is_new).withColumn(
         "session_no", F.sum("_new").over(w_user.rowsBetween(Window.unboundedPreceding, 0))
     )
@@ -120,23 +125,37 @@ def conversion_funnel(
     within_hours: int = 24,
 ) -> DataFrame:
     """Conversion funnel: users whose first ``first_type`` event is
-    followed by a ``then_type`` event within the window.  One aggregation
-    pass (min per type per user) + a timestamp comparison — no self-join
-    of the event log."""
-    agg = events.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == first_type, F.col("ts"))).alias("first_t"),
-        F.min(F.when(F.col("event_type") == then_type, F.col("ts"))).alias("then_t"),
+    followed by a ``then_type`` event within the window.
+
+    ``then_t`` is the first ``then_type`` event AT OR AFTER the user's
+    first ``first_type`` event — a global min would let a purchase that
+    PRECEDES the signup mask a later qualifying one, reporting the user
+    unconverted.  The per-type-min pre-aggregation computes per-user
+    first_t with one map-side-combined shuffle; the qualifying then_t
+    comes from joining first_t back (broadcast: one row per converting
+    user) and re-aggregating only ``then_type`` events."""
+    firsts = (
+        events.where(F.col("event_type") == first_type)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_t"))
     )
+    thens = (
+        events.where(F.col("event_type") == then_type)
+        .select("user_id", "ts")
+        .join(firsts, "user_id")
+        .where(F.col("ts") >= F.col("first_t"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("then_t"))
+    )
+    agg = firsts.join(thens, "user_id", "left")
     converted = (
         F.col("then_t").isNotNull()
-        & F.col("first_t").isNotNull()
-        & (F.col("then_t") >= F.col("first_t"))
         & (
             F.unix_micros(F.col("then_t")) - F.unix_micros(F.col("first_t"))
             <= within_hours * 3600 * 1_000_000
         )
     )
-    return agg.where(F.col("first_t").isNotNull()).select(
+    return agg.select(
         "user_id",
         "first_t",
         "then_t",

@@ -67,15 +67,22 @@ def asof_join(
     w = Window.partitionBy(key).orderBy(*order_keys).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # carry the right row as ONE struct (non-null whenever the row is a
+    # right row) — carrying each column independently with ignorenulls
+    # would mix values from DIFFERENT right rows whenever the most recent
+    # one has a NULL in some column
+    right_struct = F.last(
+        F.when(F.col("_side") == 0, F.struct(*[F.col(c) for c in right_cols])),
+        ignorenulls=True,
+    ).over(w)
     carried = merged.select(
         *[F.col(c) for c in l_cols],
         F.col("_side"),
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        right_struct.alias("_r"),
+    ).select(
+        *[F.col(c) for c in l_cols],
+        F.col("_side"),
+        *[F.col(f"_r.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
     return carried.where(F.col("_side") == 1).drop("_side")
 

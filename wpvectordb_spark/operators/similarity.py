@@ -49,10 +49,19 @@ def brute_force_topk_arrow(
     q_norm = float(np.sqrt((q * q).sum()))
 
     def _cos(col):
-        mat = np.stack(col.to_numpy()).astype(np.float64)
-        dots = mat @ q
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        return pd.Series(dots / (q_norm * norms + 1e-12))
+        vals = col.to_numpy()
+        if len(vals) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype="float64")
+        mask = np.array([v is not None for v in vals])
+        out = np.full(len(vals), np.nan)
+        if mask.any():
+            mat = np.stack(vals[mask]).astype(np.float64)
+            dots = mat @ q
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            out[mask] = dots / (q_norm * norms + 1e-12)
+        # NULL embeddings yield NULL cosine (rank last), matching the
+        # Catalyst brute-force path instead of crashing the batch
+        return pd.Series(out)
 
     # explicit registration: `from __future__ import annotations` stringifies
     # type hints, which the pandas_udf signature inference cannot resolve

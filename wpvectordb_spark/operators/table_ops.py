@@ -52,9 +52,15 @@ def upsert(
     """C7 as a batch MERGE: latest-wins per ``(post_id, sequence_no)``.
 
     ``new_chunks`` needs (post_id, sequence_no, vector[, vector_type]).
-    Existing rows keep their ``created_at``; replaced rows get a fresh
-    ``updated_at`` and fully recomputed derived columns (fixing quirk
-    §4.4.4 where the reference's UPDATE path kept a stale magnitude).
+    Matches the reference's UPDATE path (VectorTable.php:361-374): a
+    replaced row KEEPS the existing row's ``id`` and ``created_at`` and
+    only refreshes ``updated_at`` + derived columns (recomputed — fixing
+    quirk §4.4.4's stale magnitude); a brand-new key gets created_at =
+    now and a NULL id for the caller's AUTO_INCREMENT pass
+    (``table._with_ids``).  Duplicate keys WITHIN ``new_chunks`` resolve
+    deterministically (xxhash64 of the vector breaks the tie) — a
+    DataFrame batch has no "last write", unlike the reference's
+    sequential upsert loop.
     """
     now = F.current_timestamp()
     incoming = derive(new_chunks, vector_col).withColumn(
@@ -62,12 +68,23 @@ def upsert(
     ).withColumn("created_at", now).withColumn("_src", F.lit(1))
     existing = table.withColumn("_src", F.lit(0))
     merged = existing.unionByName(incoming, allowMissingColumns=True)
-    w = Window.partitionBy("post_id", "sequence_no").orderBy(F.col("_src").desc())
-    return (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", "_src")
+    part = Window.partitionBy("post_id", "sequence_no")
+    w = part.orderBy(F.col("_src").desc(), F.xxhash64(F.col(vector_col)).asc())
+    has_id = "id" in merged.columns
+    carried = merged.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_old_created", F.max(F.when(F.col("_src") == 0, F.col("created_at"))).over(part)
     )
+    if has_id:
+        carried = carried.withColumn(
+            "_old_id", F.max(F.when(F.col("_src") == 0, F.col("id"))).over(part)
+        )
+    out = (
+        carried.where(F.col("_rn") == 1)
+        .withColumn("created_at", F.coalesce(F.col("_old_created"), F.col("created_at")))
+    )
+    if has_id:
+        out = out.withColumn("id", F.coalesce(F.col("id"), F.col("_old_id"))).drop("_old_id")
+    return out.drop("_rn", "_src", "_old_created")
 
 
 def insert_all(
@@ -78,12 +95,15 @@ def insert_all(
 ) -> DataFrame:
     """C8 document replacement (VectorTable.php:401-425): delete every
     chunk of ``post_id``, append the new derived chunks — expressed as an
-    anti-filter + union (partition-overwrite semantics on disk)."""
+    anti-filter + union (partition-overwrite semantics on disk).  The
+    filter is null-safe: MySQL's ``DELETE WHERE post_id = x`` never
+    touches NULL-key rows, while a plain ``!=`` predicate would silently
+    drop them."""
     now = F.current_timestamp()
     incoming = derive(new_chunks, vector_col).withColumn("created_at", now).withColumn(
         "updated_at", now
     )
-    return table.where(F.col("post_id") != post_id).unionByName(
+    return table.where(~F.col("post_id").eqNullSafe(F.lit(post_id))).unionByName(
         incoming, allowMissingColumns=True
     )
 
@@ -150,8 +170,10 @@ def get_all(table: DataFrame, cap: int = GET_ALL_CAP) -> DataFrame:
 
 
 def delete(table: DataFrame, id_: int, id_col: str = "id") -> DataFrame:
-    """C9 (VectorTable.php:433-445) as an anti-filter rewrite."""
-    return table.where(F.col(id_col) != id_)
+    """C9 (VectorTable.php:433-445) as an anti-filter rewrite — null-safe
+    so rows with a NULL id (not yet numbered) survive unrelated deletes,
+    matching MySQL's ``DELETE WHERE id = x`` NULL semantics."""
+    return table.where(~F.col(id_col).eqNullSafe(F.lit(id_)))
 
 
 def vector_count(table: DataFrame) -> int:

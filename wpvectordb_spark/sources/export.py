@@ -43,10 +43,15 @@ def to_reference_rows(table: DataFrame) -> DataFrame:
     with the reference's defaults."""
     cols = set(table.columns)
     out = table
-    if "id" not in cols:
-        out = out.withColumn("id", F.col("post_id"))
     if "sequence_no" not in cols:
         out = out.withColumn("sequence_no", F.lit(0).cast("int"))
+    if "id" not in cols:
+        # the reference's id is a UNIQUE primary key: a bare post_id would
+        # collide for multi-chunk documents, so synthesize a composite
+        # (unique while sequence_no < 2^20 — chunk counts are far below)
+        out = out.withColumn(
+            "id", F.col("post_id") * F.lit(1 << 20) + F.col("sequence_no")
+        )
     if "vector_type" not in cols:
         out = out.withColumn("vector_type", F.lit("default"))
     if "normalized_vector" not in cols:

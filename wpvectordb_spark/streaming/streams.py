@@ -57,16 +57,24 @@ def stream_tumbling_counts(
     events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Streaming windowed aggregation: same columns as the batch
-    ``events.tumbling_window_agg`` (minus count_distinct, which streaming
-    replaces with approx_count_distinct to keep state bounded)."""
+    ``events.tumbling_window_agg``, with exact count_distinct replaced by
+    ``approx_count_distinct`` (HLL — bounded state per window, the only
+    distinct-count shape streaming state can afford)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users_approx",
+        )
     )
 
 
@@ -178,8 +186,13 @@ def stream_queue_ingest(
     carry the data, the driver only repoints a path.  No ``collect()``
     anywhere, so state size is bounded by cluster storage, not driver
     memory; lineage resets at every version boundary; disk holds at most
-    two versions at any instant (the Delta/iceberg form of this is a
+    THREE versions at any instant (the Delta/iceberg form of this is a
     MERGE with table history doing the same job).
+
+    Retention keeps one superseded version: a ``get_state()`` DataFrame
+    handed out between batches stays readable across the NEXT batch
+    landing (only version n-2 is deleted) — consume it within one batch
+    of obtaining it.
     """
     import shutil
 
@@ -192,14 +205,14 @@ def stream_queue_ingest(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         jobs = batch_df.select(F.col("job_id"), F.col("post_id"))
-        prev_path = state["path"]
-        prev = spark.read.parquet(prev_path)
+        prev = spark.read.parquet(state["path"])
         new_state = Q.add_posts(prev, jobs, now)
         nxt = os.path.join(root, f"v{state['version'] + 1}")
         new_state.write.mode("overwrite").parquet(nxt)
         state["path"] = nxt
         state["version"] += 1
-        shutil.rmtree(prev_path, ignore_errors=True)
+        stale = os.path.join(root, f"v{state['version'] - 2}")
+        shutil.rmtree(stale, ignore_errors=True)
 
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_q_{uuid.uuid4().hex[:8]}")
     query = (
