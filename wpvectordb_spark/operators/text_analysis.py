@@ -83,7 +83,12 @@ def quality_features(text_col: Column | str = "text") -> dict[str, Column]:
     toks = X.tokens(text_col)
     n_tok = F.size(toks)
     n_char = F.length(t)
-    alnum_sp = F.length(F.regexp_replace(t, "[^a-zA-Z0-9 ]", ""))
+    # keep whitespace (space/tab/newline/CR, not just ' ') out of the
+    # punctuation count: newlines/tabs are document structure, not
+    # punctuation.  Explicit class, not \s — Java's \s includes \x0B,
+    # RE2's does not, and the oracle must match byte-for-byte.  Known
+    # ASCII-centric limit: non-ASCII letters still count as punctuation.
+    alnum_sp = F.length(F.regexp_replace(t, "[^a-zA-Z0-9 \t\n\r]", ""))
     mean_tok = F.when(
         n_tok > 0,
         F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).cast("double")
@@ -105,7 +110,9 @@ def sql_quality_features(text: str) -> dict[str, str]:
     toks = X.sql_tokens(text)
     n_tok = f"len({toks})"
     n_char = f"length({text})"
-    alnum_sp = f"length(regexp_replace({text}, '[^a-zA-Z0-9 ]', '', 'g'))"
+    # literal tab/newline/CR bytes inside the quoted pattern (legal in a
+    # SQL string literal; constant pattern keeps the regex precompiled)
+    alnum_sp = f"length(regexp_replace({text}, '[^a-zA-Z0-9 \t\n\r]', '', 'g'))"
     mean_tok = (
         f"CASE WHEN {n_tok} > 0 THEN CAST(list_reduce(list_prepend(0,"
         f" list_transform({toks}, x -> length(x))), (a, b) -> a + b) AS DOUBLE)"

@@ -28,6 +28,27 @@ from wpvectordb_spark.operators import table_ops as TO
 from wpvectordb_spark.schemas import QUEUE_SCHEMA, VECTOR_TABLE_SCHEMA
 
 
+def _utcnow() -> _dt.datetime:
+    """Timezone-aware UTC now.  A NAIVE utcnow() literal would be
+    interpreted in the Spark session timezone — queue timestamps would
+    skew by the UTC offset on non-UTC sessions and the 15-minute stuck
+    timeout would misfire (utcnow() is also deprecated in 3.12+)."""
+    return _dt.datetime.now(_dt.timezone.utc)
+
+
+def _write_snapshot(path: str, df: DataFrame) -> None:
+    """Snapshot rewrite via a staging dir (parquet cannot overwrite in
+    place while reading) — the ONE shared implementation for both
+    facades.  A stale staging dir from a crashed earlier write is
+    removed first so the fresh write never lands inside it.
+    Delta/Iceberg replaces this with MERGE/commit."""
+    staging = path + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(staging, path)
+
+
 class VectorTable:
     """Parquet-backed vector table with the reference's method surface
     (VectorTable.php:30-633)."""
@@ -61,12 +82,7 @@ class VectorTable:
         return self.spark.read.schema(VECTOR_TABLE_SCHEMA).parquet(self.path)
 
     def _write(self, df: DataFrame) -> None:
-        # snapshot rewrite via staging dir (parquet cannot overwrite in place
-        # while reading); Delta/Iceberg replaces this with MERGE/commit.
-        staging = self.path + "__staging"
-        df.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(self.path, ignore_errors=True)
-        os.rename(staging, self.path)
+        _write_snapshot(self.path, df)
 
     # -- reads (C1-C6) ------------------------------------------------------
     def id(self, id_: int) -> DataFrame:
@@ -91,6 +107,17 @@ class VectorTable:
         return TO.vector_count(self.df())
 
     # -- writes (C7-C9) ------------------------------------------------------
+    def _check_length(self, vector: list[float]) -> None:
+        """``vector_length`` is load-bearing in the reference (it iterates
+        exactly that many bits — VectorTable.php:128); accepting a
+        mismatched vector here would pack a different word count and its
+        NULL Hamming distance would rank FIRST in search.  Reject early."""
+        if self.vector_length and len(vector) != self.vector_length:
+            raise ValueError(
+                f"vector has {len(vector)} dims; table is declared "
+                f"vector_length={self.vector_length}"
+            )
+
     def upsert(
         self,
         post_id: int,
@@ -98,6 +125,7 @@ class VectorTable:
         vector: list[float],
         vector_type: str = "",
     ) -> None:
+        self._check_length(vector)
         new = self.spark.createDataFrame(
             [(int(post_id), int(sequence_no), [float(x) for x in vector], vector_type)],
             "post_id long, sequence_no int, vector array<float>, vector_type string",
@@ -106,6 +134,8 @@ class VectorTable:
         self._write(self._with_ids(merged))
 
     def insert_all(self, post_id: int, vectors: list[list[float]]) -> None:
+        for v in vectors:
+            self._check_length(v)
         new = self.spark.createDataFrame(
             [
                 (int(post_id), i, [float(x) for x in v])
@@ -195,10 +225,7 @@ class VectorTableQueue:
         return self.spark.read.schema(QUEUE_SCHEMA).parquet(self.path)
 
     def _write(self, df: DataFrame) -> None:
-        staging = self.path + "__staging"
-        df.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(self.path, ignore_errors=True)
-        os.rename(staging, self.path)
+        _write_snapshot(self.path, df)
 
     def _next_job_id(self) -> int:
         return ((self.df().agg(F.max("job_id")).collect()[0][0]) or 0) + 1
@@ -207,7 +234,7 @@ class VectorTableQueue:
         self.add_posts([post_id], now)
 
     def add_posts(self, post_ids: list[int], now: _dt.datetime | None = None) -> None:
-        now = now or _dt.datetime.utcnow()
+        now = now or _utcnow()
         base = self._next_job_id()
         jobs = self.spark.createDataFrame(
             [(base + i, int(p)) for i, p in enumerate(post_ids)],
@@ -218,7 +245,13 @@ class VectorTableQueue:
     def get_next_batch(
         self, batch_size: int = Q.BATCH_SIZE, now: _dt.datetime | None = None
     ) -> DataFrame:
-        now = now or _dt.datetime.utcnow()
+        """Returns the PRE-claim snapshot of the batch rows (status still
+        pending/failed, start_time NULL) while the persisted state flips
+        them to processing — reference parity: the PHP SELECT-then-UPDATE
+        returns the selected rows as they were
+        (VectorTableQueue.php:186-223).  Re-read the table for the
+        post-claim view."""
+        now = now or _utcnow()
         claimed, new_state = Q.claim_batch(self.df(), now, batch_size)
         claimed_rows = claimed.collect()  # materialize before state rewrite
         self._write(new_state)
@@ -231,14 +264,14 @@ class VectorTableQueue:
         error_message: str | None = None,
         now: _dt.datetime | None = None,
     ) -> None:
-        now = now or _dt.datetime.utcnow()
+        now = now or _utcnow()
         self._write(Q.update_status(self.df(), job_ids, status, now, error_message))
 
     def get_stats(self) -> dict[str, int]:
         return {r["status"]: r["n"] for r in Q.stats(self.df()).collect()}
 
     def cleanup(self, now: _dt.datetime | None = None) -> None:
-        now = now or _dt.datetime.utcnow()
+        now = now or _utcnow()
         self._write(Q.cleanup(self.df(), now))
 
     def get_posts_to_retry(self) -> DataFrame:
