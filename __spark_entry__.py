@@ -463,6 +463,27 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup_pairs(_corpus_with_dups(spark, sf_dir), threshold=0.5)
 
 
+def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup pairs PLUS their transitive closure: the
+    ``connected_components`` stage (large-star/small-star, SoCC'14) turns
+    the pair list into (doc, cluster-min-id) assignments — the "keep one
+    per cluster" step a real dedup pipeline runs after pair generation.
+    Tagged union so both stages hash-check against one oracle (the
+    component oracle is a DuckDB recursive CTE over the same pairs)."""
+    pairs = D.minhash_lsh_dedup_pairs(
+        _corpus_with_dups(spark, sf_dir), threshold=0.5
+    ).persist()
+    comp = D.connected_components(pairs)
+    p = pairs.select(F.lit("pair").alias("kind"), "id_a", "id_b", "jaccard")
+    c = comp.select(
+        F.lit("component").alias("kind"),
+        F.col("doc_id").alias("id_a"),
+        F.col("component_id").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return p.unionByName(c)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(_corpus_with_dups(spark, sf_dir), max_hamming=3)
 
@@ -1086,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_build": _q_index_build,
         "crud_composite_get": _q_crud_composite_get,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_components,
         "dedup_simhash": _q_dedup_simhash,
         "queue_cleanup": _q_queue_cleanup,
         "dsl_variants": _q_dsl_variants,
@@ -1113,7 +1135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_retry": _q_queue_retry,
         "queue_page_with_docs": _q_queue_page_with_docs,
         "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "text_analyze": _q_text_analyze_full,
         "text_fingerprint": _q_text_fingerprint,
     }
@@ -1238,6 +1259,27 @@ def oracle_sql() -> dict[str, str]:
           JOIN shs sa ON cands.id_a = sa.doc_id
           JOIN shs sb ON cands.id_b = sb.doc_id
         ) WHERE jaccard >= 0.5
+    """
+    # pairs + transitive closure (connected components as a recursive CTE:
+    # every node's min reachable id == the cluster's canonical survivor)
+    lsh_comp_cte = f"""
+        WITH RECURSIVE pairs AS ({lsh_cte}),
+        sym AS (
+          SELECT id_a AS s, id_b AS t FROM pairs
+          UNION
+          SELECT id_b AS s, id_a AS t FROM pairs
+        ),
+        reach(node, root) AS (
+          SELECT DISTINCT s, s FROM sym
+          UNION
+          SELECT sym.t, reach.root FROM reach JOIN sym ON sym.s = reach.node
+        ),
+        comp AS (SELECT node, min(root) AS component_id FROM reach GROUP BY node)
+        SELECT 'pair' AS kind, id_a, id_b, jaccard FROM pairs
+        UNION ALL
+        SELECT 'component' AS kind, node AS id_a, component_id AS id_b,
+               CAST(NULL AS DOUBLE) AS jaccard
+        FROM comp
     """
     simhash_expr = X.sql_simhash(X.sql_token_hashes("text"))
     # block-permutation candidates (Manku WWW'07): 4 blocks of 8 bits for
@@ -1427,7 +1469,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, fingerprint, COUNT(*) AS dup_count
             FROM fps GROUP BY fingerprint
         """,
-        "dedup_minhash_lsh": lsh_cte,
+        "dedup_minhash_lsh": lsh_comp_cte,
         "dedup_simhash": simhash_cte,
         "dedup_ngram_jaccard": ngram_cte,
         "dedup_embedding": f"""

