@@ -955,15 +955,24 @@ def _q_text_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.unionByName(tfidf)
 
 
+def _q_curate_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic training-order shuffle into 8 shards."""
+    return CU.shuffle_shard(_docs(spark, sf_dir), num_shards=8, seed=42)
+
+
 def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified hash-threshold sampling + two-pass sequence packing."""
+    """Stratified hash-threshold sampling + two-pass sequence packing +
+    seeded shuffle-sharding, tagged."""
+    null_l = F.lit(None).cast("long")
     sample = _q_curate_stratified_sample(spark, sf_dir).select(
         F.lit("sample").alias("kind"),
         "doc_id",
         "lang",
-        F.lit(None).cast("long").alias("n_tokens"),
-        F.lit(None).cast("long").alias("seq_start"),
-        F.lit(None).cast("long").alias("seq_end"),
+        null_l.alias("n_tokens"),
+        null_l.alias("seq_start"),
+        null_l.alias("seq_end"),
+        null_l.alias("shard"),
+        null_l.alias("pos"),
     )
     pack = _q_curate_pack_sequences(spark, sf_dir).select(
         F.lit("pack").alias("kind"),
@@ -972,8 +981,20 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "seq_start",
         "seq_end",
+        null_l.alias("shard"),
+        null_l.alias("pos"),
     )
-    return sample.unionByName(pack)
+    shard = _q_curate_shuffle_shard(spark, sf_dir).select(
+        F.lit("shard").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        null_l.alias("n_tokens"),
+        null_l.alias("seq_start"),
+        null_l.alias("seq_end"),
+        "shard",
+        "pos",
+    )
+    return sample.unionByName(pack).unionByName(shard)
 
 
 def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1341,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
     """
     qf = TA.sql_quality_features("text")
     rep = TA.sql_repetition_features("text")
+    scrub = TA.sql_scrub_features("text")
     toks = X.sql_tokens("text")
     analyze_sql = f"""
         SELECT doc_id,
@@ -1356,7 +1378,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(len({X.sql_bpe_pretokens('text')}) AS BIGINT) AS bpe_tokens,
                {rep['n_lines']} AS n_lines,
                {rep['dup_line_ratio']} AS dup_line_ratio,
-               {rep['dup_token_ratio']} AS dup_token_ratio
+               {rep['dup_token_ratio']} AS dup_token_ratio,
+               {scrub['n_urls']} AS n_urls,
+               {scrub['n_emails']} AS n_emails,
+               {scrub['n_ips']} AS n_ips,
+               {scrub['n_long_numbers']} AS n_long_numbers,
+               {scrub['clean_len']} AS clean_len,
+               {scrub['clean_fingerprint']} AS clean_fingerprint
         FROM documents
     """
     batch_ham = K.sql_hamming(K.sql_sign_code("e.embedding"), "q.q_code")
@@ -1500,14 +1528,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'sample' AS kind, doc_id, lang,
                    CAST(NULL AS BIGINT) AS n_tokens,
                    CAST(NULL AS BIGINT) AS seq_start,
-                   CAST(NULL AS BIGINT) AS seq_end
+                   CAST(NULL AS BIGINT) AS seq_end,
+                   CAST(NULL AS BIGINT) AS shard,
+                   CAST(NULL AS BIGINT) AS pos
             FROM documents
             WHERE {CU.sql_stratified_sample_pred(
                 {"en": 0.5, "de": 0.25, "fr": 0.1}, default_fraction=0.05
             )}
             UNION ALL
-            SELECT 'pack' AS kind, doc_id, lang, n_tokens, seq_start, seq_end
+            SELECT 'pack' AS kind, doc_id, lang, n_tokens, seq_start, seq_end,
+                   CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS pos
             FROM ({CU.sql_pack_sequences(seq_len=2048)})
+            UNION ALL
+            SELECT 'shard' AS kind, doc_id, CAST(NULL AS VARCHAR) AS lang,
+                   CAST(NULL AS BIGINT) AS n_tokens,
+                   CAST(NULL AS BIGINT) AS seq_start,
+                   CAST(NULL AS BIGINT) AS seq_end,
+                   shard, pos
+            FROM ({CU.sql_shuffle_shard(num_shards=8, seed=42)})
         """,
         "text_fingerprint": winnow_cte,
         "curate_decontaminate": CU.sql_decontaminate(threshold=5),

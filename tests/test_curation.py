@@ -119,3 +119,35 @@ def test_decontaminate_threshold_monotone(spark):
     assert matched[1] == matched[5] == matched[50]
     # every corpus doc gets a row, contaminated or not
     assert len(matched[1]) == corpus.count()
+
+
+def test_shuffle_shard_is_a_permutation(docs):
+    out = CU.shuffle_shard(docs, num_shards=8, seed=42).collect()
+    n = docs.count()
+    assert len(out) == n
+    # every shard's positions are exactly 1..len(shard) (no gaps/dups)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # hash spreads rows across all shards reasonably (no empty shard at
+    # 500 rows / 8 shards, and no shard hogging > 2x the mean)
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(sizes) == 8 and max(sizes) < 2 * (n / 8)
+
+
+def test_shuffle_shard_deterministic_and_seed_sensitive(docs):
+    a = sorted(map(tuple, CU.shuffle_shard(docs, 8, seed=42).collect()))
+    b = sorted(map(tuple, CU.shuffle_shard(docs, 8, seed=42).collect()))
+    c = sorted(map(tuple, CU.shuffle_shard(docs, 8, seed=7).collect()))
+    assert a == b  # reproducible epoch order
+    assert a != c  # seed actually changes the order
+
+
+def test_shuffle_shard_order_is_shuffled(docs):
+    """Within a shard, hash order must not degenerate to id order."""
+    rows = CU.shuffle_shard(docs, num_shards=1, seed=0).collect()
+    ids_by_pos = [r["doc_id"] for r in sorted(rows, key=lambda r: r["pos"])]
+    assert ids_by_pos != sorted(ids_by_pos)

@@ -392,3 +392,50 @@ def test_connected_components_empty_and_duplicate_edges(spark):
         for r in D.connected_components(messy).collect()
     }
     assert got == {1: 1, 2: 1}
+
+
+# --- PII scrubbing ----------------------------------------------------------
+def test_scrub_text_redacts_and_normalizes(spark):
+    rows = [
+        (1, "mail me at bob.smith+x@example.co.uk  or  visit https://a.b/c?d=1"),
+        (2, "server at 10.0.255.3 leaked card 4111111122223333\nnext\tline"),
+        (3, "no pii here, short 123 and 1.2.3 stay"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean"]
+        for r in df.select(
+            "doc_id", TA.scrub_text("text").alias("clean")
+        ).collect()
+    }
+    assert got[1] == "mail me at <EMAIL> or visit <URL>"
+    assert got[2] == "server at <IP> leaked card <NUM> next line"
+    assert got[3] == "no pii here, short 123 and 1.2.3 stay"
+    assert got[4] == ""
+
+
+def test_scrub_features_match_duckdb(spark, duck):
+    """Counts + cleaned fingerprint agree between Java regex (Spark) and
+    RE2 (DuckDB) on adversarial inputs — the cross-engine contract the
+    oracle relies on."""
+    rows = [
+        (1, "x http://e.com/a?u=a@b.cd then c@d.ef and 1234567890"),
+        (2, "ips 1.2.3.4 9.9.9.9 payment 79927398713 end"),
+        (3, "  spaced\t\tout\n\n\ntext  "),
+        (4, "a@b.c a@b.cd 1.2.3.4.5 123456 1234567"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = TA.scrub_features("text")
+    sdf = df.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+    s = sorted(map(tuple, sdf.collect()))
+    sqlf = TA.sql_scrub_features("text")
+    cols = ", ".join(f"{e} AS {n}" for n, e in sqlf.items())
+    duck.execute("CREATE OR REPLACE TABLE scrub_t(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO scrub_t VALUES (?, ?)", rows)
+    d = sorted(duck.sql(f"SELECT doc_id, {cols} FROM scrub_t").fetchall())
+    assert s == d, (s, d)
+    # spot-check semantics: URL-embedded email counted as URL only
+    byid = {t[0]: t[1:] for t in s}
+    assert byid[1][:4] == (1, 1, 0, 1)  # 1 url, 1 email, 0 ip, 1 longnum
+    assert byid[2][:4] == (0, 0, 2, 1)

@@ -166,6 +166,82 @@ def pack_sequences(
     )
 
 
+def shuffle_shard(
+    docs: DataFrame,
+    num_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding: every row
+    gets (shard, pos) — its output file and its position within it — from
+    a seeded hash, so the "randomized" epoch order is reproducible and
+    resumable (re-runs and late-arriving backfills land identically).
+
+    shard = wang_hash(id + seed*knuth) % num_shards; pos = 1-based rank
+    of the hash within the shard.  Position assignment reuses the
+    pack_sequences TWO-PASS shape — range-partition on (shard, key),
+    per-(partition, shard) counts, broadcast offsets, local row_number —
+    instead of one window partition per shard, which would sort a whole
+    100 GB shard in a single task at 100 TB.  Writing the result with
+    ``partitionBy(shard)`` + sort on pos is the shuffle-once layout a
+    training loader wants.
+    """
+    from pyspark.sql import Window
+
+    key = id_hash(F.col(id_col) + F.lit(seed) * F.lit(2654435761))
+    t = docs.select(
+        F.col(id_col),
+        key.alias("_k"),
+        (key % F.lit(num_shards)).cast("long").alias("shard"),
+    )
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    t = t.repartitionByRange(
+        parallelism, F.col("shard"), F.col("_k"), F.col(id_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    sub = t.groupBy("_pid", "shard").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sub.select(
+        "_pid",
+        "shard",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_local = Window.partitionBy("_pid", "shard").orderBy(
+        F.col("_k").asc(), F.col(id_col).asc()
+    )
+    return (
+        t.join(F.broadcast(offsets), ["_pid", "shard"])
+        .select(
+            id_col,
+            "shard",
+            (F.col("_offset") + F.row_number().over(w_local)).cast("long").alias("pos"),
+        )
+    )
+
+
+def sql_shuffle_shard(
+    num_shards: int = 64,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``shuffle_shard`` (plain per-shard window — the
+    oracle checks VALUES; the two-pass form is hash-identical)."""
+    key = sql_id_hash(f"({id_col} + {seed} * 2654435761)")
+    return f"""
+        WITH t AS (SELECT {id_col}, {key} AS k FROM {table}),
+        s AS (SELECT {id_col}, k, CAST(k % {num_shards} AS BIGINT) AS shard FROM t)
+        SELECT {id_col}, shard,
+               CAST(row_number() OVER (
+                 PARTITION BY shard ORDER BY k ASC, {id_col} ASC
+               ) AS BIGINT) AS pos
+        FROM s
+    """
+
+
 def decontaminate(
     docs: DataFrame,
     holdout: DataFrame,

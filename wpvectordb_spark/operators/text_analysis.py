@@ -196,6 +196,62 @@ def sql_repetition_features(text: str) -> dict[str, str]:
     }
 
 
+# PII / noise scrubbing rules, applied IN ORDER (URLs first so an email
+# inside a URL is counted once, as part of the URL).  Patterns restricted
+# to the syntax subset Java regex (Spark) and RE2 (DuckDB) agree on: no
+# backreferences, no lookaround, explicit whitespace classes (Java's \s
+# includes \x0B, RE2's does not).
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("urls", "https?://[^ \t\n\r]+", "<URL>"),
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ips", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("long_numbers", "\\d{7,}", "<NUM>"),
+)
+
+
+def scrub_text(text_col: Column | str = "text") -> Column:
+    """Redact PII-ish spans (URL, email, IPv4, 7+-digit runs) with typed
+    placeholders and collapse whitespace runs.  Pure ``regexp_replace``
+    chain — JVM-side, rides the scan, no shuffle, no UDF."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _, pat, repl in PII_RULES:
+        t = F.regexp_replace(t, pat, repl)
+    return F.trim(F.regexp_replace(t, "[ \t\n\r]+", " "))
+
+
+def scrub_features(text_col: Column | str = "text") -> dict[str, Column]:
+    """Per-rule redaction counts (measured on each rule's staged input,
+    so a URL-embedded email counts as URL only) plus the cleaned text's
+    length and portable fingerprint — the auditable summary of a scrub
+    pass without shipping the cleaned body through the compare."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    out: dict[str, Column] = {}
+    for name, pat, repl in PII_RULES:
+        out[f"n_{name}"] = F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+        t = F.regexp_replace(t, pat, repl)
+    clean = F.trim(F.regexp_replace(t, "[ \t\n\r]+", " "))
+    out["clean_len"] = F.length(clean).cast("long")
+    out["clean_fingerprint"] = X.string_hash(clean)
+    return out
+
+
+def _sql_quote(pat: str) -> str:
+    return pat.replace("'", "''")
+
+
+def sql_scrub_features(text: str) -> dict[str, str]:
+    t = text
+    out: dict[str, str] = {}
+    for name, pat, repl in PII_RULES:
+        q = _sql_quote(pat)
+        out[f"n_{name}"] = f"CAST(len(regexp_extract_all({t}, '{q}')) AS BIGINT)"
+        t = f"regexp_replace({t}, '{q}', '{repl}', 'g')"
+    clean = f"trim(regexp_replace({t}, '[ \t\n\r]+', ' ', 'g'))"
+    out["clean_len"] = f"CAST(length({clean}) AS BIGINT)"
+    out["clean_fingerprint"] = X.sql_string_hash(clean)
+    return out
+
+
 def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Full per-document analysis projection: one narrow pass."""
     feats = quality_features(text_col)
@@ -213,10 +269,12 @@ def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 def analyze_full(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """``analyze`` plus token-count variants (whitespace + BPE-ish) and
-    repetition signals — still ONE narrow projection, no join/shuffle."""
+    """``analyze`` plus token-count variants (whitespace + BPE-ish),
+    repetition signals, and PII-scrub audit columns — still ONE narrow
+    projection, no join/shuffle."""
     feats = quality_features(text_col)
     rep = repetition_features(text_col)
+    scrub = scrub_features(text_col)
     toks = X.tokens(text_col)
     return docs.select(
         F.col(id_col),
@@ -228,4 +286,5 @@ def analyze_full(
         X.ws_token_count(text_col).alias("ws_tokens"),
         F.size(X.bpe_pretokens(text_col)).cast("long").alias("bpe_tokens"),
         *[c.alias(n) for n, c in rep.items()],
+        *[c.alias(n) for n, c in scrub.items()],
     )
