@@ -960,10 +960,18 @@ def _q_curate_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.shuffle_shard(_docs(spark, sf_dir), num_shards=8, seed=42)
 
 
+# below each language's corpus token total even at sf0.01, so the
+# budget sampler's fractional path (not the keep-everything path) is
+# what the oracle checks
+CURATE_BUDGETS = {"en": 5000, "es": 2000, "zh": 1500}
+
+
 def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified hash-threshold sampling + two-pass sequence packing +
-    seeded shuffle-sharding, tagged."""
+    """Five curation stages, tagged: stratified hash-threshold sampling,
+    two-pass sequence packing, seeded shuffle-sharding, token-budget
+    domain mixing, and per-language quality-quantile filtering."""
     null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
     sample = _q_curate_stratified_sample(spark, sf_dir).select(
         F.lit("sample").alias("kind"),
         "doc_id",
@@ -973,6 +981,7 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("seq_end"),
         null_l.alias("shard"),
         null_l.alias("pos"),
+        null_d.alias("quality"),
     )
     pack = _q_curate_pack_sequences(spark, sf_dir).select(
         F.lit("pack").alias("kind"),
@@ -983,6 +992,7 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq_end",
         null_l.alias("shard"),
         null_l.alias("pos"),
+        null_d.alias("quality"),
     )
     shard = _q_curate_shuffle_shard(spark, sf_dir).select(
         F.lit("shard").alias("kind"),
@@ -993,8 +1003,39 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("seq_end"),
         "shard",
         "pos",
+        null_d.alias("quality"),
     )
-    return sample.unionByName(pack).unionByName(shard)
+    budget = CU.budget_sample(_docs(spark, sf_dir), CURATE_BUDGETS).select(
+        F.lit("budget").alias("kind"),
+        "doc_id",
+        "lang",
+        "n_tokens",
+        null_l.alias("seq_start"),
+        null_l.alias("seq_end"),
+        null_l.alias("shard"),
+        null_l.alias("pos"),
+        null_d.alias("quality"),
+    )
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "lang", TA.quality_score("text").alias("quality")
+    )
+    qfilter = CU.quality_quantile_filter(scored, quantile=0.25).select(
+        F.lit("qfilter").alias("kind"),
+        "doc_id",
+        "lang",
+        null_l.alias("n_tokens"),
+        null_l.alias("seq_start"),
+        null_l.alias("seq_end"),
+        null_l.alias("shard"),
+        null_l.alias("pos"),
+        "quality",
+    )
+    return (
+        sample.unionByName(pack)
+        .unionByName(shard)
+        .unionByName(budget)
+        .unionByName(qfilter)
+    )
 
 
 def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1530,22 +1571,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS seq_start,
                    CAST(NULL AS BIGINT) AS seq_end,
                    CAST(NULL AS BIGINT) AS shard,
-                   CAST(NULL AS BIGINT) AS pos
+                   CAST(NULL AS BIGINT) AS pos,
+                   CAST(NULL AS DOUBLE) AS quality
             FROM documents
             WHERE {CU.sql_stratified_sample_pred(
                 {"en": 0.5, "de": 0.25, "fr": 0.1}, default_fraction=0.05
             )}
             UNION ALL
             SELECT 'pack' AS kind, doc_id, lang, n_tokens, seq_start, seq_end,
-                   CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS pos
+                   CAST(NULL AS BIGINT) AS shard, CAST(NULL AS BIGINT) AS pos,
+                   CAST(NULL AS DOUBLE) AS quality
             FROM ({CU.sql_pack_sequences(seq_len=2048)})
             UNION ALL
             SELECT 'shard' AS kind, doc_id, CAST(NULL AS VARCHAR) AS lang,
                    CAST(NULL AS BIGINT) AS n_tokens,
                    CAST(NULL AS BIGINT) AS seq_start,
                    CAST(NULL AS BIGINT) AS seq_end,
-                   shard, pos
+                   shard, pos, CAST(NULL AS DOUBLE) AS quality
             FROM ({CU.sql_shuffle_shard(num_shards=8, seed=42)})
+            UNION ALL
+            SELECT 'budget' AS kind, doc_id, lang, n_tokens,
+                   CAST(NULL AS BIGINT) AS seq_start,
+                   CAST(NULL AS BIGINT) AS seq_end,
+                   CAST(NULL AS BIGINT) AS shard,
+                   CAST(NULL AS BIGINT) AS pos,
+                   CAST(NULL AS DOUBLE) AS quality
+            FROM ({CU.sql_budget_sample(CURATE_BUDGETS)})
+            UNION ALL
+            SELECT 'qfilter' AS kind, doc_id, lang,
+                   CAST(NULL AS BIGINT) AS n_tokens,
+                   CAST(NULL AS BIGINT) AS seq_start,
+                   CAST(NULL AS BIGINT) AS seq_end,
+                   CAST(NULL AS BIGINT) AS shard,
+                   CAST(NULL AS BIGINT) AS pos,
+                   quality
+            FROM ({CU.sql_quality_quantile_filter(
+                "SELECT doc_id, lang, "
+                + TA.sql_quality_score("text")
+                + " AS quality FROM documents",
+                quantile=0.25,
+            )})
         """,
         "text_fingerprint": winnow_cte,
         "curate_decontaminate": CU.sql_decontaminate(threshold=5),

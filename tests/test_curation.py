@@ -151,3 +151,71 @@ def test_shuffle_shard_order_is_shuffled(docs):
     rows = CU.shuffle_shard(docs, num_shards=1, seed=0).collect()
     ids_by_pos = [r["doc_id"] for r in sorted(rows, key=lambda r: r["pos"])]
     assert ids_by_pos != sorted(ids_by_pos)
+
+
+def test_budget_sample_hits_token_budget(docs):
+    from wpvectordb_spark.functions import text as X
+
+    totals = {
+        r["lang"]: r["tot"]
+        for r in docs.select(
+            "lang", F.size(X.bpe_pretokens("text")).cast("long").alias("n")
+        )
+        .groupBy("lang")
+        .agg(F.sum("n").alias("tot"))
+        .collect()
+    }
+    budgets = {"en": 5000, "de": 2000}
+    out = CU.budget_sample(docs, budgets).collect()
+    by_lang: dict[str, int] = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_tokens"]
+    # only budgeted strata survive
+    assert set(by_lang) <= set(budgets)
+    # kept token mass tracks min(budget, stratum total) — exact in
+    # expectation only; ±45% tolerance for a few-hundred-doc corpus
+    for lang, budget in budgets.items():
+        if lang not in totals:
+            continue
+        expect = min(budget, totals[lang])
+        got = by_lang.get(lang, 0)
+        if expect == totals[lang]:
+            assert got == expect, (lang, got, expect)  # budget >= total: keep all
+        else:
+            assert 0.55 * expect <= got <= 1.45 * expect, (lang, got, expect)
+
+
+def test_budget_sample_full_budget_keeps_everything(docs):
+    huge = CU.budget_sample(docs, {"en": 10**9})
+    n_en = docs.where(F.col("lang") == 'en').count()
+    assert huge.count() == n_en
+
+
+def test_budget_sample_monotone_in_budget(docs):
+    small = {r["doc_id"] for r in CU.budget_sample(docs, {"en": 5000}).collect()}
+    big = {r["doc_id"] for r in CU.budget_sample(docs, {"en": 15000}).collect()}
+    assert small <= big
+
+
+def test_quality_quantile_filter_per_stratum(docs):
+    from wpvectordb_spark.operators import text_analysis as TA
+
+    scored = docs.select("doc_id", "lang", TA.quality_score("text").alias("quality"))
+    kept = CU.quality_quantile_filter(scored, quantile=0.25)
+    # roughly the top 75% of each language survives
+    for lang, total in [(r["lang"], r["cnt"]) for r in
+                        scored.groupBy("lang").agg(F.count("*").alias("cnt")).collect()]:
+        k = kept.where(F.col("lang") == lang).count()
+        assert k >= 0.70 * total and k <= total, (lang, k, total)
+    # and each language's kept minimum >= its dropped maximum is NOT
+    # required (ties), but kept min must be >= the stratum cutoff
+    cuts = {
+        r["lang"]: r["cut"]
+        for r in scored.groupBy("lang").agg(F.expr("percentile(quality, 0.25)").alias("cut")).collect()
+    }
+    mins = {
+        r["lang"]: r["mn"]
+        for r in kept.groupBy("lang").agg(F.min("quality").alias("mn")).collect()
+    }
+    for lang in mins:
+        assert mins[lang] >= cuts[lang]

@@ -166,6 +166,124 @@ def pack_sequences(
     )
 
 
+def budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-BUDGET sampling (domain mixing): keep a deterministic subset
+    of each stratum sized so its expected token count hits the stratum's
+    budget — the "N billion tokens of code, M of web" knob of a training
+    mix, expressed as data not config.
+
+    Two passes, both cheap: (1) per-stratum token totals — an aggregation
+    that returns #strata rows; (2) the same zero-shuffle id-hash
+    threshold filter as ``stratified_sample``, with the fraction
+    ``min(1, budget/total)`` computed in-engine and broadcast back.  The
+    corpus is scanned, never shuffled.  Strata without a budget are
+    dropped (budget 0).  Deterministic: same rows on re-run, and raising
+    one budget only grows that stratum's kept set.
+
+    Returns kept rows as (id, stratum, n_tokens).
+    """
+    n_tok = F.size(X.bpe_pretokens(text_col)).cast("long")
+    t = docs.select(F.col(id_col), F.col(stratum_col), n_tok.alias("n_tokens"))
+    totals = t.groupBy(stratum_col).agg(F.sum("n_tokens").alias("_total"))
+    budget = None
+    for stratum, b in sorted(budgets.items()):
+        w = F.when(F.col(stratum_col) == stratum, F.lit(int(b)))
+        budget = w if budget is None else budget.when(F.col(stratum_col) == stratum, F.lit(int(b)))
+    budget = budget.otherwise(F.lit(0)) if budget is not None else F.lit(0)
+    frac = F.least(F.lit(1.0), budget.cast("double") / F.col("_total").cast("double"))
+    # floor() in BOTH engines: DuckDB CAST(double AS BIGINT) rounds,
+    # Spark's cast truncates — floor first makes them agree.
+    thr = F.floor(frac * F.lit(float(HASH_RANGE))).cast("long")
+    return (
+        t.join(F.broadcast(totals), stratum_col)
+        .where(id_hash(F.col(id_col)) < thr)
+        .select(id_col, stratum_col, "n_tokens")
+    )
+
+
+def sql_budget_sample(
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``budget_sample``."""
+    bpe = X.sql_bpe_pretokens("text")
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN {int(b)}" for s, b in sorted(budgets.items())
+    )
+    budget = f"CASE {cases} ELSE 0 END"
+    return f"""
+        WITH t AS (
+          SELECT {id_col}, {stratum_col},
+                 CAST(len({bpe}) AS BIGINT) AS n_tokens
+          FROM {table}
+        ),
+        totals AS (
+          SELECT {stratum_col}, sum(n_tokens) AS total FROM t GROUP BY {stratum_col}
+        )
+        SELECT t.{id_col}, t.{stratum_col}, t.n_tokens
+        FROM t JOIN totals USING ({stratum_col})
+        WHERE {sql_id_hash(f"t.{id_col}")} <
+              CAST(floor(least(1.0, CAST(({budget}) AS DOUBLE) / total)
+                         * {float(HASH_RANGE)}) AS BIGINT)
+    """
+
+
+def quality_quantile_filter(
+    scored: DataFrame,
+    quantile: float = 0.25,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Keep rows whose quality score is at or above their stratum's
+    ``quantile`` cutoff — relative filtering ("drop each language's worst
+    quartile") instead of one global threshold that would gut
+    low-resource strata.
+
+    Shape: per-stratum exact interpolated percentile (ONE aggregation
+    returning #strata rows, map-side combinable) broadcast back as the
+    cutoff — the corpus itself never shuffles.  At 100 TB swap
+    ``percentile`` for ``percentile_approx`` (t-digest partials) if the
+    exact sort-based agg is too heavy; the plan shape is unchanged.
+    """
+    cuts = scored.groupBy(stratum_col).agg(
+        F.expr(f"percentile({score_col}, {quantile})").alias("_cut")
+    )
+    return (
+        scored.join(F.broadcast(cuts), stratum_col)
+        .where(F.col(score_col) >= F.col("_cut"))
+        .select(id_col, stratum_col, score_col)
+    )
+
+
+def sql_quality_quantile_filter(
+    scored_cte: str,
+    quantile: float = 0.25,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> str:
+    """DuckDB mirror: ``quantile_cont`` == Spark ``percentile``."""
+    return f"""
+        WITH scored AS ({scored_cte}),
+        cuts AS (
+          SELECT {stratum_col}, quantile_cont({score_col}, {quantile}) AS cut
+          FROM scored GROUP BY {stratum_col}
+        )
+        SELECT s.{id_col}, s.{stratum_col}, s.{score_col}
+        FROM scored s JOIN cuts USING ({stratum_col})
+        WHERE s.{score_col} >= cuts.cut
+    """
+
+
 def shuffle_shard(
     docs: DataFrame,
     num_shards: int = 64,
