@@ -464,16 +464,22 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash/LSH near-dup pairs PLUS their transitive closure: the
-    ``connected_components`` stage (large-star/small-star, SoCC'14) turns
-    the pair list into (doc, cluster-min-id) assignments — the "keep one
-    per cluster" step a real dedup pipeline runs after pair generation.
-    Tagged union so both stages hash-check against one oracle (the
-    component oracle is a DuckDB recursive CTE over the same pairs)."""
-    pairs = D.minhash_lsh_dedup_pairs(
-        _corpus_with_dups(spark, sf_dir), threshold=0.5
-    ).persist()
+    """MinHash/LSH near-dup pairs PLUS their transitive closure PLUS the
+    incremental form, tagged: ``pair`` rows from the full pipeline,
+    ``component`` rows from ``connected_components`` (large-star/small-star,
+    SoCC'14 — the "keep one per cluster" step), and ``incr`` rows treating
+    the +10000 copies as a new crawl batch deduped against the original
+    corpus via the cross-side band join (corpus never self-joins).  The
+    shingle-set index is computed ONCE and shared by all three stages —
+    the persisted-index reuse path at production scale."""
+    sh_all = D.shingle_sets(_corpus_with_dups(spark, sf_dir)).persist()
+    pairs = D.minhash_lsh_dedup_pairs(sh_all, threshold=0.5).persist()
     comp = D.connected_components(pairs)
+    incr = D.incremental_dedup_pairs(
+        sh_all.where(F.col("doc_id") < 10000),
+        sh_all.where(F.col("doc_id") >= 10000),
+        threshold=0.5,
+    )
     p = pairs.select(F.lit("pair").alias("kind"), "id_a", "id_b", "jaccard")
     c = comp.select(
         F.lit("component").alias("kind"),
@@ -481,7 +487,8 @@ def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component_id").alias("id_b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return p.unionByName(c)
+    i = incr.select(F.lit("incr").alias("kind"), "id_a", "id_b", "jaccard")
+    return p.unionByName(c).unionByName(i)
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1322,6 +1329,32 @@ def oracle_sql() -> dict[str, str]:
           JOIN shs sb ON cands.id_b = sb.doc_id
         ) WHERE jaccard >= 0.5
     """
+    # incremental: copies (>= 10000) as a new batch vs the original corpus —
+    # same band/verify fragments, candidates restricted to cross-side
+    incr_cte = f"""
+        WITH corpus AS ({corpus}),
+        tht AS (SELECT doc_id, {tokh} AS th FROM corpus),
+        shs AS (SELECT doc_id, {shh} AS sh FROM tht),
+        sigs AS (SELECT doc_id, {sig} AS signature FROM shs),
+        banded AS (
+          SELECT doc_id, b.i AS band_id,
+                 array_to_string(signature[b.i*4+1 : b.i*4+4], '-') AS band_key
+          FROM sigs, range(0, 8) b(i)
+          WHERE signature IS NOT NULL
+        ),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+          FROM banded a JOIN banded bb
+            ON a.band_id = bb.band_id AND a.band_key = bb.band_key
+           AND a.doc_id < 10000 AND bb.doc_id >= 10000
+        )
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT id_a, id_b, round({jac}, 9) AS jaccard
+          FROM cands
+          JOIN shs sa ON cands.id_a = sa.doc_id
+          JOIN shs sb ON cands.id_b = sb.doc_id
+        ) WHERE jaccard >= 0.5
+    """
     # pairs + transitive closure (connected components as a recursive CTE:
     # every node's min reachable id == the cluster's canonical survivor)
     lsh_comp_cte = f"""
@@ -1342,6 +1375,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'component' AS kind, node AS id_a, component_id AS id_b,
                CAST(NULL AS DOUBLE) AS jaccard
         FROM comp
+        UNION ALL
+        SELECT 'incr' AS kind, id_a, id_b, jaccard FROM ({incr_cte})
     """
     simhash_expr = X.sql_simhash(X.sql_token_hashes("text"))
     # block-permutation candidates (Manku WWW'07): 4 blocks of 8 bits for

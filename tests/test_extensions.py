@@ -47,6 +47,50 @@ def test_minhash_lsh_finds_exact_copies(corpus_with_dups):
         assert r["jaccard"] == 1.0
 
 
+def test_incremental_dedup_finds_copies_cross_side_only(docs, corpus_with_dups):
+    copies = corpus_with_dups.where(F.col("doc_id") >= 10000)
+    pairs = D.incremental_dedup_pairs(docs, copies, threshold=0.9)
+    rows = pairs.collect()
+    # every delta copy hits its original, at jaccard exactly 1.0
+    exact = {(r["id_a"], r["id_b"]) for r in rows if r["jaccard"] == 1.0}
+    assert {(i, i + 10000) for i in range(50)} <= exact
+    # sides never mix: id_a always corpus, id_b always delta
+    assert all(r["id_a"] < 10000 <= r["id_b"] for r in rows)
+
+
+def test_incremental_dedup_matches_full_pipeline_cross_pairs(docs, corpus_with_dups):
+    """The incremental band join emits exactly the full pipeline's pairs
+    restricted to cross-side — same bands, same verify, no recall loss
+    from splitting the corpus."""
+    full = D.minhash_lsh_dedup_pairs(corpus_with_dups, threshold=0.5)
+    cross = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in full.where((F.col("id_a") < 10000) & (F.col("id_b") >= 10000)).collect()
+    }
+    copies = corpus_with_dups.where(F.col("doc_id") >= 10000)
+    incr = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in D.incremental_dedup_pairs(docs, copies, threshold=0.5).collect()
+    }
+    assert incr == cross
+
+
+def test_incremental_dedup_precomputed_index_path(docs, corpus_with_dups, tmp_path):
+    """Corpus side passed as a reloaded (id, sh) parquet index — the
+    persisted-index production path — gives identical results to raw docs."""
+    idx_path = str(tmp_path / "shingle_index")
+    D.shingle_sets(docs).write.parquet(idx_path)
+    idx = docs.sparkSession.read.parquet(idx_path)
+    copies = corpus_with_dups.where(F.col("doc_id") >= 10000)
+    from_raw = {
+        tuple(r) for r in D.incremental_dedup_pairs(docs, copies, threshold=0.5).collect()
+    }
+    from_idx = {
+        tuple(r) for r in D.incremental_dedup_pairs(idx, copies, threshold=0.5).collect()
+    }
+    assert from_idx == from_raw
+
+
 def test_simhash_near_dup(corpus_with_dups):
     pairs = D.simhash_near_dup_pairs(corpus_with_dups, max_hamming=0)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}

@@ -202,6 +202,34 @@ def ngram_jaccard_pairs(
     )
 
 
+def _shingle_side(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, sh) for one side of a dedup join.  A frame that already carries
+    an ``sh`` column is treated as a precomputed shingle-set index (the
+    persisted on-disk form at production scale) and used as-is — no
+    re-tokenize, no repartition (an index read back from parquet already
+    has real splits)."""
+    if "sh" in df.columns:
+        return df.select(F.col(id_col), "sh")
+    return _spread(df).select(
+        F.col(id_col), X.shingle_hashes(text_col, shingle_k).alias("sh")
+    )
+
+
+def shingle_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sh) hashed shingle-set index — the shared intermediate of the
+    MinHash pipelines.  Persist (or write to parquet) and pass back to
+    ``minhash_lsh_dedup_pairs`` / ``incremental_dedup_pairs`` so the
+    tokenize+hash pass runs once per document ever, not once per run."""
+    return _shingle_side(docs, id_col, text_col, shingle_k)
+
+
 def minhash_lsh_dedup_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -218,12 +246,10 @@ def minhash_lsh_dedup_pairs(
     both the signature/banding branch and the two verify joins — without
     the persist each consumer re-runs the tokenize+hash pipeline).  At
     production scale this intermediate is the on-disk signature index.
+    ``docs`` may instead be a precomputed (id, sh) shingle index
+    (see ``_shingle_side``).
     """
-    sh = (
-        _spread(docs)
-        .select(F.col(id_col), X.shingle_hashes(text_col, shingle_k).alias("sh"))
-        .persist()
-    )
+    sh = _shingle_side(docs, id_col, text_col, shingle_k).persist()
     sigs = sh.select(
         F.col(id_col), X.minhash_signature(F.col("sh"), num_hashes).alias("signature")
     )
@@ -234,6 +260,66 @@ def minhash_lsh_dedup_pairs(
     return (
         cands.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
         .join(sh.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", F.round(jac, 9).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_dedup_pairs(
+    corpus: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dups of a NEW batch against an EXISTING corpus — the
+    production shape of continuous ingestion: each crawl increment is
+    deduped against everything already kept, without ever re-running the
+    corpus-vs-corpus comparison.
+
+    Returns (id_a, id_b, jaccard) with ``id_a`` from the corpus and
+    ``id_b`` from the delta; corpus-corpus and delta-delta pairs are
+    structurally impossible (the band join is across sides only).  Run
+    ``minhash_lsh_dedup_pairs`` on the delta alone for within-batch dups.
+
+    Scale shape: band keys for both sides, cross-side equi-join on
+    (band_id, band_key), exact-Jaccard verify on the candidates.  Cost is
+    O(|delta| + bucket hits), not O(|corpus| x |delta|).  At 100 TB the
+    corpus side is a PERSISTED index — (id, sh) and (id, band_id,
+    band_key) tables written ``partitionBy(band_id)`` — so each increment
+    hashes only its own documents and the join prunes corpus partitions
+    by the delta's band keys; pass the reloaded (id, sh) frame as
+    ``corpus`` and it is used as-is (no re-tokenize).  Either side may be
+    raw docs or a precomputed index (detected by an ``sh`` column).
+    """
+    sh_c = _shingle_side(corpus, id_col, text_col, shingle_k).persist()
+    sh_d = _shingle_side(delta, id_col, text_col, shingle_k).persist()
+
+    def _banded(sh: DataFrame, out: str) -> DataFrame:
+        sigs = sh.select(
+            F.col(id_col), X.minhash_signature(F.col("sh"), num_hashes).alias("signature")
+        )
+        keys = F.posexplode(X.lsh_band_keys("signature", bands, rows_per_band))
+        return sigs.where(F.col("signature").isNotNull()).select(
+            F.col(id_col).alias(out), keys.alias("band_id", "band_key")
+        )
+
+    cands = (
+        _banded(sh_d, "id_b")
+        .join(_banded(sh_c, "id_a"), ["band_id", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cands.join(sh_c.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sh_d.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
         .select("id_a", "id_b", F.round(jac, 9).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
