@@ -538,15 +538,58 @@ def _q_text_analyze_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.analyze_full(_docs(spark, sf_dir))
 
 
+BOILER_CHUNK = 12  # tokens per synthetic "line" (corpus has no newlines)
+
+
+def _boiler_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, line) — fixed 12-token chunks of the duplicated
+    corpus, the custom-segmentation input to remove_boilerplate_lines."""
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split(text, ' ', -1)) / {BOILER_CHUNK}.0)"
+        f" as int) - 1),"
+        f" i -> array_join(slice(split(text, ' ', -1), i * {BOILER_CHUNK} + 1,"
+        f" {BOILER_CHUNK}), ' '))"
+    )
+    return _corpus_with_dups(spark, sf_dir).select(
+        "doc_id", F.posexplode(chunks).alias("pos", "line")
+    )
+
+
 def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: corpus (doc_id >= 20) flagged against
-    the holdout/eval slice (doc_id < 20) by shared-shingle count."""
+    """Corpus hygiene, tagged: ``decon`` rows flag the corpus
+    (doc_id >= 20) against the holdout/eval slice (doc_id < 20) by
+    shared-shingle count; ``boiler`` rows are C4-style line-level dedup —
+    12-token chunks occurring in >= 2 distinct documents of the
+    duplicated corpus are stripped and the text reassembled in order."""
     docs = _docs(spark, sf_dir)
-    return CU.decontaminate(
+    decon = CU.decontaminate(
         docs.where(F.col("doc_id") >= 20),
         docs.where(F.col("doc_id") < 20),
         threshold=5,
     )
+    boiler = CU.remove_boilerplate_lines(
+        lines=_boiler_lines(spark, sf_dir), min_docs=2
+    )
+    null_l = F.lit(None).cast("long")
+    d = decon.select(
+        F.lit("decon").alias("kind"),
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        "contaminated",
+        F.lit(None).cast("string").alias("text"),
+        null_l.alias("n_removed"),
+    )
+    b = boiler.select(
+        F.lit("boiler").alias("kind"),
+        "doc_id",
+        null_l.alias("n_shingles"),
+        null_l.alias("n_matched"),
+        F.lit(None).cast("int").alias("contaminated"),
+        "text",
+        "n_removed",
+    )
+    return d.unionByName(b)
 
 
 def _q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1648,7 +1691,29 @@ def oracle_sql() -> dict[str, str]:
             )})
         """,
         "text_fingerprint": winnow_cte,
-        "curate_decontaminate": CU.sql_decontaminate(threshold=5),
+        "curate_decontaminate": f"""
+            SELECT 'decon' AS kind, doc_id, n_shingles, n_matched, contaminated,
+                   CAST(NULL AS VARCHAR) AS text, CAST(NULL AS BIGINT) AS n_removed
+            FROM ({CU.sql_decontaminate(threshold=5)})
+            UNION ALL
+            SELECT 'boiler' AS kind, doc_id,
+                   CAST(NULL AS BIGINT) AS n_shingles,
+                   CAST(NULL AS BIGINT) AS n_matched,
+                   CAST(NULL AS INTEGER) AS contaminated,
+                   text, n_removed
+            FROM ({CU.sql_remove_boilerplate_lines(
+                f'''SELECT doc_id, i AS pos,
+                           array_to_string(
+                             toks[i * {BOILER_CHUNK} + 1 : i * {BOILER_CHUNK} + {BOILER_CHUNK}],
+                             ' ') AS line
+                    FROM (SELECT doc_id, toks,
+                                 unnest(range(0, CAST(ceil(len(toks) / {BOILER_CHUNK}.0)
+                                              AS BIGINT))) AS i
+                          FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                                FROM ({corpus})) t0) t''',
+                min_docs=2,
+            )})
+        """,
         "ann_lsh_ivf": f"""
             SELECT 'lsh' AS method, vec_id, CAST(NULL AS BIGINT) AS cluster_id,
                    cosine_similarity

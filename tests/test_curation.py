@@ -219,3 +219,40 @@ def test_quality_quantile_filter_per_stratum(docs):
     }
     for lang in mins:
         assert mins[lang] >= cuts[lang]
+
+def test_remove_boilerplate_lines(spark):
+    rows = [
+        (1, "unique one\nCOOKIE BANNER\nbody of doc one"),
+        (2, "COOKIE BANNER\nanother body\nNAV BAR"),
+        (3, "NAV BAR\nCOOKIE BANNER"),
+        (4, "totally original\ntext here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in CU.remove_boilerplate_lines(docs, min_docs=2).collect()}
+    # shared lines stripped everywhere, order preserved
+    assert out[1]["text"] == "unique one\nbody of doc one"
+    assert out[2]["text"] == "another body"
+    assert out[4]["text"] == "totally original\ntext here"
+    # doc 3 was pure boilerplate: survives as empty with full removal count
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 2
+    assert out[1]["n_removed"] == 1 and out[4]["n_removed"] == 0
+
+
+def test_remove_boilerplate_lines_custom_segmentation(spark):
+    rows = [(1, "a\nb\nc"), (2, "b\nd")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n", -1)).alias("pos", "line")
+    )
+    via_delim = {tuple(r) for r in CU.remove_boilerplate_lines(docs, min_docs=2).collect()}
+    via_lines = {tuple(r) for r in CU.remove_boilerplate_lines(lines=lines, min_docs=2).collect()}
+    assert via_lines == via_delim
+    assert ("1", ) != ()  # sanity
+
+
+def test_remove_boilerplate_within_doc_repeat_not_boilerplate(spark):
+    # a line repeated INSIDE one doc is not boilerplate (distinct-doc count)
+    rows = [(1, "echo\necho\nkeep"), (2, "other")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in CU.remove_boilerplate_lines(docs, min_docs=2).collect()}
+    assert out[1]["text"] == "echo\necho\nkeep" and out[1]["n_removed"] == 0

@@ -284,6 +284,103 @@ def sql_quality_quantile_filter(
     """
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame | None = None,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    lines: DataFrame | None = None,
+) -> DataFrame:
+    """C4-style line-level corpus dedup: a line occurring in at least
+    ``min_docs`` DISTINCT documents is boilerplate (nav bars, cookie
+    banners, license headers) and is stripped from every document it
+    appears in.  Returns (id, text, n_removed) — the cleaned text with
+    line order preserved; fully-stripped documents survive as ''.
+
+    Scale shape: explode lines once (narrow); ONE aggregation keyed on
+    the line computes distinct-doc counts with map-side partial
+    aggregation (boilerplate lines collapse before the shuffle — the
+    heavy hitters are exactly the well-combined keys); the surviving
+    heavy set is FEW DISTINCT LINES however frequent, so it broadcasts
+    back as an anti-join filter; reassembly is one groupBy(id) with an
+    order-preserving sorted collect.  Two shuffles total, both keyed and
+    combinable; the corpus is never self-joined.
+
+    Pass ``lines`` as a pre-exploded (id, pos, line) frame to use a
+    custom segmentation (sentences, fixed token chunks) instead of
+    splitting ``text_col`` on ``delim``.
+    """
+    if lines is None:
+        if docs is None:
+            raise ValueError("remove_boilerplate_lines needs docs= or lines=")
+        lines = docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delim, -1)).alias("pos", "line"),
+        )
+    heavy = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(heavy), "line", "left_anti")
+    reasm = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias(text_col),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("_n_lines"))
+    return (
+        totals.join(reasm, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            (F.col("_n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def sql_remove_boilerplate_lines(
+    lines_sql: str,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "chr(10)",
+) -> str:
+    """DuckDB mirror of ``remove_boilerplate_lines`` over a (id, pos,
+    line) CTE.  ``delim`` is a SQL expression (default newline)."""
+    return f"""
+        WITH lines AS ({lines_sql}),
+        heavy AS (
+          SELECT line FROM lines
+          GROUP BY line HAVING count(DISTINCT {id_col}) >= {int(min_docs)}
+        ),
+        kept AS (
+          SELECT * FROM lines WHERE line NOT IN (SELECT line FROM heavy)
+        ),
+        reasm AS (
+          SELECT {id_col}, string_agg(line, {delim} ORDER BY pos) AS {text_col},
+                 count(*) AS n_kept
+          FROM kept GROUP BY {id_col}
+        ),
+        totals AS (
+          SELECT {id_col}, count(*) AS n_lines FROM lines GROUP BY {id_col}
+        )
+        SELECT totals.{id_col},
+               COALESCE(reasm.{text_col}, '') AS {text_col},
+               CAST(totals.n_lines - COALESCE(reasm.n_kept, 0) AS BIGINT) AS n_removed
+        FROM totals LEFT JOIN reasm USING ({id_col})
+    """
+
+
 def shuffle_shard(
     docs: DataFrame,
     num_shards: int = 64,
