@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from wpvectordb_spark.schemas import TESTDATA_TABLES
 
@@ -27,19 +28,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read the physical int64 (nanosAsLong) and
-    truncate to microseconds with integer division — the same truncation
-    DuckDB applies casting TIMESTAMP_NS -> TIMESTAMP (double division would
-    round and diverge in the last microsecond).
+    """events.parquet has shipped with two physical ``ts`` encodings across
+    testdata generations, so the loader adapts to what the file declares:
 
-    SESSION-WIDE side effect, deliberate: nanosAsLong has no per-read
-    option, so this flips the session default (get_spark sets it too).
-    It only changes how TIMESTAMP(NANOS) physical columns read — events
-    is the sole NANOS table here; micros/millis tables are unaffected."""
+    * TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with the
+      session-wide ``nanosAsLong`` flag (set in get_spark too, so the
+      behavior is a visible default, not read-order-dependent) it reads as
+      int64 nanos, which we truncate to microseconds with integer division
+      — the same truncation DuckDB applies casting TIMESTAMP_NS ->
+      TIMESTAMP (double division would round and diverge in the last
+      microsecond).
+    * TIMESTAMP(MICROS/MILLIS): reads natively as TIMESTAMP_NTZ; cast to
+      the session-local TIMESTAMP type (a value no-op under the UTC
+      session timezone) so downstream comparisons against timestamp
+      literals resolve to one type either way."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", _events_ts(df.schema["ts"].dataType))
+
+
+def _events_ts(ts_type: T.DataType) -> F.Column:
+    if isinstance(ts_type, T.LongType):  # nanosAsLong int64 nanos
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -29,28 +29,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one
-    micro-batch here; a directory of arriving files in production)."""
+    micro-batch here; a directory of arriving files in production).
+
+    Streaming sources need a pinned schema, but the events testdata has
+    shipped with two physical ``ts`` encodings (int64-read NANOS vs native
+    MICROS — see sources/loaders.load_events); probe the file's batch
+    schema once (metadata-only, no data scan) and normalize ``ts`` the
+    same way the batch loader does."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    )
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(probed)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from wpvectordb_spark.sources.loaders import _events_ts
+
+    return raw.withColumn("ts", _events_ts(probed["ts"].dataType))
 
 
 def stream_tumbling_counts(
