@@ -1421,9 +1421,10 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'incr' AS kind, id_a, id_b, jaccard FROM ({incr_cte})
     """
-    simhash_expr = X.sql_simhash(X.sql_token_hashes("text"))
-    # block-permutation candidates (Manku WWW'07): 4 blocks of 8 bits for
-    # max_hamming=3 — any pair within 3 bits agrees on >= 1 block exactly
+    simhash_expr = X.sql_srp_simhash(X.sql_token_hashes("text"))
+    # block-permutation candidates (Manku WWW'07) over the 60-bit SRP
+    # fingerprint: 4 blocks of 15 bits for max_hamming=3 — any pair within
+    # 3 bits agrees on >= 1 block exactly
     simhash_cte = f"""
         WITH corpus AS ({corpus}),
         sh AS (
@@ -1431,8 +1432,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         banded AS (
           SELECT doc_id, simhash, t.i AS block_id,
-                 (simhash // CASE t.i WHEN 0 THEN {2 ** 24} WHEN 1 THEN {2 ** 16}
-                                      WHEN 2 THEN {2 ** 8} ELSE 1 END) % 256 AS block_key
+                 (simhash // CASE t.i WHEN 0 THEN {2 ** 45} WHEN 1 THEN {2 ** 30}
+                                      WHEN 2 THEN {2 ** 15} ELSE 1 END) % {2 ** 15} AS block_key
           FROM sh, range(0, 4) t(i)
           WHERE simhash IS NOT NULL
         )

@@ -71,6 +71,18 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
     warm = spark.range(64).repartition(32)
     warm.mapInPandas(lambda it: it, "id long").count()
+    # ... and the interpreted HOF expression evaluators: C2 compilation of
+    # the fold/zip_with paths costs several seconds the first time they
+    # run (measured 6.8 s cold -> 1.7 s warm for the same MinHash pipeline
+    # at sf0.1).  A 200-doc pass through the two near-dup pipelines warms
+    # those paths so the timed queries measure operator throughput, not
+    # JIT state.  On a long-running cluster this state is always warm.
+    from wpvectordb_spark.operators import dedup as _D
+
+    _tiny = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(200)
+    _D.minhash_lsh_dedup_pairs(_tiny, threshold=0.5).count()
+    _D.simhash_near_dup_pairs(_tiny, max_hamming=3).count()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in headline:

@@ -108,7 +108,7 @@ def test_simhash_recall_is_total(spark, docs):
     sigs = {
         r["doc_id"]: r["s"]
         for r in sample.select(
-            "doc_id", X.simhash(X.token_hashes("text")).alias("s")
+            "doc_id", X.srp_simhash(X.token_hashes("text")).alias("s")
         ).collect()
         if r["s"] is not None
     }

@@ -308,6 +308,77 @@ def simhash(hashes: Column | str, bits: int = 32) -> Column:
     return F.aggregate(hs, init, merge, finish)
 
 
+def srp_simhash(hashes: Column | str, bits: int = 60) -> Column:
+    """Sign-random-projection SimHash (Charikar, STOC'02) — ``bits``
+    INDEPENDENT fingerprint bits, unlike :func:`simhash`, whose bit i
+    reads bit i of the 30-bit token hash and therefore saturates at 30
+    useful bits.  Bit i is the sign of
+    ``sum over token hashes h of (2*parity_i(h) - 1)`` with
+    ``parity_i(h) = ((A*(i+1)) % P * h + (B*(i+1) + 54321) % P) % P % 2``
+    — the minhash rehash family with a distinct additive offset, reduced
+    mod 2 (P is odd, so the parity is unbiased).  60 bits keeps the
+    packed value < 2^60, positive in any engine's BIGINT (64-bit packing
+    would wrap the sign bit in Spark and overflow DuckDB).  Null for
+    empty token sets.
+
+    At web scale a 30-effective-bit fingerprint collides by birthday at
+    ~10^5 documents; Manku et al. (WWW'07) run 64-bit fingerprints for
+    8B pages — this is the same design point under the portable-hash
+    constraint.
+    """
+    hs = _col(hashes)
+    idx = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))  # MSB first
+    parity = lambda h, i: (
+        ((F.lit(MINHASH_A) * (i + 1)) % MINHASH_PRIME) * h
+        + (F.lit(MINHASH_B) * (i + 1) + 54321) % MINHASH_PRIME
+    ) % MINHASH_PRIME % 2
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.transform(idx, lambda i: F.lit(0).cast("long")).alias("c"),
+    )
+
+    def merge(acc, h):
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            F.zip_with(
+                acc["c"],
+                idx,
+                lambda c, i: c + F.when(parity(h, i) == 1, 1).otherwise(-1),
+            ).alias("c"),
+        )
+
+    def finish(acc):
+        packed = F.aggregate(
+            acc["c"],
+            F.lit(0).cast("long"),
+            lambda a, c: a * 2
+            + F.when(c > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+        )
+        return F.when(acc["n"] > 0, packed)
+
+    return F.aggregate(hs, init, merge, finish)
+
+
+def sql_srp_simhash(hashes: str, bits: int = 60) -> str:
+    """DuckDB mirror of :func:`srp_simhash` — same rehash-parity votes,
+    same MSB-first pack."""
+    parity = (
+        f"(((({MINHASH_A} * (i + 1)) % {MINHASH_PRIME}) * h"
+        f" + ({MINHASH_B} * (i + 1) + 54321) % {MINHASH_PRIME})"
+        f" % {MINHASH_PRIME}) % 2"
+    )
+    bits_arr = (
+        f"list_transform(range({bits - 1}, -1, -1), i -> CASE WHEN"
+        f" list_reduce(list_prepend(0, list_transform({hashes},"
+        f" h -> CASE WHEN {parity} = 1 THEN 1 ELSE -1 END)), (a, b) -> a + b) > 0"
+        " THEN 1::BIGINT ELSE 0::BIGINT END)"
+    )
+    return (
+        f"CASE WHEN len({hashes}) > 0 THEN"
+        f" list_reduce({bits_arr}, (a, b) -> a * 2 + b) END"
+    )
+
+
 def sql_simhash(hashes: str, bits: int = 32) -> str:
     # floor before cast: DuckDB CAST(double AS BIGINT) rounds, Spark's cast
     # truncates — floor makes both truncate identically for positive h.

@@ -10,8 +10,9 @@ Spark-idiomatic shape of a published technique:
   banding join is THE scale move: at 100 TB nothing ever compares all
   pairs; only rows sharing a band bucket meet, and AQE's skew-join
   splitting handles hot buckets (identical boilerplate docs).
-* **SimHash** — 32-bit signature, near-dup = small Hamming distance;
-  bucketed by signature prefix to avoid the quadratic pair space.
+* **SimHash** — 60-bit sign-random-projection signature, near-dup =
+  small Hamming distance; block-permutation buckets avoid the quadratic
+  pair space.
 * **n-gram Jaccard** — exact shingle-set similarity on candidate pairs
   (used standalone for small blocks, or as the verify stage of LSH).
 * **embedding cosine** — near-dup by vector similarity over an
@@ -27,11 +28,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wpvectordb_spark.functions import kernels as K
+from wpvectordb_spark.functions import sketch_arrow as SA
 from wpvectordb_spark.functions import text as X
 
 DEFAULT_NUM_HASHES = 32
 DEFAULT_BANDS = 8
 DEFAULT_ROWS_PER_BAND = 4
+
+# Signature kernels come in two bit-identical engines (see
+# functions.sketch_arrow): "arrow" (numpy over Arrow batches — fast from
+# the first run, the default) and "catalyst" (pure-JVM HOF fold — zero
+# Python workers, preferable on a JIT-warm long-running cluster).
+DEFAULT_SKETCH_ENGINE = "arrow"
+
+
+def _mh_sig(col: F.Column, num_hashes: int, engine: str) -> F.Column:
+    if engine == "arrow":
+        return SA.minhash_signature_arrow(col, num_hashes)
+    return X.minhash_signature(col, num_hashes)
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -71,6 +85,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_k: int = 3,
+    engine: str = DEFAULT_SKETCH_ENGINE,
 ) -> DataFrame:
     """(doc_id, signature) — minhash over distinct hashed k-token shingles.
 
@@ -80,7 +95,7 @@ def minhash_signatures(
     hashed = X.shingle_hashes(text_col, shingle_k)
     return _spread(docs).select(
         F.col(id_col),
-        X.minhash_signature(hashed, num_hashes).alias("signature"),
+        _mh_sig(hashed, num_hashes, engine).alias("signature"),
     )
 
 
@@ -102,9 +117,11 @@ def lsh_candidate_pairs(
     keys = F.posexplode(
         X.lsh_band_keys("signature", bands, rows_per_band)
     )
-    banded = signatures.where(F.col("signature").isNotNull()).select(
-        F.col(id_col), keys.alias("band_id", "band_key")
-    )
+    # No explicit null-signature filter: band keys of a null signature are
+    # null and posexplode drops them.  A `where(isNotNull)` here would make
+    # Catalyst evaluate a Python-UDF signature TWICE (stacked
+    # ArrowEvalPython stages — one feeding the filter, one the projection).
+    banded = signatures.select(F.col(id_col), keys.alias("band_id", "band_key"))
     buckets = (
         banded.groupBy("band_id", "band_key")
         .agg(F.collect_list(id_col).alias("ids"))
@@ -239,6 +256,7 @@ def minhash_lsh_dedup_pairs(
     bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     shingle_k: int = 3,
+    engine: str = DEFAULT_SKETCH_ENGINE,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
 
@@ -251,7 +269,7 @@ def minhash_lsh_dedup_pairs(
     """
     sh = _shingle_side(docs, id_col, text_col, shingle_k).persist()
     sigs = sh.select(
-        F.col(id_col), X.minhash_signature(F.col("sh"), num_hashes).alias("signature")
+        F.col(id_col), _mh_sig(F.col("sh"), num_hashes, engine).alias("signature")
     )
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
@@ -275,6 +293,7 @@ def incremental_dedup_pairs(
     bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     shingle_k: int = 3,
+    engine: str = DEFAULT_SKETCH_ENGINE,
 ) -> DataFrame:
     """Near-dups of a NEW batch against an EXISTING corpus — the
     production shape of continuous ingestion: each crawl increment is
@@ -301,12 +320,13 @@ def incremental_dedup_pairs(
 
     def _banded(sh: DataFrame, out: str) -> DataFrame:
         sigs = sh.select(
-            F.col(id_col), X.minhash_signature(F.col("sh"), num_hashes).alias("signature")
+            F.col(id_col), _mh_sig(F.col("sh"), num_hashes, engine).alias("signature")
         )
+        # null signatures explode to zero band rows — no filter needed (a
+        # filter would double-evaluate the Arrow-engine UDF; see
+        # lsh_candidate_pairs)
         keys = F.posexplode(X.lsh_band_keys("signature", bands, rows_per_band))
-        return sigs.where(F.col("signature").isNotNull()).select(
-            F.col(id_col).alias(out), keys.alias("band_id", "band_key")
-        )
+        return sigs.select(F.col(id_col).alias(out), keys.alias("band_id", "band_key"))
 
     cands = (
         _banded(sh_d, "id_b")
@@ -325,7 +345,7 @@ def incremental_dedup_pairs(
     )
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60
 
 
 def simhash_near_dup_pairs(
@@ -333,18 +353,28 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = DEFAULT_SKETCH_ENGINE,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """SimHash near-dup: ALL pairs within ``max_hamming`` bits of each
     other — recall 1.0, guaranteed.
 
+    Signatures are ``bits``-bit sign-random-projection fingerprints
+    (functions.text.srp_simhash): 60 independent bits by default.  The
+    earlier 32-bit token-bit form (functions.text.simhash) only carries
+    ~30 useful bits — on a 5k-doc synthetic corpus hamming<=3 matched
+    1.6M pairs (avg degree 646), and at web scale it collides by
+    birthday at ~10^5 docs; Manku et al. run 64-bit fingerprints for 8B
+    pages.
+
     Candidate generation is the standard block-permutation argument
-    (Manku et al., WWW'07): split the 32-bit signature into
-    ``max_hamming + 1`` equal blocks; two signatures differing in at most
-    ``max_hamming`` bits MUST agree exactly on at least one block
-    (pigeonhole).  Each doc registers under (block_id, block_value); the
-    self-equi-join on that key meets every qualifying pair in at least one
-    block, the exact ``bit_count(xor)`` filter keeps true near-dups, and a
-    distinct collapses multi-block meetings.
+    (Manku et al., WWW'07): split the signature into ``max_hamming + 1``
+    equal blocks; two signatures differing in at most ``max_hamming``
+    bits MUST agree exactly on at least one block (pigeonhole).  Each doc
+    registers under (block_id, block_value); the self-equi-join on that
+    key meets every qualifying pair in at least one block, the exact
+    ``bit_count(xor)`` filter keeps true near-dups, and a distinct over
+    the (output-sized) filtered pairs collapses multi-block meetings.
 
     Self-join (not collect_list + in-array): a HOT block bucket's pair work
     distributes across tasks via AQE skew-join splitting — the in-array
@@ -353,20 +383,28 @@ def simhash_near_dup_pairs(
     cheaper than a persist barrier (single fold).
     """
     n_blocks = max_hamming + 1
-    block_bits = SIMHASH_BITS // n_blocks
+    block_bits = bits // n_blocks
+    sim = (
+        SA.srp_simhash_arrow(X.token_hashes(text_col), bits)
+        if engine == "arrow"
+        else X.srp_simhash(X.token_hashes(text_col), bits)
+    )
+    # No null-signature filter: a null simhash yields null block keys,
+    # which never match the equi-join below — and an isNotNull filter on a
+    # Python-UDF column would stack a second ArrowEvalPython evaluation.
     sh = _spread(docs).select(
         F.col(id_col),
-        X.simhash(X.token_hashes(text_col)).alias("simhash"),
-    ).where(F.col("simhash").isNotNull())
+        sim.alias("simhash"),
+    )
     # block values via integer div + mod (not bit ops): ports exactly to
     # any oracle engine's `//` and `%`.  Block 0 is the HIGH bits; the last
     # block absorbs the remainder when 32 % n_blocks != 0.
     shifts = [
-        SIMHASH_BITS - block_bits * (i + 1) if i < n_blocks - 1 else 0
+        bits - block_bits * (i + 1) if i < n_blocks - 1 else 0
         for i in range(n_blocks)
     ]
     widths = [
-        block_bits if i < n_blocks - 1 else SIMHASH_BITS - block_bits * (n_blocks - 1)
+        block_bits if i < n_blocks - 1 else bits - block_bits * (n_blocks - 1)
         for i in range(n_blocks)
     ]
     banded = sh.select(
@@ -384,6 +422,13 @@ def simhash_near_dup_pairs(
     a = banded.alias("a")
     b = banded.alias("b")
     hd = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long")
+    # A pair agreeing on k blocks meets k times; the trailing distinct
+    # only shuffles rows that already passed the Hamming filter — with
+    # 60-bit signatures that is output-sized (true near-dups), orders of
+    # magnitude below the candidate-meet volume.  (A first-agreeing-block
+    # predicate instead of the distinct was measured SLOWER here: it
+    # re-derives block values on every candidate meet — 656k rows — to
+    # save a distinct over 6k.)
     return (
         a.join(
             b,
