@@ -600,12 +600,23 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     block_col: str | None = None,
+    engine: str = DEFAULT_SKETCH_ENGINE,
 ) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine >= threshold.
 
     Optionally blocked (e.g. on a cluster/label column) so the join is
     an equi-join instead of a cross product — the IVF-style scale path.
+
+    With a block column the default engine is the per-block gram matrix
+    (``embedding_near_dup_pairs_arrow``): one BLAS matmul per block beats
+    ~|block|^2 interpreted 64-dim HOF folds (measured 5.8 s -> ~1 s at
+    sf0.1).  ``engine="catalyst"`` keeps the pure-JVM pairwise join; both
+    round to 9 dp and hash-match the same oracle.
     """
+    if engine == "arrow" and block_col is not None:
+        return embedding_near_dup_pairs_arrow(
+            vectors, threshold, id_col, vector_col, block_col
+        )
     base = vectors.select(
         F.col(id_col),
         F.col(vector_col).alias("v"),
