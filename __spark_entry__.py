@@ -24,6 +24,7 @@ from wpvectordb_spark.operators import curation as CU
 from wpvectordb_spark.operators import dedup as D
 from wpvectordb_spark.operators import events as E
 from wpvectordb_spark.operators import queue_ops as Q
+from wpvectordb_spark.operators import retrieval as R
 from wpvectordb_spark.operators import search as S
 from wpvectordb_spark.operators import similarity as SIM
 from wpvectordb_spark.operators import table_ops as TO
@@ -991,8 +992,16 @@ def _q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bench surface (bench.py keys stay frozen round-over-round).
 
 
+BM25_QUERY_TERMS = ["vector", "hash", "join", "scan"]
+
+
 def _q_text_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source top terms + per-doc TF-IDF top-3, tagged."""
+    """Per-source top terms + per-doc TF-IDF top-3 + BM25 top-10 for a
+    4-term keyword query + the hybrid RRF fusion of that BM25 list with
+    the brute-force vector top-10 — tagged.  (operators.retrieval; the
+    lexical/hybrid companion to the reference's pure vector search.)"""
+    from pyspark.sql import Window
+
     top = _q_text_top_terms(spark, sf_dir).select(
         F.lit("top").alias("kind"),
         F.col("source").alias("key"),
@@ -1007,7 +1016,30 @@ def _q_text_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf").alias("score"),
         "rnk",
     )
-    return top.unionByName(tfidf)
+    docs = _docs(spark, sf_dir)
+    bm = R.bm25_topk(docs, BM25_QUERY_TERMS, n=10)
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vector")
+    )
+    vec = S.brute_force_topk(emb, _query_vector(spark, sf_dir), n=10, id_col="doc_id")
+    w = Window.orderBy(F.col("cosine_similarity").desc(), F.col("doc_id").asc())
+    vecr = vec.select("doc_id", F.row_number().over(w).alias("rnk"))
+    rrf = R.rrf_fuse(bm.select("doc_id", "rnk"), vecr)
+    bm_rows = bm.select(
+        F.lit("bm25").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("q0").alias("term"),
+        "score",
+        "rnk",
+    )
+    rrf_rows = rrf.select(
+        F.lit("rrf").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("q0").alias("term"),
+        "score",
+        "rnk",
+    )
+    return top.unionByName(tfidf).unionByName(bm_rows).unionByName(rrf_rows)
 
 
 def _q_curate_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1757,6 +1789,59 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
               ) AS INT) AS rnk FROM scored
             ) WHERE rnk <= 3
+            UNION ALL
+            SELECT kind, key, term, score, rnk FROM (
+              -- BM25 top-10 for ('vector','hash','join','scan') + hybrid RRF
+              -- with the brute-force vector top-10; float ops mirror
+              -- operators/retrieval.py term by term (fixed-order additions)
+              WITH toksq AS (SELECT doc_id, {X.sql_tokens('text')} AS t FROM documents),
+              statsq AS (SELECT COUNT(*) AS n_docs,
+                                CAST(sum(len(t)) AS DOUBLE) AS total_dl FROM toksq),
+              mq AS (SELECT doc_id, len(t) AS dl, u.term
+                     FROM toksq, unnest(list_filter(t,
+                       x -> list_contains(['vector','hash','join','scan'], x))) u(term)),
+              tfq AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM mq GROUP BY 1, 2, 3),
+              dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY 1),
+              tsq AS (SELECT doc_id, term,
+                      ln(CAST(1.0 AS DOUBLE)
+                         + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+                      * ((tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                         / (tf + CAST(1.2 AS DOUBLE)
+                            * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                               + CAST(0.75 AS DOUBLE) * (dl / (total_dl / n_docs))))) AS s
+                      FROM tfq JOIN dfq USING (term), statsq),
+              aggq AS (SELECT doc_id,
+                       coalesce(sum(s) FILTER (WHERE term = 'vector'), CAST(0 AS DOUBLE))
+                       + coalesce(sum(s) FILTER (WHERE term = 'hash'), CAST(0 AS DOUBLE))
+                       + coalesce(sum(s) FILTER (WHERE term = 'join'), CAST(0 AS DOUBLE))
+                       + coalesce(sum(s) FILTER (WHERE term = 'scan'), CAST(0 AS DOUBLE)) AS score
+                       FROM tsq GROUP BY doc_id),
+              bmrank AS (SELECT doc_id, score,
+                         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+                         FROM aggq ORDER BY score DESC, doc_id ASC LIMIT 10),
+              vq AS (SELECT embedding AS q_vec, {K.sql_magnitude('embedding')} AS q_mag
+                     FROM embeddings WHERE vec_id = 0),
+              vtop AS (SELECT e.vec_id AS doc_id,
+                              round({K.sql_cosine('vq.q_vec', 'e.embedding', 'vq.q_mag')}, 9) AS c
+                       FROM embeddings e, vq
+                       ORDER BY {K.sql_cosine('vq.q_vec', 'e.embedding', 'vq.q_mag')} DESC,
+                                e.vec_id ASC LIMIT 10),
+              vrank AS (SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY c DESC, doc_id ASC) AS INT) AS rnk
+                        FROM vtop),
+              rrfq AS (SELECT coalesce(bm.doc_id, v.doc_id) AS doc_id,
+                       coalesce(CAST(1.0 AS DOUBLE) / (60 + bm.rnk), CAST(0 AS DOUBLE))
+                       + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rnk), CAST(0 AS DOUBLE)) AS score
+                       FROM bmrank bm FULL OUTER JOIN vrank v ON bm.doc_id = v.doc_id)
+              SELECT 'bm25' AS kind, CAST(doc_id AS VARCHAR) AS key, 'q0' AS term,
+                     round(score, 9) AS score, rnk
+              FROM bmrank
+              UNION ALL
+              SELECT 'rrf' AS kind, CAST(doc_id AS VARCHAR) AS key, 'q0' AS term,
+                     round(score, 9) AS score,
+                     CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+              FROM rrfq
+            )
         """,
         "events_windows": f"""
             SELECT 'tumble' AS kind,

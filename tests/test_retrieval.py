@@ -1,0 +1,74 @@
+"""BM25 + RRF semantics (operators.retrieval).  Cross-engine value parity
+is covered by the driver oracle (text_terms_tfidf bm25/rrf arms); these
+tests pin the ranking semantics on controlled corpora."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.operators import retrieval as R
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "vector search with hash join"),  # both terms once
+            (2, "vector vector vector search"),  # tf saturation target
+            (3, "hash tables everywhere hash hash"),
+            (4, "nothing relevant here at all"),
+            (5, "vector hash vector hash vector hash"),  # densest
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_only_matching_docs(corpus):
+    out = R.bm25_topk(corpus, ["vector", "hash"], n=10).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids == {1, 2, 3, 5}  # 4 and 6 match no term
+    assert [r["rnk"] for r in sorted(out, key=lambda r: r["rnk"])] == [1, 2, 3, 4]
+
+
+def test_bm25_scores_positive_and_ordered(corpus):
+    out = sorted(R.bm25_topk(corpus, ["vector", "hash"], n=10).collect(), key=lambda r: r["rnk"])
+    scores = [r["score"] for r in out]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    # doc 5 matches both terms with the highest tf at equal length — must rank 1st
+    assert out[0]["doc_id"] == 5
+
+
+def test_bm25_manual_value(spark):
+    # single doc, single term: score = ln(1 + (N - df + .5)/(df + .5)) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["score"] for r in R.bm25_topk(docs, ["a"], n=10).collect()}
+    idf = math.log(1 + (2 - 1 + 0.5) / (1 + 0.5))
+    tfc = (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * (3 / 3.0)))
+    assert out.keys() == {1}
+    assert abs(out[1] - round(idf * tfc, 9)) < 1e-9
+
+
+def test_rrf_fusion_order(spark):
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rnk int")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "doc_id long, rnk int")
+    out = {r["doc_id"]: (r["score"], r["rnk"]) for r in R.rrf_fuse(a, b).collect()}
+    assert set(out) == {10, 20, 30, 40}
+    # doc 20 appears in both lists -> highest fused score
+    assert out[20][1] == 1
+    assert abs(out[20][0] - round(1 / 62 + 1 / 61, 9)) < 1e-9
+    # ties broken by doc_id: 10 (1/61) beats 40 (1/62)? 1/61 > 1/62 -> rank 2
+    assert out[10][1] == 2 and out[40][1] == 3 and out[30][1] == 4
+
+
+def test_bm25_no_full_corpus_explode(corpus):
+    # the exploded row count is bounded by matching (doc, term) pairs,
+    # not total tokens: scale guard on the plan's shuffled volume
+    ts = R.bm25_term_scores(corpus, ["vector", "hash"])
+    assert ts.count() == 6  # (1,v),(1,h),(2,v),(3,h),(5,v),(5,h)

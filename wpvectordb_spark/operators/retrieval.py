@@ -1,0 +1,160 @@
+"""Lexical (BM25) retrieval and hybrid rank fusion.
+
+The reference is a pure vector-search engine (VectorTable.php:search); the
+standard production companion is lexical scoring plus hybrid fusion — a
+user switching engines expects to run keyword and hybrid queries over the
+same corpus.  Everything here is plain DataFrame algebra (no UDFs):
+
+* ``bm25_term_scores`` / ``bm25_topk`` — Okapi BM25 (Robertson et al.;
+  the Lucene practical form with the ``(k1+1)`` numerator and the
+  ``ln(1 + (N - df + 0.5)/(df + 0.5))`` non-negative idf).
+* ``rrf_fuse`` — reciprocal rank fusion (Cormack et al., SIGIR'09):
+  ``score(d) = sum over rankings of 1/(k + rank_d)``.
+
+Scale shape: the corpus is never exploded wholesale — ``F.filter`` keeps
+only query terms inside each document's token array BEFORE the explode, so
+the shuffled row count is (matching doc, term), bounded by |query| rows
+per document.  Corpus statistics (N, total token count) are one scalar
+aggregate broadcast to the scorers.  Top-k compiles to
+TakeOrderedAndProject (k rows per partition move, not the table).
+
+Determinism: per-term scores are summed in FIXED literal order (one
+conditional-sum column per query term, added left to right), never via a
+floating ``sum()`` whose order the engine picks — the DuckDB oracle adds
+the same columns in the same order, so results hash-match to 9 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.functions import text as X
+
+RRF_K = 60  # Cormack et al.'s constant
+
+
+def _dl(toks: Column) -> Column:
+    return F.coalesce(F.size(toks), F.lit(0)).cast("long")
+
+
+def bm25_term_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, term, term_score) for every document containing a query term.
+
+    One scan computes tokens; matched terms are filtered INSIDE the token
+    array before the explode (the corpus never explodes wholesale); df and
+    corpus stats are broadcast scalar aggregates.
+    """
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    base = docs.select(
+        F.col(id_col),
+        X.tokens(text_col).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        _dl(F.col("_toks")).alias("dl"),
+        F.explode(
+            F.filter(F.col("_toks"), lambda t: F.array_contains(qarr, t))
+        ).alias("term"),
+    )
+    tf = base.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    toks_all = docs.select(_dl(X.tokens(text_col)).alias("dl"))
+    stats = toks_all.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").cast("double").alias("total_dl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    score = idf * (
+        (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / avgdl)))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), "term", score.alias("term_score"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    n: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 9,
+) -> DataFrame:
+    """(id, score, rnk) — BM25 top-n, deterministic (score desc, id asc).
+
+    The per-document score adds one conditional-sum column per query term
+    in the literal order given — identical float addition order in any
+    engine, so the result is oracle-hashable.
+    """
+    ts = bm25_term_scores(docs, query_terms, k1, b, id_col, text_col)
+    per_term = ts.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("term_score"))).alias(f"_s{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    total = F.coalesce(F.col("_s0"), F.lit(0.0))
+    for i in range(1, len(query_terms)):
+        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    ranked = (
+        per_term.select(F.col(id_col), total.alias("_score"))
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .limit(n)
+    )
+    # rank assignment AFTER the top-k: the window sees <= n rows, so the
+    # single-partition window is bounded by the ask, not the corpus
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
+    out_score = F.round("_score", round_to) if round_to is not None else F.col("_score")
+    return ranked.select(
+        F.col(id_col),
+        out_score.alias("score"),
+        F.row_number().over(w).alias("rnk"),
+    )
+
+
+def rrf_fuse(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    k: int = RRF_K,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Reciprocal rank fusion of two rankings: full-outer join on id,
+    ``1/(k + rank_a) + 1/(k + rank_b)`` added in FIXED order (absent side
+    contributes 0) — deterministic float arithmetic in any engine.  N-way
+    fusion is a left fold of this binary form.
+    """
+    a = ranking_a.select(F.col(id_col), F.col(rank_col).alias("_ra"))
+    b = ranking_b.select(F.col(id_col), F.col(rank_col).alias("_rb"))
+    joined = a.join(b, id_col, "full_outer")
+    score = F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("_ra")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(k) + F.col("_rb")), F.lit(0.0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
+    out = joined.select(F.col(id_col), score.alias("_score"))
+    out_score = F.round("_score", round_to) if round_to is not None else F.col("_score")
+    return out.select(
+        F.col(id_col),
+        out_score.alias("score"),
+        F.row_number().over(w).alias("rnk"),
+    )
