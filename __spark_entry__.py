@@ -1054,9 +1054,10 @@ CURATE_BUDGETS = {"en": 5000, "es": 2000, "zh": 1500}
 
 
 def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Five curation stages, tagged: stratified hash-threshold sampling,
+    """Six curation stages, tagged: stratified hash-threshold sampling,
     two-pass sequence packing, seeded shuffle-sharding, token-budget
-    domain mixing, and per-language quality-quantile filtering."""
+    domain mixing, per-language quality-quantile filtering, and
+    overlapping token-window chunking (RAG passage splitting)."""
     null_l = F.lit(None).cast("long")
     null_d = F.lit(None).cast("double")
     sample = _q_curate_stratified_sample(spark, sf_dir).select(
@@ -1117,11 +1118,25 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("pos"),
         "quality",
     )
+    chunks = CU.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=32, overlap=8, with_text=False
+    ).select(
+        F.lit("chunk").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        "n_tokens",
+        "seq_start",
+        "seq_end",
+        null_l.alias("shard"),
+        "pos",
+        null_d.alias("quality"),
+    )
     return (
         sample.unionByName(pack)
         .unionByName(shard)
         .unionByName(budget)
         .unionByName(qfilter)
+        .unionByName(chunks)
     )
 
 
@@ -1727,6 +1742,12 @@ def oracle_sql() -> dict[str, str]:
                 + " AS quality FROM documents",
                 quantile=0.25,
             )})
+            UNION ALL
+            SELECT 'chunk' AS kind, doc_id, CAST(NULL AS VARCHAR) AS lang,
+                   n_tokens, seq_start, seq_end,
+                   CAST(NULL AS BIGINT) AS shard, pos,
+                   CAST(NULL AS DOUBLE) AS quality
+            FROM ({CU.sql_chunk_documents(chunk_tokens=32, overlap=8)})
         """,
         "text_fingerprint": winnow_cte,
         "curate_decontaminate": f"""

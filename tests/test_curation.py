@@ -256,3 +256,57 @@ def test_remove_boilerplate_within_doc_repeat_not_boilerplate(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r["doc_id"]: r for r in CU.remove_boilerplate_lines(docs, min_docs=2).collect()}
     assert out[1]["text"] == "echo\necho\nkeep" and out[1]["n_removed"] == 0
+
+
+def test_chunk_documents_basic(spark):
+    # 10 tokens, chunk 4, overlap 1 -> stride 3 -> starts 0,3,6 (9 >= max(10-1,1)=9 stops)
+    docs = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")], ["doc_id", "text"]
+    )
+    out = sorted(
+        CU.chunk_documents(docs, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: r["pos"],
+    )
+    assert [(r["seq_start"], r["seq_end"]) for r in out] == [(0, 4), (3, 7), (6, 10)]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[1]["chunk_text"] == "t3 t4 t5 t6"
+    assert out[2]["chunk_text"] == "t6 t7 t8 t9"
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert all(r["n_tokens"] == r["seq_end"] - r["seq_start"] for r in out)
+
+
+def test_chunk_documents_edges(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),  # shorter than one chunk -> single short chunk
+            (2, ""),  # empty -> no chunks
+            (3, None),  # null -> no chunks
+            (4, " ".join(f"w{i}" for i in range(33))),  # one token past a boundary
+        ],
+        "doc_id long, text string",
+    )
+    out = CU.chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 4}
+    assert [(r["seq_start"], r["seq_end"]) for r in by_doc[1]] == [(0, 2)]
+    # 33 tokens, stride 24: starts 0 and 24 (24 < max(33-8,1)=25)
+    assert sorted((r["seq_start"], r["seq_end"]) for r in by_doc[4]) == [(0, 32), (24, 33)]
+
+
+def test_chunk_documents_covers_every_token(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    chunks = CU.chunk_documents(docs, chunk_tokens=32, overlap=8, with_text=False)
+    from wpvectordb_spark.functions import text as X
+
+    n_tok = docs.select(
+        "doc_id", F.coalesce(F.size(X.tokens("text")), F.lit(0)).alias("n")
+    )
+    agg = (
+        chunks.groupBy("doc_id")
+        .agg(F.min("seq_start").alias("lo"), F.max("seq_end").alias("hi"))
+        .join(n_tok, "doc_id")
+    )
+    bad = agg.where((F.col("lo") != 0) | (F.col("hi") != F.col("n"))).count()
+    assert bad == 0

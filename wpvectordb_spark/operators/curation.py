@@ -563,3 +563,92 @@ def sql_pack_sequences(
                CAST((cum - 1) // {seq_len} AS BIGINT) AS seq_end
         FROM c WHERE n_tokens > 0
     """
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_text: bool = True,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the RAG /
+    passage-indexing step of a training-data pipeline: (id, pos,
+    seq_start, seq_end, n_tokens[, chunk_text]) with token offsets
+    [seq_start, seq_end) and chunk ordinal ``pos``.
+
+    Chunk starts advance by ``chunk_tokens - overlap``; the last chunk is
+    the short tail.  A start is emitted while ``start < max(n - overlap,
+    1)`` so no chunk is fully contained in its predecessor.  All JVM-side:
+    one tokens projection, a ``sequence`` of starts, one ``posexplode`` —
+    shuffle-free, output is chunk-count-sized.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = docs.select(
+        F.col(id_col),
+        X.tokens(text_col).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.coalesce(F.size("_toks"), F.lit(0)).cast("long").alias("_n"),
+    )
+    n_starts = F.ceil(F.greatest(F.col("_n") - overlap, F.lit(1)) / F.lit(float(stride)))
+    starts = F.when(
+        F.col("_n") > 0,
+        F.transform(F.sequence(F.lit(0), (n_starts - 1).cast("int")), lambda i: i * stride),
+    )
+    exploded = toks.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.col("_n"),
+        F.posexplode(starts).alias("pos", "seq_start"),
+    )
+    seq_end = F.least(F.col("seq_start") + chunk_tokens, F.col("_n"))
+    cols = [
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("seq_start").cast("long").alias("seq_start"),
+        seq_end.cast("long").alias("seq_end"),
+        (seq_end - F.col("seq_start")).cast("long").alias("n_tokens"),
+    ]
+    if with_text:
+        cols.append(
+            F.array_join(
+                F.slice(
+                    F.col("_toks"),
+                    F.col("seq_start") + 1,
+                    (seq_end - F.col("seq_start")).cast("int"),
+                ),
+                " ",
+            ).alias("chunk_text")
+        )
+    return exploded.select(*cols)
+
+
+def sql_chunk_documents(
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``chunk_documents`` (offsets form, no text)."""
+    stride = chunk_tokens - overlap
+    toks = X.sql_tokens("text")
+    return f"""
+        WITH t AS (
+          SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS n FROM {table}
+        ),
+        s AS (
+          SELECT {id_col}, n, u.i AS pos, u.i * {stride} AS seq_start
+          FROM t, unnest(range(0, CAST(ceil(greatest(n - {overlap}, 1) / {float(stride)}) AS BIGINT))) u(i)
+          WHERE n > 0
+        )
+        SELECT {id_col}, CAST(pos AS BIGINT) AS pos,
+               CAST(seq_start AS BIGINT) AS seq_start,
+               CAST(least(seq_start + {chunk_tokens}, n) AS BIGINT) AS seq_end,
+               CAST(least(seq_start + {chunk_tokens}, n) - seq_start AS BIGINT) AS n_tokens
+        FROM s
+    """
