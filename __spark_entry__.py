@@ -992,14 +992,19 @@ def _q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bench surface (bench.py keys stay frozen round-over-round).
 
 
-BM25_QUERY_TERMS = ["vector", "hash", "join", "scan"]
+BM25_QUERIES = {
+    "q0": ["vector", "hash", "join", "scan"],
+    "q1": ["customer", "order", "data"],
+    "q2": ["spark", "stream", "window"],
+}
 
 
 def _q_text_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source top terms + per-doc TF-IDF top-3 + BM25 top-10 for a
-    4-term keyword query + the hybrid RRF fusion of that BM25 list with
-    the brute-force vector top-10 — tagged.  (operators.retrieval; the
-    lexical/hybrid companion to the reference's pure vector search.)"""
+    """Per-source top terms + per-doc TF-IDF top-3 + batched BM25 top-10
+    for three keyword queries (one plan, search_many-style) + the hybrid
+    RRF fusion of each BM25 list with the brute-force vector top-10 —
+    tagged.  (operators.retrieval; the lexical/hybrid companion to the
+    reference's pure vector search.)"""
     from pyspark.sql import Window
 
     top = _q_text_top_terms(spark, sf_dir).select(
@@ -1017,25 +1022,25 @@ def _q_text_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rnk",
     )
     docs = _docs(spark, sf_dir)
-    bm = R.bm25_topk(docs, BM25_QUERY_TERMS, n=10)
+    bm = R.bm25_topk_many(docs, BM25_QUERIES, n=10)
     emb = _emb(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vector")
     )
     vec = S.brute_force_topk(emb, _query_vector(spark, sf_dir), n=10, id_col="doc_id")
     w = Window.orderBy(F.col("cosine_similarity").desc(), F.col("doc_id").asc())
     vecr = vec.select("doc_id", F.row_number().over(w).alias("rnk"))
-    rrf = R.rrf_fuse(bm.select("doc_id", "rnk"), vecr)
+    rrf = R.rrf_fuse_many(bm.select("query_id", "doc_id", "rnk"), vecr)
     bm_rows = bm.select(
         F.lit("bm25").alias("kind"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.lit("q0").alias("term"),
+        F.col("query_id").alias("key"),
+        F.col("doc_id").cast("string").alias("term"),
         "score",
         "rnk",
     )
     rrf_rows = rrf.select(
         F.lit("rrf").alias("kind"),
-        F.col("doc_id").cast("string").alias("key"),
-        F.lit("q0").alias("term"),
+        F.col("query_id").alias("key"),
+        F.col("doc_id").cast("string").alias("term"),
         "score",
         "rnk",
     )
@@ -1305,6 +1310,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    bm25_terms_sql = ", ".join(
+        f"'{t}'" for t in sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    )
+    bm25_qvals_sql = ", ".join(
+        f"('{q}', '{t}')" for q, ts in sorted(BM25_QUERIES.items()) for t in ts
+    )
     mag = K.sql_magnitude("embedding")
     norm = K.sql_normalize("embedding")
     code = K.sql_sign_code("embedding")
@@ -1812,15 +1823,16 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rnk <= 3
             UNION ALL
             SELECT kind, key, term, score, rnk FROM (
-              -- BM25 top-10 for ('vector','hash','join','scan') + hybrid RRF
-              -- with the brute-force vector top-10; float ops mirror
-              -- operators/retrieval.py term by term (fixed-order additions)
+              -- batched BM25 top-10 per keyword query (one corpus pass for
+              -- the term union, term-sorted fold for float determinism) +
+              -- per-query hybrid RRF with the brute-force vector top-10;
+              -- mirrors operators/retrieval.py op for op
               WITH toksq AS (SELECT doc_id, {X.sql_tokens('text')} AS t FROM documents),
               statsq AS (SELECT COUNT(*) AS n_docs,
                                 CAST(sum(len(t)) AS DOUBLE) AS total_dl FROM toksq),
               mq AS (SELECT doc_id, len(t) AS dl, u.term
                      FROM toksq, unnest(list_filter(t,
-                       x -> list_contains(['vector','hash','join','scan'], x))) u(term)),
+                       x -> list_contains([{bm25_terms_sql}], x))) u(term)),
               tfq AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM mq GROUP BY 1, 2, 3),
               dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY 1),
               tsq AS (SELECT doc_id, term,
@@ -1831,15 +1843,17 @@ def oracle_sql() -> dict[str, str]:
                             * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
                                + CAST(0.75 AS DOUBLE) * (dl / (total_dl / n_docs))))) AS s
                       FROM tfq JOIN dfq USING (term), statsq),
-              aggq AS (SELECT doc_id,
-                       coalesce(sum(s) FILTER (WHERE term = 'vector'), CAST(0 AS DOUBLE))
-                       + coalesce(sum(s) FILTER (WHERE term = 'hash'), CAST(0 AS DOUBLE))
-                       + coalesce(sum(s) FILTER (WHERE term = 'join'), CAST(0 AS DOUBLE))
-                       + coalesce(sum(s) FILTER (WHERE term = 'scan'), CAST(0 AS DOUBLE)) AS score
-                       FROM tsq GROUP BY doc_id),
-              bmrank AS (SELECT doc_id, score,
-                         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
-                         FROM aggq ORDER BY score DESC, doc_id ASC LIMIT 10),
+              qmap AS (SELECT * FROM (VALUES {bm25_qvals_sql}) v(query_id, term)),
+              summed AS (SELECT query_id, doc_id,
+                         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(list_sort(list({{'t': tsq.term, 's': s}})),
+                                          r -> r.s)), (a, b) -> a + b) AS score
+                         FROM tsq JOIN qmap USING (term) GROUP BY query_id, doc_id),
+              bmrank AS (SELECT query_id, doc_id, score,
+                         CAST(row_number() OVER (
+                           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+                         ) AS INT) AS rnk
+                         FROM summed QUALIFY rnk <= 10),
               vq AS (SELECT embedding AS q_vec, {K.sql_magnitude('embedding')} AS q_mag
                      FROM embeddings WHERE vec_id = 0),
               vtop AS (SELECT e.vec_id AS doc_id,
@@ -1850,17 +1864,23 @@ def oracle_sql() -> dict[str, str]:
               vrank AS (SELECT doc_id,
                         CAST(row_number() OVER (ORDER BY c DESC, doc_id ASC) AS INT) AS rnk
                         FROM vtop),
-              rrfq AS (SELECT coalesce(bm.doc_id, v.doc_id) AS doc_id,
+              vrep AS (SELECT q.query_id, v.doc_id, v.rnk
+                       FROM (SELECT DISTINCT query_id FROM bmrank) q CROSS JOIN vrank v),
+              rrfq AS (SELECT coalesce(bm.query_id, v.query_id) AS query_id,
+                              coalesce(bm.doc_id, v.doc_id) AS doc_id,
                        coalesce(CAST(1.0 AS DOUBLE) / (60 + bm.rnk), CAST(0 AS DOUBLE))
                        + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rnk), CAST(0 AS DOUBLE)) AS score
-                       FROM bmrank bm FULL OUTER JOIN vrank v ON bm.doc_id = v.doc_id)
-              SELECT 'bm25' AS kind, CAST(doc_id AS VARCHAR) AS key, 'q0' AS term,
+                       FROM bmrank bm FULL OUTER JOIN vrep v
+                         ON bm.query_id = v.query_id AND bm.doc_id = v.doc_id)
+              SELECT 'bm25' AS kind, query_id AS key, CAST(doc_id AS VARCHAR) AS term,
                      round(score, 9) AS score, rnk
               FROM bmrank
               UNION ALL
-              SELECT 'rrf' AS kind, CAST(doc_id AS VARCHAR) AS key, 'q0' AS term,
+              SELECT 'rrf' AS kind, query_id AS key, CAST(doc_id AS VARCHAR) AS term,
                      round(score, 9) AS score,
-                     CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+                     ) AS INT) AS rnk
               FROM rrfq
             )
         """,

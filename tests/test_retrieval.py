@@ -72,3 +72,38 @@ def test_bm25_no_full_corpus_explode(corpus):
     # not total tokens: scale guard on the plan's shuffled volume
     ts = R.bm25_term_scores(corpus, ["vector", "hash"])
     assert ts.count() == 6  # (1,v),(1,h),(2,v),(3,h),(5,v),(5,h)
+
+
+def test_bm25_many_matches_single(corpus):
+    """Batched scoring must equal the single-query operator per query."""
+    queries = {"a": ["vector", "hash"], "b": ["hash"]}
+    many = R.bm25_topk_many(corpus, queries, n=10).collect()
+    by_q = {}
+    for r in many:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"], r["rnk"]))
+    for qid, terms in queries.items():
+        single = [
+            (r["doc_id"], r["score"], r["rnk"])
+            for r in R.bm25_topk(corpus, terms, n=10).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(single), qid
+
+
+def test_rrf_fuse_many_matches_binary(spark):
+    per_q = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 2), ("b", 20, 1)],
+        "query_id string, doc_id long, rnk int",
+    )
+    shared = spark.createDataFrame([(20, 1), (40, 2)], "doc_id long, rnk int")
+    many = R.rrf_fuse_many(per_q, shared).collect()
+    for qid in ("a", "b"):
+        got = sorted(
+            (r["doc_id"], r["score"], r["rnk"]) for r in many if r["query_id"] == qid
+        )
+        single = sorted(
+            (r["doc_id"], r["score"], r["rnk"])
+            for r in R.rrf_fuse(
+                per_q.where(F.col("query_id") == qid).select("doc_id", "rnk"), shared
+            ).collect()
+        )
+        assert got == single, qid

@@ -158,3 +158,99 @@ def rrf_fuse(
         out_score.alias("score"),
         F.row_number().over(w).alias("rnk"),
     )
+
+
+def bm25_topk_many(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    n: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Batched BM25: ONE plan scores every query in ``queries`` (the
+    lexical analog of ``search.search_many``).  (query_id, id, score,
+    rnk <= n).
+
+    The corpus is scanned once for the UNION of all query terms; a
+    broadcast (query_id, term) table fans matched terms out to their
+    queries.  Per-(query, doc) scores fold term contributions in
+    TERM-SORTED order (``array_sort`` then left fold) — the dynamic-query
+    replacement for the fixed-literal addition order of ``bm25_topk``,
+    with the same engine-independent float determinism.  Ranking is one
+    window partitioned by query_id: per-query state, not corpus state.
+    """
+    from pyspark.sql import Window
+
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    ts = bm25_term_scores(docs, all_terms, k1, b, id_col, text_col)
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(q, t) for q, terms in sorted(queries.items()) for t in terms],
+        "query_id string, term string",
+    )
+    summed = (
+        ts.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("term").alias("t"), F.col("term_score").alias("s"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            ).alias("_score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
+    )
+    out_score = F.round("_score", round_to) if round_to is not None else F.col("_score")
+    return (
+        summed.select(
+            "query_id", F.col(id_col), F.col("_score"), F.row_number().over(w).alias("rnk")
+        )
+        .where(F.col("rnk") <= n)
+        .select("query_id", F.col(id_col), out_score.alias("score"), "rnk")
+    )
+
+
+def rrf_fuse_many(
+    per_query: DataFrame,
+    shared: DataFrame,
+    k: int = RRF_K,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Fuse a per-query ranking (query_id, id, rnk) with one shared
+    ranking (id, rnk) — e.g. batched BM25 lists against a single vector
+    top-k — per query_id.  The shared list is replicated per query via a
+    crossJoin with the (tiny, distinct) query-id set; fusion arithmetic
+    matches ``rrf_fuse`` (fixed-order reciprocal sum, absent side = 0)."""
+    from pyspark.sql import Window
+
+    a = per_query.select("query_id", F.col(id_col), F.col(rank_col).alias("_ra"))
+    qids = per_query.select("query_id").distinct()
+    b = qids.crossJoin(
+        shared.select(F.col(id_col), F.col(rank_col).alias("_rb"))
+    )
+    joined = a.join(b, ["query_id", id_col], "full_outer")
+    score = F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("_ra")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(k) + F.col("_rb")), F.lit(0.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
+    )
+    out = joined.select("query_id", F.col(id_col), score.alias("_score"))
+    out_score = F.round("_score", round_to) if round_to is not None else F.col("_score")
+    return out.select(
+        "query_id",
+        F.col(id_col),
+        out_score.alias("score"),
+        F.row_number().over(w).alias("rnk"),
+    )
