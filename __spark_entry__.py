@@ -1146,8 +1146,9 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN through both index shapes: LSH band buckets (pure-predicate
-    candidates) and IVF (partition-pruned probes), tagged."""
+    """ANN through three index shapes: LSH band buckets (pure-predicate
+    candidates), IVF (partition-pruned probes), and int8 quantized-scan +
+    exact-rerank, tagged."""
     lsh = _q_ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"),
         "vec_id",
@@ -1160,7 +1161,15 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").cast("long").alias("cluster_id"),
         "cosine_similarity",
     )
-    return lsh.unionByName(ivf)
+    quant = SIM.quantized_topk(
+        _emb(spark, sf_dir), _query_vector(spark, sf_dir), n=10
+    ).select(
+        F.lit("quant").alias("method"),
+        "vec_id",
+        F.lit(None).cast("long").alias("cluster_id"),
+        "cosine_similarity",
+    )
+    return lsh.unionByName(ivf).unionByName(quant)
 
 
 def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1672,6 +1681,55 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY {K.sql_cosine('q.q_vec', 'e.embedding', 'q.q_mag')} DESC, a.vec_id ASC
         LIMIT 10
     """
+    # int8 quantized-scan + exact-rerank (similarity.quantized_topk):
+    # scale = max|x|/127 (1e-30 floor), codes = round-half-away(x/scale),
+    # scan ranks by quantized cosine (scales cancel), 4n survivors rerank
+    # on the exact float cosine
+    _sq = lambda v: (
+        f"greatest(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform({v}, x -> abs(CAST(x AS DOUBLE)))),"
+        f" (a, b) -> greatest(a, b)), 1e-30) / 127"
+    )
+    # outer lambda var must NOT collide with the scale expression's inner
+    # lambda var (both `x` makes DuckDB resolve the inner max-abs fold
+    # against the outer element — every code comes out 0)
+    _codes = lambda v, s: (
+        f"list_transform({v}, y -> CAST(round(CAST(y AS DOUBLE) / ({s})) AS INT))"
+    )
+    _ssum = lambda arr: (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform({arr}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),"
+        f" (a, b) -> a + b)"
+    )
+    quant_sql = f"""
+        WITH q AS (
+          SELECT embedding AS q_vec, {mag} AS q_mag,
+                 {_codes('embedding', _sq('embedding'))} AS q_codes
+          FROM embeddings WHERE vec_id = 0
+        ),
+        coded AS (
+          SELECT vec_id, embedding,
+                 {_codes('embedding', _sq('embedding'))} AS codes
+          FROM embeddings
+        ),
+        scan AS (
+          SELECT vec_id, embedding,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(list_zip(codes, q.q_codes),
+                                  p -> CAST(p[1] AS DOUBLE) * p[2])), (a, b) -> a + b)
+                 / (sqrt({_ssum('codes')}) * sqrt({_ssum('q.q_codes')}) + 1e-12) AS qcos
+          FROM coded, q
+        ),
+        survivors AS (
+          SELECT vec_id, embedding FROM scan
+          ORDER BY qcos DESC, vec_id ASC LIMIT 40
+        )
+        SELECT s.vec_id,
+               round({K.sql_cosine('q.q_vec', 's.embedding')}, 9) AS cosine_similarity
+        FROM survivors s, q
+        ORDER BY {K.sql_cosine('q.q_vec', 's.embedding')} DESC, s.vec_id ASC
+        LIMIT 10
+    """
     return {
         # --- dedup / text / events / ann / relational (extensions) ---
         "dedup_exact": f"""
@@ -1792,6 +1850,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ivf' AS method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
                    cosine_similarity
             FROM ({ivf_sql})
+            UNION ALL
+            SELECT 'quant' AS method, vec_id, CAST(NULL AS BIGINT) AS cluster_id,
+                   cosine_similarity
+            FROM ({quant_sql})
         """,
         "text_terms_tfidf": f"""
             WITH terms AS (

@@ -97,10 +97,20 @@ def quantized_topk(
     (scales cancel), so ranking drift comes only from int8 rounding —
     the oversampled candidate set absorbs it.
     """
+    import math
+
     q = [float(x) for x in query_vector]
     max_abs = max((abs(x) for x in q), default=0.0)
     q_scale = max(max_abs, 1e-30) / K.QUANT_LEVELS
-    q_codes = F.array(*[F.lit(int(round(x / q_scale))) for x in q])
+    # half-AWAY-from-zero, matching Spark's F.round (HALF_UP) and SQL
+    # round() — Python's builtin round() is half-even and would disagree
+    # on exact .5 code boundaries
+    q_codes = F.array(
+        *[
+            F.lit(int(math.copysign(math.floor(abs(x) / q_scale + 0.5), x)))
+            for x in q
+        ]
+    )
 
     # scale projected FIRST so the quantize transform references a plain
     # column — embedding the max|x| fold in the lambda would re-evaluate
