@@ -812,28 +812,86 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- relational (OLAP surface at scale) ---------------------------------------
 
 def _q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary through THREE aggregation paths,
+    tagged: 'plain' (one-shot groupBy), 'salted' (operators.skew two-stage
+    salted aggregation — exact for decimal sums, so it must hash-match
+    'plain' values row for row), and 'udaf' (grouped-agg pandas UDAF
+    weighted mean: quantity-weighted extendedprice in the avg_qty slot,
+    rounded to 3dp — numpy's pairwise sum vs SQL's sequential sum differ
+    in final ulps)."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     dec = lambda c: F.col(c).cast("decimal(20,6)")
-    agg = (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec("l_quantity")).alias("_sq"),
-            F.sum(dec("l_extendedprice")).alias("_sb"),
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,6)")
-            ).alias("_sd"),
-            F.count("*").alias("n_rows"),
-        )
+    filtered = li.where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
-    return agg.select(
+    agg = filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).alias("_sq"),
+        F.sum(dec("l_extendedprice")).alias("_sb"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,6)")
+        ).alias("_sd"),
+        F.count("*").alias("n_rows"),
+    )
+
+    def _project(a: DataFrame, kind: str) -> DataFrame:
+        return a.select(
+            F.lit(kind).alias("kind"),
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("_sq").cast("double"), 6).alias("sum_qty"),
+            F.round(F.col("_sb").cast("double"), 6).alias("sum_base"),
+            F.round(F.col("_sd").cast("double"), 6).alias("sum_disc"),
+            F.round(F.col("_sq").cast("double") / F.col("n_rows"), 9).alias("avg_qty"),
+            "n_rows",
+        )
+
+    from wpvectordb_spark.operators import skew as SK
+
+    pre = filtered.select(
         "l_returnflag",
         "l_linestatus",
-        F.round(F.col("_sq").cast("double"), 6).alias("sum_qty"),
-        F.round(F.col("_sb").cast("double"), 6).alias("sum_base"),
-        F.round(F.col("_sd").cast("double"), 6).alias("sum_disc"),
-        F.round(F.col("_sq").cast("double") / F.col("n_rows"), 9).alias("avg_qty"),
-        "n_rows",
+        dec("l_quantity").alias("_qd"),
+        dec("l_extendedprice").alias("_bd"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(20,6)")
+        .alias("_dd"),
+    )
+    salted = SK.salted_agg(
+        pre,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "_sq": ("_qd", "sum"),
+            "_sb": ("_bd", "sum"),
+            "_sd": ("_dd", "sum"),
+            "n_rows": ("l_returnflag", "count"),
+        },
+    )
+    from wpvectordb_spark.functions import udafs as U
+
+    wm = U.weighted_mean()
+    udaf = (
+        filtered.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            wm(
+                F.col("l_extendedprice").cast("double"),
+                F.col("l_quantity").cast("double"),
+            ).alias("_wavg")
+        )
+        .select(
+            F.lit("udaf").alias("kind"),
+            "l_returnflag",
+            "l_linestatus",
+            F.lit(None).cast("double").alias("sum_qty"),
+            F.lit(None).cast("double").alias("sum_base"),
+            F.lit(None).cast("double").alias("sum_disc"),
+            F.round("_wavg", 3).alias("avg_qty"),
+            F.lit(None).cast("long").alias("n_rows"),
+        )
+    )
+    return (
+        _project(agg, "plain")
+        .unionByName(_project(salted, "salted"))
+        .unionByName(udaf)
     )
 
 
@@ -2043,12 +2101,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "rel_pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_qty,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_base,
-                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_disc,
-                   round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 9) AS avg_qty,
-                   COUNT(*) AS n_rows
+            WITH plainagg AS (
+              SELECT l_returnflag, l_linestatus,
+                     round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_qty,
+                     round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_base,
+                     round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_disc,
+                     round(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 9) AS avg_qty,
+                     COUNT(*) AS n_rows
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+              GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT 'plain' AS kind, * FROM plainagg
+            UNION ALL
+            -- salted two-stage agg is EXACT for decimal sums -> same rows
+            SELECT 'salted' AS kind, * FROM plainagg
+            UNION ALL
+            SELECT 'udaf' AS kind, l_returnflag, l_linestatus,
+                   CAST(NULL AS DOUBLE) AS sum_qty,
+                   CAST(NULL AS DOUBLE) AS sum_base,
+                   CAST(NULL AS DOUBLE) AS sum_disc,
+                   round(sum(CAST(l_extendedprice AS DOUBLE) * CAST(l_quantity AS DOUBLE))
+                         / sum(CAST(l_quantity AS DOUBLE)), 3) AS avg_qty,
+                   CAST(NULL AS BIGINT) AS n_rows
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
