@@ -812,13 +812,27 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- relational (OLAP surface at scale) ---------------------------------------
 
 def _q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q1-style pricing summary through THREE aggregation paths,
-    tagged: 'plain' (one-shot groupBy), 'salted' (operators.skew two-stage
-    salted aggregation — exact for decimal sums, so it must hash-match
-    'plain' values row for row), and 'udaf' (grouped-agg pandas UDAF
-    weighted mean: quantity-weighted extendedprice in the avg_qty slot,
-    rounded to 3dp — numpy's pairwise sum vs SQL's sequential sum differ
-    in final ulps)."""
+    """TPC-H-Q1-style pricing summary, plain one-shot groupBy (the frozen
+    bench callable — the registry query wraps this in the three-path
+    tagged union below)."""
+    return _pricing_arms(spark, sf_dir)[0]
+
+
+def _q_rel_pricing_summary_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary through THREE aggregation paths, tagged: 'plain'
+    (one-shot groupBy), 'salted' (operators.skew two-stage salted
+    aggregation — exact for decimal sums, so it must hash-match 'plain'
+    values row for row), and 'udaf' (grouped-agg pandas UDAF weighted
+    mean: quantity-weighted extendedprice in the avg_qty slot, rounded to
+    3dp — numpy's pairwise sum vs SQL's sequential sum differ in final
+    ulps)."""
+    plain, salted, udaf = _pricing_arms(spark, sf_dir)
+    return plain.unionByName(salted).unionByName(udaf)
+
+
+def _pricing_arms(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     dec = lambda c: F.col(c).cast("decimal(20,6)")
     filtered = li.where(
@@ -888,11 +902,7 @@ def _q_rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("n_rows"),
         )
     )
-    return (
-        _project(agg, "plain")
-        .unionByName(_project(salted, "salted"))
-        .unionByName(udaf)
-    )
+    return _project(agg, "plain"), _project(salted, "salted"), udaf
 
 
 def _q_rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1324,7 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- previously unverified / changed this round (front of window) ---
         "stream_windows": _q_stream_windows,
         "multimodal_features": _q_multimodal_features,
-        "rel_pricing_summary": _q_rel_pricing_summary,
+        "rel_pricing_summary": _q_rel_pricing_summary_merged,
         "rel_top_customers": _q_rel_top_customers,
         "rel_revenue_by_nation": _q_rel_revenue_by_nation,
         "rel_grouping_sets": _q_rel_grouping_sets,
