@@ -1304,8 +1304,14 @@ def _q_rel_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both Structured Streaming queries driven to completion — tumbling
-    windowed agg and native session_window sessionization — tagged."""
+    """Three Structured Streaming queries driven to completion — tumbling
+    windowed agg, native session_window sessionization, and watermarked
+    streaming dedup — tagged.  The dedup arm projects per-type SURVIVOR
+    COUNTS (each (user, type) key keeps exactly one row, so the count is
+    deterministic even though which row survives is arrival-order-
+    dependent); the batch oracle is count(distinct user_id) per type."""
+    from wpvectordb_spark.streaming import streams as ST
+
     tumble = _q_stream_tumbling(spark, sf_dir).select(
         F.lit("tumble").alias("kind"),
         F.col("event_type").alias("key"),
@@ -1320,7 +1326,19 @@ def _q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
-    return tumble.unionByName(sess)
+    survivors = ST.run_stream_to_completion(
+        spark,
+        ST.stream_dedup(ST.stream_events(spark, sf_dir), key=["user_id", "event_type"]),
+        output_mode="append",
+    )
+    dedup = survivors.groupBy("event_type").agg(F.count("*").alias("n_events")).select(
+        F.lit("dedup").alias("kind"),
+        F.col("event_type").alias("key"),
+        F.lit(None).cast("timestamp").alias("t"),
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tumble.unionByName(sess).unionByName(dedup)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2102,6 +2120,12 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(*) AS n_events, round(sum(value), 6) AS sum_value
               FROM numbered GROUP BY user_id, session_no
             )
+            UNION ALL
+            SELECT 'dedup' AS kind, event_type AS key,
+                   CAST(NULL AS TIMESTAMP) AS t,
+                   COUNT(DISTINCT user_id) AS n_events,
+                   CAST(NULL AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type
         """,
         "multimodal_features": f"""
             SELECT doc_id AS media_id,

@@ -128,12 +128,22 @@ def stream_session_counts(
     )
 
 
-def stream_dedup(events: DataFrame, key: str, watermark_col: str = "ts", watermark: str = "1 day") -> DataFrame:
+def stream_dedup(
+    events: DataFrame,
+    key: str | list[str],
+    watermark_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
     """Streaming exact dedup: keep the first record per key, with the
     watermark bounding how long keys stay in state — the streaming form of
     ``dedup.exact_dedup``.  At 100 TB ingest this is how already-seen
-    documents are dropped without a static join against the full corpus."""
-    return events.withWatermark(watermark_col, watermark).dropDuplicates([key])
+    documents are dropped without a static join against the full corpus.
+
+    WHICH row survives per key depends on micro-batch arrival order;
+    downstream logic that must be deterministic should aggregate per-key
+    facts (counts, distinct counts), not survivor attributes."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return events.withWatermark(watermark_col, watermark).dropDuplicates(keys)
 
 
 def stream_running_user_counts(events: DataFrame) -> DataFrame:
