@@ -1304,9 +1304,11 @@ def _q_rel_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three Structured Streaming queries driven to completion — tumbling
-    windowed agg, native session_window sessionization, and watermarked
-    streaming dedup — tagged.  The dedup arm projects per-type SURVIVOR
+    """Four Structured Streaming queries driven to completion — tumbling
+    windowed agg, native session_window sessionization, watermarked
+    streaming dedup, and the applyInPandasWithState running counter (its
+    final per-user state equals the batch count) — tagged.  The dedup arm
+    projects per-type SURVIVOR
     COUNTS (each (user, type) key keeps exactly one row, so the count is
     deterministic even though which row survives is arrival-order-
     dependent); the batch oracle is count(distinct user_id) per type."""
@@ -1338,7 +1340,22 @@ def _q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.lit(None).cast("double").alias("sum_value"),
     )
-    return tumble.unionByName(sess).unionByName(dedup)
+    # applyInPandasWithState running counter: update mode emits one row per
+    # user per micro-batch; the count is monotone, so max() is the final
+    # state and equals the batch per-user count
+    updates = ST.run_stream_to_completion(
+        spark,
+        ST.stream_running_user_counts(ST.stream_events(spark, sf_dir)),
+        output_mode="update",
+    )
+    counter = updates.groupBy("user_id").agg(F.max("n_events").alias("n_events")).select(
+        F.lit("counter").alias("kind"),
+        F.col("user_id").cast("string").alias("key"),
+        F.lit(None).cast("timestamp").alias("t"),
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return tumble.unionByName(sess).unionByName(dedup).unionByName(counter)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2126,6 +2143,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS n_events,
                    CAST(NULL AS DOUBLE) AS sum_value
             FROM events GROUP BY event_type
+            UNION ALL
+            SELECT 'counter' AS kind, CAST(user_id AS VARCHAR) AS key,
+                   CAST(NULL AS TIMESTAMP) AS t,
+                   COUNT(*) AS n_events,
+                   CAST(NULL AS DOUBLE) AS sum_value
+            FROM events GROUP BY user_id
         """,
         "multimodal_features": f"""
             SELECT doc_id AS media_id,
