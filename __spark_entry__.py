@@ -801,12 +801,38 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via Arrow-batched mapInPandas;
     payloads are UTF-8 document bytes so features are oracle-checkable.
     Repartitioned first: the small corpus arrives as one parquet split,
-    which would pin all Python decode workers to one core."""
+    which would pin all Python decode workers to one core.  (Frozen bench
+    callable; the registry query below adds the frame-sampling arm.)"""
     from wpvectordb_spark.operators import multimodal as M
 
     docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     media = M.media_from_documents(docs)
     return M.media_features(media)
+
+
+def _q_multimodal_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Features plus uniform frame sampling (1-to-N mapInPandas with the
+    deterministic fake codec/extractor), tagged.  Frame rows reuse the
+    feature columns: byte_len carries frame_bytes (text media has one
+    frame = the first min(16, 2*len) wrapped payload bytes) and
+    first_byte carries frame_no (always 0 for single-frame text)."""
+    from wpvectordb_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    media = M.media_from_documents(docs)
+    feat = M.media_features(media).select(
+        F.lit("feat").alias("kind"), "media_id", "byte_len", "first_byte", "checksum"
+    )
+    frames = M.sample_frames(
+        media, k=3, codec=M.fake_codec, frame_extractor=M.fake_frame_extractor
+    ).select(
+        F.lit("frame").alias("kind"),
+        "media_id",
+        F.col("frame_bytes").alias("byte_len"),
+        F.col("frame_no").alias("first_byte"),
+        F.col("frame_checksum").alias("checksum"),
+    )
+    return feat.unionByName(frames)
 
 
 # --- relational (OLAP surface at scale) ---------------------------------------
@@ -1368,7 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- previously unverified / changed this round (front of window) ---
         "stream_windows": _q_stream_windows,
-        "multimodal_features": _q_multimodal_features,
+        "multimodal_features": _q_multimodal_features_merged,
         "rel_pricing_summary": _q_rel_pricing_summary_merged,
         "rel_top_customers": _q_rel_top_customers,
         "rel_revenue_by_nation": _q_rel_revenue_by_nation,
@@ -2151,10 +2177,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "multimodal_features": f"""
-            SELECT doc_id AS media_id,
+            SELECT 'feat' AS kind, doc_id AS media_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                    CAST(CASE WHEN length(text) > 0 THEN ascii(text[1]) ELSE -1 END AS BIGINT) AS first_byte,
                    {fp} AS checksum
+            FROM documents
+            UNION ALL
+            -- text media has one frame: the first min(16, 2*len) bytes of
+            -- the doubled payload (fake_frame_extractor's rotating window
+            -- at idx 0); docs are pure ASCII so the byte fold equals the
+            -- char fold
+            SELECT 'frame' AS kind, doc_id AS media_id,
+                   CAST(least(16, 2 * octet_length(encode(text))) AS BIGINT) AS byte_len,
+                   CAST(0 AS BIGINT) AS first_byte,
+                   {X.sql_string_hash("left(repeat(text, 2), 16)")} AS checksum
             FROM documents
         """,
         "rel_pricing_summary": """
