@@ -44,3 +44,25 @@ def test_query_parity(name, spark, duck):
         df.limit(1).collect()
         return
     assert_parity(df, duck.sql(ORACLES[name]))
+
+
+def test_corpus_is_pure_ascii(spark):
+    """Every char/byte hash-parity pair in the repo (string_hash's
+    char-codepoint fold vs the multimodal byte checksum; the frame
+    oracle's left(repeat(text,2),16) char slice vs fake_frame_extractor's
+    byte window) holds ONLY while documents are pure ASCII.  The driver
+    regenerates testdata between rounds — if a regeneration goes
+    non-ASCII, fail HERE with the cause named instead of as a mysterious
+    hash mismatch in CORRECTNESS."""
+    from tests.conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    non_ascii = docs.where(
+        F.octet_length(F.encode("text", "UTF-8")) != F.length("text")
+    ).count()
+    assert non_ascii == 0, (
+        f"{non_ascii} non-ASCII documents — char-fold vs byte-fold hash "
+        "parity (multimodal checksum, frame oracle) no longer holds; "
+        "switch those oracles to byte-based folds before trusting hashes"
+    )

@@ -145,6 +145,19 @@ def test_ngram_jaccard_candidates_route(docs):
     assert all(r["id_a"] < r["id_b"] for r in rows)
 
 
+def test_lsh_null_signatures_never_pair(spark):
+    """Docs with NULL signatures (empty token sets) must NOT become
+    candidates: lsh_band_keys over a null signature yields an array of
+    NULL elements that posexplode EMITS — without the post-explode
+    band_key filter, all such docs collapse into one hot NULL bucket per
+    band (the adversarial-skew case the module docstring warns about)."""
+    sig = [11, 22, 33, 44] * 8  # 32 values = 8 default bands x 4 rows
+    rows = [(1, sig), (2, sig), (3, None), (4, None)]
+    sigs = spark.createDataFrame(rows, "doc_id long, signature array<long>")
+    got = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(sigs).collect()}
+    assert got == {(1, 2)}  # the two null-signature docs never pair
+
+
 def test_ngram_jaccard_refuses_unbounded():
     with pytest.raises(ValueError, match="bounded pair space"):
         D.ngram_jaccard_pairs(None, threshold=0.5)
@@ -263,8 +276,8 @@ def test_arrow_cosine_matches_catalyst(spark):
     assert arrow == catalyst
 
 
-def test_lsh_bucket_cap_drops_with_warning(spark):
-    import warnings
+def test_lsh_bucket_cap_drops_with_observed_metric(spark):
+    from pyspark.sql import Observation
 
     # 30 identical docs -> every band bucket holds all 30
     df = spark.createDataFrame(
@@ -274,11 +287,24 @@ def test_lsh_bucket_cap_drops_with_warning(spark):
     sigs = D.minhash_signatures(df)
     uncapped = D.lsh_candidate_pairs(sigs).count()
     assert uncapped == 30 * 29 // 2
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        capped = D.lsh_candidate_pairs(sigs, max_bucket_size=10).count()
-    assert capped == 0
-    assert any("dropping" in str(x.message) for x in w)
+    # add a small surviving group so the capped output is non-empty (an
+    # all-empty result lets AQE prune the CollectMetrics stage — see the
+    # caveat in lsh_candidate_pairs)
+    small = spark.createDataFrame(
+        [(100 + i, "a tiny different pair of twin documents") for i in range(2)],
+        "doc_id long, text string",
+    )
+    sigs2 = D.minhash_signatures(df.unionByName(small))
+    obs = Observation("skew_guard_test")
+    capped = D.lsh_candidate_pairs(
+        sigs2, max_bucket_size=10, observation=obs
+    ).collect()
+    # the oversized 30-doc buckets are dropped, the twin pair survives
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+    # the drop is folded into the one plan; the count comes from the
+    # observed metric, not an eager pre-count job
+    assert obs.get["dropped_buckets"] == 8  # all 8 oversized band buckets
+    assert obs.get["total_buckets"] == 16
 
 
 def test_kmeans_ivf_recall_beats_deterministic(spark):

@@ -107,3 +107,28 @@ def test_rrf_fuse_many_matches_binary(spark):
             ).collect()
         )
         assert got == single, qid
+
+
+def test_bm25_refuses_empty_terms(corpus):
+    with pytest.raises(ValueError, match="non-empty"):
+        R.bm25_topk(corpus, [])
+    with pytest.raises(ValueError, match="non-empty"):
+        R.bm25_topk_many(corpus, {})
+    with pytest.raises(ValueError, match="non-empty"):
+        R.bm25_topk_many(corpus, {"q": []})
+
+
+def test_bm25_duplicate_terms_count_once(corpus):
+    """A term repeated in the query must not double its contribution."""
+    once = sorted(
+        (r["doc_id"], r["score"], r["rnk"])
+        for r in R.bm25_topk(corpus, ["vector", "hash"], n=10).collect()
+    )
+    doubled = sorted(
+        (r["doc_id"], r["score"], r["rnk"])
+        for r in R.bm25_topk(corpus, ["vector", "hash", "vector"], n=10).collect()
+    )
+    assert once == doubled
+    many = R.bm25_topk_many(corpus, {"q": ["hash", "hash", "vector"]}, n=10).collect()
+    got = sorted((r["doc_id"], r["score"], r["rnk"]) for r in many)
+    assert got == once

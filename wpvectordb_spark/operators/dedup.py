@@ -105,6 +105,7 @@ def lsh_candidate_pairs(
     bands: int = DEFAULT_BANDS,
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band key.
 
@@ -117,11 +118,17 @@ def lsh_candidate_pairs(
     keys = F.posexplode(
         X.lsh_band_keys("signature", bands, rows_per_band)
     )
-    # No explicit null-signature filter: band keys of a null signature are
-    # null and posexplode drops them.  A `where(isNotNull)` here would make
-    # Catalyst evaluate a Python-UDF signature TWICE (stacked
-    # ArrowEvalPython stages — one feeding the filter, one the projection).
-    banded = signatures.select(F.col(id_col), keys.alias("band_id", "band_key"))
+    # lsh_band_keys transforms over sequence(0, bands-1), so a NULL
+    # signature yields an array of NULL *elements* — posexplode DOES emit
+    # those, and at scale every empty/short doc would collide in one hot
+    # NULL bucket per band (B^2/2 pair blowup).  Filter the generated
+    # band_key AFTER the explode: it only exists past the Generate node,
+    # so the filter cannot re-trigger an upstream UDF-backed signature
+    # projection (unlike a pre-explode `where(signature.isNotNull())`,
+    # which risks a stacked ArrowEvalPython double-eval).
+    banded = signatures.select(
+        F.col(id_col), keys.alias("band_id", "band_key")
+    ).where(F.col("band_key").isNotNull())
     buckets = (
         banded.groupBy("band_id", "band_key")
         .agg(F.collect_list(id_col).alias("ids"))
@@ -132,16 +139,23 @@ def lsh_candidate_pairs(
         # task.  Oversized buckets (boilerplate/empty docs that collide in
         # every band) are dropped EXPLICITLY — callers opting in accept
         # reduced recall on those groups; exact_dedup catches true
-        # duplicates among them.  No silent truncation by default.
-        import warnings
-
-        dropped = buckets.where(F.size("ids") > max_bucket_size).count()
-        if dropped:
-            warnings.warn(
-                f"lsh_candidate_pairs: dropping {dropped} bucket(s) larger "
-                f"than max_bucket_size={max_bucket_size}"
-            )
-        buckets = buckets.where(F.size("ids") <= max_bucket_size)
+        # duplicates among them.  The dropped-bucket count is recorded as
+        # an observed metric INSIDE the single plan (no eager pre-count
+        # job): pass observation= (a pyspark.sql.Observation) and read
+        # ``observation.get["dropped_buckets"]`` after an action, or watch
+        # the named "lsh_skew_guard" metric in a QueryExecutionListener.
+        # Caveat: if EVERY bucket is dropped, AQE's empty-relation
+        # propagation can prune the CollectMetrics stage and the
+        # Observation never fires — metrics are only guaranteed when the
+        # pair output is non-empty.
+        guard = observation if observation is not None else "lsh_skew_guard"
+        buckets = buckets.observe(
+            guard,
+            F.sum(
+                F.when(F.size("ids") > max_bucket_size, 1).otherwise(0)
+            ).alias("dropped_buckets"),
+            F.count(F.lit(1)).alias("total_buckets"),
+        ).where(F.size("ids") <= max_bucket_size)
     pairs = F.explode(
         F.expr(
             "flatten(transform(ids,"

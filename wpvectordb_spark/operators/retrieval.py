@@ -34,6 +34,14 @@ from wpvectordb_spark.functions import text as X
 RRF_K = 60  # Cormack et al.'s constant
 
 
+def _unique_terms(terms: list[str], caller: str) -> list[str]:
+    """Order-preserving dedupe; refuse empty lists with a clear error
+    (an empty list used to surface as an unresolved `_s0` column)."""
+    if not terms:
+        raise ValueError(f"{caller}: query_terms must be a non-empty list")
+    return list(dict.fromkeys(terms))
+
+
 def _dl(toks: Column) -> Column:
     return F.coalesce(F.size(toks), F.lit(0)).cast("long")
 
@@ -100,7 +108,13 @@ def bm25_topk(
     The per-document score adds one conditional-sum column per query term
     in the literal order given — identical float addition order in any
     engine, so the result is oracle-hashable.
+
+    Duplicate query terms are collapsed (first occurrence wins the
+    ordering): the conditional-sum columns key on term EQUALITY, so a
+    repeated term would otherwise count its score once per repetition.
+    An empty term list is refused — there is nothing to rank by.
     """
+    query_terms = _unique_terms(query_terms, "bm25_topk")
     ts = bm25_term_scores(docs, query_terms, k1, b, id_col, text_col)
     per_term = ts.groupBy(id_col).agg(
         *[
@@ -184,6 +198,11 @@ def bm25_topk_many(
     """
     from pyspark.sql import Window
 
+    if not queries:
+        raise ValueError("bm25_topk_many: queries must be a non-empty dict")
+    # per-query dedupe: duplicate (query_id, term) rows in qdf would
+    # double-count that term's score for the query
+    queries = {q: _unique_terms(ts, f"bm25_topk_many[{q!r}]") for q, ts in queries.items()}
     all_terms = sorted({t for ts in queries.values() for t in ts})
     ts = bm25_term_scores(docs, all_terms, k1, b, id_col, text_col)
     spark = docs.sparkSession
