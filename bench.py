@@ -2,20 +2,30 @@
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric", "value" (total seconds), "unit",
-"queries" (per-query seconds), "sf"}.  Each query materializes fully
-(count/collect) so the measured time covers the whole plan execution.
+"queries" (per-query seconds), "sf", "median_of"}.  Each query
+materializes fully (count/collect) so the measured time covers the whole
+plan execution.
+
+Per-query numbers are MEDIANS of $SPARK_GRAFT_BENCH_RUNS runs (default
+3) and the total is the sum of medians: identical-plan queries on this
+host vary by several seconds run-to-run (PERFORMANCE.md documents 1.7 ->
+5.9 s on one plan), and round 2 spent a manual re-run adjudicating six
+phantom "regressions" that were all host noise.  Set
+SPARK_GRAFT_BENCH_RUNS=1 for the old single-shot behavior.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
 def main() -> None:
@@ -84,13 +94,21 @@ def main() -> None:
     _D.simhash_near_dup_pairs(_tiny, max_hamming=3).count()
     spark.catalog.clearCache()
 
+    def timed(fn) -> float:
+        """Median wall time of RUNS full materializations (fresh plan each
+        run — the query callables rebuild their lineage, so no cache
+        reuse inflates the later runs)."""
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.monotonic()
+            fn()
+            samples.append(time.monotonic() - t0)
+        return round(statistics.median(samples), 3)
+
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.monotonic()
-        df = qmap[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        timings[name] = timed(lambda: qmap[name](spark, SF_DIR).count())
+        print(f"# {name}: {timings[name]}s (median of {RUNS})", file=sys.stderr)
 
     # batch search: 50 query vectors against the whole table in one plan —
     # the Spark-native generalization (not in queries(): no single-query oracle)
@@ -101,18 +119,18 @@ def main() -> None:
     qs = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
     )
-    t0 = time.monotonic()
-    S.search_many(vectors, qs, n=5, code_col=None, mag_col=None).count()
-    timings["search_batch_50"] = round(time.monotonic() - t0, 3)
+    timings["search_batch_50"] = timed(
+        lambda: S.search_many(vectors, qs, n=5, code_col=None, mag_col=None).count()
+    )
     print(f"# search_batch_50: {timings['search_batch_50']}s", file=sys.stderr)
 
     # Arrow/numpy cosine fast path vs the Catalyst expression form
     from wpvectordb_spark.operators import similarity as SIM
 
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    t0 = time.monotonic()
-    SIM.brute_force_topk_arrow(emb, qv, n=10).count()
-    timings["search_brute_force_arrow"] = round(time.monotonic() - t0, 3)
+    timings["search_brute_force_arrow"] = timed(
+        lambda: SIM.brute_force_topk_arrow(emb, qv, n=10).count()
+    )
     print(f"# search_brute_force_arrow: {timings['search_brute_force_arrow']}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -125,6 +143,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "median_of": RUNS,
             }
         )
     )

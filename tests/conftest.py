@@ -55,9 +55,11 @@ def rows_key(cols, rows):
     return sorted(cols), sorted(out, key=repr)
 
 
-def assert_parity(spark_df, duck_rel):
+def assert_parity(spark_df, duck_rel, precollected=None):
     scols = spark_df.columns
-    srows = [tuple(r) for r in spark_df.collect()]
+    srows = [
+        tuple(r) for r in (precollected if precollected is not None else spark_df.collect())
+    ]
     dcols = [d[0] for d in duck_rel.description]
     drows = duck_rel.fetchall()
     sk = rows_key(scols, srows)

@@ -250,6 +250,34 @@ def test_remove_boilerplate_lines_custom_segmentation(spark):
     assert ("1", ) != ()  # sanity
 
 
+def test_remove_boilerplate_shuffled_fallback_identical(spark):
+    """With a heavy set too large to broadcast (simulated by disabling
+    auto-broadcast so the anti-join runs shuffled), results are identical
+    to the broadcast path — the guard degrades, never corrupts."""
+    # 50 docs x 20 shared "boilerplate" lines each + one unique line
+    rows = [
+        (i, "\n".join([f"shared line {j}" for j in range(20)] + [f"unique {i}"]))
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    forced = {
+        tuple(r)
+        for r in CU.remove_boilerplate_lines(
+            docs, min_docs=2, force_broadcast=True
+        ).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffled = {
+            tuple(r) for r in CU.remove_boilerplate_lines(docs, min_docs=2).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert shuffled == forced
+    assert all(t[1] == f"unique {t[0]}" and t[2] == 20 for t in shuffled)
+
+
 def test_remove_boilerplate_within_doc_repeat_not_boilerplate(spark):
     # a line repeated INSIDE one doc is not boilerplate (distinct-doc count)
     rows = [(1, "echo\necho\nkeep"), (2, "other")]

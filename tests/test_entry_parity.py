@@ -33,17 +33,81 @@ def test_registry_is_exactly_50_keys():
     assert len(QUERIES) == 50
 
 
+# Standing vacuous-arm guard (round-2 verdict item 2): every tagged
+# sub-result ("arm") of every merged query must be NON-EMPTY at sf0.01 —
+# an arm that returns 0 rows hash-matches its oracle on empty sets and
+# verifies nothing (this bit the embedding-cosine threshold and the
+# rel_membership LEFT ANTI arm after driver testdata regenerations).
+# Tag column name -> frozen expected tag values, per query.
+EXPECTED_ARMS = {
+    "stream_windows": ("kind", {"counter", "dedup", "session", "tumble"}),
+    "multimodal_features": ("kind", {"feat", "frame"}),
+    "rel_pricing_summary": ("kind", {"plain", "salted", "udaf"}),
+    "rel_grouping_sets": ("kind", {"cube", "rollup"}),
+    "rel_membership": ("kind", {"seg_0", "seg_1", "set_both", "set_orders_only"}),
+    "ann_lsh_ivf": ("method", {"ivf", "ivf_idx", "lsh", "quant"}),
+    "k7_json_codec": ("kind", {"code", "props"}),
+    "crud_composite_get": (
+        "kind",
+        {"all", "cap", "get", "count"}
+        | {
+            f"ddl_{f}"
+            for f in (
+                "id post_id sequence_no vector normalized_vector vector_type "
+                "binary_code magnitude created_at updated_at"
+            ).split()
+        },
+    ),
+    "queue_stats": (
+        "status",
+        {"pending", "processing", "completed", "failed", "__total__"},
+    ),
+    "dsl_variants": ("kind", {"dt", "neg", "taut"}),
+    "crud_get_delete": ("kind", {"get", "scan"}),
+    "curate_sample_pack": (
+        "kind",
+        {"budget", "chunk", "pack", "qfilter", "sample", "shard"},
+    ),
+    "curate_decontaminate": ("kind", {"boiler", "decon"}),
+    "events_windows": ("kind", {"slide", "tumble"}),
+    "dedup_embedding": ("engine", {"arrow", "catalyst"}),
+    "dedup_minhash_lsh": ("kind", {"component", "incr", "pair"}),
+    "text_terms_tfidf": ("kind", {"bm25", "rrf", "tfidf", "top"}),
+}
+
+
+def _assert_arms_nonempty(name, cols, rows):
+    assert rows, f"{name}: 0 rows at sf0.01 — the oracle check is vacuous"
+    if name not in EXPECTED_ARMS:
+        return
+    tag_col, expected = EXPECTED_ARMS[name]
+    i = cols.index(tag_col)
+    got = {r[i] for r in rows}
+    missing = expected - got
+    assert not missing, (
+        f"{name}: arm(s) {sorted(missing)} returned 0 rows at sf0.01 — "
+        "vacuously verified (testdata regeneration? re-tune the "
+        "corpus-dependent constants)"
+    )
+    unexpected = got - expected
+    assert not unexpected, (
+        f"{name}: unexpected arm(s) {sorted(unexpected)} — update "
+        "EXPECTED_ARMS so the guard keeps covering every arm"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_parity(name, spark, duck):
     from tests.conftest import SF_DIR
 
     df = QUERIES[name](spark, SF_DIR)
+    rows = df.collect()
+    _assert_arms_nonempty(name, df.columns, rows)
     if name not in ORACLES:
         # weaker rows-only check (driver does the same)
         assert df.columns
-        df.limit(1).collect()
         return
-    assert_parity(df, duck.sql(ORACLES[name]))
+    assert_parity(df, duck.sql(ORACLES[name]), precollected=rows)
 
 
 def test_corpus_is_pure_ascii(spark):

@@ -234,6 +234,22 @@ def test_tumbling_window_counts(spark):
     assert all(r["window_start"] == dt.datetime(2024, 1, 1, 0, 0) for r in out)
 
 
+def test_tumbling_distinct_switch(spark):
+    """Default n_users is the HLL approx (single-shuffle at scale);
+    exact_distinct=True opts into the exact count the oracle checks.
+    On this tiny input both agree exactly."""
+    ev = _mk_events(spark)
+    approx = {
+        (r["window_start"], r["event_type"]): r["n_users"]
+        for r in E.tumbling_window_agg(ev, "1 hour").collect()
+    }
+    exact = {
+        (r["window_start"], r["event_type"]): r["n_users"]
+        for r in E.tumbling_window_agg(ev, "1 hour", exact_distinct=True).collect()
+    }
+    assert approx == exact and exact
+
+
 def test_sliding_window_multiplicity(spark):
     out = E.sliding_window_agg(_mk_events(spark), "1 hour", "15 minutes")
     # every event appears in exactly 4 windows
@@ -330,6 +346,14 @@ def test_kmeans_ivf_recall_beats_deterministic(spark):
     # trained partitions shouldn't be materially worse than arbitrary ones
     assert r_km >= r_det - 0.2
     assert r_km >= 0.5
+    # absolute floor at a doubled probe budget: the driver's embeddings are
+    # near-random (the worst case for IVF — little cluster structure), and
+    # trained centroids still reach 0.90 measured @ n_probe=8; 0.8 leaves
+    # margin for testdata regeneration while catching a broken index path
+    def ivf_km8(vectors, qv, k):
+        return SIM.ivf_topk(vectors, qv, k=k, n_probe=8, centroids=km)
+
+    assert SIM.ann_recall(emb, qvs, k=10, topk_fn=ivf_km8) >= 0.8
 
 
 def test_lsh_topk_self_retrieval_and_recall(spark):

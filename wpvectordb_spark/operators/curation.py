@@ -291,6 +291,7 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     delim: str = "\n",
     lines: DataFrame | None = None,
+    force_broadcast: bool = False,
 ) -> DataFrame:
     """C4-style line-level corpus dedup: a line occurring in at least
     ``min_docs`` DISTINCT documents is boilerplate (nav bars, cookie
@@ -301,11 +302,18 @@ def remove_boilerplate_lines(
     Scale shape: explode lines once (narrow); ONE aggregation keyed on
     the line computes distinct-doc counts with map-side partial
     aggregation (boilerplate lines collapse before the shuffle — the
-    heavy hitters are exactly the well-combined keys); the surviving
-    heavy set is FEW DISTINCT LINES however frequent, so it broadcasts
-    back as an anti-join filter; reassembly is one groupBy(id) with an
-    order-preserving sorted collect.  Two shuffles total, both keyed and
-    combinable; the corpus is never self-joined.
+    heavy hitters are exactly the well-combined keys); the heavy set
+    anti-joins back against the lines; reassembly is one groupBy(id)
+    with an order-preserving sorted collect.  The corpus is never
+    self-joined.
+
+    The anti-join deliberately carries NO broadcast hint: with the usual
+    "few distinct boilerplate lines" profile AQE converts it to a
+    broadcast join from runtime stats anyway, but a low ``min_docs`` on a
+    100 TB corpus can make the heavy set arbitrarily large, and a forced
+    ``F.broadcast`` would then OOM the driver instead of degrading to a
+    shuffled anti-join.  ``force_broadcast=True`` restores the hint when
+    the caller KNOWS the set is tiny (skips one AQE stat exchange).
 
     Pass ``lines`` as a pre-exploded (id, pos, line) frame to use a
     custom segmentation (sentences, fixed token chunks) instead of
@@ -324,7 +332,9 @@ def remove_boilerplate_lines(
         .where(F.col("_nd") >= min_docs)
         .select("line")
     )
-    kept = lines.join(F.broadcast(heavy), "line", "left_anti")
+    kept = lines.join(
+        F.broadcast(heavy) if force_broadcast else heavy, "line", "left_anti"
+    )
     reasm = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -16,17 +16,33 @@ SESSION_GAP_MINUTES = 30
 
 
 def tumbling_window_agg(
-    events: DataFrame, width: str = "1 hour", ts_col: str = "ts"
+    events: DataFrame,
+    width: str = "1 hour",
+    ts_col: str = "ts",
+    exact_distinct: bool = False,
 ) -> DataFrame:
     """Per-window, per-event-type counts and value sums.  Uses ``window()``
     (struct start/end) — the same expression Structured Streaming uses, so
-    the batch and stream plans share logic."""
+    the batch and stream plans share logic.
+
+    ``n_users`` defaults to ``approx_count_distinct`` (HLL, folds into the
+    same single shuffle as the other aggregates — what the streaming form
+    already uses, streams.py); ``exact_distinct=True`` opts into the exact
+    count, whose per-(window, type) distinct is a second full shuffle of
+    user ids — fine at test SF, the wrong default at 100 TB.  Mirrors
+    ``user_activity``'s exact/approx pairing; the oracle checks the exact
+    arm (HLL results are implementation-defined)."""
+    n_users = (
+        F.count_distinct("user_id")
+        if exact_distinct
+        else F.approx_count_distinct("user_id")
+    )
     return (
         events.groupBy(F.window(ts_col, width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 6).alias("sum_value"),
-            F.count_distinct("user_id").alias("n_users"),
+            n_users.alias("n_users"),
         )
         .select(
             F.col("w.start").alias("window_start"),
