@@ -551,8 +551,10 @@ def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup through BOTH engines — the Catalyst blocked
     equi-join and the Arrow blocked-matmul (applyInPandas gram matrix) —
-    tagged and unioned so each engine hash-checks against the same
-    oracle."""
+    plus SemDeDup-style cluster-blocked semantic dedup (deterministic
+    centroids, greedy smaller-id survivor rule), tagged and unioned.
+    The semdedup arm reuses the pair columns: id_a=vec_id,
+    id_b=cluster_id, cosine=keep (1.0 kept / 0.0 dropped)."""
     emb = _emb(spark, sf_dir)
     catalyst = D.embedding_near_dup_pairs(
         emb, threshold=0.3, block_col="label", engine="catalyst"
@@ -562,7 +564,13 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrow = D.embedding_near_dup_pairs_arrow(emb, threshold=0.3).select(
         F.lit("arrow").alias("engine"), "id_a", "id_b", "cosine"
     )
-    return catalyst.unionByName(arrow)
+    sem = D.semantic_dedup(emb, threshold=0.3, n_clusters=16).select(
+        F.lit("semdedup").alias("engine"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+        F.col("keep").cast("double").alias("cosine"),
+    )
+    return catalyst.unionByName(arrow).unionByName(sem)
 
 
 # --- text analysis -----------------------------------------------------------
@@ -1745,6 +1753,45 @@ def oracle_sql() -> dict[str, str]:
             ON a.label = b.label AND a.vec_id < b.vec_id
         ) WHERE cosine >= 0.3
     """
+    # SemDeDup arm (dedup.semantic_dedup): deterministic first-16
+    # centroids, argmax assignment (same expressions as the IVF oracle),
+    # within-cluster pairs at rounded-cosine >= 0.3, greedy smaller-id
+    # drop rule; emitted as (vec_id, cluster_id, keep)
+    sem_cent_cos = K.sql_cosine("e.embedding", "c.centroid", None, "c.centroid_mag")
+    sem_pair_cos = K.sql_cosine(
+        "x.embedding", "y.embedding",
+        K.sql_magnitude("x.embedding"), K.sql_magnitude("y.embedding"),
+    )
+    semdedup_cte = f"""
+        WITH cent AS (
+          SELECT vec_id AS cluster_id, embedding AS centroid,
+                 {K.sql_magnitude('embedding')} AS centroid_mag
+          FROM embeddings WHERE vec_id < 16
+        ),
+        assigned AS (
+          SELECT vec_id, cluster_id FROM (
+            SELECT e.vec_id, c.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {sem_cent_cos} DESC, c.cluster_id ASC
+                   ) AS rn
+            FROM embeddings e, cent c
+          ) WHERE rn = 1
+        ),
+        av AS (
+          SELECT a.vec_id, a.cluster_id, e.embedding
+          FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+        ),
+        dropped AS (
+          SELECT DISTINCT y.vec_id
+          FROM av x JOIN av y ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+          WHERE round({sem_pair_cos}, 9) >= 0.3
+        )
+        SELECT 'semdedup' AS engine, av.vec_id AS id_a, av.cluster_id AS id_b,
+               CASE WHEN d.vec_id IS NULL THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS cosine
+        FROM av LEFT JOIN dropped d ON av.vec_id = d.vec_id
+    """
     qf = TA.sql_quality_features("text")
     rep = TA.sql_repetition_features("text")
     scrub = TA.sql_scrub_features("text")
@@ -1938,6 +1985,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'catalyst' AS engine, id_a, id_b, cosine FROM ({emb_dup_cte})
             UNION ALL
             SELECT 'arrow' AS engine, id_a, id_b, cosine FROM ({emb_dup_cte})
+            UNION ALL
+            SELECT engine, id_a, id_b, cosine FROM ({semdedup_cte})
         """,
         "events_conversion_funnel": """
             WITH firsts AS (

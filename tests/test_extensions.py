@@ -540,3 +540,39 @@ def test_scrub_features_match_duckdb(spark, duck):
     byid = {t[0]: t[1:] for t in s}
     assert byid[1][:4] == (1, 1, 0, 1)  # 1 url, 1 email, 0 ip, 1 longnum
     assert byid[2][:4] == (0, 0, 2, 1)
+
+
+def test_semantic_dedup_greedy_survivors(spark):
+    """Synthetic clusters: identical vectors collapse to the smallest id;
+    the orthogonal singleton survives untouched."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),   # dup of 1
+        (3, [0.999, 0.01, 0.0]),  # near-dup of 1/2
+        (4, [0.0, 1.0, 0.0]),   # different direction
+        (5, [0.0, 0.0, 1.0]),   # different direction
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # n_clusters=2: both deterministic centroids (vecs 1 and 2) point along
+    # x, so every vector lands in one cluster and the within-cluster pair
+    # comparisons see all near-dups
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in D.semantic_dedup(emb, threshold=0.95, n_clusters=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # 1 survives; its near-dups 2 and 3 are dropped (smaller-id rule)
+    assert out[1][1] is True and out[2][1] is False and out[3][1] is False
+    assert out[4][1] is True and out[5][1] is True
+
+
+def test_semantic_dedup_nonvacuous_on_corpus(spark):
+    """At sf0.01 with the registry threshold both outcomes must occur —
+    the keep/drop split itself is the signal the oracle hashes."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    counts = {
+        r["keep"]: r["n"]
+        for r in D.semantic_dedup(emb, threshold=0.3, n_clusters=16)
+        .groupBy("keep").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0

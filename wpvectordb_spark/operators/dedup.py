@@ -652,3 +652,64 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    engine: str = DEFAULT_SKETCH_ENGINE,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    cluster the embeddings, compare pairs only WITHIN a cluster, and drop
+    every item that has a near-duplicate (cosine >= threshold) with a
+    smaller id in its cluster.  Returns (id, cluster_id, keep).
+
+    Survivor policy is the greedy smaller-id rule, not transitive
+    closure: an item is dropped iff SOME kept-or-dropped smaller-id
+    neighbor clears the threshold.  That is the policy the SemDeDup
+    paper's implementation uses (one exemplar per duplicate group,
+    chosen arbitrarily — here: min id, deterministic), it needs no
+    iteration, and it is exactly one anti-join.  For transitive-closure
+    survivors over sparse pair graphs use ``connected_components`` on
+    the pair list instead (the minhash path does).
+
+    Scale shape: centroid assignment is a broadcast argmax (16..4096
+    centroids are KB..MB); pairs are blocked per cluster — the
+    ``n^2`` term becomes ``sum(|cluster|^2)``, and with trained
+    centroids (``similarity.kmeans_centroids``) cluster sizes are
+    balanced by construction.  The pair step reuses
+    ``embedding_near_dup_pairs`` (Arrow gram-matrix per block by
+    default).  No global shuffle of the vectors beyond the one
+    cluster-keyed exchange.
+    """
+    from wpvectordb_spark.operators.similarity import (
+        assign_clusters,
+        deterministic_centroids,
+    )
+
+    if centroids is None:
+        centroids = deterministic_centroids(vectors, n_clusters, id_col, vector_col)
+    assigned = assign_clusters(vectors, centroids, id_col, vector_col)
+    pairs = embedding_near_dup_pairs(
+        assigned,
+        threshold,
+        id_col=id_col,
+        vector_col=vector_col,
+        block_col="cluster_id",
+        engine=engine,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+        "_dropped", F.lit(1)
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.col("_dropped").isNull().alias("keep"),
+        )
+    )
