@@ -1147,9 +1147,11 @@ BM25_QUERIES = {
 def _q_text_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source top terms + per-doc TF-IDF top-3 + batched BM25 top-10
     for three keyword queries (one plan, search_many-style) + the hybrid
-    RRF fusion of each BM25 list with the brute-force vector top-10 —
-    tagged.  (operators.retrieval; the lexical/hybrid companion to the
-    reference's pure vector search.)"""
+    RRF fusion of each BM25 list with the brute-force vector top-10 +
+    the CCNet-style unigram-LM quality score per doc (ppl arm:
+    key=doc_id, score=mean token logprob, term carries n_tokens) —
+    tagged.  (operators.retrieval / text_analysis; the lexical, hybrid
+    and LM-quality companions to the reference's pure vector search.)"""
     from pyspark.sql import Window
 
     top = _q_text_top_terms(spark, sf_dir).select(
@@ -1189,7 +1191,19 @@ def _q_text_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rnk",
     )
-    return top.unionByName(tfidf).unionByName(bm_rows).unionByName(rrf_rows)
+    ppl_rows = TA.unigram_logprob_scores(docs).select(
+        F.lit("ppl").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_tokens").cast("string").alias("term"),
+        F.col("mean_logprob").alias("score"),
+        F.lit(None).cast("int").alias("rnk"),
+    )
+    return (
+        top.unionByName(tfidf)
+        .unionByName(bm_rows)
+        .unionByName(rrf_rows)
+        .unionByName(ppl_rows)
+    )
 
 
 def _q_curate_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1468,6 +1482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crud_composite_get": _q_crud_composite_get,
         "queue_stats": _q_queue_stats,
         "ann_lsh_ivf": _q_ann_lsh_ivf,
+        "dedup_embedding": _q_dedup_embedding,
+        "text_terms_tfidf": _q_text_terms_tfidf,
         # --- changed in round 2 ---------------------------------------------
         "stream_windows": _q_stream_windows,
         "multimodal_features": _q_multimodal_features_merged,
@@ -1482,7 +1498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_profile": _q_events_user_profile,
         "events_conversion_funnel": _q_events_conversion_funnel,
         "events_percentiles": _q_events_percentiles,
-        "dedup_embedding": _q_dedup_embedding,
         "k3_k4_sign_code_hex": _q_k3_k4_sign_code_hex,
         "k7_json_codec": _q_k7_json_codec,
         "index_build": _q_index_build,
@@ -1495,7 +1510,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_sample_pack": _q_curate_sample_pack,
         "curate_decontaminate": _q_curate_decontaminate,
         "events_windows": _q_events_windows,
-        "text_terms_tfidf": _q_text_terms_tfidf,
         # --- green in round 1 (back of window) ------------------------------
         "k1_k2_magnitude_normalize": _q_k1_k2_magnitude_normalize,
         "k5_k6_hamming_cosine": _q_k5_k6_hamming_cosine,
@@ -2194,6 +2208,14 @@ def oracle_sql() -> dict[str, str]:
                      ) AS INT) AS rnk
               FROM rrfq
             )
+            UNION ALL
+            -- CCNet-style unigram-LM quality: mean token logprob under the
+            -- corpus unigram distribution (per-token round-then-sorted-fold
+            -- for cross-engine float determinism)
+            SELECT 'ppl' AS kind, CAST(doc_id AS VARCHAR) AS key,
+                   CAST(n_tokens AS VARCHAR) AS term, mean_logprob AS score,
+                   CAST(NULL AS INT) AS rnk
+            FROM ({TA.sql_unigram_logprob_scores('SELECT doc_id, text FROM documents')})
         """,
         "events_windows": f"""
             SELECT 'tumble' AS kind,

@@ -72,7 +72,7 @@ EXPECTED_ARMS = {
     "events_windows": ("kind", {"slide", "tumble"}),
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup"}),
     "dedup_minhash_lsh": ("kind", {"component", "incr", "pair"}),
-    "text_terms_tfidf": ("kind", {"bm25", "rrf", "tfidf", "top"}),
+    "text_terms_tfidf": ("kind", {"bm25", "ppl", "rrf", "tfidf", "top"}),
 }
 
 

@@ -576,3 +576,24 @@ def test_semantic_dedup_nonvacuous_on_corpus(spark):
         .groupBy("keep").agg(F.count("*").alias("n")).collect()
     }
     assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+
+
+def test_unigram_logprob_scores_hand_computed(spark):
+    """Corpus 'a a b' / 'b c': vocab a:2 b:2 c:1 over 5 tokens, so doc 1's
+    mean logprob is exactly ln(0.4) and doc 2's is the ln(0.4)/ln(0.2)
+    average; empty docs drop out."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+        for r in TA.unigram_logprob_scores(docs).collect()
+    }
+    assert set(out) == {1, 2}  # the empty doc has no tokens to score
+    assert out[1][0] == 3 and out[2][0] == 2
+    assert out[1][1] == pytest.approx(math.log(0.4), abs=2e-6)
+    assert out[2][1] == pytest.approx((math.log(0.4) + math.log(0.2)) / 2, abs=2e-6)
+    # frequent fluent text scores higher than rare-token text
+    assert out[1][1] > out[2][1]

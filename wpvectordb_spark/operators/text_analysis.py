@@ -288,3 +288,76 @@ def analyze_full(
         *[c.alias(n) for n, c in rep.items()],
         *[c.alias(n) for n, c in scrub.items()],
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score: per document,
+    the mean log-probability of its tokens under the CORPUS unigram
+    distribution (Wenzek et al., CCNet, LREC'20 — their scorer is a
+    5-gram KenLM; the unigram form is the join-expressible Spark-native
+    analog and ranks documents the same way for the dominant
+    frequent-vs-gibberish signal).  Low mean logprob = rare/garbled
+    tokens; high = common fluent text.  Returns (id, n_tokens,
+    mean_logprob).
+
+    Scale shape: one token explode (narrow), one token-keyed count
+    shuffle for the vocabulary, one token-keyed join to score
+    occurrences, one doc-keyed aggregation — all map-side combinable;
+    no driver-side vocabulary (the LM "model" stays distributed, unlike
+    a broadcast dictionary, so a 100M-type web vocab is fine).
+
+    Determinism: per-token logprobs round to ``round_to`` FIRST (libm
+    ``ln`` may differ across engines in the last ulp), then fold in
+    value-sorted order — identical float addition sequence in any
+    engine (see the dynamic-cardinality float-sum rule in SCALE.md).
+    """
+    toks = docs.select(F.col(id_col), F.explode(X.tokens(text_col)).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = toks.join(vocab, "term").crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double")),
+            round_to,
+        ).alias("_lp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("_lp")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.count("*"),
+            round_to,
+        ).alias("mean_logprob"),
+    )
+
+
+def sql_unigram_logprob_scores(corpus_sql: str, round_to: int = 6) -> str:
+    """DuckDB mirror of ``unigram_logprob_scores`` over a (doc_id, text)
+    relation: same per-token rounding, same value-sorted fold."""
+    toks = X.sql_tokens("text")
+    return f"""
+        WITH corpus_u AS ({corpus_sql}),
+        toksq AS (SELECT doc_id, unnest({toks}) AS term FROM corpus_u),
+        vocab AS (SELECT term, COUNT(*) AS cnt FROM toksq GROUP BY term),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+        scored AS (
+          SELECT doc_id,
+                 round(ln(CAST(cnt AS DOUBLE) / total), {int(round_to)}) AS lp
+          FROM toksq JOIN vocab USING (term), tot
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                              list_sort(list(lp))),
+                                 (a, b) -> a + b) / COUNT(*), {int(round_to)})
+                 AS mean_logprob
+        FROM scored GROUP BY doc_id
+    """
