@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import datetime as _dt
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 BATCH_SIZE = 25  # VectorTableQueue.php:184
@@ -47,12 +47,12 @@ def add_posts(
     duplicate single add; set semantics are the batch equivalent.  Within
     the incoming batch the lowest job_id per post wins (the reference's
     sequential adds would likewise reject repeats)."""
-    w = Window.partitionBy("post_id").orderBy(F.col("job_id").asc())
+    # lowest job_id per post is a plain min — map-side combinable, no
+    # sort window over the incoming batch
     deduped = (
         new_jobs.select("job_id", "post_id")
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        .groupBy("post_id")
+        .agg(F.min("job_id").alias("job_id"))
     )
     fresh = (
         deduped.join(queue.select("post_id"), "post_id", "left_anti")

@@ -61,6 +61,14 @@ def upsert(
     deterministically (xxhash64 of the vector breaks the tie) — a
     DataFrame batch has no "last write", unlike the reference's
     sequential upsert loop.
+
+    ONE ``max_by`` hash aggregate per key instead of a row_number window
+    plus two windowed maxes: partial aggregation keeps a single
+    candidate row per key per input partition, so the exchange carries
+    ~|keys| rows rather than sorting and shuffling both sides in full.
+    The (_src, ~xxhash64) order key reproduces the window's
+    (_src desc, hash asc) winner (bitwise NOT reverses long order
+    without Long.MIN_VALUE negation overflow).
     """
     now = F.current_timestamp()
     incoming = derive(new_chunks, vector_col).withColumn(
@@ -68,23 +76,26 @@ def upsert(
     ).withColumn("created_at", now).withColumn("_src", F.lit(1))
     existing = table.withColumn("_src", F.lit(0))
     merged = existing.unionByName(incoming, allowMissingColumns=True)
-    part = Window.partitionBy("post_id", "sequence_no")
-    w = part.orderBy(F.col("_src").desc(), F.xxhash64(F.col(vector_col)).asc())
     has_id = "id" in merged.columns
-    carried = merged.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_old_created", F.max(F.when(F.col("_src") == 0, F.col("created_at"))).over(part)
+    row = F.struct(*[F.col(c) for c in merged.columns])
+    order = F.struct(
+        F.col("_src").alias("s"),
+        F.bitwise_not(F.xxhash64(F.col(vector_col))).alias("h"),
     )
+    aggs = [
+        F.max_by(row, order).alias("_w"),
+        F.max(F.when(F.col("_src") == 0, F.col("created_at"))).alias("_old_created"),
+    ]
     if has_id:
-        carried = carried.withColumn(
-            "_old_id", F.max(F.when(F.col("_src") == 0, F.col("id"))).over(part)
-        )
-    out = (
-        carried.where(F.col("_rn") == 1)
-        .withColumn("created_at", F.coalesce(F.col("_old_created"), F.col("created_at")))
+        aggs.append(F.max(F.when(F.col("_src") == 0, F.col("id"))).alias("_old_id"))
+    g = merged.groupBy("post_id", "sequence_no").agg(*aggs)
+    carry = ["_old_created"] + (["_old_id"] if has_id else [])
+    out = g.select("_w.*", *carry).withColumn(
+        "created_at", F.coalesce(F.col("_old_created"), F.col("created_at"))
     )
     if has_id:
         out = out.withColumn("id", F.coalesce(F.col("id"), F.col("_old_id"))).drop("_old_id")
-    return out.drop("_rn", "_src", "_old_created")
+    return out.drop("_src", "_old_created")
 
 
 def insert_all(
@@ -155,13 +166,22 @@ def get_latest_updated(table: DataFrame, post_id: int) -> DataFrame:
 
 def latest_per_post(table: DataFrame) -> DataFrame:
     """C5 generalized (the Spark-native form): latest chunk per document in
-    one pass — what the reference would need a loop for."""
-    w = Window.partitionBy("post_id").orderBy(
-        F.col("updated_at").desc(), F.col("id").desc()
+    one pass — what the reference would need a loop for.
+
+    ``max_by`` hash aggregate, not a row_number window: partial
+    aggregation keeps one candidate row per post per input partition, so
+    the exchange carries ~|posts| rows instead of sorting and shuffling
+    the whole table.  The (updated_at, id) struct order key reproduces
+    the window's desc/desc ordering (struct comparison puts null fields
+    first, so a null updated_at loses to any real timestamp — same as
+    the window's NULLS LAST under desc)."""
+    row = F.struct(*[F.col(c) for c in table.columns])
+    order = F.struct(F.col("updated_at").alias("t"), F.col("id").alias("i"))
+    return (
+        table.groupBy("post_id")
+        .agg(F.max_by(row, order).alias("_w"))
+        .select("_w.*")
     )
-    return table.withColumn("_rn", F.row_number().over(w)).where(
-        F.col("_rn") == 1
-    ).drop("_rn")
 
 
 def get_all(table: DataFrame, cap: int = GET_ALL_CAP) -> DataFrame:
