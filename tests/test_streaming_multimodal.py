@@ -241,3 +241,36 @@ def test_batch_checksums_empty_segment_patterns():
         for bits in itertools.product([0, 1], repeat=n):
             ps = [b"payload%d" % i if b else b"" for i, b in enumerate(bits)]
             assert list(_batch_checksums(ps)) == [_checksum(p) for p in ps], ps
+
+
+def test_stream_dedup_ingest_matches_batch_pipeline(spark, tmp_path):
+    """Telescoping: streaming the corpus through incremental dedup in
+    arbitrary micro-batches accumulates EXACTLY the batch pipeline's
+    pair set — within-batch pairs from the self pipeline, cross-batch
+    pairs from the band join against the growing persisted index."""
+    from wpvectordb_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("doc_id") < 200
+    )
+    copies = docs.where(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    corpus = docs.unionByName(copies).select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    corpus.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    get_pairs, get_index, query = ST.stream_dedup_ingest(spark, stream, threshold=0.5)
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    streamed = {tuple(r) for r in get_pairs().distinct().collect()}
+    batch = {tuple(r) for r in D.minhash_lsh_dedup_pairs(corpus, threshold=0.5).collect()}
+    assert streamed == batch
+    assert len(batch) >= 30  # the exact copies guarantee a non-vacuous set
+    assert get_index().count() == corpus.count()  # every doc indexed once

@@ -230,3 +230,80 @@ def stream_queue_ingest(
         .start()
     )
     return (lambda: spark.read.parquet(state["path"])), query
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    threshold: float = 0.5,
+):
+    """Streaming near-dedup ingest — the production crawl pipeline: each
+    micro-batch of documents is (a) self-deduped with the full MinHash
+    pipeline, (b) deduped AGAINST the accumulated corpus via the
+    cross-side band join (``incremental_dedup_pairs``) over a persisted
+    (doc_id, sh) shingle index, and (c) appended to that index.  The
+    corpus is never re-compared to itself — per batch the cost is
+    O(|batch| + bucket hits), exactly the incremental contract.
+
+    Telescoping guarantee (test-asserted): for ANY split of a corpus
+    into micro-batches, the accumulated pair set equals
+    ``minhash_lsh_dedup_pairs`` over the whole corpus — every pair is
+    either within one batch (a) or across two batches, in which case the
+    earlier doc is in the index when the later one arrives (b).  Pairs
+    are normalized to id_a < id_b so batch arrival order is irrelevant.
+
+    State handling mirrors ``stream_queue_ingest``: versioned parquet
+    index (no driver collect, lineage reset per version, <= 3 versions
+    on disk); pairs append to a parquet log (idempotent at the set
+    level — re-emitted pairs are duplicates by VALUE, so consumers read
+    ``get_pairs().distinct()``, and the checkpoint makes re-processing
+    a non-issue in normal operation).
+
+    Returns ``(get_pairs, get_index, query)``.
+    """
+    import shutil
+
+    from wpvectordb_spark.operators import dedup as D
+
+    root = tempfile.mkdtemp(prefix="stream_dedup_state_")
+    v0 = os.path.join(root, "v0")
+    spark.createDataFrame([], "doc_id long, sh array<long>").write.mode(
+        "overwrite"
+    ).parquet(v0)
+    pairs_dir = os.path.join(root, "pairs")
+    state = {"path": v0, "version": 0}
+
+    def _norm(pairs: DataFrame) -> DataFrame:
+        return pairs.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "jaccard",
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text")
+        prev = spark.read.parquet(state["path"])
+        within = D.minhash_lsh_dedup_pairs(batch, threshold=threshold)
+        cross = D.incremental_dedup_pairs(prev, batch, threshold=threshold)
+        _norm(within).unionByName(_norm(cross)).write.mode("append").parquet(
+            pairs_dir
+        )
+        nxt = os.path.join(root, f"v{state['version'] + 1}")
+        prev.unionByName(D.shingle_sets(batch)).write.mode("overwrite").parquet(nxt)
+        state["path"] = nxt
+        state["version"] += 1
+        shutil.rmtree(
+            os.path.join(root, f"v{state['version'] - 2}"), ignore_errors=True
+        )
+
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_dd_{uuid.uuid4().hex[:8]}")
+    query = (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    return (
+        lambda: spark.read.parquet(pairs_dir),
+        lambda: spark.read.parquet(state["path"]),
+        query,
+    )
