@@ -1218,10 +1218,12 @@ CURATE_BUDGETS = {"en": 5000, "es": 2000, "zh": 1500}
 
 
 def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six curation stages, tagged: stratified hash-threshold sampling,
+    """Seven curation stages, tagged: stratified hash-threshold sampling,
     two-pass sequence packing, seeded shuffle-sharding, token-budget
-    domain mixing, per-language quality-quantile filtering, and
-    overlapping token-window chunking (RAG passage splitting)."""
+    domain mixing, per-language quality-quantile filtering, overlapping
+    token-window chunking (RAG passage splitting), and the Gopher/C4
+    per-domain document cap (domcap arm: lang column carries the source
+    domain, shard carries the hash rank)."""
     null_l = F.lit(None).cast("long")
     null_d = F.lit(None).cast("double")
     sample = _q_curate_stratified_sample(spark, sf_dir).select(
@@ -1295,12 +1297,24 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         null_d.alias("quality"),
     )
+    domcap = CU.cap_per_domain(_docs(spark, sf_dir), max_docs=10).select(
+        F.lit("domcap").alias("kind"),
+        "doc_id",
+        F.col("domain").alias("lang"),  # tagged-union column reuse: source
+        null_l.alias("n_tokens"),
+        null_l.alias("seq_start"),
+        null_l.alias("seq_end"),
+        F.col("rank").alias("shard"),
+        null_l.alias("pos"),
+        null_d.alias("quality"),
+    )
     return (
         sample.unionByName(pack)
         .unionByName(shard)
         .unionByName(budget)
         .unionByName(qfilter)
         .unionByName(chunks)
+        .unionByName(domcap)
     )
 
 
@@ -1484,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_ivf": _q_ann_lsh_ivf,
         "dedup_embedding": _q_dedup_embedding,
         "text_terms_tfidf": _q_text_terms_tfidf,
+        "curate_sample_pack": _q_curate_sample_pack,
         # --- changed in round 2 ---------------------------------------------
         "stream_windows": _q_stream_windows,
         "multimodal_features": _q_multimodal_features_merged,
@@ -1507,7 +1522,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_cleanup": _q_queue_cleanup,
         "dsl_variants": _q_dsl_variants,
         "crud_get_delete": _q_crud_get_delete,
-        "curate_sample_pack": _q_curate_sample_pack,
         "curate_decontaminate": _q_curate_decontaminate,
         "events_windows": _q_events_windows,
         # --- green in round 1 (back of window) ------------------------------
@@ -2073,6 +2087,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS shard, pos,
                    CAST(NULL AS DOUBLE) AS quality
             FROM ({CU.sql_chunk_documents(chunk_tokens=32, overlap=8)})
+            UNION ALL
+            -- Gopher/C4 per-domain cap: lang carries the source domain,
+            -- shard carries the hash rank
+            SELECT 'domcap' AS kind, doc_id, domain AS lang,
+                   CAST(NULL AS BIGINT) AS n_tokens,
+                   CAST(NULL AS BIGINT) AS seq_start,
+                   CAST(NULL AS BIGINT) AS seq_end,
+                   rank AS shard, CAST(NULL AS BIGINT) AS pos,
+                   CAST(NULL AS DOUBLE) AS quality
+            FROM ({CU.sql_cap_per_domain(
+                "SELECT doc_id, source FROM documents", max_docs=10
+            )})
         """,
         "text_fingerprint": winnow_cte,
         "curate_decontaminate": f"""

@@ -338,3 +338,30 @@ def test_chunk_documents_covers_every_token(spark):
     )
     bad = agg.where((F.col("lo") != 0) | (F.col("hi") != F.col("n"))).count()
     assert bad == 0
+
+
+def test_cap_per_domain_exact_and_deterministic(spark):
+    """Per-domain cap keeps exactly min(cap, |domain|) docs, selected by
+    the seeded Wang-hash order — cross-checked against a pure-Python
+    reimplementation of the hash and selection."""
+
+    def py_hash(i, seed=0):
+        h = (i + seed * 2654435761) % (1 << 32)
+        for _ in range(2):
+            h = (((h >> 16) ^ h) * 0x45D9F3B) % (1 << 32)
+        return (h >> 16) ^ h
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = CU.cap_per_domain(docs, max_docs=10).collect()
+    got = {(r["doc_id"], r["domain"], r["rank"]) for r in out}
+    expected = set()
+    for dom, ids in (("big", range(100)), ("small", [1000, 1001, 1002])):
+        ranked = sorted(ids, key=lambda i: (py_hash(i), i))[:10]
+        expected |= {(i, dom, k + 1) for k, i in enumerate(ranked)}
+    assert got == expected
+    assert len([t for t in got if t[1] == "big"]) == 10
+    assert len([t for t in got if t[1] == "small"]) == 3  # under cap: all kept
+    # deterministic across runs
+    again = {(r["doc_id"], r["domain"], r["rank"]) for r in CU.cap_per_domain(docs, max_docs=10).collect()}
+    assert again == got

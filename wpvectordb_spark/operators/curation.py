@@ -662,3 +662,84 @@ def sql_chunk_documents(
                CAST(least(seq_start + {chunk_tokens}, n) - seq_start AS BIGINT) AS n_tokens
         FROM s
     """
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    max_docs: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Gopher/C4-style per-domain document cap: keep at most ``max_docs``
+    documents per domain, selected by seeded hash order (smallest
+    ``id_hash(id + seed*knuth)`` first) — deterministic, so re-runs and
+    backfills keep the identical subset.  Returns (id, domain, rank).
+
+    Scale shape: exact top-N per key WITHOUT sorting whole domains.  A
+    broadcast-free count join sets a per-domain hash threshold at
+    ``(N + margin) / count`` of the hash range (margin = 6*sqrt(N)+20:
+    by Chernoff the probability that fewer than N of a domain's docs
+    hash under it is < ~1e-8, and the threshold formula is integer
+    arithmetic, portable to the oracle); only the ~N+margin surviving
+    rows per domain enter the rank window, so a mega-domain never sorts
+    its full document set in one task.  Domains at or under the cap skip
+    straight through (threshold >= hash range).
+    """
+    import math
+
+    margin = 6 * math.isqrt(max_docs) + 20
+    key = id_hash(F.col(id_col) + F.lit(seed) * F.lit(2654435761))
+    counts = docs.groupBy(domain_col).agg(F.count("*").alias("_cnt"))
+    thr = F.expr(f"{(max_docs + margin) * HASH_RANGE} div _cnt")
+    survivors = (
+        docs.select(F.col(id_col), F.col(domain_col), key.alias("_k"))
+        .join(counts, domain_col)
+        .where(F.col("_k") < thr)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col("_k").asc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= max_docs)
+        .select(id_col, F.col(domain_col).alias("domain"), F.col("rank").cast("long"))
+    )
+
+
+def sql_cap_per_domain(
+    corpus_sql: str,
+    max_docs: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror of ``cap_per_domain`` (same hash, same threshold
+    integer arithmetic, same rank tie-break)."""
+    import math
+
+    margin = 6 * math.isqrt(max_docs) + 20
+    h = sql_id_hash(f"({id_col} + {seed} * 2654435761)")
+    return f"""
+        WITH corpus_c AS ({corpus_sql}),
+        counts AS (
+          SELECT {domain_col}, COUNT(*) AS cnt FROM corpus_c GROUP BY {domain_col}
+        ),
+        hashed AS (
+          SELECT {id_col}, {domain_col}, {h} AS k FROM corpus_c
+        ),
+        survivors AS (
+          SELECT h.{id_col}, h.{domain_col}, h.k
+          FROM hashed h JOIN counts c USING ({domain_col})
+          WHERE h.k < ({(max_docs + margin) * HASH_RANGE} // c.cnt)
+        )
+        SELECT {id_col}, {domain_col} AS domain, CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY {domain_col} ORDER BY k ASC, {id_col} ASC
+          ) AS rank
+          FROM survivors
+        ) WHERE rank <= {int(max_docs)}
+    """
