@@ -149,3 +149,44 @@ def test_pack_sequences_two_pass_prefix_sum(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert cur["seq_start"] >= prev["seq_start"]
         assert cur["seq_start"] in (prev["seq_end"], prev["seq_end"] + 1)
+
+
+def test_assign_clusters_plan_is_hash_aggregate(spark):
+    """IVF centroid assignment must be broadcast-join + hash aggregate:
+    no Sort and no Window anywhere — the argmax is max_by with partial
+    aggregation, so the exchange carries ~one row per vector instead of
+    the full |vectors| x k candidate set."""
+    from wpvectordb_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = SIM.deterministic_centroids(emb, 16)
+    plan = _plan(SIM.assign_clusters(emb, cents))
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "max_by" in plan, plan
+
+
+def test_semantic_dedup_plan_broadcasts_centroids(spark):
+    """SemDeDup's cluster assignment must broadcast the centroid table —
+    no shuffle of the vectors for the assignment step."""
+    from wpvectordb_spark.operators import dedup as D
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(D.semantic_dedup(emb, threshold=0.3, n_clusters=16))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cap_per_domain_prefilter_below_rank_window(spark):
+    """The hash-threshold prefilter must sit BELOW the rank window in the
+    plan (children print after parents), so the window only ever sorts
+    the ~N surviving rows per domain, never a whole mega-domain."""
+    from wpvectordb_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(CU.cap_per_domain(docs, max_docs=10))
+    lines = plan.splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window [" in ln)
+    # (10 + margin 38) * 2^32 = the integer threshold numerator for N=10
+    thr = next(i for i, ln in enumerate(lines) if "206158430208" in ln)
+    assert win < thr, plan
