@@ -10,7 +10,6 @@ expressible with built-ins should stay JVM-side.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf

@@ -18,7 +18,7 @@ id) so results are oracle-reproducible; production would run k-means
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from wpvectordb_spark.functions import kernels as K

@@ -33,7 +33,7 @@ expressions instead of SQL strings:
 from __future__ import annotations
 
 import datetime as _dt
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
