@@ -365,3 +365,14 @@ def test_cap_per_domain_exact_and_deterministic(spark):
     # deterministic across runs
     again = {(r["doc_id"], r["domain"], r["rank"]) for r in CU.cap_per_domain(docs, max_docs=10).collect()}
     assert again == got
+
+
+def test_cap_per_domain_monotone_in_cap(spark):
+    """Raising the cap only ADDS documents (hash-order selection is a
+    prefix property), and ranks of surviving docs are stable."""
+    rows = [(i, f"src{i % 3}") for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    small = {(r["doc_id"], r["domain"], r["rank"]) for r in CU.cap_per_domain(docs, 5).collect()}
+    big = {(r["doc_id"], r["domain"], r["rank"]) for r in CU.cap_per_domain(docs, 10).collect()}
+    assert small <= big
+    assert len(small) == 15 and len(big) == 30
