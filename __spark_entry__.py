@@ -494,6 +494,34 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(_corpus_with_dups(spark, sf_dir))
 
 
+def _q_dedup_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-family dedup, tagged: ``exact`` rows are the fingerprint
+    groupBy (min-id winner, dup_count per group); ``span`` rows are
+    ExactSubstr-style duplicate-span stats (Lee et al., ACL'22 — 8-token
+    window hashes occurring in >= 2 distinct docs, exact merged-interval
+    token coverage).  Column reuse across arms: ``fingerprint`` is
+    exact-only; ``dup_count`` is the group size (exact) / duplicated
+    window count (span); ``n_windows``/``dup_tokens`` are span-only."""
+    corpus = _corpus_with_dups(spark, sf_dir)
+    exact = D.exact_dedup(corpus).select(
+        F.lit("exact").alias("kind"),
+        "doc_id",
+        "fingerprint",
+        F.col("dup_count").cast("long").alias("dup_count"),
+        F.lit(None).cast("long").alias("n_windows"),
+        F.lit(None).cast("long").alias("dup_tokens"),
+    )
+    span = D.duplicate_span_stats(corpus, k=8, min_docs=2).select(
+        F.lit("span").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("long").alias("fingerprint"),
+        F.col("n_dup_windows").alias("dup_count"),
+        "n_windows",
+        "dup_tokens",
+    )
+    return exact.unionByName(span)
+
+
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup_pairs(_corpus_with_dups(spark, sf_dir), threshold=0.5)
 
@@ -1491,7 +1519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window is time-bounded rather than count-bounded."""
     return {
         # --- changed in round 3 (front of window): non-vacuous anti-join
-        # arms, C10/C11/J11 scalar+DDL arms, persisted-IVF ivf_idx arm ---
+        # arms, C10/C11/J11 scalar+DDL arms, persisted-IVF ivf_idx arm,
+        # ExactSubstr duplicate-span arm ---
+        "dedup_exact": _q_dedup_exact_merged,
         "rel_membership": _q_rel_membership,
         "crud_composite_get": _q_crud_composite_get,
         "queue_stats": _q_queue_stats,
@@ -1541,7 +1571,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_update_status": _q_queue_update_status,
         "queue_retry": _q_queue_retry,
         "queue_page_with_docs": _q_queue_page_with_docs,
-        "dedup_exact": _q_dedup_exact,
         "text_analyze": _q_text_analyze_full,
         "text_fingerprint": _q_text_fingerprint,
     }
@@ -2003,8 +2032,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"""
             WITH corpus AS ({corpus}),
             fps AS (SELECT doc_id, {fp} AS fingerprint FROM corpus)
-            SELECT min(doc_id) AS doc_id, fingerprint, COUNT(*) AS dup_count
+            SELECT 'exact' AS kind, min(doc_id) AS doc_id, fingerprint,
+                   COUNT(*) AS dup_count,
+                   CAST(NULL AS BIGINT) AS n_windows,
+                   CAST(NULL AS BIGINT) AS dup_tokens
             FROM fps GROUP BY fingerprint
+            UNION ALL
+            SELECT 'span' AS kind, doc_id, CAST(NULL AS BIGINT) AS fingerprint,
+                   n_dup_windows AS dup_count, n_windows, dup_tokens
+            FROM ({D.sql_duplicate_span_stats(corpus, k=8, min_docs=2)})
         """,
         "dedup_minhash_lsh": lsh_comp_cte,
         "dedup_simhash": simhash_cte,

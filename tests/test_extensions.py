@@ -38,6 +38,41 @@ def test_exact_dedup(corpus_with_dups):
     assert out.count() == 500  # 550 rows -> 500 distinct texts
 
 
+def test_duplicate_span_stats_golden(spark):
+    """ExactSubstr-style span detection: docs 1 and 2 share a 10-token
+    run -> 3 overlapping 8-token windows each, merged coverage 10 tokens;
+    unique/short/empty docs report zeros."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+        (2, "something else entirely here the quick brown fox jumps over the lazy dog and more"),
+        (3, "totally unique text with no duplicated spans at all in this one nothing shared"),
+        (4, "short doc"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in D.duplicate_span_stats(df, k=8).collect()}
+    assert (got[1]["n_dup_windows"], got[1]["dup_tokens"]) == (3, 10)
+    assert (got[2]["n_dup_windows"], got[2]["dup_tokens"]) == (3, 10)
+    assert (got[1]["n_windows"], got[2]["n_windows"]) == (7, 8)
+    for d in (3, 4, 5):
+        assert (got[d]["n_dup_windows"], got[d]["dup_tokens"]) == (0, 0)
+    assert got[4]["n_windows"] == 0 and got[5]["n_windows"] == 0
+
+
+def test_duplicate_span_full_copy_coverage(corpus_with_dups):
+    """An exact copy duplicates EVERY window: for each of the 50 copied
+    docs, dup_tokens == token count and n_dup_windows == n_windows."""
+    out = D.duplicate_span_stats(corpus_with_dups, k=8)
+    copies = out.where(F.col("doc_id") >= 10000).collect()
+    assert len(copies) == 50
+    for r in copies:
+        if r["n_windows"] > 0:
+            assert r["n_dup_windows"] == r["n_windows"]
+            # coverage = n_windows + k - 1 = the doc's full token count
+            assert r["dup_tokens"] == r["n_windows"] + 7
+    assert any(r["n_windows"] > 0 for r in copies)
+
+
 def test_minhash_lsh_finds_exact_copies(corpus_with_dups):
     pairs = D.minhash_lsh_dedup_pairs(corpus_with_dups, threshold=0.9)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}

@@ -713,3 +713,144 @@ def semantic_dedup(
             F.col("_dropped").isNull().alias("keep"),
         )
     )
+
+
+# Interval-merge fold state encoding: acc = covered * _SPAN_ENC + prev_end.
+# Both fields stay < _SPAN_ENC as long as a document has < ~4M tokens (the
+# fold is per-document, so this bounds DOCUMENT length, not corpus size).
+_SPAN_ENC = 1 << 22
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22): find spans of
+    >= ``k`` consecutive tokens that also occur in >= ``min_docs`` OTHER
+    distinct documents, and report per document how much of it is such
+    duplicated material.  Returns ``(doc_id, n_windows, n_dup_windows,
+    dup_tokens)`` for every document — ``dup_tokens`` is the EXACT number
+    of token positions covered by at least one duplicated window
+    (overlapping windows merged, not double-counted).
+
+    The paper builds a corpus-wide suffix array — inherently sequential
+    and memory-resident, the wrong shape for a cluster.  The
+    distributed analog: hash every k-token window (positional rolling
+    fold over token hashes, the same polynomial family as the shingle
+    pipeline), count DISTINCT documents per window hash, and mark windows
+    whose hash clears ``min_docs``.  Fixed k trades the paper's
+    "any length >= 50" for one-pass parallelism; chained/overlapping
+    windows still flag every duplicated run of >= k tokens, and coverage
+    is computed exactly by an interval-merge fold.
+
+    Scale shape: window hashing is a narrow O(k * tokens) projection; one
+    aggregation keyed on the 8-byte window hash (partial aggregation
+    collapses the heavy boilerplate hashes map-side — Spark rewrites the
+    distinct-doc count as a two-level (hash, doc) -> hash aggregate); one
+    hash-keyed LEFT SEMI join to mark duplicate windows (AQE converts it
+    to broadcast when the duplicated-window set is small); one doc-keyed
+    aggregation whose interval merge is a single integer fold over the
+    doc's sorted dup positions (state packed into one BIGINT so the
+    identical integer arithmetic runs in any engine).  The corpus text
+    never shuffles — only (hash, doc, pos) triples.
+    """
+    from wpvectordb_spark.functions.text import HASH_MOD
+
+    th = X.token_hashes(text_col)
+    fold = (
+        f"transform(sequence(0, size(_th) - {k}), i -> "
+        f"aggregate(slice(_th, i + 1, {k}), CAST(0 AS LONG), "
+        f"(a, t) -> (a * 31 + t) % {HASH_MOD}))"
+    )
+    base = (
+        _spread(docs)
+        .select(F.col(id_col), th.alias("_th"))
+        .select(
+            F.col(id_col),
+            F.when(F.size("_th") >= k, F.expr(fold))
+            .otherwise(F.array().cast("array<long>"))
+            .alias("_ws"),
+        )
+        .select(F.col(id_col), F.size("_ws").alias("n_windows"), F.col("_ws"))
+    )
+    wins = base.select(
+        F.col(id_col), F.posexplode("_ws").alias("pos", "h")
+    )
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    dup_wins = wins.join(dup_hashes, "h", "left_semi")
+    merge = (
+        f"aggregate(array_sort(collect_list(CAST(pos AS LONG))), CAST(0 AS LONG), "
+        f"(a, x) -> ((a div {_SPAN_ENC}) + (x + {k} - greatest(a % {_SPAN_ENC}, x)))"
+        f" * {_SPAN_ENC} + (x + {k})) div {_SPAN_ENC}"
+    )
+    per_doc = dup_wins.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_windows"),
+        F.expr(merge).cast("long").alias("dup_tokens"),
+    )
+    return (
+        base.select(id_col, "n_windows")
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+    )
+
+
+def sql_duplicate_span_stats(
+    corpus_sql: str, k: int = 8, min_docs: int = 2
+) -> str:
+    """DuckDB mirror of ``duplicate_span_stats`` over a (doc_id, text)
+    relation: same positional window fold, same distinct-doc threshold,
+    same BIGINT-packed interval-merge arithmetic."""
+    from wpvectordb_spark.functions.text import HASH_MOD, sql_token_hashes
+
+    th = sql_token_hashes("text")
+    return f"""
+        WITH span_c AS ({corpus_sql}),
+        span_tk AS (SELECT doc_id, {th} AS th FROM span_c),
+        span_w AS (
+          SELECT doc_id,
+                 CASE WHEN len(th) >= {k} THEN
+                   list_transform(range(0, len(th) - {k} + 1), i ->
+                     list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1 : i+{k}]),
+                                 (a, t) -> (a * 31 + t) % {HASH_MOD}))
+                 ELSE [] END AS ws
+          FROM span_tk
+        ),
+        span_wins AS (
+          SELECT w.doc_id, u.i AS pos, w.ws[u.i + 1] AS h
+          FROM span_w w, unnest(range(0, len(w.ws))) u(i)
+        ),
+        span_dup AS (
+          SELECT h FROM span_wins GROUP BY h
+          HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+        ),
+        span_per_doc AS (
+          SELECT doc_id, COUNT(*) AS n_dup_windows,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                list_sort(list(CAST(pos AS BIGINT)))),
+                   (a, x) -> ((a // {_SPAN_ENC}) + (x + {k} - greatest(a % {_SPAN_ENC}, x)))
+                             * {_SPAN_ENC} + (x + {k})) // {_SPAN_ENC}
+                   AS dup_tokens
+          FROM span_wins WHERE h IN (SELECT h FROM span_dup)
+          GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               CAST(len(w.ws) AS BIGINT) AS n_windows,
+               CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+        FROM span_w w LEFT JOIN span_per_doc p USING (doc_id)
+    """
