@@ -190,3 +190,20 @@ def test_cap_per_domain_prefilter_below_rank_window(spark):
     # (10 + margin 38) * 2^32 = the integer threshold numerator for N=10
     thr = next(i for i, ln in enumerate(lines) if "206158430208" in ln)
     assert win < thr, plan
+
+
+def test_duplicate_span_plan_shape(spark):
+    """ExactSubstr span stats: no Sort/Window operators (coverage is an
+    in-row fold over collect_list, not a sort window), no cartesian
+    product, and the dup-window mark is a LEFT SEMI join — the text
+    column never appears past the window-hash projection."""
+    from wpvectordb_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(D.duplicate_span_stats(docs, k=8))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    # distinct-doc counting is the two-level partial aggregate, not a
+    # global distinct: every HashAggregate keeps the 8-byte hash key
+    assert "HashAggregate" in plan, plan
