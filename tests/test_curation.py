@@ -367,6 +367,18 @@ def test_cap_per_domain_exact_and_deterministic(spark):
     assert again == got
 
 
+def test_cap_per_domain_keeps_null_domain_docs(spark):
+    """Domain-less documents form one more (capped) domain — a plain
+    equi-join on the domain key would never match the NULL count group
+    and silently delete every such doc from the kept manifest."""
+    rows = [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {(r["doc_id"], r["domain"]) for r in CU.cap_per_domain(docs, 10).collect()}
+    assert out == {(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")}
+    capped = CU.cap_per_domain(docs, 1).collect()
+    assert sum(1 for r in capped if r["domain"] is None) == 1  # cap applies too
+
+
 def test_cap_per_domain_monotone_in_cap(spark):
     """Raising the cap only ADDS documents (hash-order selection is a
     prefix property), and ranks of surviving docs are stable."""

@@ -82,6 +82,27 @@ def test_minhash_lsh_finds_exact_copies(corpus_with_dups):
         assert r["jaccard"] == 1.0
 
 
+def test_incremental_dedup_corpus_bands_path_matches(docs, corpus_with_dups, tmp_path):
+    """The persisted-band-index route (corpus_bands= from lsh_band_index,
+    the shape that avoids re-hashing the corpus every increment) returns
+    exactly the same pairs as the self-banding route."""
+    copies = corpus_with_dups.where(F.col("doc_id") >= 10000)
+    sh_path, bands_path = str(tmp_path / "sh"), str(tmp_path / "bands")
+    D.shingle_sets(docs).write.parquet(sh_path)
+    D.lsh_band_index(docs).write.parquet(bands_path)
+    spark = docs.sparkSession
+    via_index = D.incremental_dedup_pairs(
+        spark.read.parquet(sh_path),
+        copies,
+        threshold=0.5,
+        corpus_bands=spark.read.parquet(bands_path),
+    )
+    plain = D.incremental_dedup_pairs(docs, copies, threshold=0.5)
+    a = {tuple(r) for r in via_index.collect()}
+    b = {tuple(r) for r in plain.collect()}
+    assert a == b and a
+
+
 def test_incremental_dedup_finds_copies_cross_side_only(docs, corpus_with_dups):
     copies = corpus_with_dups.where(F.col("doc_id") >= 10000)
     pairs = D.incremental_dedup_pairs(docs, copies, threshold=0.9)

@@ -685,6 +685,12 @@ def cap_per_domain(
     rows per domain enter the rank window, so a mega-domain never sorts
     its full document set in one task.  Domains at or under the cap skip
     straight through (threshold >= hash range).
+
+    A NULL domain is one more domain (capped like any other): the count
+    join is NULL-SAFE — a plain equi-join would never match the NULL
+    group that ``groupBy`` produces, silently DELETING every
+    domain-less document from the kept manifest (real crawl corpora
+    always have some).
     """
     import math
 
@@ -692,10 +698,14 @@ def cap_per_domain(
     key = id_hash(F.col(id_col) + F.lit(seed) * F.lit(2654435761))
     counts = docs.groupBy(domain_col).agg(F.count("*").alias("_cnt"))
     thr = F.expr(f"{(max_docs + margin) * HASH_RANGE} div _cnt")
+    hashed = docs.select(F.col(id_col), F.col(domain_col), key.alias("_k"))
     survivors = (
-        docs.select(F.col(id_col), F.col(domain_col), key.alias("_k"))
-        .join(counts, domain_col)
+        hashed.join(
+            counts.withColumnRenamed(domain_col, "_dom"),
+            F.col(domain_col).eqNullSafe(F.col("_dom")),
+        )
         .where(F.col("_k") < thr)
+        .drop("_dom")
     )
     from pyspark.sql import Window
 
@@ -732,7 +742,8 @@ def sql_cap_per_domain(
         ),
         survivors AS (
           SELECT h.{id_col}, h.{domain_col}, h.k
-          FROM hashed h JOIN counts c USING ({domain_col})
+          FROM hashed h JOIN counts c
+            ON h.{domain_col} IS NOT DISTINCT FROM c.{domain_col}
           WHERE h.k < ({(max_docs + margin) * HASH_RANGE} // c.cnt)
         )
         SELECT {id_col}, {domain_col} AS domain, CAST(rank AS BIGINT) AS rank

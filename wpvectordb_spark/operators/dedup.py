@@ -41,6 +41,10 @@ DEFAULT_ROWS_PER_BAND = 4
 # Python workers, preferable on a JIT-warm long-running cluster).
 DEFAULT_SKETCH_ENGINE = "arrow"
 
+# Monotone counter for default observe() metric names (Spark rejects
+# duplicate observed-metric names within one plan).
+_GUARD_SEQ = 0
+
 
 def _mh_sig(col: F.Column, num_hashes: int, engine: str) -> F.Column:
     if engine == "arrow":
@@ -143,12 +147,22 @@ def lsh_candidate_pairs(
         # an observed metric INSIDE the single plan (no eager pre-count
         # job): pass observation= (a pyspark.sql.Observation) and read
         # ``observation.get["dropped_buckets"]`` after an action, or watch
-        # the named "lsh_skew_guard" metric in a QueryExecutionListener.
+        # the "lsh_skew_guard_N" metric in a QueryExecutionListener.
         # Caveat: if EVERY bucket is dropped, AQE's empty-relation
         # propagation can prune the CollectMetrics stage and the
         # Observation never fires — metrics are only guaranteed when the
         # pair output is non-empty.
-        guard = observation if observation is not None else "lsh_skew_guard"
+        # The default metric name is UNIQUE PER CALL: Spark rejects two
+        # observed metrics with the same name in one plan at analysis
+        # time, which would make a query that unions two capped LSH
+        # pipelines (the tagged-union pattern) fail to compose.
+        global _GUARD_SEQ
+        _GUARD_SEQ += 1
+        guard = (
+            observation
+            if observation is not None
+            else f"lsh_skew_guard_{_GUARD_SEQ}"
+        )
         buckets = buckets.observe(
             guard,
             F.sum(
@@ -241,6 +255,13 @@ def _shingle_side(
     persisted on-disk form at production scale) and used as-is — no
     re-tokenize, no repartition (an index read back from parquet already
     has real splits)."""
+    if df.columns == [id_col, "sh"]:
+        # Exact shape already: return the SAME object (not a no-op
+        # Project wrapper) so a caller-persisted index is recognized by
+        # the cache manager — a wrapper plan would get its own cache
+        # entry on every pipeline call and accumulate across streaming
+        # batches.
+        return df
     if "sh" in df.columns:
         return df.select(F.col(id_col), "sh")
     return _spread(df).select(
@@ -297,6 +318,33 @@ def minhash_lsh_dedup_pairs(
     )
 
 
+def lsh_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    shingle_k: int = 3,
+    engine: str = DEFAULT_SKETCH_ENGINE,
+) -> DataFrame:
+    """(id, band_id, band_key) — the persisted banded index of the
+    production incremental-dedup layout (write ``partitionBy(band_id)``
+    and pass back as ``incremental_dedup_pairs(corpus_bands=...)`` so
+    the corpus side's signatures are computed once per document EVER,
+    not once per increment).  Accepts raw docs or a precomputed (id, sh)
+    shingle index.  NULL band keys (empty/short docs) are dropped here —
+    they can never match an equi-join and would only bloat the index."""
+    sh = _shingle_side(docs, id_col, text_col, shingle_k)
+    sigs = sh.select(
+        F.col(id_col), _mh_sig(F.col("sh"), num_hashes, engine).alias("signature")
+    )
+    keys = F.posexplode(X.lsh_band_keys("signature", bands, rows_per_band))
+    return sigs.select(F.col(id_col), keys.alias("band_id", "band_key")).where(
+        F.col("band_key").isNotNull()
+    )
+
+
 def incremental_dedup_pairs(
     corpus: DataFrame,
     delta: DataFrame,
@@ -308,6 +356,7 @@ def incremental_dedup_pairs(
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     shingle_k: int = 3,
     engine: str = DEFAULT_SKETCH_ENGINE,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of a NEW batch against an EXISTING corpus — the
     production shape of continuous ingestion: each crawl increment is
@@ -328,23 +377,46 @@ def incremental_dedup_pairs(
     by the delta's band keys; pass the reloaded (id, sh) frame as
     ``corpus`` and it is used as-is (no re-tokenize).  Either side may be
     raw docs or a precomputed index (detected by an ``sh`` column).
+
+    ``corpus_bands`` is the second half of the persisted layout: the
+    (id, band_id, band_key) table from ``lsh_band_index``.  Without it,
+    every call re-runs minhash + banding over the WHOLE corpus shingle
+    index — O(corpus) CPU per increment, which silently defeats the
+    incremental contract on a long-running ingest.  With it, the corpus
+    side is pure I/O (band join + verify-join scans) and only the delta
+    is hashed.  The corpus shingle frame is persisted only when this
+    function must band it itself (two consumers); with ``corpus_bands``
+    it has a single consumer (the verify join) and persisting it would
+    just accumulate cache entries across streaming batches.
     """
-    sh_c = _shingle_side(corpus, id_col, text_col, shingle_k).persist()
+    own_corpus_banding = corpus_bands is None
+    sh_c = _shingle_side(corpus, id_col, text_col, shingle_k)
+    if own_corpus_banding:
+        sh_c = sh_c.persist()
     sh_d = _shingle_side(delta, id_col, text_col, shingle_k).persist()
 
     def _banded(sh: DataFrame, out: str) -> DataFrame:
         sigs = sh.select(
             F.col(id_col), _mh_sig(F.col("sh"), num_hashes, engine).alias("signature")
         )
-        # null signatures explode to zero band rows — no filter needed (a
-        # filter would double-evaluate the Arrow-engine UDF; see
-        # lsh_candidate_pairs)
+        # NULL band keys DO survive the explode (lsh_band_keys yields an
+        # array of NULL elements, not a NULL array) — they are safe here
+        # only because the downstream EQUI-JOIN never matches NULL keys.
+        # A groupBy/bucket rewrite of this path would collect them into
+        # one hot NULL bucket per band and must filter band_key IS NOT
+        # NULL after the explode (see lsh_candidate_pairs; a pre-explode
+        # signature filter would double-evaluate the Arrow-engine UDF).
         keys = F.posexplode(X.lsh_band_keys("signature", bands, rows_per_band))
         return sigs.select(F.col(id_col).alias(out), keys.alias("band_id", "band_key"))
 
+    corpus_side = (
+        corpus_bands.select(F.col(id_col).alias("id_a"), "band_id", "band_key")
+        if corpus_bands is not None
+        else _banded(sh_c, "id_a")
+    )
     cands = (
         _banded(sh_d, "id_b")
-        .join(_banded(sh_c, "id_a"), ["band_id", "band_key"])
+        .join(corpus_side, ["band_id", "band_key"])
         .select("id_a", "id_b")
         .distinct()
     )
@@ -776,6 +848,12 @@ def duplicate_span_stats(
             .alias("_ws"),
         )
         .select(F.col(id_col), F.size("_ws").alias("n_windows"), F.col("_ws"))
+        # Three consumers (dup-hash aggregate, semi-join probe, final
+        # n_windows join) would each re-run the O(k * tokens) window-hash
+        # projection — their exchange children differ, so ReuseExchange
+        # cannot dedupe them.  Persist once, same as the minhash
+        # pipeline's shingle table (MEMORY_AND_DISK, evictable).
+        .persist()
     )
     wins = base.select(
         F.col(id_col), F.posexplode("_ws").alias("pos", "h")

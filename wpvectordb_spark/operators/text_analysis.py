@@ -316,7 +316,11 @@ def unigram_logprob_scores(
     value-sorted order — identical float addition sequence in any
     engine (see the dynamic-cardinality float-sum rule in SCALE.md).
     """
-    toks = docs.select(F.col(id_col), F.explode(X.tokens(text_col)).alias("term"))
+    toks = docs.select(
+        F.col(id_col), F.explode(X.tokens(text_col)).alias("term")
+    ).persist()  # two consumers (vocab agg + score-join probe) would
+    # otherwise re-tokenize and re-explode the whole corpus; same
+    # shared-intermediate persist as the minhash shingle table
     vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = toks.join(vocab, "term").crossJoin(F.broadcast(total)).select(

@@ -240,10 +240,16 @@ def stream_dedup_ingest(
     """Streaming near-dedup ingest — the production crawl pipeline: each
     micro-batch of documents is (a) self-deduped with the full MinHash
     pipeline, (b) deduped AGAINST the accumulated corpus via the
-    cross-side band join (``incremental_dedup_pairs``) over a persisted
-    (doc_id, sh) shingle index, and (c) appended to that index.  The
-    corpus is never re-compared to itself — per batch the cost is
-    O(|batch| + bucket hits), exactly the incremental contract.
+    cross-side band join (``incremental_dedup_pairs``) over the persisted
+    index, and (c) appended to that index.  The corpus is never
+    re-compared to itself, and — because the persisted index carries BOTH
+    halves of the production layout, (doc_id, sh) shingles AND
+    (doc_id, band_id, band_key) band keys — the corpus side is never
+    re-HASHED either: per batch, minhash/banding runs over the batch's
+    own documents only, and corpus cost is pure I/O (band equi-join +
+    verify-join scans).  Writes are append-only batch deltas, so write
+    volume is O(|batch|) per batch too (the earlier versioned-rewrite
+    design rewrote the whole index every batch).
 
     Telescoping guarantee (test-asserted): for ANY split of a corpus
     into micro-batches, the accumulated pair set equals
@@ -252,26 +258,32 @@ def stream_dedup_ingest(
     earlier doc is in the index when the later one arrives (b).  Pairs
     are normalized to id_a < id_b so batch arrival order is irrelevant.
 
-    State handling mirrors ``stream_queue_ingest``: versioned parquet
-    index (no driver collect, lineage reset per version, <= 3 versions
-    on disk); pairs append to a parquet log (idempotent at the set
-    level — re-emitted pairs are duplicates by VALUE, so consumers read
-    ``get_pairs().distinct()``, and the checkpoint makes re-processing
-    a non-issue in normal operation).
+    All three state tables are plain parquet appends, pre-created empty
+    (``get_pairs()``/``get_index()`` work before the first trigger
+    fires); every read is from disk, so lineage stays one scan deep with
+    no version chaining.  Pair emission is idempotent at the set level —
+    a replayed batch re-emits the same VALUES, so consumers read
+    ``get_pairs().distinct()`` (a replay also re-appends index delta
+    rows, which at most re-emits those same pairs).  Batch intermediates
+    are persisted for the batch's two jobs and explicitly unpersisted
+    before the next trigger — no cache accumulation across a
+    long-running stream.
 
     Returns ``(get_pairs, get_index, query)``.
     """
-    import shutil
-
     from wpvectordb_spark.operators import dedup as D
 
     root = tempfile.mkdtemp(prefix="stream_dedup_state_")
-    v0 = os.path.join(root, "v0")
-    spark.createDataFrame([], "doc_id long, sh array<long>").write.mode(
-        "overwrite"
-    ).parquet(v0)
+    sh_dir = os.path.join(root, "sh")
+    bands_dir = os.path.join(root, "bands")
     pairs_dir = os.path.join(root, "pairs")
-    state = {"path": v0, "version": 0}
+    spark.createDataFrame([], "doc_id long, sh array<long>").write.parquet(sh_dir)
+    spark.createDataFrame(
+        [], "doc_id long, band_id int, band_key long"
+    ).write.parquet(bands_dir)
+    spark.createDataFrame(
+        [], "id_a long, id_b long, jaccard double"
+    ).write.parquet(pairs_dir)
 
     def _norm(pairs: DataFrame) -> DataFrame:
         return pairs.select(
@@ -281,20 +293,19 @@ def stream_dedup_ingest(
         )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select("doc_id", "text")
-        prev = spark.read.parquet(state["path"])
-        within = D.minhash_lsh_dedup_pairs(batch, threshold=threshold)
-        cross = D.incremental_dedup_pairs(prev, batch, threshold=threshold)
+        batch_sh = D.shingle_sets(batch_df.select("doc_id", "text")).persist()
+        prev_sh = spark.read.parquet(sh_dir)
+        prev_bands = spark.read.parquet(bands_dir)
+        within = D.minhash_lsh_dedup_pairs(batch_sh, threshold=threshold)
+        cross = D.incremental_dedup_pairs(
+            prev_sh, batch_sh, threshold=threshold, corpus_bands=prev_bands
+        )
         _norm(within).unionByName(_norm(cross)).write.mode("append").parquet(
             pairs_dir
         )
-        nxt = os.path.join(root, f"v{state['version'] + 1}")
-        prev.unionByName(D.shingle_sets(batch)).write.mode("overwrite").parquet(nxt)
-        state["path"] = nxt
-        state["version"] += 1
-        shutil.rmtree(
-            os.path.join(root, f"v{state['version'] - 2}"), ignore_errors=True
-        )
+        batch_sh.write.mode("append").parquet(sh_dir)
+        D.lsh_band_index(batch_sh).write.mode("append").parquet(bands_dir)
+        batch_sh.unpersist()
 
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_dd_{uuid.uuid4().hex[:8]}")
     query = (
@@ -304,6 +315,6 @@ def stream_dedup_ingest(
     )
     return (
         lambda: spark.read.parquet(pairs_dir),
-        lambda: spark.read.parquet(state["path"]),
+        lambda: spark.read.parquet(sh_dir),
         query,
     )
