@@ -277,13 +277,18 @@ def stream_dedup_ingest(
     sh_dir = os.path.join(root, "sh")
     bands_dir = os.path.join(root, "bands")
     pairs_dir = os.path.join(root, "pairs")
-    spark.createDataFrame([], "doc_id long, sh array<long>").write.parquet(sh_dir)
-    spark.createDataFrame(
-        [], "doc_id long, band_id int, band_key long"
-    ).write.parquet(bands_dir)
-    spark.createDataFrame(
-        [], "id_a long, id_b long, jaccard double"
-    ).write.parquet(pairs_dir)
+    # Every read below passes the schema EXPLICITLY: schema inference over
+    # a multi-writer parquet dir samples an arbitrary file, so a seed file
+    # whose schema drifts from what the batch writers append makes the
+    # inferred type depend on file-listing order (observed: band_key
+    # inferred long from a stale seed -> ANSI cast of the string band
+    # keys threw mid-stream, but only under some orderings).
+    sh_schema = "doc_id long, sh array<long>"
+    bands_schema = "doc_id long, band_id int, band_key string"
+    pairs_schema = "id_a long, id_b long, jaccard double"
+    spark.createDataFrame([], sh_schema).write.parquet(sh_dir)
+    spark.createDataFrame([], bands_schema).write.parquet(bands_dir)
+    spark.createDataFrame([], pairs_schema).write.parquet(pairs_dir)
 
     def _norm(pairs: DataFrame) -> DataFrame:
         return pairs.select(
@@ -294,8 +299,8 @@ def stream_dedup_ingest(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_sh = D.shingle_sets(batch_df.select("doc_id", "text")).persist()
-        prev_sh = spark.read.parquet(sh_dir)
-        prev_bands = spark.read.parquet(bands_dir)
+        prev_sh = spark.read.schema(sh_schema).parquet(sh_dir)
+        prev_bands = spark.read.schema(bands_schema).parquet(bands_dir)
         within = D.minhash_lsh_dedup_pairs(batch_sh, threshold=threshold)
         cross = D.incremental_dedup_pairs(
             prev_sh, batch_sh, threshold=threshold, corpus_bands=prev_bands
@@ -314,7 +319,7 @@ def stream_dedup_ingest(
         .start()
     )
     return (
-        lambda: spark.read.parquet(pairs_dir),
-        lambda: spark.read.parquet(sh_dir),
+        lambda: spark.read.schema(pairs_schema).parquet(pairs_dir),
+        lambda: spark.read.schema(sh_schema).parquet(sh_dir),
         query,
     )
