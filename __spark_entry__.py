@@ -1246,12 +1246,15 @@ CURATE_BUDGETS = {"en": 5000, "es": 2000, "zh": 1500}
 
 
 def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seven curation stages, tagged: stratified hash-threshold sampling,
+    """Eight curation stages, tagged: stratified hash-threshold sampling,
     two-pass sequence packing, seeded shuffle-sharding, token-budget
     domain mixing, per-language quality-quantile filtering, overlapping
-    token-window chunking (RAG passage splitting), and the Gopher/C4
+    token-window chunking (RAG passage splitting), the Gopher/C4
     per-domain document cap (domcap arm: lang column carries the source
-    domain, shard carries the hash rank)."""
+    domain, shard carries the hash rank), and DSIR importance-resampling
+    selection toward the English subset (dsir arm: n_tokens carries the
+    hashed-n-gram feature count, quality the mean log-likelihood
+    ratio)."""
     null_l = F.lit(None).cast("long")
     null_d = F.lit(None).cast("double")
     sample = _q_curate_stratified_sample(spark, sf_dir).select(
@@ -1336,6 +1339,21 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("pos"),
         null_d.alias("quality"),
     )
+    dsir = CU.dsir_topk(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        _docs(spark, sf_dir).where(F.col("lang") == "en").select("doc_id", "text"),
+        k=100,
+    ).select(
+        F.lit("dsir").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.col("n_feats").alias("n_tokens"),
+        null_l.alias("seq_start"),
+        null_l.alias("seq_end"),
+        null_l.alias("shard"),
+        null_l.alias("pos"),
+        F.col("weight").alias("quality"),
+    )
     return (
         sample.unionByName(pack)
         .unionByName(shard)
@@ -1343,6 +1361,7 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(qfilter)
         .unionByName(chunks)
         .unionByName(domcap)
+        .unionByName(dsir)
     )
 
 
@@ -2134,6 +2153,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE) AS quality
             FROM ({CU.sql_cap_per_domain(
                 "SELECT doc_id, source FROM documents", max_docs=10
+            )})
+            UNION ALL
+            -- DSIR selection toward the English subset: n_tokens carries
+            -- the hashed-n-gram feature count, quality the mean LLR
+            SELECT 'dsir' AS kind, doc_id, CAST(NULL AS VARCHAR) AS lang,
+                   n_feats AS n_tokens,
+                   CAST(NULL AS BIGINT) AS seq_start,
+                   CAST(NULL AS BIGINT) AS seq_end,
+                   CAST(NULL AS BIGINT) AS shard,
+                   CAST(NULL AS BIGINT) AS pos,
+                   weight AS quality
+            FROM ({CU.sql_dsir_topk(
+                "SELECT doc_id, text FROM documents",
+                "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+                k=100,
             )})
         """,
         "text_fingerprint": winnow_cte,

@@ -388,3 +388,37 @@ def test_cap_per_domain_monotone_in_cap(spark):
     big = {(r["doc_id"], r["domain"], r["rank"]) for r in CU.cap_per_domain(docs, 10).collect()}
     assert small <= big
     assert len(small) == 15 and len(big) == 30
+
+
+def test_dsir_topk_enriches_target_distribution(docs):
+    """Selecting toward the English subset must (a) rank mostly English
+    docs into the top-k (strongly above the base rate), (b) be
+    deterministic, and (c) emit exactly k rows with finite weights."""
+    corpus = docs.select("doc_id", "text")
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    out = CU.dsir_topk(corpus, target, k=50)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["weight"] == r["weight"] for r in rows)  # no NaN
+    picked = {r["doc_id"] for r in rows}
+    en = {r["doc_id"] for r in docs.where(F.col("lang") == "en").collect()}
+    base_rate = len(en) / docs.count()
+    hit_rate = len(picked & en) / 50
+    assert hit_rate > min(0.8, base_rate + 0.3), (hit_rate, base_rate)
+    again = {r["doc_id"] for r in CU.dsir_topk(corpus, target, k=50).collect()}
+    assert picked == again
+
+
+def test_dsir_weights_order_by_target_likeness(spark):
+    """A doc made of target-only n-grams outweighs a doc of corpus-only
+    n-grams under the fitted models."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "alpha beta gamma alpha beta")], "doc_id long, text string"
+    )
+    w = {r["doc_id"]: r["weight"] for r in CU.dsir_topk(corpus, target, k=3).collect()}
+    assert w[1] == w[3]  # identical docs, identical weights
+    assert w[1] > w[2]  # target-like beats target-unlike

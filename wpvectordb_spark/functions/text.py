@@ -164,6 +164,49 @@ def token_hashes_fast(text: Column | str) -> Column:
     return F.transform(tokens(text), lambda t: F.xxhash64(t))
 
 
+# --- hashed n-gram feature buckets (DSIR) ------------------------------------
+
+def ngram_buckets(hashes: Column | str, n_buckets: int = 4096) -> Column:
+    """Hashed n-gram feature buckets over a TOKEN-HASH array: one bucket
+    id in ``[0, n_buckets)`` per unigram and per bigram — the feature map
+    of DSIR importance resampling (Xie et al., NeurIPS'23, which hashes
+    uni+bigrams into 10k buckets).  Bigram hashes combine the two token
+    hashes with the same polynomial step as ``shingle_hashes`` (no string
+    re-building, pure integer math — exactly mirrored in DuckDB).
+
+    ``hashes`` must be a BOUND column (project ``token_hashes`` in a
+    prior select): lambda bodies re-evaluate expression subtrees per
+    element, so an inlined hash pipeline would re-tokenize per n-gram.
+    """
+    th = _col(hashes)
+    n = F.size(th)
+    uni = F.transform(th, lambda h: h % n_buckets)
+    # sequence() descends when start > stop — guard n < 2 explicitly.
+    big = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: (
+                (F.element_at(th, i.cast("int")) * 31 + F.element_at(th, (i + 1).cast("int")))
+                % HASH_MOD
+            )
+            % n_buckets,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(uni, big)
+
+
+def sql_ngram_buckets(hashes: str, n_buckets: int = 4096) -> str:
+    """DuckDB mirror of ``ngram_buckets`` over a token-hash list column
+    (bind it in a CTE first).  ``range(1, len)`` is empty when len <= 1,
+    so no short-input guard is needed here."""
+    return (
+        f"list_concat(list_transform({hashes}, h -> h % {int(n_buckets)}),"
+        f" list_transform(range(1, len({hashes})),"
+        f" i -> (({hashes}[i] * 31 + {hashes}[i+1]) % {HASH_MOD}) % {int(n_buckets)}))"
+    )
+
+
 # --- shingles ----------------------------------------------------------------
 
 def shingles(text: Column | str, k: int = 3) -> Column:

@@ -754,3 +754,130 @@ def sql_cap_per_domain(
           FROM survivors
         ) WHERE rank <= {int(max_docs)}
     """
+
+
+def dsir_topk(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int = 100,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+    _scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR data selection (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS'23): score every corpus
+    document by how much more likely its hashed-n-gram bag is under the
+    TARGET distribution than under the raw-corpus distribution, and keep
+    the top ``k``.  Both distributions are add-1-smoothed multinomials
+    over ``n_buckets`` hashed uni+bigram features (the paper's feature
+    map); a document's weight is its mean per-feature log-likelihood
+    ratio.  Returns (id, n_feats, weight), deterministic ties by id.
+
+    The paper samples with Gumbel noise; this variant takes the
+    deterministic top-k (equivalent to temperature->0) so re-runs and
+    the oracle agree exactly.  Seeded-hash Gumbel is a trivial addition
+    where sampling diversity matters.
+
+    Scale shape: one tokenize+hash pass per side (the n-gram combine is
+    integer math over bound token-hash arrays — no string rebuilding, no
+    re-tokenizing inside lambdas); two bucket-keyed count shuffles that
+    partial-aggregate to <= ``n_buckets`` rows per task (perfect map-side
+    combine — bucket skew is irrelevant because the combine collapses
+    each task's output to the bucket-id domain); the model table is
+    <= ``n_buckets`` rows, BROADCAST to score; one doc-keyed sum shuffle
+    (map-side combinable, integer-scaled log ratios so the sum is exact
+    and order-independent); TakeOrderedAndProject for the top-k.  No
+    driver-side state at any size.
+    """
+    def feats(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), X.token_hashes(text_col).alias("th")
+        ).select(
+            F.col(id_col),
+            F.explode(X.ngram_buckets("th", n_buckets)).alias("bucket"),
+        )
+
+    raw = feats(corpus).persist()  # two consumers: raw model + scoring
+    rawm = raw.groupBy("bucket").agg(F.count("*").alias("r_cnt"))
+    tgtm = feats(target).groupBy("bucket").agg(F.count("*").alias("t_cnt"))
+    r_tot = rawm.agg(F.sum("r_cnt").alias("r_tot"))
+    t_tot = tgtm.agg(F.coalesce(F.sum("t_cnt"), F.lit(0)).alias("t_tot"))
+    # Integer-scaled per-bucket log ratio: the per-doc sum is then exact
+    # BIGINT arithmetic (order-independent in any engine); libm-ulp risk
+    # is confined to the single rounded ln() per bucket, same as the
+    # unigram-LM scorer (text_analysis.unigram_logprob_scores).
+    model = (
+        rawm.join(tgtm, "bucket", "left")
+        .crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1)
+                        / (F.col("t_tot") + n_buckets)
+                    )
+                    - F.log((F.col("r_cnt") + 1) / (F.col("r_tot") + n_buckets))
+                )
+                * _scale,
+                0,
+            )
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    scored = (
+        raw.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_feats"), F.sum("lr").alias("_s"))
+        .select(
+            F.col(id_col),
+            "n_feats",
+            F.round(
+                F.col("_s") / F.lit(float(_scale)) / F.col("n_feats"), round_to
+            ).alias("weight"),
+        )
+    )
+    return scored.orderBy(F.desc("weight"), F.col(id_col)).limit(int(k))
+
+
+def sql_dsir_topk(
+    corpus_sql: str,
+    target_sql: str,
+    k: int = 100,
+    n_buckets: int = 4096,
+    round_to: int = 6,
+    _scale: int = 1_000_000,
+) -> str:
+    """DuckDB mirror of ``dsir_topk`` over (doc_id, text) relations."""
+    th = X.sql_token_hashes("text")
+    buckets = X.sql_ngram_buckets("th", n_buckets)
+    return f"""
+        WITH corpus_d AS ({corpus_sql}),
+        target_d AS ({target_sql}),
+        cth AS (SELECT doc_id, {th} AS th FROM corpus_d),
+        tth AS (SELECT doc_id, {th} AS th FROM target_d),
+        cf AS (SELECT doc_id, unnest({buckets}) AS bucket FROM cth),
+        tf AS (SELECT doc_id, unnest({buckets}) AS bucket FROM tth),
+        rm AS (SELECT bucket, COUNT(*) AS r_cnt FROM cf GROUP BY bucket),
+        tm AS (SELECT bucket, COUNT(*) AS t_cnt FROM tf GROUP BY bucket),
+        rt AS (SELECT sum(r_cnt) AS r_tot FROM rm),
+        tt AS (SELECT COALESCE(sum(t_cnt), 0) AS t_tot FROM tm),
+        model AS (
+          SELECT bucket,
+                 CAST(round((ln((COALESCE(t_cnt, 0) + 1) / (t_tot + {int(n_buckets)}))
+                           - ln((r_cnt + 1) / (r_tot + {int(n_buckets)})))
+                            * {int(_scale)}, 0) AS BIGINT) AS lr
+          FROM rm LEFT JOIN tm USING (bucket), rt, tt
+        ),
+        sc AS (
+          SELECT doc_id, COUNT(*) AS n_feats, sum(lr) AS s
+          FROM cf JOIN model USING (bucket) GROUP BY doc_id
+        )
+        SELECT doc_id, n_feats,
+               round(s / {int(_scale)}.0 / n_feats, {int(round_to)}) AS weight
+        FROM sc ORDER BY weight DESC, doc_id LIMIT {int(k)}
+    """
