@@ -274,3 +274,39 @@ def test_stream_dedup_ingest_matches_batch_pipeline(spark, tmp_path):
     assert streamed == batch
     assert len(batch) >= 30  # the exact copies guarantee a non-vacuous set
     assert get_index().count() == corpus.count()  # every doc indexed once
+
+
+def test_stream_dedup_ingest_replay_is_exactly_once(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch that fails mid-write is
+    replayed.  The per-batch overwrite layout must make a replay land on
+    its first attempt — identical state, no double-appended index rows,
+    no self-pairs from reading its own partial output."""
+    import os
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    copies = docs.where(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    dirs = [str(tmp_path / d) for d in ("sh", "bands", "pairs")]
+    for d in dirs:
+        os.makedirs(d)
+    ST._dedup_ingest_apply(spark, *dirs, 0.5, docs, 0)
+    ST._dedup_ingest_apply(spark, *dirs, 0.5, copies, 1)
+    pairs_once = sorted(
+        map(tuple, ST._read_state(spark, dirs[2], ST._DEDUP_PAIRS_SCHEMA).collect())
+    )
+    n_idx_once = ST._read_state(spark, dirs[0], ST._DEDUP_SH_SCHEMA).count()
+    assert n_idx_once == 80
+    assert len(pairs_once) >= 20  # the cross-batch exact copies
+    # replay batch 1 (same deterministic subdir, overwrite)
+    ST._dedup_ingest_apply(spark, *dirs, 0.5, copies, 1)
+    pairs_replayed = sorted(
+        map(tuple, ST._read_state(spark, dirs[2], ST._DEDUP_PAIRS_SCHEMA).collect())
+    )
+    assert pairs_replayed == pairs_once
+    assert ST._read_state(spark, dirs[0], ST._DEDUP_SH_SCHEMA).count() == n_idx_once
+    assert not any(a == b for a, b, _ in pairs_replayed)  # no self-pairs

@@ -258,59 +258,37 @@ def stream_dedup_ingest(
     earlier doc is in the index when the later one arrives (b).  Pairs
     are normalized to id_a < id_b so batch arrival order is irrelevant.
 
-    All three state tables are plain parquet appends, pre-created empty
-    (``get_pairs()``/``get_index()`` work before the first trigger
-    fires); every read is from disk, so lineage stays one scan deep with
-    no version chaining.  Pair emission is idempotent at the set level —
-    a replayed batch re-emits the same VALUES, so consumers read
-    ``get_pairs().distinct()`` (a replay also re-appends index delta
-    rows, which at most re-emits those same pairs).  Batch intermediates
-    are persisted for the batch's two jobs and explicitly unpersisted
-    before the next trigger — no cache accumulation across a
-    long-running stream.
+    State writes are EXACTLY-ONCE under foreachBatch's replay semantics
+    (test-asserted): every table writes its batch delta to a
+    deterministic per-batch subdirectory (``b<batch_id>``) with
+    ``overwrite``, so a batch replayed after a mid-write failure lands on
+    its own previous attempt instead of double-appending — the canonical
+    idempotent-foreachBatch pattern.  Reads inside a batch list only
+    subdirectories of EARLIER batches, so a replay also re-reads exactly
+    the state its first attempt saw (never its own partial output, which
+    would emit self-pairs).  Schemas are passed explicitly on every read:
+    inference over a multi-writer dir samples an arbitrary file and the
+    inferred type then depends on file-listing order (observed once with
+    a drifted seed schema: band_key inferred long, ANSI cast of the
+    string band keys threw mid-stream under some orderings only).
+
+    Batch intermediates are persisted for the batch's two jobs and
+    explicitly unpersisted before the next trigger — no cache
+    accumulation across a long-running stream.
 
     Returns ``(get_pairs, get_index, query)``.
     """
-    from wpvectordb_spark.operators import dedup as D
-
     root = tempfile.mkdtemp(prefix="stream_dedup_state_")
     sh_dir = os.path.join(root, "sh")
     bands_dir = os.path.join(root, "bands")
     pairs_dir = os.path.join(root, "pairs")
-    # Every read below passes the schema EXPLICITLY: schema inference over
-    # a multi-writer parquet dir samples an arbitrary file, so a seed file
-    # whose schema drifts from what the batch writers append makes the
-    # inferred type depend on file-listing order (observed: band_key
-    # inferred long from a stale seed -> ANSI cast of the string band
-    # keys threw mid-stream, but only under some orderings).
-    sh_schema = "doc_id long, sh array<long>"
-    bands_schema = "doc_id long, band_id int, band_key string"
-    pairs_schema = "id_a long, id_b long, jaccard double"
-    spark.createDataFrame([], sh_schema).write.parquet(sh_dir)
-    spark.createDataFrame([], bands_schema).write.parquet(bands_dir)
-    spark.createDataFrame([], pairs_schema).write.parquet(pairs_dir)
-
-    def _norm(pairs: DataFrame) -> DataFrame:
-        return pairs.select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            "jaccard",
-        )
+    for d in (sh_dir, bands_dir, pairs_dir):
+        os.makedirs(d)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_sh = D.shingle_sets(batch_df.select("doc_id", "text")).persist()
-        prev_sh = spark.read.schema(sh_schema).parquet(sh_dir)
-        prev_bands = spark.read.schema(bands_schema).parquet(bands_dir)
-        within = D.minhash_lsh_dedup_pairs(batch_sh, threshold=threshold)
-        cross = D.incremental_dedup_pairs(
-            prev_sh, batch_sh, threshold=threshold, corpus_bands=prev_bands
+        _dedup_ingest_apply(
+            spark, sh_dir, bands_dir, pairs_dir, threshold, batch_df, batch_id
         )
-        _norm(within).unionByName(_norm(cross)).write.mode("append").parquet(
-            pairs_dir
-        )
-        batch_sh.write.mode("append").parquet(sh_dir)
-        D.lsh_band_index(batch_sh).write.mode("append").parquet(bands_dir)
-        batch_sh.unpersist()
 
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_dd_{uuid.uuid4().hex[:8]}")
     query = (
@@ -319,7 +297,69 @@ def stream_dedup_ingest(
         .start()
     )
     return (
-        lambda: spark.read.schema(pairs_schema).parquet(pairs_dir),
-        lambda: spark.read.schema(sh_schema).parquet(sh_dir),
+        lambda: _read_state(spark, pairs_dir, _DEDUP_PAIRS_SCHEMA),
+        lambda: _read_state(spark, sh_dir, _DEDUP_SH_SCHEMA),
         query,
     )
+
+
+_DEDUP_SH_SCHEMA = "doc_id long, sh array<long>"
+_DEDUP_BANDS_SCHEMA = "doc_id long, band_id int, band_key string"
+_DEDUP_PAIRS_SCHEMA = "id_a long, id_b long, jaccard double"
+
+
+def _read_state(
+    spark: SparkSession, root: str, schema: str, before_batch: int | None = None
+) -> DataFrame:
+    """Read a per-batch-subdirectory state table; ``before_batch`` limits
+    to deltas of strictly earlier batches (the in-batch view).  An empty
+    or not-yet-written table reads as an empty frame of the right schema."""
+    paths = [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if d.startswith("b")
+        and (before_batch is None or int(d[1:]) < before_batch)
+    ]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def _norm_pairs(pairs: DataFrame) -> DataFrame:
+    return pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "jaccard",
+    )
+
+
+def _dedup_ingest_apply(
+    spark: SparkSession,
+    sh_dir: str,
+    bands_dir: str,
+    pairs_dir: str,
+    threshold: float,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> None:
+    """One micro-batch of the dedup ingest — module-level so the
+    exactly-once replay contract is directly testable (apply the same
+    batch twice, assert identical state)."""
+    from wpvectordb_spark.operators import dedup as D
+
+    bid = int(batch_id)
+    batch_sh = D.shingle_sets(batch_df.select("doc_id", "text")).persist()
+    prev_sh = _read_state(spark, sh_dir, _DEDUP_SH_SCHEMA, before_batch=bid)
+    prev_bands = _read_state(spark, bands_dir, _DEDUP_BANDS_SCHEMA, before_batch=bid)
+    within = D.minhash_lsh_dedup_pairs(batch_sh, threshold=threshold)
+    cross = D.incremental_dedup_pairs(
+        prev_sh, batch_sh, threshold=threshold, corpus_bands=prev_bands
+    )
+    _norm_pairs(within).unionByName(_norm_pairs(cross)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(pairs_dir, f"b{bid}"))
+    batch_sh.write.mode("overwrite").parquet(os.path.join(sh_dir, f"b{bid}"))
+    D.lsh_band_index(batch_sh).write.mode("overwrite").parquet(
+        os.path.join(bands_dir, f"b{bid}")
+    )
+    batch_sh.unpersist()
