@@ -51,3 +51,27 @@ def test_curate_training_corpus_end_to_end(spark):
         near_dup_threshold=0.85, num_shards=4, seq_len=256,
     ).collect()}
     assert again == {tuple(r) for r in rows}
+
+
+def test_curate_training_corpus_dsir_stage(spark):
+    """With a target distribution, the pipeline keeps exactly the
+    requested count and skews the kept set toward the target."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "lang", "text")
+    )
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    out = curate_training_corpus(
+        docs,
+        dsir_target=target,
+        dsir_keep=40,
+        quality_quantile=0.0,
+        near_dup_threshold=0.95,
+        num_shards=4,
+        seq_len=256,
+    )
+    rows = out.collect()
+    assert len({r["doc_id"] for r in rows}) <= 40
+    langs = [r["lang"] for r in rows]
+    assert langs.count("en") / len(langs) > 0.6  # enrichment over 44% base

@@ -33,6 +33,8 @@ def curate_training_corpus(
     quality_quantile: float = 0.25,
     near_dup_threshold: float = 0.85,
     decontam_shingles: int = 5,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int = 1000,
     seq_len: int = 2048,
     num_shards: int = 64,
     seed: int = 0,
@@ -52,8 +54,11 @@ def curate_training_corpus(
        the composite quality score;
     4. decontamination — drop docs sharing >= ``decontam_shingles``
        shingles with the ``holdout`` eval set;
-    5. token-budget domain mixing over ``budgets``;
-    6. sequence packing + deterministic shuffle-sharding.
+    5. DSIR selection — keep the ``dsir_keep`` docs whose hashed-n-gram
+       distribution best matches ``dsir_target`` (runs on the cleaned
+       pool, as in the paper's setup);
+    6. token-budget domain mixing over ``budgets``;
+    7. sequence packing + deterministic shuffle-sharding.
 
     Returns (id, stratum, n_tokens, seq_start, seq_end, shard, pos) —
     the manifest a training loader consumes.
@@ -82,7 +87,13 @@ def curate_training_corpus(
         )
         clean = flags.where(F.col("contaminated") == 0).select(id_col)
         kept = kept.join(clean, id_col, "left_semi")
-    # 5. token-budget mixing
+    # 5. DSIR selection toward the target distribution
+    if dsir_target is not None:
+        picked = CU.dsir_topk(
+            kept, dsir_target, k=dsir_keep, id_col=id_col, text_col=text_col
+        ).select(id_col)
+        kept = kept.join(picked, id_col, "left_semi")
+    # 6. token-budget mixing
     if budgets is not None:
         kept = kept.join(
             CU.budget_sample(
@@ -91,7 +102,7 @@ def curate_training_corpus(
             id_col,
             "left_semi",
         )
-    # 6. packing + sharding
+    # 7. packing + sharding
     packed = CU.pack_sequences(
         kept, seq_len=seq_len, stratum_col=stratum_col, id_col=id_col, text_col=text_col
     )
