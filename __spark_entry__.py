@@ -499,10 +499,16 @@ def _q_dedup_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy (min-id winner, dup_count per group); ``span`` rows are
     ExactSubstr-style duplicate-span stats (Lee et al., ACL'22 — 8-token
     window hashes occurring in >= 2 distinct docs, exact merged-interval
-    token coverage).  Column reuse across arms: ``fingerprint`` is
-    exact-only; ``dup_count`` is the group size (exact) / duplicated
-    window count (span); ``n_windows``/``dup_tokens`` are span-only."""
+    token coverage); ``cut`` rows are the paper's actual output — the
+    corpus rewritten with those spans removed (over plain documents so
+    the whole-doc +10000 copies don't cut every document to nothing).
+    Column reuse across arms: ``fingerprint`` is exact-only;
+    ``dup_count`` is the group size (exact) / duplicated window count
+    (span) / kept-token count (cut); ``n_windows`` is span windows (span)
+    / token count (cut); ``dup_tokens`` is merged coverage (span) /
+    removed tokens (cut); ``cut_text`` is cut-only."""
     corpus = _corpus_with_dups(spark, sf_dir)
+    null_s = F.lit(None).cast("string")
     exact = D.exact_dedup(corpus).select(
         F.lit("exact").alias("kind"),
         "doc_id",
@@ -510,6 +516,7 @@ def _q_dedup_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_count").cast("long").alias("dup_count"),
         F.lit(None).cast("long").alias("n_windows"),
         F.lit(None).cast("long").alias("dup_tokens"),
+        null_s.alias("cut_text"),
     )
     span = D.duplicate_span_stats(corpus, k=8, min_docs=2).select(
         F.lit("span").alias("kind"),
@@ -518,8 +525,20 @@ def _q_dedup_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup_windows").alias("dup_count"),
         "n_windows",
         "dup_tokens",
+        null_s.alias("cut_text"),
     )
-    return exact.unionByName(span)
+    cut = D.remove_duplicate_spans(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=8, min_docs=2
+    ).select(
+        F.lit("cut").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("long").alias("fingerprint"),
+        F.col("n_kept").alias("dup_count"),
+        F.col("n_tokens").alias("n_windows"),
+        (F.col("n_tokens") - F.col("n_kept")).cast("long").alias("dup_tokens"),
+        F.col("text").alias("cut_text"),
+    )
+    return exact.unionByName(span).unionByName(cut)
 
 
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2054,12 +2073,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'exact' AS kind, min(doc_id) AS doc_id, fingerprint,
                    COUNT(*) AS dup_count,
                    CAST(NULL AS BIGINT) AS n_windows,
-                   CAST(NULL AS BIGINT) AS dup_tokens
+                   CAST(NULL AS BIGINT) AS dup_tokens,
+                   CAST(NULL AS VARCHAR) AS cut_text
             FROM fps GROUP BY fingerprint
             UNION ALL
             SELECT 'span' AS kind, doc_id, CAST(NULL AS BIGINT) AS fingerprint,
-                   n_dup_windows AS dup_count, n_windows, dup_tokens
+                   n_dup_windows AS dup_count, n_windows, dup_tokens,
+                   CAST(NULL AS VARCHAR) AS cut_text
             FROM ({D.sql_duplicate_span_stats(corpus, k=8, min_docs=2)})
+            UNION ALL
+            SELECT 'cut' AS kind, doc_id, CAST(NULL AS BIGINT) AS fingerprint,
+                   n_kept AS dup_count, n_tokens AS n_windows,
+                   n_tokens - n_kept AS dup_tokens, text AS cut_text
+            FROM ({D.sql_remove_duplicate_spans(
+                "SELECT doc_id, text FROM documents", k=8, min_docs=2
+            )})
         """,
         "dedup_minhash_lsh": lsh_comp_cte,
         "dedup_simhash": simhash_cte,

@@ -71,7 +71,7 @@ EXPECTED_ARMS = {
     "curate_decontaminate": ("kind", {"boiler", "decon"}),
     "events_windows": ("kind", {"slide", "tumble"}),
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup"}),
-    "dedup_exact": ("kind", {"exact", "span"}),
+    "dedup_exact": ("kind", {"cut", "exact", "span"}),
     "dedup_minhash_lsh": ("kind", {"component", "incr", "pair"}),
     "text_terms_tfidf": ("kind", {"bm25", "ppl", "rrf", "tfidf", "top"}),
 }

@@ -653,3 +653,39 @@ def test_unigram_logprob_scores_hand_computed(spark):
     assert out[2][1] == pytest.approx((math.log(0.4) + math.log(0.2)) / 2, abs=2e-6)
     # frequent fluent text scores higher than rare-token text
     assert out[1][1] > out[2][1]
+
+
+def test_remove_duplicate_spans_golden(spark):
+    """The cut step removes exactly the merged duplicated windows of the
+    stats golden case and keeps everything else in order."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+        (2, "something else entirely here the quick brown fox jumps over the lazy dog and more"),
+        (3, "totally unique text with no duplicated spans at all in this one nothing shared"),
+        (4, "short doc"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in D.remove_duplicate_spans(df, k=8).collect()}
+    assert got[1]["text"] == "runs far away home"
+    assert got[2]["text"] == "something else entirely here more"
+    assert got[3]["text"] == rows[2][1]  # untouched, token-joined == original
+    assert got[4]["text"] == "short doc" and got[5]["text"] == ""
+    assert (got[1]["n_tokens"], got[1]["n_kept"]) == (14, 4)
+    assert (got[2]["n_tokens"], got[2]["n_kept"]) == (15, 5)
+
+
+def test_remove_duplicate_spans_consistent_with_stats(spark):
+    """Removed-token counts must equal the stats arm's exact merged
+    coverage for every document."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    cov = {r["doc_id"]: r["dup_tokens"] for r in D.duplicate_span_stats(docs, k=8).collect()}
+    cut = D.remove_duplicate_spans(docs, k=8).collect()
+    assert len(cut) == 300
+    for r in cut:
+        assert r["n_tokens"] - r["n_kept"] == cov[r["doc_id"]], r["doc_id"]
+    assert any(r["n_kept"] < r["n_tokens"] for r in cut)  # non-vacuous

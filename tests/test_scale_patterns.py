@@ -207,3 +207,17 @@ def test_duplicate_span_plan_shape(spark):
     # distinct-doc counting is the two-level partial aggregate, not a
     # global distinct: every HashAggregate keeps the 8-byte hash key
     assert "HashAggregate" in plan, plan
+
+
+def test_remove_duplicate_spans_plan_shape(spark):
+    """The cut step stays join/agg-shaped: no Window, no cartesian
+    product; the dup-window mark is LEFT SEMI and the kept-token filter
+    is LEFT ANTI (position-keyed, output-bound covered set)."""
+    from wpvectordb_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(D.remove_duplicate_spans(docs, k=8))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan

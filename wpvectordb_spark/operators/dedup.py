@@ -932,3 +932,154 @@ def sql_duplicate_span_stats(
                CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
         FROM span_w w LEFT JOIN span_per_doc p USING (doc_id)
     """
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The CUT step of ExactSubstr dedup (Lee et al., ACL'22): rewrite
+    every document with its duplicated spans removed — the actual output
+    of the paper's tool, where ``duplicate_span_stats`` only measures.
+    Returns ``(id, n_tokens, n_kept, text)``; ``text`` is the document's
+    tokens outside every >= ``min_docs``-doc duplicated k-token window,
+    space-joined in original order.
+
+    Semantics match the paper's tool: ALL occurrences of a duplicated
+    span are cut (no survivor copy).  Output text is a token-level
+    reconstruction — the tokenizer already normalizes case/punctuation,
+    so the cut corpus is what a training tokenizer would see anyway;
+    cutting raw byte ranges needs only a char-offset (not token-index)
+    window bookkeeping, same plan shape.
+
+    Scale shape: everything from ``duplicate_span_stats`` plus the
+    rewrite, which is the only part that must move corpus tokens: one
+    (doc, pos)-keyed LEFT ANTI join of exploded tokens against the
+    exploded covered-position set (both 12-byte rows), one doc-keyed
+    reassembly agg (sort-by-position struct fold).  Covered positions
+    are output-bound (<= k x dup windows); no per-token quadratic scan
+    of interval lists.
+    """
+    from wpvectordb_spark.functions.text import HASH_MOD
+
+    fold = (
+        f"transform(sequence(0, size(_th) - {k}), i -> "
+        f"aggregate(slice(_th, i + 1, {k}), CAST(0 AS LONG), "
+        f"(a, t) -> (a * 31 + t) % {HASH_MOD}))"
+    )
+    base = (
+        _spread(docs)
+        .select(F.col(id_col), X.tokens(text_col).alias("_tk"))
+        .select(
+            F.col(id_col),
+            "_tk",
+            F.transform("_tk", lambda t: X.string_hash(t)).alias("_th"),
+        )
+        .select(
+            F.col(id_col),
+            "_tk",
+            F.when(F.size("_th") >= k, F.expr(fold))
+            .otherwise(F.array().cast("array<long>"))
+            .alias("_ws"),
+        )
+        .persist()  # three consumers: window agg/probe, token explode,
+        # final totals join — same rationale as duplicate_span_stats
+    )
+    wins = base.select(F.col(id_col), F.posexplode("_ws").alias("pos", "h"))
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        wins.join(dup_hashes, "h", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("j"),
+        )
+        .distinct()
+    )
+    toks = base.select(F.col(id_col), F.posexplode("_tk").alias("j", "tok"))
+    reasm = (
+        toks.join(covered, [id_col, "j"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias(text_col),
+        )
+    )
+    return (
+        base.select(F.col(id_col), F.size("_tk").alias("n_tokens"))
+        .join(reasm, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+        )
+    )
+
+
+def sql_remove_duplicate_spans(
+    corpus_sql: str, k: int = 8, min_docs: int = 2
+) -> str:
+    """DuckDB mirror of ``remove_duplicate_spans`` over a (doc_id, text)
+    relation: same window fold, same covered-position anti join, same
+    position-ordered reassembly."""
+    from wpvectordb_spark.functions.text import HASH_MOD, sql_hash_elements, sql_tokens
+
+    return f"""
+        WITH cut_c AS ({corpus_sql}),
+        cut_tk AS (SELECT doc_id, {sql_tokens("text")} AS tk FROM cut_c),
+        cut_h AS (SELECT doc_id, tk, {sql_hash_elements("tk")} AS th FROM cut_tk),
+        cut_w AS (
+          SELECT doc_id, tk,
+                 CASE WHEN len(th) >= {k} THEN
+                   list_transform(range(0, len(th) - {k} + 1), i ->
+                     list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1 : i+{k}]),
+                                 (a, t) -> (a * 31 + t) % {HASH_MOD}))
+                 ELSE [] END AS ws
+          FROM cut_h
+        ),
+        cut_wins AS (
+          SELECT w.doc_id, u.i AS pos, w.ws[u.i + 1] AS h
+          FROM cut_w w, unnest(range(0, len(w.ws))) u(i)
+        ),
+        cut_dup AS (
+          SELECT h FROM cut_wins GROUP BY h
+          HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+        ),
+        cut_cov AS (
+          SELECT DISTINCT w.doc_id, w.pos + u.d AS j
+          FROM cut_wins w, unnest(range(0, {k})) u(d)
+          WHERE w.h IN (SELECT h FROM cut_dup)
+        ),
+        cut_toks AS (
+          SELECT w.doc_id, u.i AS j, w.tk[u.i + 1] AS tok
+          FROM cut_w w, unnest(range(0, len(w.tk))) u(i)
+        ),
+        cut_kept AS (
+          SELECT t.doc_id, t.j, t.tok FROM cut_toks t
+          ANTI JOIN cut_cov c ON t.doc_id = c.doc_id AND t.j = c.j
+        ),
+        cut_reasm AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY j) AS text
+          FROM cut_kept GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               CAST(len(w.tk) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(r.text, '') AS text
+        FROM cut_w w LEFT JOIN cut_reasm r USING (doc_id)
+    """
