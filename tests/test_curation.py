@@ -422,3 +422,14 @@ def test_dsir_weights_order_by_target_likeness(spark):
     w = {r["doc_id"]: r["weight"] for r in CU.dsir_topk(corpus, target, k=3).collect()}
     assert w[1] == w[3]  # identical docs, identical weights
     assert w[1] > w[2]  # target-like beats target-unlike
+
+
+def test_dsir_score_all_mode(docs):
+    """k=None returns the full weight table (every doc with features)."""
+    corpus = docs.where(F.col("doc_id") < 100).select("doc_id", "text")
+    target = docs.where((F.col("lang") == "en") & (F.col("doc_id") < 100)).select(
+        "doc_id", "text"
+    )
+    out = CU.dsir_topk(corpus, target, k=None)
+    assert out.count() == 100
+    assert set(out.columns) == {"doc_id", "n_feats", "weight"}

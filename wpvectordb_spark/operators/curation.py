@@ -759,7 +759,7 @@ def sql_cap_per_domain(
 def dsir_topk(
     corpus: DataFrame,
     target: DataFrame,
-    k: int = 100,
+    k: int | None = 100,
     n_buckets: int = 4096,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -774,6 +774,9 @@ def dsir_topk(
     over ``n_buckets`` hashed uni+bigram features (the paper's feature
     map); a document's weight is its mean per-feature log-likelihood
     ratio.  Returns (id, n_feats, weight), deterministic ties by id.
+    ``k=None`` skips the top-k and returns EVERY scored document — the
+    weight table to feed a downstream sampler (the paper's resampling
+    uses the weights this way).
 
     The paper samples with Gumbel noise; this variant takes the
     deterministic top-k (equivalent to temperature->0) so re-runs and
@@ -841,6 +844,8 @@ def dsir_topk(
             ).alias("weight"),
         )
     )
+    if k is None:
+        return scored
     return scored.orderBy(F.desc("weight"), F.col(id_col)).limit(int(k))
 
 
