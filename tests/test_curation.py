@@ -433,3 +433,21 @@ def test_dsir_score_all_mode(docs):
     out = CU.dsir_topk(corpus, target, k=None)
     assert out.count() == 100
     assert set(out.columns) == {"doc_id", "n_feats", "weight"}
+
+
+def test_dsir_gumbel_sample_properties(docs):
+    """Seeded Gumbel-top-k: deterministic per seed, seed-sensitive, and
+    degenerates to the plain top-k as temperature -> 0."""
+    corpus = docs.select("doc_id", "text")
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    w = CU.dsir_topk(corpus, target, k=None).persist()
+    s0 = {r["doc_id"] for r in CU.dsir_gumbel_sample(w, k=50, seed=0).collect()}
+    s0b = {r["doc_id"] for r in CU.dsir_gumbel_sample(w, k=50, seed=0).collect()}
+    s1 = {r["doc_id"] for r in CU.dsir_gumbel_sample(w, k=50, seed=1).collect()}
+    assert s0 == s0b and s0 != s1
+    cold = {
+        r["doc_id"]
+        for r in CU.dsir_gumbel_sample(w, k=50, temperature=1e-12).collect()
+    }
+    plain = {r["doc_id"] for r in CU.dsir_topk(corpus, target, k=50).collect()}
+    assert cold == plain

@@ -221,3 +221,17 @@ def test_remove_duplicate_spans_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_dsir_plan_shape(spark):
+    """DSIR: the model join must be broadcast (<= n_buckets rows), the
+    top-k a TakeOrdered merge; no Window, no cartesian product."""
+    from wpvectordb_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    tgt = docs.where(F.col("doc_id") < 100)
+    plan = _plan(CU.dsir_topk(docs, tgt, k=50))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan

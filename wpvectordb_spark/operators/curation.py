@@ -886,3 +886,35 @@ def sql_dsir_topk(
                round(s / {int(_scale)}.0 / n_feats, {int(round_to)}) AS weight
         FROM sc ORDER BY weight DESC, doc_id LIMIT {int(k)}
     """
+
+
+def dsir_gumbel_sample(
+    weights: DataFrame,
+    k: int,
+    seed: int = 0,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The paper's actual resampling step: sampling ``k`` documents
+    without replacement with probability proportional to
+    ``exp(weight / temperature)`` is exactly taking the top ``k`` by
+    ``weight / temperature + Gumbel(0,1)`` noise (the Gumbel-top-k
+    trick; Xie et al. resample this way from the importance weights).
+    Feed it ``dsir_topk(..., k=None)``.
+
+    The noise is a seeded hash of the id — fully deterministic, so the
+    sampled subset is re-runnable and backfill-stable, and a different
+    ``seed`` draws an independent sample.  ``temperature -> 0``
+    degenerates to the deterministic top-k; large temperatures approach
+    uniform sampling.  Scale shape: a pure projection plus one
+    TakeOrderedAndProject — no shuffle beyond the top-k merge.
+    """
+    u = (
+        id_hash(F.col(id_col) + F.lit(seed) * F.lit(2654435761)) + F.lit(0.5)
+    ) / F.lit(float(HASH_RANGE))
+    key = F.col("weight") / F.lit(float(temperature)) - F.log(-F.log(u))
+    return (
+        weights.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.col(id_col))
+        .limit(int(k))
+    )
