@@ -914,7 +914,8 @@ def dsir_gumbel_sample(
     ) / F.lit(float(HASH_RANGE))
     key = F.col("weight") / F.lit(float(temperature)) - F.log(-F.log(u))
     return (
-        weights.withColumn("gumbel_key", key)
-        .orderBy(F.desc("gumbel_key"), F.col(id_col))
+        weights.withColumn("_gumbel_key", key)
+        .orderBy(F.desc("_gumbel_key"), F.col(id_col))
         .limit(int(k))
+        .drop("_gumbel_key")  # same schema as dsir_topk — drop-in swap
     )

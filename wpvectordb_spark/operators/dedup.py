@@ -830,39 +830,8 @@ def duplicate_span_stats(
     identical integer arithmetic runs in any engine).  The corpus text
     never shuffles — only (hash, doc, pos) triples.
     """
-    from wpvectordb_spark.functions.text import HASH_MOD
-
-    th = X.token_hashes(text_col)
-    fold = (
-        f"transform(sequence(0, size(_th) - {k}), i -> "
-        f"aggregate(slice(_th, i + 1, {k}), CAST(0 AS LONG), "
-        f"(a, t) -> (a * 31 + t) % {HASH_MOD}))"
-    )
-    base = (
-        _spread(docs)
-        .select(F.col(id_col), th.alias("_th"))
-        .select(
-            F.col(id_col),
-            F.when(F.size("_th") >= k, F.expr(fold))
-            .otherwise(F.array().cast("array<long>"))
-            .alias("_ws"),
-        )
-        .select(F.col(id_col), F.size("_ws").alias("n_windows"), F.col("_ws"))
-        # Three consumers (dup-hash aggregate, semi-join probe, final
-        # n_windows join) would each re-run the O(k * tokens) window-hash
-        # projection — their exchange children differ, so ReuseExchange
-        # cannot dedupe them.  Persist once, same as the minhash
-        # pipeline's shingle table (MEMORY_AND_DISK, evictable).
-        .persist()
-    )
-    wins = base.select(
-        F.col(id_col), F.posexplode("_ws").alias("pos", "h")
-    )
-    dup_hashes = (
-        wins.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
-        .select("h")
+    base, wins, dup_hashes = _span_detection(
+        docs, k, min_docs, id_col, text_col, carry_tokens=False
     )
     dup_wins = wins.join(dup_hashes, "h", "left_semi")
     merge = (
@@ -875,7 +844,7 @@ def duplicate_span_stats(
         F.expr(merge).cast("long").alias("dup_tokens"),
     )
     return (
-        base.select(id_col, "n_windows")
+        base.select(F.col(id_col), F.size("_ws").alias("n_windows"))
         .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
@@ -886,35 +855,99 @@ def duplicate_span_stats(
     )
 
 
+def _span_detection(
+    docs: DataFrame,
+    k: int,
+    min_docs: int,
+    id_col: str,
+    text_col: str,
+    carry_tokens: bool,
+):
+    """The ONE detection pipeline shared by ``duplicate_span_stats`` and
+    ``remove_duplicate_spans`` (a fold/guard tweak changes exactly one
+    place — the cut==stats coverage contract is test-asserted, so drift
+    between copies would break it silently until tests run).  Returns
+    ``(base, wins, dup_hashes)``; ``base`` is persisted (three consumers
+    with differing exchange children — ReuseExchange cannot dedupe them,
+    same rationale as the minhash shingle table) and carries ``_tk``
+    only when the caller needs the tokens back (the cut rewrite)."""
+    from wpvectordb_spark.functions.text import HASH_MOD
+
+    fold = (
+        f"transform(sequence(0, size(_th) - {k}), i -> "
+        f"aggregate(slice(_th, i + 1, {k}), CAST(0 AS LONG), "
+        f"(a, t) -> (a * 31 + t) % {HASH_MOD}))"
+    )
+    if carry_tokens:
+        hashed = (
+            _spread(docs)
+            .select(F.col(id_col), X.tokens(text_col).alias("_tk"))
+            .select(
+                F.col(id_col),
+                "_tk",
+                F.transform("_tk", lambda t: X.string_hash(t)).alias("_th"),
+            )
+        )
+        keep = [F.col(id_col), F.col("_tk")]
+    else:
+        hashed = _spread(docs).select(
+            F.col(id_col), X.token_hashes(text_col).alias("_th")
+        )
+        keep = [F.col(id_col)]
+    base = hashed.select(
+        *keep,
+        F.when(F.size("_th") >= k, F.expr(fold))
+        .otherwise(F.array().cast("array<long>"))
+        .alias("_ws"),
+    ).persist()
+    wins = base.select(F.col(id_col), F.posexplode("_ws").alias("pos", "h"))
+    dup_hashes = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    return base, wins, dup_hashes
+
+
+def _sql_span_cte(corpus_sql: str, k: int, min_docs: int, p: str) -> str:
+    """The ONE DuckDB form of the ExactSubstr detection CTE chain
+    (mirrors ``_span_detection``; a fold/guard tweak changes exactly one
+    place): defines ``{p}_w`` (doc_id, tk, ws), ``{p}_wins`` (doc_id,
+    pos, h), ``{p}_dup`` (h)."""
+    from wpvectordb_spark.functions.text import HASH_MOD, sql_hash_elements, sql_tokens
+
+    return f"""
+        {p}_c AS ({corpus_sql}),
+        {p}_tk AS (SELECT doc_id, {sql_tokens("text")} AS tk FROM {p}_c),
+        {p}_h AS (SELECT doc_id, tk, {sql_hash_elements("tk")} AS th FROM {p}_tk),
+        {p}_w AS (
+          SELECT doc_id, tk,
+                 CASE WHEN len(th) >= {k} THEN
+                   list_transform(range(0, len(th) - {k} + 1), i ->
+                     list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1 : i+{k}]),
+                                 (a, t) -> (a * 31 + t) % {HASH_MOD}))
+                 ELSE [] END AS ws
+          FROM {p}_h
+        ),
+        {p}_wins AS (
+          SELECT w.doc_id, u.i AS pos, w.ws[u.i + 1] AS h
+          FROM {p}_w w, unnest(range(0, len(w.ws))) u(i)
+        ),
+        {p}_dup AS (
+          SELECT h FROM {p}_wins GROUP BY h
+          HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+        )"""
+
+
 def sql_duplicate_span_stats(
     corpus_sql: str, k: int = 8, min_docs: int = 2
 ) -> str:
     """DuckDB mirror of ``duplicate_span_stats`` over a (doc_id, text)
     relation: same positional window fold, same distinct-doc threshold,
     same BIGINT-packed interval-merge arithmetic."""
-    from wpvectordb_spark.functions.text import HASH_MOD, sql_token_hashes
-
-    th = sql_token_hashes("text")
     return f"""
-        WITH span_c AS ({corpus_sql}),
-        span_tk AS (SELECT doc_id, {th} AS th FROM span_c),
-        span_w AS (
-          SELECT doc_id,
-                 CASE WHEN len(th) >= {k} THEN
-                   list_transform(range(0, len(th) - {k} + 1), i ->
-                     list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1 : i+{k}]),
-                                 (a, t) -> (a * 31 + t) % {HASH_MOD}))
-                 ELSE [] END AS ws
-          FROM span_tk
-        ),
-        span_wins AS (
-          SELECT w.doc_id, u.i AS pos, w.ws[u.i + 1] AS h
-          FROM span_w w, unnest(range(0, len(w.ws))) u(i)
-        ),
-        span_dup AS (
-          SELECT h FROM span_wins GROUP BY h
-          HAVING COUNT(DISTINCT doc_id) >= {min_docs}
-        ),
+        WITH {_sql_span_cte(corpus_sql, k, min_docs, "span")},
         span_per_doc AS (
           SELECT doc_id, COUNT(*) AS n_dup_windows,
                  list_reduce(
@@ -963,37 +996,8 @@ def remove_duplicate_spans(
     are output-bound (<= k x dup windows); no per-token quadratic scan
     of interval lists.
     """
-    from wpvectordb_spark.functions.text import HASH_MOD
-
-    fold = (
-        f"transform(sequence(0, size(_th) - {k}), i -> "
-        f"aggregate(slice(_th, i + 1, {k}), CAST(0 AS LONG), "
-        f"(a, t) -> (a * 31 + t) % {HASH_MOD}))"
-    )
-    base = (
-        _spread(docs)
-        .select(F.col(id_col), X.tokens(text_col).alias("_tk"))
-        .select(
-            F.col(id_col),
-            "_tk",
-            F.transform("_tk", lambda t: X.string_hash(t)).alias("_th"),
-        )
-        .select(
-            F.col(id_col),
-            "_tk",
-            F.when(F.size("_th") >= k, F.expr(fold))
-            .otherwise(F.array().cast("array<long>"))
-            .alias("_ws"),
-        )
-        .persist()  # three consumers: window agg/probe, token explode,
-        # final totals join — same rationale as duplicate_span_stats
-    )
-    wins = base.select(F.col(id_col), F.posexplode("_ws").alias("pos", "h"))
-    dup_hashes = (
-        wins.groupBy("h")
-        .agg(F.count_distinct(id_col).alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
-        .select("h")
+    base, wins, dup_hashes = _span_detection(
+        docs, k, min_docs, id_col, text_col, carry_tokens=True
     )
     covered = (
         wins.join(dup_hashes, "h", "left_semi")
@@ -1036,29 +1040,8 @@ def sql_remove_duplicate_spans(
     """DuckDB mirror of ``remove_duplicate_spans`` over a (doc_id, text)
     relation: same window fold, same covered-position anti join, same
     position-ordered reassembly."""
-    from wpvectordb_spark.functions.text import HASH_MOD, sql_hash_elements, sql_tokens
-
     return f"""
-        WITH cut_c AS ({corpus_sql}),
-        cut_tk AS (SELECT doc_id, {sql_tokens("text")} AS tk FROM cut_c),
-        cut_h AS (SELECT doc_id, tk, {sql_hash_elements("tk")} AS th FROM cut_tk),
-        cut_w AS (
-          SELECT doc_id, tk,
-                 CASE WHEN len(th) >= {k} THEN
-                   list_transform(range(0, len(th) - {k} + 1), i ->
-                     list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1 : i+{k}]),
-                                 (a, t) -> (a * 31 + t) % {HASH_MOD}))
-                 ELSE [] END AS ws
-          FROM cut_h
-        ),
-        cut_wins AS (
-          SELECT w.doc_id, u.i AS pos, w.ws[u.i + 1] AS h
-          FROM cut_w w, unnest(range(0, len(w.ws))) u(i)
-        ),
-        cut_dup AS (
-          SELECT h FROM cut_wins GROUP BY h
-          HAVING COUNT(DISTINCT doc_id) >= {min_docs}
-        ),
+        WITH {_sql_span_cte(corpus_sql, k, min_docs, "cut")},
         cut_cov AS (
           SELECT DISTINCT w.doc_id, w.pos + u.d AS j
           FROM cut_wins w, unnest(range(0, {k})) u(d)

@@ -322,7 +322,16 @@ def _read_state(
     ]
     if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    # ignoreMissingFiles: a replayed batch OVERWRITES its own subdir, so
+    # an external reader that listed that subdir just before the rewrite
+    # would otherwise fail on the deleted files mid-scan; the replay
+    # rewrites identical content, so skipping the vanished files only
+    # ever drops rows the same read is picking up from the new files.
+    return (
+        spark.read.schema(schema)
+        .option("ignoreMissingFiles", "true")
+        .parquet(*paths)
+    )
 
 
 def _norm_pairs(pairs: DataFrame) -> DataFrame:
