@@ -179,3 +179,44 @@ def test_token_count_parity_on_docs(spark, docs):
         " FROM documents"
     ).fetchall()
     assert sorted(map(tuple, sdf.collect())) == sorted(d)
+
+
+def test_ngram_buckets_cross_engine_parity_random(spark, duck):
+    """Spark ngram_buckets == DuckDB sql_ngram_buckets on generated texts
+    covering the edges: empty, 1 token, exactly 2 tokens, long docs,
+    mixed case/punct.  All buckets in [0, B)."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "Gamma", "delta-9", "x", "yz", "Epsilon"]
+    rows = [(0, ""), (1, "one"), (2, "two tokens"), (3, "...")]
+    rows += [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(3, 60))))
+        for i in range(4, 40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id",
+            X.ngram_buckets(
+                F.transform(X.tokens("text"), lambda t: X.string_hash(t)), 256
+            ).alias("b"),
+        ).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE ngb AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({i}, '{t}')" for i, t in rows)
+                 + ") t(doc_id, text)")
+    th = X.sql_token_hashes("text")
+    want = {
+        i: b
+        for i, b in duck.sql(
+            f"SELECT doc_id, {X.sql_ngram_buckets('th', 256)} FROM "
+            f"(SELECT doc_id, {th} AS th FROM ngb)"
+        ).fetchall()
+    }
+    assert got == want
+    for bs in got.values():
+        assert all(0 <= b < 256 for b in bs)
+    # unigrams + bigrams: n tokens -> 2n - 1 buckets (n >= 2)
+    assert len(got[2]) == 3 and len(got[1]) == 1 and got[0] == [] and got[3] == []
