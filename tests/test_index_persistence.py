@@ -95,3 +95,33 @@ def test_ivf_index_build_and_query(spark, emb, tmp_path_factory):
     assert [tuple(r) for r in from_index.collect()] == [tuple(r) for r in inline.collect()]
     plan = from_index._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
+def test_ivf_index_append_equivalent_to_rebuild_corpus(spark, emb, tmp_path_factory):
+    """Appending a delta assigns it to the FROZEN centroids: the stored
+    corpus equals old + delta, only the delta's partitions gain files,
+    and probing ALL clusters returns exactly the brute-force top-k over
+    the full corpus (an all-probe query is a full scan)."""
+    path = str(tmp_path_factory.mktemp("ivf3") / "index")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    delta = emb.where(F.col("vec_id") % 2 == 1)
+    SIM.build_ivf_index(old, path, n_clusters=8)
+    SIM.append_to_ivf_index(spark, delta, path)
+    stored = spark.read.parquet(f"{path}/vectors")
+    assert stored.count() == emb.count()
+    assert stored.select("vec_id").distinct().count() == emb.count()
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    from_index = SIM.ivf_topk_from_index(spark, path, qv, k=10, n_probe=8)
+    got = [(r["vec_id"], r["cosine_similarity"]) for r in from_index.collect()]
+    # brute force over the full corpus via the inline path with all probes
+    full = SIM.ivf_topk(emb, qv, k=10, n_clusters=8, n_probe=8)
+    want_ids = {r["vec_id"] for r in full.collect()}
+    assert {i for i, _ in got} <= want_ids or len(got) == 10
+    # exact equivalence against a true brute-force rank
+    from wpvectordb_spark.operators import search as S
+
+    brute = S.brute_force_topk(
+        emb.withColumnRenamed("vec_id", "id"), qv, n=10, vector_col="embedding"
+    )
+    want = [r["id"] for r in brute.collect()]
+    assert [i for i, _ in got] == want

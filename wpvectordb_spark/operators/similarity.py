@@ -284,6 +284,35 @@ def build_ivf_index(
     return centroids
 
 
+def append_to_ivf_index(
+    spark,
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> None:
+    """Incremental index growth — the production ingest shape: assign
+    ONLY the new vectors to the EXISTING stored centroids and append
+    their rows into the partitioned layout.  No rebuild, no
+    re-assignment of the stored corpus; with all clusters probed the
+    appended index is exactly equivalent to a full rebuild's corpus
+    (test-asserted), and pruned probes keep the standard IVF recall
+    contract against the frozen centroids.
+
+    This is the standard IVF maintenance trade (FAISS ``add`` after
+    ``train``): centroids slowly drift from the true cell means as the
+    corpus grows; monitor recall (``ann_recall``) and re-train + rebuild
+    when it degrades.  Scale shape: broadcast centroid assign over the
+    DELTA only; the partitioned append touches only the delta's
+    clusters' files.
+    """
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = assign_clusters(vectors, centroids, id_col, vector_col)
+    assigned.write.mode("append").partitionBy("cluster_id").parquet(
+        f"{path}/vectors"
+    )
+
+
 def ivf_topk_from_index(
     spark,
     path: str,
