@@ -451,3 +451,46 @@ def test_dsir_gumbel_sample_properties(docs):
     }
     plain = {r["doc_id"] for r in CU.dsir_topk(corpus, target, k=50).collect()}
     assert cold == plain
+
+
+C4_FIXTURE = [
+    (1, "This line ends properly.\nshort.\nno terminal punct here\n"
+        "Another good sentence stays!\nIs this kept?\nfinal line with javascript stays out."),
+    (2, "Only one good sentence here.\nrest are fragments\nno"),
+    (3, "Lorem ipsum dolor sit amet.\nA fine sentence indeed.\nAnother fine sentence here.\nAnd one more to clear the bar."),
+    (4, "function() { return 1; }\nA fine sentence indeed.\nAnother fine sentence here.\nAnd one more to clear the bar."),
+    (5, "First proper sentence right here.\nSecond proper sentence as well.\nThird proper sentence closes it."),
+    (6, ""),
+]
+
+
+def test_c4_page_filter_rules(spark):
+    """Line rules: terminal punctuation + min words + no 'javascript';
+    page rules: >= min_kept_lines kept lines, no lorem ipsum, no brace."""
+    df = spark.createDataFrame(C4_FIXTURE, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in CU.c4_page_filter(df, min_words=3, min_kept_lines=3).collect()}
+    assert got[1]["n_lines"] == 6 and got[1]["n_kept"] == 3  # short./fragment/javascript dropped
+    assert got[1]["page_kept"] == 1
+    assert got[1]["text"] == (
+        "This line ends properly.\nAnother good sentence stays!\nIs this kept?"
+    )
+    assert got[2]["page_kept"] == 0  # only 1 kept line
+    assert got[3]["page_kept"] == 0  # lorem ipsum page rule
+    assert got[4]["page_kept"] == 0  # curly-brace page rule
+    assert got[5]["page_kept"] == 1 and got[5]["n_kept"] == 3
+    assert got[6] ["n_lines"] == 0 and got[6]["page_kept"] == 0 and got[6]["text"] == ""
+
+
+def test_c4_page_filter_cross_engine_parity(spark, duck):
+    df = spark.createDataFrame(C4_FIXTURE, "doc_id long, text string")
+    s = sorted(map(tuple, CU.c4_page_filter(df).collect()), key=repr)
+    vals = ", ".join(
+        "(%d, '%s')" % (i, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
+        for i, t in C4_FIXTURE
+    )
+    duck.execute(f"CREATE OR REPLACE TABLE c4fix AS SELECT * FROM (VALUES {vals}) t(doc_id, text)")
+    d = sorted(
+        duck.sql(CU.sql_c4_page_filter("SELECT doc_id, text FROM c4fix")).fetchall(),
+        key=repr,
+    )
+    assert s == d
