@@ -1432,7 +1432,11 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling + sliding window aggregations, tagged."""
+    """Tumbling + sliding window aggregations plus daily retention
+    cohorts, tagged.  Column reuse on the cohort arm: ``event_type``
+    carries the period offset (as string), ``n_events`` the active
+    count, ``sum_value`` the retention ratio, ``n_users`` the cohort
+    size."""
     tumble = _q_events_tumbling(spark, sf_dir).select(
         F.lit("tumble").alias("kind"),
         "window_start",
@@ -1449,7 +1453,17 @@ def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         F.lit(None).cast("long").alias("n_users"),
     )
-    return tumble.unionByName(slide)
+    cohort = E.retention_cohorts(
+        load_events(spark, sf_dir), period_days=1
+    ).select(
+        F.lit("cohort").alias("kind"),
+        F.col("cohort_start").alias("window_start"),
+        F.col("period_offset").cast("string").alias("event_type"),
+        F.col("n_active").alias("n_events"),
+        F.col("retention").alias("sum_value"),
+        F.col("cohort_size").alias("n_users"),
+    )
+    return tumble.unionByName(slide).unionByName(cohort)
 
 
 def _q_events_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1567,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "text_terms_tfidf": _q_text_terms_tfidf,
         "curate_sample_pack": _q_curate_sample_pack,
+        "events_windows": _q_events_windows,
         # --- changed in round 2 ---------------------------------------------
         "stream_windows": _q_stream_windows,
         "multimodal_features": _q_multimodal_features_merged,
@@ -1591,7 +1606,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_variants": _q_dsl_variants,
         "crud_get_delete": _q_crud_get_delete,
         "curate_decontaminate": _q_curate_decontaminate,
-        "events_windows": _q_events_windows,
         # --- green in round 1 (back of window) ------------------------------
         "k1_k2_magnitude_normalize": _q_k1_k2_magnitude_normalize,
         "k5_k6_hamming_cosine": _q_k5_k6_hamming_cosine,
@@ -2356,6 +2370,15 @@ def oracle_sql() -> dict[str, str]:
                      value
               FROM events, range(0, 4) k(i)
             ) GROUP BY ws
+            UNION ALL
+            -- daily retention cohorts: event_type carries the period
+            -- offset, n_events the active count, sum_value the ratio,
+            -- n_users the cohort size
+            SELECT 'cohort' AS kind, cohort_start AS window_start,
+                   CAST(period_offset AS VARCHAR) AS event_type,
+                   n_active AS n_events, retention AS sum_value,
+                   cohort_size AS n_users
+            FROM ({E.sql_retention_cohorts(ev, period_days=1)})
         """,
         "events_sessionize": sessionize_sql,
         "join_asof": """

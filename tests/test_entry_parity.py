@@ -69,7 +69,7 @@ EXPECTED_ARMS = {
         {"budget", "chunk", "domcap", "dsir", "pack", "qfilter", "sample", "shard"},
     ),
     "curate_decontaminate": ("kind", {"boiler", "decon"}),
-    "events_windows": ("kind", {"slide", "tumble"}),
+    "events_windows": ("kind", {"cohort", "slide", "tumble"}),
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup"}),
     "dedup_exact": ("kind", {"cut", "exact", "span"}),
     "dedup_minhash_lsh": ("kind", {"component", "incr", "pair"}),

@@ -689,3 +689,31 @@ def test_remove_duplicate_spans_consistent_with_stats(spark):
     for r in cut:
         assert r["n_tokens"] - r["n_kept"] == cov[r["doc_id"]], r["doc_id"]
     assert any(r["n_kept"] < r["n_tokens"] for r in cut)  # non-vacuous
+
+
+def test_retention_cohorts_golden(spark):
+    """3 users, daily periods: u1 starts day 0 and returns day 1 and 2;
+    u2 starts day 0, returns day 2; u3 starts day 1, never returns ->
+    known triangle."""
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 09:00:00"), (1, "2024-01-03 08:00:00"),
+        (2, "2024-01-01 11:00:00"), (2, "2024-01-03 12:00:00"),
+        (3, "2024-01-02 13:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    from wpvectordb_spark.operators import events as E
+
+    got = {
+        (r["cohort_start"].day, r["period_offset"]): (
+            r["n_active"], r["cohort_size"], r["retention"]
+        )
+        for r in E.retention_cohorts(df, period_days=1).collect()
+    }
+    assert got[(1, 0)] == (2, 2, 1.0)   # day-1 cohort: u1, u2
+    assert got[(1, 1)] == (1, 2, 0.5)   # only u1 back next day
+    assert got[(1, 2)] == (2, 2, 1.0)   # both back on day 3
+    assert got[(2, 0)] == (1, 1, 1.0)   # day-2 cohort: u3
+    assert (2, 1) not in got            # u3 never returns
+    assert len(got) == 4

@@ -186,3 +186,93 @@ def event_type_funnel(events: DataFrame) -> DataFrame:
         F.round(F.sum("value"), 6).alias("sum_value"),
         F.round(F.avg("value"), 9).alias("avg_value"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention (the standard product-analytics triangle): users
+    are grouped into cohorts by the period of their FIRST activity; each
+    (cohort, offset) cell counts how many of that cohort were active
+    ``offset`` periods later.  Returns (cohort_start, period_offset,
+    n_active, cohort_size, retention) with retention rounded to 6 dp.
+
+    Period indexing is integer epoch-day division (DST/timezone-free and
+    portable to the oracle verbatim); ``cohort_start`` is the period's
+    first day as a timestamp.  Offset 0 is the cohort itself, so
+    retention(0) = 1.0 — kept as the standard sanity row.
+
+    Scale shape: one user-keyed min-aggregate (first activity), one
+    distinct over (user, period) — both map-side combinable; one
+    user-keyed join between them (co-partitioned: same key); and a final
+    tiny (cohort, offset)-keyed aggregate whose cardinality is
+    O(periods^2), never data-sized.  No windows, no driver state.
+    """
+    pday = lambda c: F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
+    period = lambda c: F.floor(pday(c) / period_days).cast("long")
+    firsts = events.groupBy(user_col).agg(
+        period(F.min(ts_col)).alias("_cohort_p")
+    )
+    actives = events.select(
+        F.col(user_col), period(F.col(ts_col)).alias("_p")
+    ).distinct()
+    cells = (
+        actives.join(firsts, user_col)
+        .groupBy("_cohort_p", (F.col("_p") - F.col("_cohort_p")).alias("period_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = firsts.groupBy("_cohort_p").agg(F.count("*").alias("cohort_size"))
+    return (
+        cells.join(sizes, "_cohort_p")
+        .select(
+            F.to_timestamp(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"),
+                    (F.col("_cohort_p") * period_days).cast("int"),
+                )
+            ).alias("cohort_start"),
+            F.col("period_offset").cast("long").alias("period_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )
+
+
+def sql_retention_cohorts(ts_expr: str, period_days: int = 7) -> str:
+    """DuckDB mirror of ``retention_cohorts`` over the events table;
+    ``ts_expr`` is the normalized timestamp expression."""
+    d = int(period_days)
+    pd_ = f"(CAST({ts_expr} AS DATE) - DATE '1970-01-01')"
+    return f"""
+        WITH rc_first AS (
+          SELECT user_id,
+                 CAST(floor((CAST(min({ts_expr}) AS DATE) - DATE '1970-01-01') / {d})
+                      AS BIGINT) AS cohort_p
+          FROM events GROUP BY user_id
+        ),
+        rc_active AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor({pd_} / {d}) AS BIGINT) AS p
+          FROM events
+        ),
+        rc_cells AS (
+          SELECT f.cohort_p, a.p - f.cohort_p AS period_offset,
+                 COUNT(*) AS n_active
+          FROM rc_active a JOIN rc_first f USING (user_id)
+          GROUP BY 1, 2
+        ),
+        rc_sizes AS (
+          SELECT cohort_p, COUNT(*) AS cohort_size FROM rc_first GROUP BY 1
+        )
+        SELECT CAST(DATE '1970-01-01' + CAST(c.cohort_p * {d} AS INT) AS TIMESTAMP)
+                 AS cohort_start,
+               CAST(c.period_offset AS BIGINT) AS period_offset,
+               CAST(c.n_active AS BIGINT) AS n_active,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               round(c.n_active / s.cohort_size, 6) AS retention
+        FROM rc_cells c JOIN rc_sizes s USING (cohort_p)
+    """
