@@ -461,6 +461,7 @@ C4_FIXTURE = [
     (4, "function() { return 1; }\nA fine sentence indeed.\nAnother fine sentence here.\nAnd one more to clear the bar."),
     (5, "First proper sentence right here.\nSecond proper sentence as well.\nThird proper sentence closes it."),
     (6, ""),
+    (7, None),
 ]
 
 
@@ -478,14 +479,16 @@ def test_c4_page_filter_rules(spark):
     assert got[3]["page_kept"] == 0  # lorem ipsum page rule
     assert got[4]["page_kept"] == 0  # curly-brace page rule
     assert got[5]["page_kept"] == 1 and got[5]["n_kept"] == 3
-    assert got[6] ["n_lines"] == 0 and got[6]["page_kept"] == 0 and got[6]["text"] == ""
+    for d in (6, 7):  # empty and NULL text behave identically
+        assert got[d]["n_lines"] == 0 and got[d]["page_kept"] == 0 and got[d]["text"] == ""
 
 
 def test_c4_page_filter_cross_engine_parity(spark, duck):
     df = spark.createDataFrame(C4_FIXTURE, "doc_id long, text string")
     s = sorted(map(tuple, CU.c4_page_filter(df).collect()), key=repr)
     vals = ", ".join(
-        "(%d, '%s')" % (i, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
+        ("(%d, '%s')" % (i, t.replace("'", "''").replace("\n", "' || chr(10) || '")))
+        if t is not None else "(%d, NULL)" % i
         for i, t in C4_FIXTURE
     )
     duck.execute(f"CREATE OR REPLACE TABLE c4fix AS SELECT * FROM (VALUES {vals}) t(doc_id, text)")

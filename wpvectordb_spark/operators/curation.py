@@ -943,7 +943,9 @@ def c4_page_filter(
     complement, frequency-based boilerplate removal, is
     ``remove_boilerplate_lines``).
     """
-    t = F.col(text_col)
+    # NULL text reads as an empty page (0 lines, dropped) in BOTH
+    # engines — without the coalesce the two mirrors diverge on NULLs.
+    t = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.filter(F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0)
     low = F.lower(t)
 
@@ -977,21 +979,24 @@ def sql_c4_page_filter(
 ) -> str:
     """DuckDB mirror of ``c4_page_filter`` over a (doc_id, text)
     relation."""
-    lines = (
-        "list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0)"
-    )
     ok = (
         "l -> regexp_matches(trim(l), '[.!?\"]$')"
         f" AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w != '')) >= {int(min_words)}"
         " AND NOT contains(lower(l), 'javascript')"
     )
     return f"""
-        WITH c4_c AS ({corpus_sql}),
-        c4_l AS (
-          SELECT doc_id, {lines} AS lines,
-                 list_filter({lines}, {ok}) AS kept,
-                 lower(text) AS low
+        WITH c4_c AS (
+          SELECT doc_id, COALESCE(text, '') AS text FROM ({corpus_sql})
+        ),
+        c4_split AS (
+          SELECT doc_id, lower(text) AS low,
+                 list_filter(string_split(text, chr(10)),
+                             l -> length(trim(l)) > 0) AS lines
           FROM c4_c
+        ),
+        c4_l AS (
+          SELECT doc_id, low, lines, list_filter(lines, {ok}) AS kept
+          FROM c4_split
         )
         SELECT doc_id,
                CAST(len(lines) AS BIGINT) AS n_lines,

@@ -322,16 +322,15 @@ def _read_state(
     ]
     if not paths:
         return spark.createDataFrame([], schema)
-    # ignoreMissingFiles: a replayed batch OVERWRITES its own subdir, so
-    # an external reader that listed that subdir just before the rewrite
-    # would otherwise fail on the deleted files mid-scan; the replay
-    # rewrites identical content, so skipping the vanished files only
-    # ever drops rows the same read is picking up from the new files.
-    return (
-        spark.read.schema(schema)
-        .option("ignoreMissingFiles", "true")
-        .parquet(*paths)
-    )
+    # A batch replay OVERWRITES its own subdir, so an external reader
+    # that listed that subdir just before the rewrite can fail loudly
+    # (FileNotFoundException) mid-scan — retry the read.  Deliberately
+    # NOT ignoreMissingFiles: the scan only knows the file names it
+    # listed, so skipping vanished files would silently return state
+    # MISSING that batch's rows rather than surfacing a retryable
+    # error.  The transactional fix is a table format with snapshot
+    # isolation (Delta/Iceberg) — the layout maps 1:1.
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def _norm_pairs(pairs: DataFrame) -> DataFrame:
