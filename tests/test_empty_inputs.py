@@ -1,0 +1,87 @@
+"""Empty-input smoke: every major operator family must handle an empty
+(but correctly-typed) input without raising — the shape of a filtered-out
+partition, an empty crawl increment, or a new tenant's first run."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wpvectordb_spark.operators import curation as CU
+from wpvectordb_spark.operators import dedup as D
+from wpvectordb_spark.operators import events as E
+from wpvectordb_spark.operators import retrieval as R
+from wpvectordb_spark.operators import search as S
+from wpvectordb_spark.operators import text_analysis as TA
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    return spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_dedup_family_on_empty_corpus(spark, empty_docs):
+    assert D.exact_dedup(empty_docs).count() == 0
+    assert D.minhash_lsh_dedup_pairs(empty_docs).count() == 0
+    assert D.simhash_near_dup_pairs(empty_docs).count() == 0
+    assert D.duplicate_span_stats(empty_docs).count() == 0
+    assert D.remove_duplicate_spans(empty_docs).count() == 0
+
+
+def test_incremental_dedup_empty_sides(spark, empty_docs):
+    docs = spark.createDataFrame(
+        [(1, "some words here repeated words here"), (2, "other text entirely")],
+        "doc_id long, text string",
+    )
+    assert D.incremental_dedup_pairs(empty_docs, docs).count() == 0
+    assert D.incremental_dedup_pairs(docs, empty_docs).count() == 0
+
+
+def test_curation_family_on_empty_corpus(spark, empty_docs):
+    empty_lang = empty_docs.withColumn("lang", F.lit(None).cast("string"))
+    assert CU.stratified_sample(empty_lang, {"en": 0.5}).count() == 0
+    assert CU.pack_sequences(empty_lang, persist=False).count() == 0
+    assert CU.cap_per_domain(empty_docs.withColumn("source", F.lit(None).cast("string")),
+                             max_docs=5, domain_col="source").count() == 0
+    assert CU.chunk_documents(empty_docs, chunk_tokens=8, overlap=2).count() == 0
+    assert CU.c4_page_filter(empty_docs).count() == 0
+    assert CU.dsir_topk(empty_docs, empty_docs, k=5).count() == 0
+
+
+def test_dsir_empty_target_is_defined(spark, empty_docs):
+    """Empty target: uniform smoothed target model — weights defined."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    rows = CU.dsir_topk(docs, empty_docs, k=5).collect()
+    assert len(rows) == 2
+    assert all(r["weight"] is not None for r in rows)
+
+
+def test_events_family_on_empty_events(spark, empty_events):
+    assert E.tumbling_window_agg(empty_events).count() == 0
+    assert E.sessionize(empty_events).count() == 0
+    assert E.conversion_funnel(empty_events).count() == 0
+    assert E.retention_cohorts(empty_events).count() == 0
+
+
+def test_search_and_text_on_empty_inputs(spark, empty_docs):
+    empty_index = spark.createDataFrame(
+        [], "id long, post_id long, vector array<float>"
+    )
+    from wpvectordb_spark.operators import table_ops as TO
+
+    derived = TO.derive(empty_index)
+    assert S.search(derived, [0.1] * 4, n=5).count() == 0
+    assert S.brute_force_topk(empty_index, [0.1] * 4, n=5).count() == 0
+    assert TA.analyze_full(empty_docs).count() == 0
+    assert TA.unigram_logprob_scores(empty_docs).count() == 0
+    assert R.bm25_topk(empty_docs, ["term"], n=5).count() == 0
