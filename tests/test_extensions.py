@@ -717,3 +717,49 @@ def test_retention_cohorts_golden(spark):
     assert got[(2, 0)] == (1, 1, 1.0)   # day-2 cohort: u3
     assert (2, 1) not in got            # u3 never returns
     assert len(got) == 4
+
+
+def test_sequence_funnel_golden(spark):
+    """Ordering semantics: steps complete at-or-after the previous step;
+    out-of-order occurrences don't count; partial prefixes reported."""
+    rows = [
+        # u1: full in-order funnel
+        (1, "2024-01-01 10:00:00", "signup"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-01 12:00:00", "purchase"),
+        # u2: purchase BEFORE signup -> only signup counts
+        (2, "2024-01-01 09:00:00", "purchase"),
+        (2, "2024-01-01 10:00:00", "signup"),
+        # u3: signup+click, click also earlier (ignored), no purchase
+        (3, "2024-01-01 08:00:00", "click"),
+        (3, "2024-01-01 10:00:00", "signup"),
+        (3, "2024-01-01 11:00:00", "click"),
+        # u4: unrelated events only -> 0 steps, still a row
+        (4, "2024-01-01 10:00:00", "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, event_type string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    got = {
+        r["user_id"]: (r["steps_completed"], [t.hour for t in r["step_ts"]])
+        for r in E.sequence_funnel(df, ["signup", "click", "purchase"]).collect()
+    }
+    assert got[1] == (3, [10, 11, 12])
+    assert got[2] == (1, [10])
+    assert got[3] == (2, [10, 11])  # the 08:00 click is before signup
+    assert 4 not in got  # filtered: no funnel-type events at all
+    assert len(got) == 3
+
+
+def test_sequence_funnel_cross_engine_parity(spark, duck):
+    from wpvectordb_spark.sources.loaders import load_events
+    from tests.conftest import SF_DIR
+
+    ev = load_events(spark, SF_DIR)
+    steps = ["view", "click", "purchase", "error"]
+    s = sorted(map(tuple, E.sequence_funnel(ev, steps).collect()), key=repr)
+    d = sorted(
+        duck.sql(E.sql_sequence_funnel("CAST(ts AS TIMESTAMP)", steps)).fetchall(),
+        key=repr,
+    )
+    assert s == d and len(s) == 150

@@ -276,3 +276,87 @@ def sql_retention_cohorts(ts_expr: str, period_days: int = 7) -> str:
                round(c.n_active / s.cohort_size, 6) AS retention
         FROM rc_cells c JOIN rc_sizes s USING (cohort_p)
     """
+
+
+def sequence_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """N-step ORDERED funnel (the product-analytics generalization of
+    ``conversion_funnel``'s fixed two steps): per user, ``t_1`` is the
+    earliest occurrence of step 1 and ``t_i`` the earliest occurrence of
+    step *i* at or after ``t_{i-1}`` — the same at-or-after chaining
+    ``conversion_funnel`` uses.  Returns (user, steps_completed,
+    step_ts) where ``step_ts`` holds the completion times of the
+    completed prefix.
+
+    One user-keyed collect, then every step time is an in-row
+    filter+array_min over the SAME collected array — no per-step
+    self-joins (an n-step join chain is n-1 shuffles and re-scans; this
+    is ONE shuffle regardless of n).  Events are pre-filtered to the
+    funnel's types, so the per-user list is bounded by funnel activity
+    (same contract as any collect_list sessionizer).
+    """
+    if not steps:
+        raise ValueError("sequence_funnel: steps must be non-empty")
+    evs = events.where(F.col(type_col).isin(list(set(steps)))).select(
+        F.col(user_col),
+        F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("tp")).alias("e"),
+    )
+    per_user = evs.groupBy(user_col).agg(F.collect_list("e").alias("_evs"))
+    ts_of = []  # t_i column expressions, chained
+    for i, s in enumerate(steps):
+        prev = ts_of[i - 1] if i else None
+        cond = (lambda si, pv: (
+            lambda e: (e["tp"] == si)
+            if pv is None
+            else ((e["tp"] == si) & pv.isNotNull() & (e["ts"] >= pv))
+        ))(s, prev)
+        ts_of.append(
+            F.array_min(F.transform(F.filter(F.col("_evs"), cond), lambda e: e["ts"]))
+        )
+    all_ts = F.array(*ts_of)
+    # completed prefix: position of the first null (prefix chaining makes
+    # everything after a null also null)
+    step_ts = F.filter(all_ts, lambda t: t.isNotNull())
+    return per_user.select(
+        F.col(user_col),
+        F.size(step_ts).cast("long").alias("steps_completed"),
+        step_ts.alias("step_ts"),
+    )
+
+
+def sql_sequence_funnel(ts_expr: str, steps: list[str]) -> str:
+    """DuckDB mirror of ``sequence_funnel``: one list() per user, the
+    same chained filter+list_min per step, one CTE layer per step so
+    each t_i can reference t_{i-1}."""
+    types_sql = ", ".join(f"'{s}'" for s in sorted(set(steps)))
+    cte = f"""sq_u AS (
+          SELECT user_id, list({{'ts': ts, 'tp': tp}}) AS evs FROM (
+            SELECT user_id, {ts_expr} AS ts, event_type AS tp FROM events
+            WHERE event_type IN ({types_sql})
+          ) GROUP BY user_id
+        )"""
+    prev_rel = "sq_u"
+    for i, s in enumerate(steps):
+        guard = "" if i == 0 else f"AND t{i} IS NOT NULL AND e['ts'] >= t{i} "
+        cte += f""",
+        sq_s{i + 1} AS (
+          SELECT *, list_min(list_transform(
+                   list_filter(evs, e -> e['tp'] = '{s}' {guard}),
+                   e -> e['ts'])) AS t{i + 1}
+          FROM {prev_rel}
+        )"""
+        prev_rel = f"sq_s{i + 1}"
+    all_ts = "[" + ", ".join(f"t{i + 1}" for i in range(len(steps))) + "]"
+    return f"""
+        WITH {cte}
+        SELECT user_id,
+               CAST(len(list_filter({all_ts}, t -> t IS NOT NULL)) AS BIGINT)
+                 AS steps_completed,
+               list_filter({all_ts}, t -> t IS NOT NULL) AS step_ts
+        FROM {prev_rel}
+    """
