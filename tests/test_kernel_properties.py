@@ -159,3 +159,70 @@ def test_quantization_properties(spark, vecs):
         # vectors entirely below the 1e-30 scale floor quantize to zeros
         if max((abs(float(F32(x))) for x in v), default=0.0) > 1e-30:
             assert r["self_cos"] == pytest.approx(1.0, abs=1e-6)
+
+
+HASH_MOD = 1_000_000_007
+
+
+def _py_span_coverage(texts: list[str], k: int = 3):
+    """Independent Python reference for duplicate_span_stats: same
+    tokenizer (lowercase alnum runs), same char fold, same window fold,
+    >= 2 distinct docs per window hash, exact union coverage."""
+    import re as _re
+    from collections import defaultdict
+
+    def tokens(t):
+        return [w for w in _re.split(r"[^0-9a-z]+", t.lower()) if w]
+
+    def chash(s):
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % HASH_MOD
+        return h
+
+    docs = []
+    where = defaultdict(set)
+    for i, t in enumerate(texts):
+        th = [chash(w) for w in tokens(t)]
+        ws = []
+        if len(th) >= k:
+            for p in range(len(th) - k + 1):
+                h = 0
+                for x in th[p : p + k]:
+                    h = (h * 31 + x) % HASH_MOD
+                ws.append(h)
+                where[h].add(i)
+        docs.append(ws)
+    out = {}
+    for i, ws in enumerate(docs):
+        dup_pos = [p for p, h in enumerate(ws) if len(where[h]) >= 2]
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + k))
+        out[i] = (len(ws), len(dup_pos), len(covered))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd ee ff".split()), min_size=0, max_size=25),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_duplicate_span_coverage_matches_python_reference(spark, word_lists):
+    """The BIGINT-packed interval-merge fold equals an independent
+    Python union-of-intervals on random small-vocab corpora (the tiny
+    vocabulary forces organic overlapping duplicate windows)."""
+    from wpvectordb_spark.operators import dedup as D
+
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_tokens"])
+        for r in D.duplicate_span_stats(df, k=3).collect()
+    }
+    assert got == _py_span_coverage(texts, k=3)

@@ -235,3 +235,22 @@ def test_dsir_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_retention_and_funnel_plan_shapes(spark):
+    """Retention cohorts: agg/join-shaped, no Window, no cartesian.
+    Sequence funnel: ONE user-keyed aggregate regardless of step count
+    (no per-step join chain)."""
+    from wpvectordb_spark.operators import events as E
+    from wpvectordb_spark.sources.loaders import load_events
+
+    ev = load_events(spark, SF_DIR)
+    plan = _plan(E.retention_cohorts(ev))
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan
+
+    plan = _plan(E.sequence_funnel(ev, ["signup", "click", "purchase", "error"]))
+    assert "Window" not in plan and "CartesianProduct" not in plan, plan
+    import re
+
+    joins = len(re.findall(r"Join", plan))
+    assert joins == 0, plan  # collect + in-row mins: no joins at all
