@@ -306,23 +306,27 @@ def sequence_funnel(
         F.col(user_col),
         F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("tp")).alias("e"),
     )
-    per_user = evs.groupBy(user_col).agg(F.collect_list("e").alias("_evs"))
-    ts_of = []  # t_i column expressions, chained
+    cur = evs.groupBy(user_col).agg(F.collect_list("e").alias("_evs"))
+    # One PROJECTION per step, referencing the previous step's time as a
+    # bound column — inlining t_{i-1} into t_i's filter twice would
+    # double the expression tree per step (2^n growth for long funnels);
+    # bound attributes keep every step O(1) plan size (the DuckDB mirror
+    # uses one CTE layer per step for the same reason).
     for i, s in enumerate(steps):
-        prev = ts_of[i - 1] if i else None
+        prev = F.col(f"_t{i}") if i else None
         cond = (lambda si, pv: (
             lambda e: (e["tp"] == si)
             if pv is None
             else ((e["tp"] == si) & pv.isNotNull() & (e["ts"] >= pv))
         ))(s, prev)
-        ts_of.append(
-            F.array_min(F.transform(F.filter(F.col("_evs"), cond), lambda e: e["ts"]))
+        cur = cur.withColumn(
+            f"_t{i + 1}",
+            F.array_min(F.transform(F.filter(F.col("_evs"), cond), lambda e: e["ts"])),
         )
-    all_ts = F.array(*ts_of)
-    # completed prefix: position of the first null (prefix chaining makes
-    # everything after a null also null)
+    all_ts = F.array(*[F.col(f"_t{i + 1}") for i in range(len(steps))])
+    # completed prefix: chaining makes everything after a null also null
     step_ts = F.filter(all_ts, lambda t: t.isNotNull())
-    return per_user.select(
+    return cur.select(
         F.col(user_col),
         F.size(step_ts).cast("long").alias("steps_completed"),
         step_ts.alias("step_ts"),
