@@ -310,3 +310,28 @@ def test_stream_dedup_ingest_replay_is_exactly_once(spark, tmp_path):
     assert pairs_replayed == pairs_once
     assert ST._read_state(spark, dirs[0], ST._DEDUP_SH_SCHEMA).count() == n_idx_once
     assert not any(a == b for a, b, _ in pairs_replayed)  # no self-pairs
+
+
+def test_resize_media_plumbing(spark):
+    """Resize: 1-to-1 Arrow-batch mapInPandas, deterministic payload and
+    audit columns; raises without a resizer (no codecs bundled)."""
+    import pytest as _pytest
+
+    from wpvectordb_spark.operators import multimodal as M
+
+    media = M.media_from_documents(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").where(F.col("doc_id") < 40)
+    )
+    with _pytest.raises(NotImplementedError):
+        M.resize_media(media, 64, 64)
+    out = M.resize_media(media, 64, 64, resizer=M.fake_resizer)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(r["n_bytes"] == (64 * 64) // 256 == len(r["payload"]) for r in rows)
+    assert all(r["width"] == 64 and r["height"] == 64 for r in rows)
+    again = {r["media_id"]: r["checksum"] for r in
+             M.resize_media(media, 64, 64, resizer=M.fake_resizer).collect()}
+    assert again == {r["media_id"]: r["checksum"] for r in rows}
+    # checksum audit matches the shared checksum kernel on the new payload
+    for r in rows[:5]:
+        assert r["checksum"] == M._checksum(bytes(r["payload"]))

@@ -287,3 +287,79 @@ def fake_frame_extractor(payload: bytes, idx: int) -> bytes:
     start = (idx * 16) % len(payload)
     window = (payload + payload)[start : start + 16]
     return bytes(window)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    resizer: Callable[[str, bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize stage: re-encode every item's payload at (target_w,
+    target_h) — the batch-preprocessing step of a vision training
+    pipeline.  Same contract as ``decode_media``: a real deployment
+    passes a PIL/ffmpeg-backed resizer; this environment has none, so
+    calling without one raises at plan-build time, and
+    ``fake_resizer`` exercises the REAL plumbing (binary-in/binary-out
+    Arrow batches, 1-to-1 mapInPandas, no driver involvement, output
+    payload + audit columns).
+
+    Scale shape: a pure mapInPandas projection — parallelism is the
+    partition count, payload bytes never shuffle (the output is written
+    or consumed downstream partition-local unless the caller
+    repartitions).
+    """
+    if resizer is None:
+        raise NotImplementedError(
+            "no media codec available in this environment; pass resizer= "
+            "(e.g. multimodal.fake_resizer) — image/audio libraries are "
+            "deliberately not bundled"
+        )
+    tw, th = int(target_w), int(target_h)
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mt, pl in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                out = resizer(mt, pl, tw, th)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": tw,
+                        "height": th,
+                        "payload": out,
+                        "n_bytes": len(out),
+                        "checksum": _checksum(out),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "payload", "n_bytes", "checksum"],
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        do_resize, RESIZE_SCHEMA
+    )
+
+
+def fake_resizer(media_type: str, payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in resizer: proportionally subsample/extend
+    the payload to ``w*h // 256`` bytes (area-proportional size, stable
+    across runs) so tests exercise real binary round-trips."""
+    n_out = max(1, (w * h) // 256)
+    if payload is None or len(payload) == 0:
+        return b"\x00" * n_out
+    reps = (n_out // len(payload)) + 1
+    return (payload * reps)[:n_out]
