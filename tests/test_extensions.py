@@ -763,3 +763,19 @@ def test_sequence_funnel_cross_engine_parity(spark, duck):
         key=repr,
     )
     assert s == d and len(s) == 150
+
+
+def test_sequence_funnel_repeated_step_needs_distinct_events(spark):
+    """[signup, click, click] must need TWO clicks: strictly-after
+    chaining prevents one event from satisfying both click steps."""
+    rows = [
+        (1, "2024-01-01 10:00:00", "signup"), (1, "2024-01-01 11:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "signup"), (2, "2024-01-01 11:00:00", "click"),
+        (2, "2024-01-01 12:00:00", "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, event_type string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type"
+    )
+    got = {r["user_id"]: r["steps_completed"]
+           for r in E.sequence_funnel(df, ["signup", "click", "click"]).collect()}
+    assert got == {1: 2, 2: 3}

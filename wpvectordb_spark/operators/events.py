@@ -288,10 +288,17 @@ def sequence_funnel(
     """N-step ORDERED funnel (the product-analytics generalization of
     ``conversion_funnel``'s fixed two steps): per user, ``t_1`` is the
     earliest occurrence of step 1 and ``t_i`` the earliest occurrence of
-    step *i* at or after ``t_{i-1}`` — the same at-or-after chaining
-    ``conversion_funnel`` uses.  Returns (user, steps_completed,
-    step_ts) where ``step_ts`` holds the completion times of the
-    completed prefix.
+    step *i* STRICTLY after ``t_{i-1}``.  Returns (user,
+    steps_completed, step_ts) where ``step_ts`` holds the completion
+    times of the completed prefix.
+
+    Strictly-after chaining (not ``conversion_funnel``'s at-or-after):
+    with ``>=``, a single event could satisfy several steps — e.g. the
+    funnel [signup, click, click] would report both click steps done
+    after ONE click, because the min at-or-after its own timestamp is
+    itself.  ``>`` makes every step require a distinct later event; the
+    trade, documented: distinct events sharing one timestamp do not
+    stack (microsecond event times make that a non-case in practice).
 
     One user-keyed collect, then every step time is an in-row
     filter+array_min over the SAME collected array — no per-step
@@ -312,13 +319,15 @@ def sequence_funnel(
     # double the expression tree per step (2^n growth for long funnels);
     # bound attributes keep every step O(1) plan size (the DuckDB mirror
     # uses one CTE layer per step for the same reason).
+    def _mk_cond(si, pv):
+        # no default-arg lambdas: PySpark sizes the HOF lambda by the
+        # Python function's FULL parameter count, defaults included
+        if pv is None:
+            return lambda e: e["tp"] == si
+        return lambda e: (e["tp"] == si) & pv.isNotNull() & (e["ts"] > pv)
+
     for i, s in enumerate(steps):
-        prev = F.col(f"_t{i}") if i else None
-        cond = (lambda si, pv: (
-            lambda e: (e["tp"] == si)
-            if pv is None
-            else ((e["tp"] == si) & pv.isNotNull() & (e["ts"] >= pv))
-        ))(s, prev)
+        cond = _mk_cond(s, F.col(f"_t{i}") if i else None)
         cur = cur.withColumn(
             f"_t{i + 1}",
             F.array_min(F.transform(F.filter(F.col("_evs"), cond), lambda e: e["ts"])),
@@ -335,9 +344,10 @@ def sequence_funnel(
 
 def sql_sequence_funnel(ts_expr: str, steps: list[str]) -> str:
     """DuckDB mirror of ``sequence_funnel``: one list() per user, the
-    same chained filter+list_min per step, one CTE layer per step so
-    each t_i can reference t_{i-1}."""
-    types_sql = ", ".join(f"'{s}'" for s in sorted(set(steps)))
+    same strictly-after chained filter+list_min per step, one CTE layer
+    per step so each t_i can reference t_{i-1}."""
+    esc = [s.replace("'", "''") for s in steps]
+    types_sql = ", ".join(f"'{s}'" for s in sorted(set(esc)))
     cte = f"""sq_u AS (
           SELECT user_id, list({{'ts': ts, 'tp': tp}}) AS evs FROM (
             SELECT user_id, {ts_expr} AS ts, event_type AS tp FROM events
@@ -345,8 +355,8 @@ def sql_sequence_funnel(ts_expr: str, steps: list[str]) -> str:
           ) GROUP BY user_id
         )"""
     prev_rel = "sq_u"
-    for i, s in enumerate(steps):
-        guard = "" if i == 0 else f"AND t{i} IS NOT NULL AND e['ts'] >= t{i} "
+    for i, s in enumerate(esc):
+        guard = "" if i == 0 else f"AND t{i} IS NOT NULL AND e['ts'] > t{i} "
         cte += f""",
         sq_s{i + 1} AS (
           SELECT *, list_min(list_transform(

@@ -331,22 +331,21 @@ def resize_media(
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, mt, pl in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
-                out = resizer(mt, pl, tw, th)
-                rows.append(
-                    {
-                        "media_id": mid,
-                        "width": tw,
-                        "height": th,
-                        "payload": out,
-                        "n_bytes": len(out),
-                        "checksum": _checksum(out),
-                    }
-                )
+            outs = [
+                resizer(mt, pl, tw, th)
+                for mt, pl in zip(pdf["media_type"], pdf["payload"])
+            ]
+            # whole-batch numpy checksum pass, same as media_features —
+            # the per-row Python fold was this module's measured 20x cost
             yield pd.DataFrame(
-                rows,
-                columns=["media_id", "width", "height", "payload", "n_bytes", "checksum"],
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "width": tw,
+                    "height": th,
+                    "payload": outs,
+                    "n_bytes": [len(o) for o in outs],
+                    "checksum": _batch_checksums(outs),
+                }
             )
 
     return media.select("media_id", "media_type", "payload").mapInPandas(

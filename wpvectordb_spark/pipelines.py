@@ -105,6 +105,7 @@ def curate_training_corpus(
     kept = kept.persist()
     # 6. token-budget mixing
     if budgets is not None:
+        pre_budget = kept
         kept = kept.join(
             CU.budget_sample(
                 kept, budgets, stratum_col=stratum_col, id_col=id_col, text_col=text_col
@@ -112,6 +113,12 @@ def curate_training_corpus(
             id_col,
             "left_semi",
         ).persist()
+        # Hand off the cache: materialize the post-budget survivors, then
+        # release the pre-budget copy — otherwise every pipeline call
+        # leaves TWO full cached corpora (ids + text) resident for the
+        # session's lifetime, and multi-corpus sessions accumulate them.
+        kept.count()
+        pre_budget.unpersist()
     # 7. packing + sharding
     packed = CU.pack_sequences(
         kept, seq_len=seq_len, stratum_col=stratum_col, id_col=id_col, text_col=text_col

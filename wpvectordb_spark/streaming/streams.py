@@ -323,11 +323,14 @@ def _read_state(
     if not paths:
         return spark.createDataFrame([], schema)
     # A batch replay OVERWRITES its own subdir, so an external reader
-    # that listed that subdir just before the rewrite can fail loudly
-    # (FileNotFoundException) mid-scan — retry the read.  Deliberately
-    # NOT ignoreMissingFiles: the scan only knows the file names it
-    # listed, so skipping vanished files would silently return state
-    # MISSING that batch's rows rather than surfacing a retryable
+    # whose ACTION ran while the rewrite happened can fail loudly with
+    # FileNotFoundException — the CALLER re-invokes the accessor and
+    # re-runs the action (the file listing is bound per returned
+    # DataFrame; a retry here could not help because the failure occurs
+    # at the caller's action, not at read-plan construction).
+    # Deliberately NOT ignoreMissingFiles: the scan only knows the file
+    # names it listed, so skipping vanished files would silently return
+    # state MISSING that batch's rows rather than surfacing a retryable
     # error.  The transactional fix is a table format with snapshot
     # isolation (Delta/Iceberg) — the layout maps 1:1.
     return spark.read.schema(schema).parquet(*paths)
