@@ -1582,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_terms_tfidf": _q_text_terms_tfidf,
         "curate_sample_pack": _q_curate_sample_pack,
         "events_windows": _q_events_windows,
+        "queue_update_status": _q_queue_update_status,
         # --- changed in round 2 ---------------------------------------------
         "stream_windows": _q_stream_windows,
         "multimodal_features": _q_multimodal_features_merged,
@@ -1620,7 +1621,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_claim_state": _q_queue_claim_state,
         "queue_enqueue": _q_queue_enqueue,
         "queue_reset_delete": _q_queue_reset_delete,
-        "queue_update_status": _q_queue_update_status,
         "queue_retry": _q_queue_retry,
         "queue_page_with_docs": _q_queue_page_with_docs,
         "text_analyze": _q_text_analyze_full,
@@ -2717,8 +2717,14 @@ def oracle_sql() -> dict[str, str]:
         # --- queue ---
         # J5 per-status counts + J11 scalar total (status='__total__' row)
         "queue_stats": f"""
-            WITH queue AS ({QUEUE_FROM_ORDERS_SQL})
-            SELECT status, COUNT(*) AS n FROM queue GROUP BY status
+            WITH queue AS ({QUEUE_FROM_ORDERS_SQL}),
+            -- zero-preserving like the reference's five COUNTs: absent
+            -- statuses report 0 instead of vanishing
+            st(status) AS (VALUES ('completed'), ('failed'), ('pending'),
+                                  ('processing')),
+            cnt AS (SELECT status, COUNT(*) AS n FROM queue GROUP BY status)
+            SELECT st.status, COALESCE(cnt.n, 0) AS n
+            FROM st LEFT JOIN cnt USING (status)
             UNION ALL
             SELECT '__total__' AS status, COUNT(*) AS n FROM queue
         """,
@@ -2758,9 +2764,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM incoming
               ) WHERE rn = 1
             ),
+            -- second dedupe: structural job_id uniqueness (min post per
+            -- job), mirroring add_posts' PK guard
+            ddj AS (
+              SELECT job_id, post_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY job_id ORDER BY post_id) AS rn
+                FROM dd
+              ) WHERE rn = 1
+            ),
             fresh AS (
-              SELECT job_id, post_id FROM dd
+              SELECT job_id, post_id FROM ddj
               WHERE post_id NOT IN (SELECT post_id FROM queue)
+                AND job_id NOT IN (SELECT job_id FROM queue)
             )
             SELECT job_id, post_id, status, queued_time, error_count FROM queue
             UNION ALL
@@ -2775,8 +2790,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN q.job_id % 2 = 0 THEN 'completed' ELSE 'failed' END AS status,
                    CASE WHEN q.job_id % 2 = 1 THEN q.error_count + 1
                         ELSE q.error_count END AS error_count,
+                   -- J4 overwrites error_message on BOTH statuses
+                   -- (reference :241-246): success clears a stale message
                    CASE WHEN q.job_id % 2 = 1 THEN 'embed worker oom'
-                        ELSE q.error_message END AS error_message,
+                        ELSE NULL END AS error_message,
                    {qnow} AS end_time
             FROM queue q JOIN claimed c ON q.job_id = c.job_id
         """,

@@ -66,11 +66,11 @@ def test_queue_lifecycle(spark, tmp_path):
     q.add_posts([10, 20, 30], now=t0)
     q.add_post(20, now=t0)  # duplicate -> dropped
     assert q.get_total_records() == 3
-    assert q.get_stats() == {"pending": 3}
+    assert q.get_stats() == {"completed": 0, "failed": 0, "pending": 3, "processing": 0}
 
     batch = q.get_next_batch(2, now=t0 + dt.timedelta(minutes=1))
     assert batch.count() == 2
-    assert q.get_stats() == {"pending": 1, "processing": 2}
+    assert q.get_stats() == {"completed": 0, "failed": 0, "pending": 1, "processing": 2}
 
     claimed_ids = [r["job_id"] for r in batch.collect()]
     q.update_status([claimed_ids[0]], "completed", now=t0 + dt.timedelta(minutes=2))

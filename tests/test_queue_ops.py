@@ -58,14 +58,14 @@ def test_add_claim_complete_fail_retry_cleanup(spark, empty):
     assert s[1][0] == "completed" and s[1][3] is not None
     assert s[2] == ("failed", 1, s[2][2], s[2][3])
 
-    # J5: stats in one agg
+    # J5: stats in one agg, zero-preserving like the reference's five
+    # COUNTs (absent statuses report 0, not a missing key)
     st = {r["status"]: r["n"] for r in Q.stats(q).collect()}
-    assert st == {"completed": 1, "failed": 1, "pending": 2}
+    assert st == {"completed": 1, "failed": 1, "pending": 2, "processing": 0}
 
     # J3 again: pending (3,5) claimed before retryable failed (2)
     claimed, q = Q.claim_batch(q, mk(4), batch_size=3)
     assert {r["job_id"] for r in claimed.collect()} == {3, 5, 2}
-    prio = [r["job_id"] for r in claimed.orderBy("queued_time").collect()]
     # J7 retry eligibility reflects error_count < 3
     q = Q.update_status(q, [2, 3, 5], "failed", mk(5), error_message="x")
     assert {r["job_id"] for r in Q.posts_to_retry(q).collect()} == {2, 3, 5}
@@ -83,7 +83,6 @@ def test_add_claim_complete_fail_retry_cleanup(spark, empty):
 def test_cleanup_stuck_and_retention(spark, empty):
     q = Q.add_posts(empty, jobs(spark, (1, 1), (2, 2), (3, 3)), mk(0))
     claimed, q = Q.claim_batch(q, mk(1), batch_size=1)  # job 1 -> processing
-    q = Q.update_status(q, [2], "completed", mk(2)) if False else q
     # job 1 stuck: 16 minutes after start, no end_time -> failed +1
     q = Q.cleanup(q, mk(17))
     s = snap(q)
@@ -122,3 +121,54 @@ def test_pagination(spark, empty):
     assert p1.count() == 3 and p2.count() == 3 and p3.count() == 1
     all_ids = [r["job_id"] for p in (p1, p2, p3) for r in p.collect()]
     assert sorted(all_ids) == list(range(1, 8))
+
+
+def test_reclaimed_job_can_still_time_out(spark, empty):
+    """Regression for the fixed reference bug: a job that failed (end_time
+    set), got re-claimed, then wedged MUST still hit the stuck sweep —
+    the claim clears end_time so cleanup's end_time-IS-NULL predicate can
+    fire (the reference left the stale end_time and lost the job as
+    'processing' forever)."""
+    q = Q.add_posts(empty, jobs(spark, (1, 1)), mk(0))
+    _, q = Q.claim_batch(q, mk(1), batch_size=1)
+    q = Q.update_status(q, [1], "failed", mk(2), error_message="boom")
+    _, q = Q.claim_batch(q, mk(3), batch_size=1)  # re-claim the failed job
+    row = q.collect()[0]
+    assert row["status"] == "processing" and row["end_time"] is None
+    q = Q.cleanup(q, mk(3 + 16))  # 16 min after the re-claim start
+    row = q.collect()[0]
+    assert row["status"] == "failed" and row["error_count"] == 2
+
+
+def test_success_clears_stale_error_message(spark, empty):
+    """J4 overwrites error_message on BOTH statuses (reference writes the
+    column unconditionally): complete-after-fail must not keep 'boom'."""
+    q = Q.add_posts(empty, jobs(spark, (1, 1)), mk(0))
+    _, q = Q.claim_batch(q, mk(1), batch_size=1)
+    q = Q.update_status(q, [1], "failed", mk(2), error_message="boom")
+    _, q = Q.claim_batch(q, mk(3), batch_size=1)
+    q = Q.update_status(q, [1], "completed", mk(4))
+    row = q.collect()[0]
+    assert row["status"] == "completed" and row["error_message"] is None
+
+
+def test_add_posts_enforces_job_id_uniqueness(spark, empty):
+    """Structural PK guard: in-batch job_id collisions keep the min post;
+    ids already queued are rejected."""
+    q = Q.add_posts(empty, jobs(spark, (1, 100), (1, 200), (2, 300)), mk(0))
+    s = {r["job_id"]: r["post_id"] for r in q.collect()}
+    assert s == {1: 100, 2: 300}
+    # a later batch re-using job_id 2 with a NEW post must not enter
+    q = Q.add_posts(q, jobs(spark, (2, 400), (3, 500)), mk(1))
+    s = {r["job_id"]: r["post_id"] for r in q.collect()}
+    assert s == {1: 100, 2: 300, 3: 500}
+
+
+def test_mark_processing_matches_claim_update(spark, empty):
+    """The facade's two-phase path (collect ids, then mark) produces the
+    same state as claim_batch's joined rewrite."""
+    q = Q.add_posts(empty, jobs(spark, (1, 1), (2, 2), (3, 3)), mk(0))
+    _, joined = Q.claim_batch(q, mk(1), batch_size=2)
+    ids = [r["job_id"] for r in Q.dequeue_priority(q, 2).collect()]
+    marked = Q.mark_processing(q, ids, mk(1))
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, marked.collect()))

@@ -33,6 +33,7 @@ RETRY_FETCH_CAP = 25_000  # :347
 PAGE_SIZE = 25  # :403
 
 _TERMINAL = ("completed", "failed")
+STATUSES = ("pending", "processing", "completed", "failed")
 
 
 def _now_lit(now: _dt.datetime) -> F.Column:
@@ -46,16 +47,27 @@ def add_posts(
     already queued) are dropped via anti-join — the reference throws on a
     duplicate single add; set semantics are the batch equivalent.  Within
     the incoming batch the lowest job_id per post wins (the reference's
-    sequential adds would likewise reject repeats)."""
+    sequential adds would likewise reject repeats).
+
+    ``job_id`` uniqueness is enforced STRUCTURALLY (in-batch min-post
+    per job + anti-join against ids already queued): the reference gets
+    it free from AUTO_INCREMENT, but here callers supply ids (the
+    streaming ingest feeds stream-provided ones), and a colliding id
+    would silently fan every id-keyed update/delete out to all its
+    rows."""
     # lowest job_id per post is a plain min — map-side combinable, no
-    # sort window over the incoming batch
+    # sort window over the incoming batch; then lowest post per job
+    # closes the two-posts-one-job corruption path
     deduped = (
         new_jobs.select("job_id", "post_id")
         .groupBy("post_id")
         .agg(F.min("job_id").alias("job_id"))
+        .groupBy("job_id")
+        .agg(F.min("post_id").alias("post_id"))
     )
     fresh = (
         deduped.join(queue.select("post_id"), "post_id", "left_anti")
+        .join(queue.select("job_id"), "job_id", "left_anti")
         .withColumn("chunk_count", F.lit(0))
         .withColumn("status", F.lit("pending"))
         .withColumn("queued_time", _now_lit(now))
@@ -88,7 +100,16 @@ def claim_batch(
     queue: DataFrame, now: _dt.datetime, batch_size: int = BATCH_SIZE
 ) -> tuple[DataFrame, DataFrame]:
     """J3 claim-and-mark (:184-226): returns ``(claimed, new_state)`` —
-    claimed rows flip to ``processing`` with ``start_time = now``."""
+    claimed rows flip to ``processing`` with ``start_time = now`` and a
+    CLEARED ``end_time``.
+
+    The end_time clear FIXES a reference bug (quirk register): the PHP
+    claim UPDATE (:216-223) leaves a re-claimed failed job's old
+    end_time in place, and cleanup's stuck predicate (:322) requires
+    ``end_time IS NULL`` — so a worker crash after a re-claim left the
+    job 'processing' forever (never timed out, never retried, never
+    purged).  Clearing it on claim restores the invariant "processing
+    rows have no end_time" that the stuck sweep assumes."""
     claimed = dequeue_priority(queue, batch_size)
     claimed_ids = claimed.select("job_id")
     is_claimed = F.col("_c").isNotNull()
@@ -98,9 +119,32 @@ def claim_batch(
         .withColumn(
             "start_time", F.when(is_claimed, _now_lit(now)).otherwise(F.col("start_time"))
         )
+        .withColumn(
+            "end_time",
+            F.when(is_claimed, F.lit(None).cast("timestamp")).otherwise(F.col("end_time")),
+        )
         .drop("_c")
     )
     return claimed, new_state
+
+
+def mark_processing(
+    queue: DataFrame, job_ids: list[int], now: _dt.datetime
+) -> DataFrame:
+    """The claim UPDATE half over already-materialized ids — the
+    facade's SELECT-then-UPDATE shape: ``get_next_batch`` collects the
+    batch anyway, so rebuilding the state from the collected ids avoids
+    re-running the whole-queue priority sort a second time inside the
+    state rewrite (ids are bounded by batch_size, a literal isin)."""
+    hit = F.col("job_id").isin([int(j) for j in job_ids])
+    return (
+        queue.withColumn("status", F.when(hit, "processing").otherwise(F.col("status")))
+        .withColumn("start_time", F.when(hit, _now_lit(now)).otherwise(F.col("start_time")))
+        .withColumn(
+            "end_time",
+            F.when(hit, F.lit(None).cast("timestamp")).otherwise(F.col("end_time")),
+        )
+    )
 
 
 def update_status(
@@ -111,7 +155,11 @@ def update_status(
     error_message: str | None = None,
 ) -> DataFrame:
     """J4 (:236-268): whitelist completed/failed; failure bumps
-    ``error_count`` and records the message; both set ``end_time``."""
+    ``error_count``; BOTH statuses set ``end_time`` and OVERWRITE
+    ``error_message`` — the reference writes the message column
+    unconditionally (default ``''``, :241-246), so a success after a
+    failed attempt clears the stale error rather than leaving a
+    completed row that still reads 'boom'."""
     if status not in _TERMINAL:
         raise ValueError(f"invalid status {status!r}; allowed: {_TERMINAL}")
     if isinstance(job_ids, DataFrame):
@@ -137,9 +185,7 @@ def update_status(
         )
         .withColumn(
             "error_message",
-            F.when(hit & F.lit(status == "failed"), F.lit(error_message)).otherwise(
-                F.col("error_message")
-            ),
+            F.when(hit, F.lit(error_message)).otherwise(F.col("error_message")),
         )
     )
     return out.drop("_u") if ids_df is not None else out
@@ -147,8 +193,17 @@ def update_status(
 
 def stats(queue: DataFrame) -> DataFrame:
     """J5 (:293-303): per-status counts — one aggregation instead of the
-    reference's five COUNT(*) round trips."""
-    return queue.groupBy("status").agg(F.count("*").alias("n"))
+    reference's five COUNT(*) round trips.  ZERO-PRESERVING like the
+    reference: its five separate COUNTs report every status even when
+    empty, so a bare groupBy (which drops absent statuses) would make
+    ``get_stats()['pending']`` a KeyError on an empty queue."""
+    statuses = queue.sparkSession.createDataFrame(
+        [(s,) for s in sorted(STATUSES)], "status string"
+    )
+    counts = queue.groupBy("status").agg(F.count("*").alias("n"))
+    return statuses.join(counts, "status", "left").select(
+        "status", F.coalesce("n", F.lit(0)).alias("n")
+    )
 
 
 def cleanup(queue: DataFrame, now: _dt.datetime) -> DataFrame:

@@ -252,9 +252,13 @@ class VectorTableQueue:
         (VectorTableQueue.php:186-223).  Re-read the table for the
         post-claim view."""
         now = now or _utcnow()
-        claimed, new_state = Q.claim_batch(self.df(), now, batch_size)
-        claimed_rows = claimed.collect()  # materialize before state rewrite
-        self._write(new_state)
+        claimed_rows = Q.dequeue_priority(self.df(), batch_size).collect()
+        # rebuild the state from the ALREADY-collected ids — embedding
+        # dequeue_priority in the rewrite would run the whole-queue
+        # priority sort a second time
+        self._write(
+            Q.mark_processing(self.df(), [r["job_id"] for r in claimed_rows], now)
+        )
         return self.spark.createDataFrame(claimed_rows, QUEUE_SCHEMA)
 
     def update_status(
