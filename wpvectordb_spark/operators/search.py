@@ -35,12 +35,11 @@ the reference (single query per call) cannot express this.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from wpvectordb_spark.functions import kernels as K
+from wpvectordb_spark.schemas import CODE_WORD_BITS
 
 STAGE1_LIMIT = 1_000_000  # VectorTable.php:81
 STAGE2_FACTOR = 10  # VectorTable.php:82
@@ -48,10 +47,17 @@ STAGE3_FACTOR = 5  # VectorTable.php:83
 DEFAULT_N = 5  # VectorTable.php:73
 
 
-def _pack_code(vector: list[float], word_bits: int = 32) -> list[int]:
+def _pack_code(vector: list[float], word_bits: int = CODE_WORD_BITS) -> list[int]:
     """Driver-side sign-code packing of a literal query vector (mirrors
-    kernels.sign_code exactly; bits are strictly ``x > 0``)."""
-    bits = [1 if x > 0 else 0 for x in vector]
+    kernels.sign_code exactly; bits are strictly ``x > 0``).  The word
+    width defaults to the SAME schemas.CODE_WORD_BITS the stored codes
+    use — a mismatch null-pads the zip_with and turns every Hamming
+    distance NULL.  NaN packs as bit 1: Spark SQL orders NaN above every
+    numeric (so ``NaN > 0`` is true engine-side), while Python's
+    ``nan > 0`` is False — without the explicit check the driver-side
+    query code would disagree with stored/engine-side codes on NaN
+    dimensions."""
+    bits = [1 if (x > 0 or x != x) else 0 for x in vector]
     words = []
     for w in range(0, len(bits), word_bits):
         acc = 0
@@ -66,13 +72,6 @@ def _magnitude(vector: list[float]) -> float:
     for x in vector:
         acc += float(x) * float(x)
     return acc**0.5
-
-
-@dataclass
-class SearchResult:
-    """The full search plan plus intermediate stages (for tests/explain)."""
-
-    result: DataFrame
 
 
 def search(
@@ -104,6 +103,11 @@ def search(
     the id as the key but also expose post_id and both scores.
     """
     if builder is not None and candidates is None and builder.has_filters():
+        if documents is None:
+            raise ValueError(
+                "builder has filters: pass the documents DataFrame they "
+                "reference (and doc_meta for meta predicates)"
+            )
         candidates = builder.candidates(documents, doc_meta, id_col=post_id_col)
     q_code = F.lit(_pack_code(query_vector))
     q_vec = F.array(*[F.lit(float(x)) for x in query_vector])
@@ -113,7 +117,9 @@ def search(
     # S2+S3: restrict scan to filtered candidate documents (left-semi join;
     # Catalyst broadcasts the candidate set when small).
     if candidates is not None:
-        df = df.join(candidates.select(post_id_col).distinct(), post_id_col, "left_semi")
+        # no distinct: builder.candidates() already dedupes, and a
+        # left-semi join is insensitive to right-side duplicates anyway
+        df = df.join(candidates.select(post_id_col), post_id_col, "left_semi")
     # The reference caps the stage-1 scan at 1e6 rows (VectorTable.php:81) —
     # a MySQL safety valve.  In Spark a limit here compiles to
     # LocalLimit -> Exchange(SinglePartition) -> GlobalLimit: it funnels the
@@ -129,7 +135,10 @@ def search(
     hd = K.hamming(code, q_code).alias("hamming_distance")
     stage2 = (
         df.select(id_col, post_id_col, vector_col, *( [mag_col] if mag_col else [] ), hd)
-        .orderBy(F.col("hamming_distance").asc(), F.col(id_col).asc())
+        # asc_nulls_last: Spark ascending puts NULLs FIRST by default, so
+        # a NULL Hamming row (null code / mismatched word count) would
+        # crowd real candidates out of the 10n pool
+        .orderBy(F.col("hamming_distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(STAGE2_FACTOR * n)
     )
 
@@ -203,9 +212,23 @@ def search_many(
     table, per-query top-k via window rank.
 
     The query side is broadcast (small dim table); the big side never
-    shuffles for the join.  With ``two_phase`` the Hamming funnel keeps
-    10n rows per query before the exact rerank — the same funnel as
-    ``search`` but for Q queries in one plan.
+    shuffles for the join, and — critically — never shuffles for the
+    RANKING either: every window's input is projected down to (query_id,
+    id, score) BEFORE the exchange, so the per-query shuffle carries
+    ~16-byte rows, not the full vector+query payload (at 1024 dims the
+    un-projected form moves ~16 KB per (vector, query) pair through one
+    partition per query — the single-partition funnel the module
+    docstring warns about, just wearing a window).  The Hamming rank is
+    additionally pre-pruned per (query, input partition): each scan task
+    contributes at most 10n candidates per query, so the global per-query
+    sort sees <= 10n x #partitions narrow rows regardless of table size.
+    Survivors re-fetch their vectors by joining back to the table
+    (broadcast of the 10nQ-row survivor set), mirroring the single-query
+    funnel's S5 stage.
+
+    With ``two_phase`` the Hamming funnel keeps 10n rows per query
+    before the exact rerank — the same funnel as ``search`` but for Q
+    queries in one plan.
     """
     q = queries.select(
         F.col(query_id_col),
@@ -227,25 +250,55 @@ def search_many(
         mag_col_eff = "_mag"
     else:
         mag_col_eff = mag_col
-    joined = base.join(F.broadcast(q), how="cross")
 
     if two_phase:
         hd = K.hamming(F.col(code_col_eff), F.col("_q_code"))
-        w_h = Window.partitionBy(query_id_col).orderBy(hd.asc(), F.col(id_col).asc())
-        joined = (
-            joined.withColumn("hamming_distance", hd)
+        narrow = (
+            base.select(id_col, code_col_eff)
+            .join(F.broadcast(q.select(query_id_col, "_q_code")), how="cross")
+            .select(
+                F.col(query_id_col),
+                F.col(id_col),
+                hd.alias("hamming_distance"),
+                F.spark_partition_id().alias("_pid"),
+            )
+        )
+        # local pre-top-k: a per-(query, scan-partition) prune is a
+        # superset of each partition's contribution to the global top-10n,
+        # so results are identical while the global sort input shrinks
+        # from |table| to <= 10n x #partitions rows per query
+        hord = [F.col("hamming_distance").asc_nulls_last(), F.col(id_col).asc()]
+        w_local = Window.partitionBy(query_id_col, "_pid").orderBy(*hord)
+        w_h = Window.partitionBy(query_id_col).orderBy(*hord)
+        surv = (
+            narrow.withColumn("_lrank", F.row_number().over(w_local))
+            .where(F.col("_lrank") <= STAGE2_FACTOR * n)
             .withColumn("_hrank", F.row_number().over(w_h))
             .where(F.col("_hrank") <= STAGE2_FACTOR * n)
+            .select(query_id_col, id_col)
+        )
+        refetch = base.select(id_col, vector_col, mag_col_eff).join(
+            F.broadcast(surv), id_col
+        )
+        joined = refetch.join(
+            F.broadcast(q.select(query_id_col, query_vec_col, "_q_mag")), query_id_col
+        )
+    else:
+        joined = base.select(id_col, vector_col, mag_col_eff).join(
+            F.broadcast(q.select(query_id_col, query_vec_col, "_q_mag")), how="cross"
         )
 
     cos = K.cosine_similarity(
         F.col(query_vec_col), F.col(vector_col), F.col("_q_mag"), F.col(mag_col_eff)
     )
-    w_c = Window.partitionBy(query_id_col).orderBy(cos.desc(), F.col(id_col).asc())
-    out = (
-        joined.withColumn("cosine_similarity", cos)
-        .withColumn("_crank", F.row_number().over(w_c))
+    c_narrow = joined.select(
+        F.col(query_id_col), F.col(id_col), cos.alias("cosine_similarity")
+    )
+    w_c = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_similarity").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        c_narrow.withColumn("_crank", F.row_number().over(w_c))
         .where(F.col("_crank") <= n)
         .select(query_id_col, id_col, F.col("_crank").alias("rank"), "cosine_similarity")
     )
-    return out
