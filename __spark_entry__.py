@@ -2654,7 +2654,7 @@ def oracle_sql() -> dict[str, str]:
         FROM s6
         LEFT JOIN mpivot2 ON s6.post_id = mpivot2.post_id
         LEFT JOIN documents d ON s6.post_id = d.doc_id
-        ORDER BY CAST(mpivot2.mv AS DECIMAL(18,3)) DESC, d.source ASC, s6.id ASC
+        ORDER BY CAST(mpivot2.mv AS DECIMAL(38,10)) DESC, d.source ASC, s6.id ASC
         LIMIT 5
         """,
         # --- CRUD ---

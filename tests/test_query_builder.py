@@ -137,3 +137,27 @@ def test_meta_string_max_pivot_semantics(spark):
     out = [r["post_id"] for r in qb.apply_sorts(base, doc_meta=meta).collect()]
     # string max picks '9' (not '10') for post 1 -> 9 > 5 -> [1, 2]
     assert out == [1, 2]
+
+
+def test_in_rejects_non_list_values():
+    with pytest.raises(ValueError):
+        QueryBuilder().add_filter("g", Filter("status", "IN", "publish")).predicate()
+    with pytest.raises(ValueError):
+        QueryBuilder().add_filter("g", Filter("status", "NOT IN", 5)).predicate()
+
+
+def test_bool_in_list_matches_stored_lowercase(spark):
+    """[True] in an IN list must compare against the stored 'true' string
+    like the scalar-bool path, not take the numeric cast branch."""
+    meta = spark.createDataFrame(
+        [(1, "published", "true"), (2, "published", "false")],
+        "post_id long, meta_key string, meta_value string",
+    )
+    docs = spark.createDataFrame([(1,), (2,)], "post_id long")
+    qb = QueryBuilder().add_filter("g", Filter("published", "IN", [True], is_meta=True))
+    got = {r["post_id"] for r in qb.candidates(docs, meta, id_col="post_id").collect()}
+    assert got == {1}
+    scalar = QueryBuilder().add_filter("g", Filter("published", "=", True, is_meta=True))
+    assert got == {
+        r["post_id"] for r in scalar.candidates(docs, meta, id_col="post_id").collect()
+    }

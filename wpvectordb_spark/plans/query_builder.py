@@ -26,7 +26,7 @@ expressions instead of SQL strings:
   datetime comparisons against meta values cast the stringly-typed
   ``meta_value`` (MySQL's implicit coercion, Filter.php:122 made explicit).
 * **Sorts** — ASC/DESC whitelist (Sort.php:13-22); meta sorts pivot EAV
-  rows via string-MAX (quirk §7.4.5) then cast ``number -> DECIMAL(18,3)``,
+  rows via string-MAX (quirk §7.4.5) then cast ``number -> DECIMAL(38,10)``,
   ``date -> DATE`` (Sort.php:41-49).
 """
 
@@ -43,9 +43,11 @@ COMPARISON_OPS = ("=", "!=", ">", "<", ">=", "<=", "IN", "NOT IN", "LIKE", "NOT 
 META_CASTS = ("number", "date", "text")
 SORT_DIRS = ("ASC", "DESC")
 
-# Reference: Sort.php:41-49 casts meta sort keys; DECIMAL mirrors MySQL's
-# CAST(... AS DECIMAL) with enough range for any testdata numeric.
-_DECIMAL = "decimal(18,3)"
+# Reference: Sort.php:41-49 casts meta sort keys; DECIMAL(38,10) mirrors
+# MySQL's CAST(... AS DECIMAL) at the SURVEY §2.3/Q8 prescribed width —
+# a narrow scale (e.g. 3 digits) would collapse values differing past it
+# into tie-break-decided order.
+_DECIMAL = "decimal(38,10)"
 
 
 def _lit(value: Any) -> Column:
@@ -67,9 +69,16 @@ def _apply_op(col: Column, operator: str, value: Any) -> Column:
         return col >= _lit(value)
     if operator == "<=":
         return col <= _lit(value)
-    if operator == "IN":
-        return F.lit(True) if not value else col.isin(list(value))
-    if operator == "NOT IN":
+    if operator in ("IN", "NOT IN"):
+        # the reference takes arrays (Filter.php / SURVEY Q4); a bare
+        # string would silently char-split via list(), and a scalar would
+        # die with an opaque iteration error — reject both loudly
+        if not isinstance(value, (list, tuple, set)):
+            raise ValueError(
+                f"{operator} takes a list of values, got {type(value).__name__}"
+            )
+        if operator == "IN":
+            return F.lit(True) if not value else col.isin(list(value))
         # Empty NOT IN is also a tautology in the reference (Filter.php:89-93).
         return F.lit(True) if not value else ~col.isin(list(value))
     if operator == "LIKE":
@@ -107,10 +116,19 @@ class Filter:
             # Python str(True) == "True" would silently never match
             value = "true" if value else "false"
         elif isinstance(value, (int, float)) and self.operator not in ("LIKE", "NOT LIKE"):
+            # DELIBERATE deviation from MySQL's implicit coercion: MySQL
+            # turns non-numeric text into 0 ('en' < 5 matches everything);
+            # cast-to-double turns it into NULL, which EXCLUDES the row —
+            # the saner and documented behavior (quirk register).
             val_col = val_col.cast("double")
             value = float(value)
         elif isinstance(value, _dt.datetime):
             val_col = val_col.cast("timestamp")
+        elif isinstance(value, (list, tuple)) and value and isinstance(value[0], bool):
+            # bool is an int subclass — without this arm a [True] list
+            # would take the numeric branch and compare "true" casts as
+            # NULL doubles (the scalar-bool fix, applied to lists)
+            value = ["true" if v else "false" for v in value]
         elif isinstance(value, (list, tuple)) and value and isinstance(value[0], (int, float)):
             val_col = val_col.cast("double")
             value = [float(v) for v in value]
@@ -224,6 +242,10 @@ class QueryBuilder:
         The meta side joins on the document id; Catalyst pushes the
         non-meta conjuncts down to the documents scan.
         """
+        if doc_meta is None and any(
+            f.is_meta for fs in self._groups.values() for f in fs
+        ):
+            raise ValueError("meta filters require the doc_meta DataFrame")
         joined = documents
         if doc_meta is not None:
             joined = documents.join(doc_meta, on=id_col, how="left")
@@ -262,8 +284,17 @@ class QueryBuilder:
         if meta_sorts:
             if doc_meta is None:
                 raise ValueError("meta sorts require the doc_meta DataFrame")
-            pivot = doc_meta.groupBy(id_col).agg(
-                *[s.pivot_column() for s in meta_sorts]
+            # prune BEFORE the pivot aggregation: only the sort keys'
+            # meta rows, only the ids present in df — without this the
+            # groupBy shuffles the WHOLE EAV table (every key of every
+            # document) to order a handful of stage-3 survivors
+            pivot = (
+                doc_meta.where(
+                    F.col("meta_key").isin([s.field for s in meta_sorts])
+                )
+                .join(df.select(id_col), id_col, "left_semi")
+                .groupBy(id_col)
+                .agg(*[s.pivot_column() for s in meta_sorts])
             )
             out = out.join(pivot, on=id_col, how="left")
         order = [s.order_column() for s in self._sorts]
