@@ -175,3 +175,82 @@ def test_delete_and_insert_all_keep_null_key_rows(spark):
         spark.createDataFrame([(10, 0, [5.0])], "post_id long, sequence_no int, vector array<float>"),
     )
     assert out.where(F.col("post_id").isNull()).count() == 1
+
+
+def test_upsert_leaves_untouched_rows_verbatim(spark):
+    """Keys outside the batch pass through without regrouping: even
+    pre-existing duplicate-key rows (invariant violations from an
+    external import) survive unchanged instead of being silently
+    collapsed into a row that never existed."""
+    import datetime as dt
+
+    t1, t2 = dt.datetime(2020, 1, 1), dt.datetime(2024, 1, 1)
+    table = TO.derive(
+        spark.createDataFrame(
+            [
+                (1, 5, 0, [1.0, 0.0]),
+                (2, 5, 0, [0.0, 1.0]),  # duplicate key, different row
+                (3, 7, 0, [1.0, 1.0]),
+            ],
+            "id long, post_id long, sequence_no int, vector array<float>",
+        )
+    ).withColumn(
+        "created_at",
+        F.when(F.col("id") == 1, F.lit(t1)).otherwise(F.lit(t2)),
+    ).withColumn("updated_at", F.lit(t1))
+    new = spark.createDataFrame(
+        [(7, 0, [9.0, 9.0])], "post_id long, sequence_no int, vector array<float>"
+    )
+    out = TO.upsert(table, new)
+    dups = out.where(F.col("post_id") == 5).collect()
+    assert len(dups) == 2  # both duplicate rows untouched
+    assert {(r["id"], r["created_at"]) for r in dups} == {(1, t1), (2, t2)}
+    merged = out.where(F.col("post_id") == 7).collect()
+    assert len(merged) == 1 and merged[0]["id"] == 3
+    assert [round(x) for x in merged[0]["vector"]] == [9, 9]
+
+
+def test_upsert_keeps_null_created_at_and_stored_vector_type(spark):
+    table = TO.derive(
+        spark.createDataFrame(
+            [(1, 5, 0, [1.0, 0.0], "text")],
+            "id long, post_id long, sequence_no int, vector array<float>,"
+            " vector_type string",
+        )
+    ).withColumn("created_at", F.lit(None).cast("timestamp")).withColumn(
+        "updated_at", F.current_timestamp()
+    )
+    new = spark.createDataFrame(
+        [(5, 0, [2.0, 0.0])], "post_id long, sequence_no int, vector array<float>"
+    )
+    row = TO.upsert(table, new).collect()[0]
+    assert row["created_at"] is None  # row existed: keep its NULL, not now()
+    assert row["vector_type"] == "text"  # incoming NULL keeps stored type
+    assert row["id"] == 1
+
+
+def test_insert_all_enforces_key_invariant(spark):
+    table = TO.derive(
+        spark.createDataFrame(
+            [(1, 5, 0, [1.0, 0.0]), (2, 7, 0, [0.0, 1.0])],
+            "id long, post_id long, sequence_no int, vector array<float>",
+        )
+    ).withColumn("created_at", F.current_timestamp()).withColumn(
+        "updated_at", F.current_timestamp()
+    )
+    new = spark.createDataFrame(
+        [
+            (5, 0, [9.0, 0.0]),
+            (5, 0, [8.0, 0.0]),  # duplicate seq -> one deterministic winner
+            (7, 0, [6.0, 6.0]),  # FOREIGN post: must be rejected
+        ],
+        "post_id long, sequence_no int, vector array<float>",
+    )
+    out = TO.insert_all(table, 5, new)
+    assert out.where(F.col("post_id") == 5).count() == 1  # deduped
+    p7 = out.where(F.col("post_id") == 7).collect()
+    assert len(p7) == 1 and p7[0]["id"] == 2  # old chunk intact, no stray row
+    again = TO.insert_all(table, 5, new).where(F.col("post_id") == 5).collect()
+    assert [round(x) for x in again[0]["vector"]] == [
+        round(x) for x in out.where(F.col("post_id") == 5).collect()[0]["vector"]
+    ]  # deterministic winner

@@ -48,12 +48,20 @@ def magnitude(v: Column | str) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + _d(x) * _d(x)))
 
 
-def normalize(v: Column | str) -> Column:
+def normalize(v: Column | str, mag: Column | None = None) -> Column:
     """K2 — unit-L2 scale with the reference's exact zero guard
     (VectorTable.php:584-590): ``mag == 0 -> 1e-10``, not ``max(mag, eps)``.
+
+    Pass ``mag`` (a BOUND magnitude column) when it is already computed:
+    the guard + division reference the magnitude expression inside the
+    per-element ``transform`` lambda, and lambda-captured subtrees are
+    re-evaluated per element (no CSE) — an inlined fold makes this
+    O(d^2) per vector, ~700x wasted multiply-adds at 1024 dims on the
+    write path (same trap as sign_code's slice-per-word shape).
     """
     v = _col(v)
-    mag = magnitude(v)
+    if mag is None:
+        mag = magnitude(v)
     safe = F.when(mag == 0.0, F.lit(ZERO_MAG_EPS)).otherwise(mag)
     return F.transform(v, lambda x: _d(x) / safe)
 

@@ -34,13 +34,18 @@ def derive(
     keep_normalized: bool = True,
 ) -> DataFrame:
     """Write-time derivation (VectorTable.php:353-356,383): magnitude,
-    normalized vector, packed sign code — one narrow projection."""
+    normalized vector, packed sign code — two stacked narrow projections
+    (Catalyst collapses them; the split makes ``magnitude`` a BOUND
+    column when ``normalize`` divides by it, so the fold runs once per
+    vector instead of once per element — see kernels.normalize)."""
     out = (
         chunks.withColumn("magnitude", K.magnitude(vector_col))
         .withColumn("binary_code", K.sign_code(vector_col))
     )
     if keep_normalized:
-        out = out.withColumn("normalized_vector", K.normalize(vector_col))
+        out = out.withColumn(
+            "normalized_vector", K.normalize(vector_col, mag=F.col("magnitude"))
+        )
     return out
 
 
@@ -53,49 +58,73 @@ def upsert(
 
     ``new_chunks`` needs (post_id, sequence_no, vector[, vector_type]).
     Matches the reference's UPDATE path (VectorTable.php:361-374): a
-    replaced row KEEPS the existing row's ``id`` and ``created_at`` and
-    only refreshes ``updated_at`` + derived columns (recomputed — fixing
-    quirk §4.4.4's stale magnitude); a brand-new key gets created_at =
-    now and a NULL id for the caller's AUTO_INCREMENT pass
-    (``table._with_ids``).  Duplicate keys WITHIN ``new_chunks`` resolve
-    deterministically (xxhash64 of the vector breaks the tie) — a
-    DataFrame batch has no "last write", unlike the reference's
-    sequential upsert loop.
+    replaced row KEEPS the existing row's ``id`` and ``created_at``
+    (including a stored NULL created_at — the carry distinguishes
+    row-absent from field-NULL via a struct) and only refreshes
+    ``updated_at`` + derived columns (recomputed — fixing quirk §4.4.4's
+    stale magnitude); an incoming NULL ``vector_type`` keeps the stored
+    one; a brand-new key gets created_at = now and a NULL id for the
+    caller's AUTO_INCREMENT pass (``table._with_ids``).  Duplicate keys
+    WITHIN ``new_chunks`` resolve deterministically (xxhash64 of the
+    vector + vector_type breaks the tie) — a DataFrame batch has no
+    "last write", unlike the reference's sequential upsert loop.
 
-    ONE ``max_by`` hash aggregate per key instead of a row_number window
-    plus two windowed maxes: partial aggregation keeps a single
-    candidate row per key per input partition, so the exchange carries
-    ~|keys| rows rather than sorting and shuffling both sides in full.
-    The (_src, ~xxhash64) order key reproduces the window's
-    (_src desc, hash asc) winner (bitwise NOT reverses long order
-    without Long.MIN_VALUE negation overflow).
+    Rows whose key is NOT in the batch pass through VERBATIM (anti-join
+    split): the reference upsert only touches the given key, so the
+    merge must not regroup — or repair, or corrupt — unrelated rows.
+
+    ONE ``max_by`` hash aggregate per touched key: partial aggregation
+    keeps a single candidate row per key per input partition, so the
+    exchange carries ~|touched keys| rows.  The (_src, ~xxhash64) order
+    key reproduces the window's (_src desc, hash asc) winner (bitwise
+    NOT reverses long order without Long.MIN_VALUE negation overflow).
     """
+    keys = ["post_id", "sequence_no"]
     now = F.current_timestamp()
     incoming = derive(new_chunks, vector_col).withColumn(
         "updated_at", now
     ).withColumn("created_at", now).withColumn("_src", F.lit(1))
-    existing = table.withColumn("_src", F.lit(0))
-    merged = existing.unionByName(incoming, allowMissingColumns=True)
+    batch_keys = incoming.select(*keys).distinct()
+    untouched = table.join(batch_keys, keys, "left_anti")
+    touched = table.join(batch_keys, keys, "left_semi").withColumn("_src", F.lit(0))
+    merged = touched.unionByName(incoming, allowMissingColumns=True)
     has_id = "id" in merged.columns
+    has_vt = "vector_type" in merged.columns
     row = F.struct(*[F.col(c) for c in merged.columns])
+    hash_cols = [F.col(vector_col)] + ([F.col("vector_type")] if has_vt else [])
     order = F.struct(
         F.col("_src").alias("s"),
-        F.bitwise_not(F.xxhash64(F.col(vector_col))).alias("h"),
+        F.bitwise_not(F.xxhash64(*hash_cols)).alias("h"),
     )
-    aggs = [
+    old_fields = [F.col("created_at").alias("c")] + (
+        [F.col("id").alias("i")] if has_id else []
+    ) + ([F.col("vector_type").alias("t")] if has_vt else [])
+    g = merged.groupBy(*keys).agg(
         F.max_by(row, order).alias("_w"),
-        F.max(F.when(F.col("_src") == 0, F.col("created_at"))).alias("_old_created"),
-    ]
-    if has_id:
-        aggs.append(F.max(F.when(F.col("_src") == 0, F.col("id"))).alias("_old_id"))
-    g = merged.groupBy("post_id", "sequence_no").agg(*aggs)
-    carry = ["_old_created"] + (["_old_id"] if has_id else [])
-    out = g.select("_w.*", *carry).withColumn(
-        "created_at", F.coalesce(F.col("_old_created"), F.col("created_at"))
+        F.max(F.when(F.col("_src") == 0, F.struct(*old_fields))).alias("_old"),
+    )
+    # the winner is always an incoming row (_src=1 sorts above 0 and
+    # every merged key has one); carry the old row's fields off the
+    # struct so a stored NULL created_at stays NULL (a bare coalesce
+    # could not tell row-absent from field-NULL)
+    out = g.select("_w.*", "_old").withColumn(
+        "created_at",
+        F.when(F.col("_old").isNotNull(), F.col("_old.c")).otherwise(F.col("created_at")),
     )
     if has_id:
-        out = out.withColumn("id", F.coalesce(F.col("id"), F.col("_old_id"))).drop("_old_id")
-    return out.drop("_src", "_old_created")
+        out = out.withColumn(
+            "id", F.when(F.col("_old").isNotNull(), F.col("_old.i")).otherwise(F.col("id"))
+        )
+    if has_vt:
+        out = out.withColumn(
+            "vector_type",
+            F.coalesce(F.col("vector_type"), F.col("_old.t")),
+        )
+    merged_out = out.drop("_src", "_old")
+    # allowMissingColumns: a raw (underived) table gains NULL derived
+    # columns on its untouched rows, same as the previous single-union
+    # shape did
+    return untouched.unionByName(merged_out, allowMissingColumns=True)
 
 
 def insert_all(
@@ -109,9 +138,24 @@ def insert_all(
     anti-filter + union (partition-overwrite semantics on disk).  The
     filter is null-safe: MySQL's ``DELETE WHERE post_id = x`` never
     touches NULL-key rows, while a plain ``!=`` predicate would silently
-    drop them."""
+    drop them.
+
+    The (post_id, sequence_no) unique-key invariant is enforced on the
+    way in: rows for a DIFFERENT post are rejected (they would bypass
+    the delete filter and coexist with that post's old chunks), and
+    duplicate sequence numbers within the batch collapse to one
+    deterministic winner (same xxhash64 tie-break as ``upsert``) — the
+    reference's per-chunk upsert loop collapses them by construction."""
     now = F.current_timestamp()
-    incoming = derive(new_chunks, vector_col).withColumn("created_at", now).withColumn(
+    own = new_chunks.where(F.col("post_id").eqNullSafe(F.lit(post_id)))
+    row_cols = own.columns
+    winner = own.groupBy("sequence_no").agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in row_cols]),
+            F.bitwise_not(F.xxhash64(F.col(vector_col))),
+        ).alias("_w")
+    ).select("_w.*")
+    incoming = derive(winner, vector_col).withColumn("created_at", now).withColumn(
         "updated_at", now
     )
     return table.where(~F.col("post_id").eqNullSafe(F.lit(post_id))).unionByName(
