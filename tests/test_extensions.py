@@ -779,3 +779,28 @@ def test_sequence_funnel_repeated_step_needs_distinct_events(spark):
     got = {r["user_id"]: r["steps_completed"]
            for r in E.sequence_funnel(df, ["signup", "click", "click"]).collect()}
     assert got == {1: 2, 2: 3}
+
+
+def test_quantize_fused_matches_and_rejects_nan_query(spark):
+    """quantize_fused (the collapse-proof fold+finish form) is value-
+    identical to quantize; quantized_topk rejects NaN queries loudly."""
+    from wpvectordb_spark.functions import kernels as K
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(50)
+    a = [r["c"] for r in df.select(K.quantize("embedding").alias("c")).collect()]
+    b = [r["c"] for r in df.select(K.quantize_fused("embedding").alias("c")).collect()]
+    assert a == b
+    with pytest.raises(ValueError, match="NaN"):
+        SIM.quantized_topk(df, [float("nan"), 1.0], n=3)
+
+
+def test_ann_recall_small_corpus_reaches_one(spark):
+    """Recall denominator is |exact|, not k: a 5-row corpus queried with
+    k=10 must still score 1.0 for a perfect method."""
+    emb_df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    small = emb_df.limit(5)
+    qv = [float(x) for x in small.first()["embedding"]]
+    assert SIM.ann_recall(small, [qv], k=10) == 1.0
+    with pytest.raises(ValueError):
+        SIM.ann_recall(small, [], k=10)

@@ -226,6 +226,34 @@ def quantize(v: Column | str, scale: Column | None = None) -> Column:
     return F.transform(v, lambda x: F.round(_d(x) / s).cast("int"))
 
 
+def quantize_fused(v: Column | str) -> Column:
+    """One-pass quantize for hot scans: the max|x| reduction runs as the
+    fold and the per-element transform runs in the aggregate's FINISH
+    lambda against the already-reduced value.
+
+    This exists because the 'project the scale first' pattern
+    (``quantize(v, scale=col)``) is NOT collapse-proof: Catalyst's
+    CollapseProject inlines a single-referenced scale column back into
+    the transform lambda (verified on the optimized plan), restoring the
+    O(d^2)-per-vector fold the split was meant to avoid.  Inside finish,
+    the scale is the ACCUMULATOR VALUE — already reduced, impossible to
+    re-inline — so the whole expression is O(d) wherever it lands.
+    Downstream multi-references (quantized_cosine reads the codes three
+    times) re-evaluate at most the O(d) whole, never O(d^2)."""
+    v = _col(v)
+    return F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, F.abs(_d(x))),
+        lambda m: F.transform(
+            v,
+            lambda x: F.round(
+                _d(x) / (F.greatest(m, F.lit(1e-30)) / F.lit(float(QUANT_LEVELS)))
+            ).cast("int"),
+        ),
+    )
+
+
 def dequantize(q: Column | str, scale: Column | str) -> Column:
     """Reconstruct doubles ``q_i * scale``."""
     s = _d(_col(scale))

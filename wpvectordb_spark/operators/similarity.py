@@ -60,7 +60,11 @@ def brute_force_topk_arrow(
             norms = np.sqrt((mat * mat).sum(axis=1))
             out[mask] = dots / (q_norm * norms + 1e-12)
         # NULL embeddings yield NULL cosine (rank last), matching the
-        # Catalyst brute-force path instead of crashing the batch
+        # Catalyst brute-force path instead of crashing the batch.
+        # KNOWN divergence: a NaN cosine (NaN inside an embedding) also
+        # becomes NULL through Arrow and ranks LAST here, while Spark
+        # SQL orders NaN ABOVE all doubles so the Catalyst form ranks it
+        # FIRST — degenerate inputs only; parity holds for finite data.
         return pd.Series(out)
 
     # explicit registration: `from __future__ import annotations` stringifies
@@ -100,6 +104,10 @@ def quantized_topk(
     import math
 
     q = [float(x) for x in query_vector]
+    if any(x != x for x in q):
+        # a NaN would poison max_abs and crash math.floor with an opaque
+        # 'cannot convert float NaN to integer' at plan-build time
+        raise ValueError("quantized_topk: query_vector contains NaN")
     max_abs = max((abs(x) for x in q), default=0.0)
     q_scale = max(max_abs, 1e-30) / K.QUANT_LEVELS
     # half-AWAY-from-zero, matching Spark's F.round (HALF_UP) and SQL
@@ -112,18 +120,16 @@ def quantized_topk(
         ]
     )
 
-    # scale projected FIRST so the quantize transform references a plain
-    # column — embedding the max|x| fold in the lambda would re-evaluate
-    # it per element (O(d^2)/vector)
-    scaled = vectors.select(
+    # fused fold+finish quantize: the projected-scale split is NOT
+    # collapse-proof — CollapseProject inlines the single-referenced
+    # scale column back into the transform lambda (verified on the
+    # optimized plan), silently restoring the O(d^2)/vector fold.  The
+    # finish-lambda form keeps the reduction out of reach (see
+    # kernels.quantize_fused).
+    quant = vectors.select(
         F.col(id_col),
         F.col(vector_col),
-        K.quantize_scale(vector_col).alias("_scale"),
-    )
-    quant = scaled.select(
-        F.col(id_col),
-        F.col(vector_col),
-        K.quantize(vector_col, F.col("_scale")).alias("_codes"),
+        K.quantize_fused(vector_col).alias("_codes"),
     )
     scan = quant.select(
         F.col(id_col),
@@ -133,7 +139,11 @@ def quantized_topk(
     survivors = scan.orderBy(F.col("_qcos").desc(), F.col(id_col).asc()).limit(
         candidate_factor * n
     )
-    exact = K.cosine_similarity(F.array(*[F.lit(x) for x in q]), vector_col, None, None)
+    from wpvectordb_spark.operators.search import _magnitude
+
+    exact = K.cosine_similarity(
+        F.array(*[F.lit(x) for x in q]), vector_col, F.lit(_magnitude(q)), None
+    )
     out = survivors.select(
         F.col(id_col),
         (F.round(exact, round_to) if round_to is not None else exact).alias(
@@ -194,6 +204,8 @@ def ann_recall(
     renamed = vectors.select(
         F.col(id_col).alias("id"), F.col(vector_col).alias("vector")
     )
+    if not query_vectors:
+        raise ValueError("ann_recall: query_vectors must be non-empty")
     total = 0.0
     for qv in query_vectors:
         exact = {r["id"] for r in brute_force_topk(renamed, qv, n=k).collect()}
@@ -201,7 +213,9 @@ def ann_recall(
             got = exact
         else:
             got = {r[0] for r in topk_fn(vectors, qv, k).collect()}
-        total += len(exact & got) / k
+        # denominator = |exact|, not k: a corpus smaller than k would
+        # otherwise cap even a perfect method below 1.0
+        total += len(exact & got) / max(len(exact), 1)
     return total / len(query_vectors)
 
 
@@ -275,7 +289,10 @@ def build_ivf_index(
     ``cluster_id`` (parquet partition pruning skips unprobed clusters at
     query time), centroids written alongside for the probe step.
     Returns the centroid DataFrame."""
-    centroids = deterministic_centroids(vectors, n_clusters, id_col, vector_col)
+    # persist the tiny centroid frame: without it BOTH writes re-run the
+    # full-table TakeOrdered that deterministic_centroids compiles to —
+    # an extra whole-corpus scan per index build
+    centroids = deterministic_centroids(vectors, n_clusters, id_col, vector_col).persist()
     assigned = assign_clusters(vectors, centroids, id_col, vector_col)
     assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
         f"{path}/vectors"
@@ -326,7 +343,8 @@ def ivf_topk_from_index(
     ``cluster_id IN (probed)`` filter that prunes parquet partitions, and
     rerank only the probed clusters' vectors."""
     centroids = spark.read.parquet(f"{path}/centroids")
-    q_mag_val = sum(float(x) * float(x) for x in query_vector) ** 0.5
+    from wpvectordb_spark.operators.search import _magnitude as _mag_fn
+    q_mag_val = _mag_fn(query_vector)
     q_vec = F.array(*[F.lit(float(x)) for x in query_vector])
     probe = [
         r["cluster_id"]
@@ -371,7 +389,8 @@ def ivf_topk(
     if centroids is None:
         centroids = deterministic_centroids(vectors, n_clusters, id_col, vector_col)
     q_vec = F.array(*[F.lit(float(x)) for x in query_vector])
-    q_mag_val = sum(float(x) * float(x) for x in query_vector) ** 0.5
+    from wpvectordb_spark.operators.search import _magnitude as _mag_fn
+    q_mag_val = _mag_fn(query_vector)
     probe = (
         centroids.withColumn(
             "_qsim",
@@ -403,6 +422,7 @@ def band_keys(
     vector_col,
     word_bits: int = 32,
     band_bits: int = 16,
+    code: F.Column | None = None,
 ) -> F.Column:
     """LSH band keys of a vector's sign code: each ``band_bits`` slice of
     the packed sign bits, tagged with its band index (``band_idx * 2^32 +
@@ -419,7 +439,8 @@ def band_keys(
         raise ValueError("band_bits must divide word_bits")
     n_sub = word_bits // band_bits
     chunk_mask = (1 << band_bits) - 1
-    code = K.sign_code(vector_col, word_bits)
+    if code is None:
+        code = K.sign_code(vector_col, word_bits)
     return F.flatten(
         F.transform(
             code,
@@ -438,6 +459,8 @@ def band_keys(
 
 def sql_band_keys(code: str, word_bits: int = 32, band_bits: int = 16) -> str:
     """DuckDB mirror of ``band_keys`` over a packed sign-code list expr."""
+    if word_bits % band_bits != 0:
+        raise ValueError("band_bits must divide word_bits")  # as band_keys
     n_sub = word_bits // band_bits
     chunks = ", ".join(
         f"CAST({n_sub} * (i - 1) + {j} AS BIGINT) * {BAND_SHIFT}"
@@ -469,6 +492,7 @@ def lsh_topk(
     band_bits: int = 8,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    code_col: str | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates are vectors sharing >= 1 sign-code
     band with the query (``arrays_overlap`` against a literal key set —
@@ -476,16 +500,20 @@ def lsh_topk(
 
     The scale path alternative to IVF: no training step, and candidate
     generation is pure predicate (pushable to a bucketed layout), at the
-    cost of recall on vectors that differ in every band.
+    cost of recall on vectors that differ in every band.  Pass
+    ``code_col`` when the table already stores packed sign codes (the
+    main search table's ``binary_code``) — otherwise every query re-runs
+    the O(d) packing fold over the whole scan.
     """
     from wpvectordb_spark.operators.search import _magnitude, _pack_code
 
     qkeys = band_keys_py(_pack_code(query_vector, 32), 32, band_bits)
     q_vec = F.array(*[F.lit(float(x)) for x in query_vector])
     q_mag = _magnitude(query_vector)
+    stored = F.col(code_col) if code_col else None
     cand = vectors.where(
         F.arrays_overlap(
-            band_keys(vector_col, 32, band_bits),
+            band_keys(vector_col, 32, band_bits, code=stored),
             F.array(*[F.lit(int(x)) for x in qkeys]),
         )
     )
