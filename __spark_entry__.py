@@ -1223,7 +1223,12 @@ def _q_text_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = S.brute_force_topk(emb, _query_vector(spark, sf_dir), n=10, id_col="doc_id")
     w = Window.orderBy(F.col("cosine_similarity").desc(), F.col("doc_id").asc())
     vecr = vec.select("doc_id", F.row_number().over(w).alias("rnk"))
-    rrf = R.rrf_fuse_many(bm.select("query_id", "doc_id", "rnk"), vecr)
+    rrf = R.rrf_fuse_many(
+        bm.select("query_id", "doc_id", "rnk"),
+        vecr,
+        query_ids=sorted(BM25_QUERIES),  # authoritative: a query with zero
+        # lexical matches still gets its vector-only fused ranking
+    )
     bm_rows = bm.select(
         F.lit("bm25").alias("kind"),
         F.col("query_id").alias("key"),
@@ -1635,6 +1640,9 @@ def oracle_sql() -> dict[str, str]:
     bm25_qvals_sql = ", ".join(
         f"('{q}', '{t}')" for q, ts in sorted(BM25_QUERIES.items()) for t in ts
     )
+    # authoritative query-id list for the rrf arm (mirrors query_ids= on
+    # the Spark side: zero-lexical-match queries keep their vector rows)
+    qid_list = ", ".join(f"'{q}'" for q in sorted(BM25_QUERIES))
     mag = K.sql_magnitude("embedding")
     norm = K.sql_normalize("embedding")
     code = K.sql_sign_code("embedding")
@@ -2328,7 +2336,7 @@ def oracle_sql() -> dict[str, str]:
                         CAST(row_number() OVER (ORDER BY c DESC, doc_id ASC) AS INT) AS rnk
                         FROM vtop),
               vrep AS (SELECT q.query_id, v.doc_id, v.rnk
-                       FROM (SELECT DISTINCT query_id FROM bmrank) q CROSS JOIN vrank v),
+                       FROM (SELECT unnest([{qid_list}]) AS query_id) q CROSS JOIN vrank v),
               rrfq AS (SELECT coalesce(bm.query_id, v.query_id) AS query_id,
                               coalesce(bm.doc_id, v.doc_id) AS doc_id,
                        coalesce(CAST(1.0 AS DOUBLE) / (60 + bm.rnk), CAST(0 AS DOUBLE))

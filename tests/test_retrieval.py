@@ -132,3 +132,29 @@ def test_bm25_duplicate_terms_count_once(corpus):
     many = R.bm25_topk_many(corpus, {"q": ["hash", "hash", "vector"]}, n=10).collect()
     got = sorted((r["doc_id"], r["score"], r["rnk"]) for r in many)
     assert got == once
+
+
+def test_rrf_fuse_many_keeps_zero_lexical_queries(spark, corpus):
+    """A query whose keywords miss the corpus must still get its
+    vector-only fused ranking when the authoritative id list is given."""
+    bm = R.bm25_topk_many(corpus, {"hit": ["vector"]}, n=5)
+    shared = spark.createDataFrame(
+        [(101, 1), (102, 2)], "doc_id long, rnk int"
+    )
+    fused = R.rrf_fuse_many(bm, shared, query_ids=["hit", "miss"])
+    per_q = {q: n for q, n in fused.groupBy("query_id").count().collect()}
+    assert per_q["miss"] == 2  # vector rows only, reciprocal of rnk
+    assert per_q["hit"] >= 5
+    miss_rows = {r["doc_id"]: r["rnk"] for r in fused.where(F.col("query_id") == "miss").collect()}
+    assert miss_rows == {101: 1, 102: 2}
+
+
+def test_terms_are_normalized_to_tokenizer_form(corpus):
+    """'Table' matches like 'table'; phrases and punctuation are refused."""
+    a = {r["doc_id"]: r["score"] for r in R.bm25_topk(corpus, ["Hash"], n=5).collect()}
+    b = {r["doc_id"]: r["score"] for r in R.bm25_topk(corpus, ["hash"], n=5).collect()}
+    assert a == b and a
+    with pytest.raises(ValueError, match="alphanumeric"):
+        R.bm25_topk(corpus, ["two words"], n=5)
+    with pytest.raises(ValueError, match="alphanumeric"):
+        R.bm25_topk(corpus, ["don't"], n=5)

@@ -26,7 +26,9 @@ the same columns in the same order, so results hash-match to 9 dp.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import re as _re
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from wpvectordb_spark.functions import text as X
@@ -35,11 +37,27 @@ RRF_K = 60  # Cormack et al.'s constant
 
 
 def _unique_terms(terms: list[str], caller: str) -> list[str]:
-    """Order-preserving dedupe; refuse empty lists with a clear error
-    (an empty list used to surface as an unresolved `_s0` column)."""
+    """Lowercase, validate, order-preserving dedupe.  The corpus
+    tokenizer lowercases and splits on non-alphanumerics, so a raw
+    'Vector' or "don't" could never match any token — it would return
+    zero results silently, indistinguishable from a truly absent term.
+    Terms are normalized to the tokenizer's form and anything that is
+    not a single alphanumeric token (phrases, punctuation) is refused
+    loudly.  Empty lists are refused too (an empty list used to surface
+    as an unresolved `_s0` column)."""
     if not terms:
         raise ValueError(f"{caller}: query_terms must be a non-empty list")
-    return list(dict.fromkeys(terms))
+    out = []
+    for t in terms:
+        nt = str(t).lower()
+        if not _re.fullmatch(r"[a-z0-9]+", nt):
+            raise ValueError(
+                f"{caller}: term {t!r} is not a single alphanumeric token "
+                "(the corpus tokenizer lowercases and splits on "
+                "non-alphanumerics — split phrases into terms first)"
+            )
+        out.append(nt)
+    return list(dict.fromkeys(out))
 
 
 def _dl(toks: Column) -> Column:
@@ -56,25 +74,31 @@ def bm25_term_scores(
 ) -> DataFrame:
     """(id, term, term_score) for every document containing a query term.
 
-    One scan computes tokens; matched terms are filtered INSIDE the token
-    array before the explode (the corpus never explodes wholesale); df and
-    corpus stats are broadcast scalar aggregates.
+    ONE tokenization pass: a single projection computes the document
+    length AND the matched-term sublist from the same tokens subtree
+    (duplicate subtrees within one Project are subexpression-eliminated
+    — it is only lambda-captured subtrees that re-evaluate), and the
+    resulting NARROW (id, dl, matched[]) frame is persisted for its two
+    consumers (corpus stats + the explode) — previously the stats branch
+    re-tokenized the whole corpus a second time.  Matched terms are
+    filtered INSIDE the token array before the explode (the corpus never
+    explodes wholesale); df and corpus stats are broadcast scalar
+    aggregates.
     """
+    query_terms = _unique_terms(query_terms, "bm25_term_scores")
     qarr = F.array(*[F.lit(t) for t in query_terms])
-    base = docs.select(
+    toks = X.tokens(text_col)
+    narrow = docs.select(
         F.col(id_col),
-        X.tokens(text_col).alias("_toks"),
-    ).select(
-        F.col(id_col),
-        _dl(F.col("_toks")).alias("dl"),
-        F.explode(
-            F.filter(F.col("_toks"), lambda t: F.array_contains(qarr, t))
-        ).alias("term"),
+        _dl(toks).alias("dl"),
+        F.filter(toks, lambda t: F.array_contains(qarr, t)).alias("_match"),
+    ).persist()
+    base = narrow.select(
+        F.col(id_col), "dl", F.explode("_match").alias("term")
     )
     tf = base.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    toks_all = docs.select(_dl(X.tokens(text_col)).alias("dl"))
-    stats = toks_all.agg(
+    stats = narrow.agg(
         F.count("*").alias("n_docs"), F.sum("dl").cast("double").alias("total_dl")
     )
     idf = F.log(
@@ -132,8 +156,6 @@ def bm25_topk(
     )
     # rank assignment AFTER the top-k: the window sees <= n rows, so the
     # single-partition window is bounded by the ask, not the corpus
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
     out_score = F.round("_score", round_to) if round_to is not None else F.col("_score")
     return ranked.select(
@@ -162,8 +184,6 @@ def rrf_fuse(
     score = F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("_ra")), F.lit(0.0)) + F.coalesce(
         F.lit(1.0) / (F.lit(k) + F.col("_rb")), F.lit(0.0)
     )
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
     out = joined.select(F.col(id_col), score.alias("_score"))
     out_score = F.round("_score", round_to) if round_to is not None else F.col("_score")
@@ -196,8 +216,6 @@ def bm25_topk_many(
     with the same engine-independent float determinism.  Ranking is one
     window partitioned by query_id: per-query state, not corpus state.
     """
-    from pyspark.sql import Window
-
     if not queries:
         raise ValueError("bm25_topk_many: queries must be a non-empty dict")
     # per-query dedupe: duplicate (query_id, term) rows in qdf would
@@ -245,16 +263,25 @@ def rrf_fuse_many(
     id_col: str = "doc_id",
     rank_col: str = "rnk",
     round_to: int | None = 9,
+    query_ids: list[str] | None = None,
 ) -> DataFrame:
     """Fuse a per-query ranking (query_id, id, rnk) with one shared
     ranking (id, rnk) — e.g. batched BM25 lists against a single vector
     top-k — per query_id.  The shared list is replicated per query via a
     crossJoin with the (tiny, distinct) query-id set; fusion arithmetic
-    matches ``rrf_fuse`` (fixed-order reciprocal sum, absent side = 0)."""
-    from pyspark.sql import Window
+    matches ``rrf_fuse`` (fixed-order reciprocal sum, absent side = 0).
 
+    PASS ``query_ids`` (the authoritative query list) when a query may
+    have ZERO lexical matches: the default id set is derived from
+    ``per_query``, so a query absent there would silently get no fused
+    rows at all instead of its vector-only ranking."""
     a = per_query.select("query_id", F.col(id_col), F.col(rank_col).alias("_ra"))
-    qids = per_query.select("query_id").distinct()
+    if query_ids is not None:
+        qids = per_query.sparkSession.createDataFrame(
+            [(str(q),) for q in query_ids], "query_id string"
+        )
+    else:
+        qids = per_query.select("query_id").distinct()
     b = qids.crossJoin(
         shared.select(F.col(id_col), F.col(rank_col).alias("_rb"))
     )
