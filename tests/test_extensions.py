@@ -720,7 +720,7 @@ def test_retention_cohorts_golden(spark):
 
 
 def test_sequence_funnel_golden(spark):
-    """Ordering semantics: steps complete at-or-after the previous step;
+    """Ordering semantics: steps complete strictly after the previous step;
     out-of-order occurrences don't count; partial prefixes reported."""
     rows = [
         # u1: full in-order funnel

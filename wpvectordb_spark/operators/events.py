@@ -73,6 +73,7 @@ def sessionize(
     gap_minutes: int = SESSION_GAP_MINUTES,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    tie_col: str | None = "event_id",
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the user's
     inter-event gap reaches ``gap_minutes``.  Classic two-window form —
@@ -83,7 +84,11 @@ def sessionize(
     EXACTLY Structured Streaming's native ``session_window`` (half-open
     ``[start, last + gap)``), so batch and stream sessionizers agree on
     events landing precisely on the gap boundary."""
-    w_user = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    # tie_col=None for tables without an id column: equal-timestamp
+    # events produce gap 0 under ANY tie order, so session assignment is
+    # identical either way — the tiebreak only stabilizes row order
+    order = [F.col(ts_col).asc()] + ([F.col(tie_col).asc()] if tie_col else [])
+    w_user = Window.partitionBy(user_col).orderBy(*order)
     # microsecond-exact gap (unix_micros) — second-truncated arithmetic
     # diverges from interval comparisons at the boundary
     gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(F.col(ts_col)).over(w_user))
@@ -121,6 +126,12 @@ def user_profile(events: DataFrame, types: list[str] | None = None) -> DataFrame
     (conditional counts instead of a separate pivot + join)."""
     if types is None:
         types = ["click", "view", "signup", "purchase", "error"]
+    reserved = {"user_id", "n_events", "n_types", "sum_value", "first_seen", "last_seen"}
+    clash = reserved.intersection(types)
+    if clash:
+        # a type literally named like a rollup column would produce
+        # duplicate output columns and AMBIGUOUS_REFERENCE downstream
+        raise ValueError(f"user_profile: event type(s) collide with rollup columns: {sorted(clash)}")
     return events.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.count_distinct("event_type").alias("n_types"),
@@ -148,8 +159,10 @@ def conversion_funnel(
     PRECEDES the signup mask a later qualifying one, reporting the user
     unconverted.  The per-type-min pre-aggregation computes per-user
     first_t with one map-side-combined shuffle; the qualifying then_t
-    comes from joining first_t back (broadcast: one row per converting
-    user) and re-aggregating only ``then_type`` events."""
+    comes from joining first_t back (one user-keyed join — ``firsts``
+    has a row per user with ANY first_type event, so at scale this is a
+    shuffle join on user_id, not a broadcast) and re-aggregating only
+    ``then_type`` events."""
     firsts = (
         events.where(F.col("event_type") == first_type)
         .groupBy("user_id")
@@ -211,6 +224,9 @@ def retention_cohorts(
     tiny (cohort, offset)-keyed aggregate whose cardinality is
     O(periods^2), never data-sized.  No windows, no driver state.
     """
+    if period_days <= 0:
+        # non-ANSI division by zero would silently NULL every cohort
+        raise ValueError("retention_cohorts: period_days must be positive")
     pday = lambda c: F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
     period = lambda c: F.floor(pday(c) / period_days).cast("long")
     firsts = events.groupBy(user_col).agg(
@@ -245,6 +261,8 @@ def retention_cohorts(
 def sql_retention_cohorts(ts_expr: str, period_days: int = 7) -> str:
     """DuckDB mirror of ``retention_cohorts`` over the events table;
     ``ts_expr`` is the normalized timestamp expression."""
+    if period_days <= 0:
+        raise ValueError("sql_retention_cohorts: period_days must be positive")
     d = int(period_days)
     pd_ = f"(CAST({ts_expr} AS DATE) - DATE '1970-01-01')"
     return f"""
@@ -346,6 +364,8 @@ def sql_sequence_funnel(ts_expr: str, steps: list[str]) -> str:
     """DuckDB mirror of ``sequence_funnel``: one list() per user, the
     same strictly-after chained filter+list_min per step, one CTE layer
     per step so each t_i can reference t_{i-1}."""
+    if not steps:
+        raise ValueError("sql_sequence_funnel: steps must be non-empty")
     esc = [s.replace("'", "''") for s in steps]
     types_sql = ", ".join(f"'{s}'" for s in sorted(set(esc)))
     cte = f"""sq_u AS (
