@@ -220,3 +220,41 @@ def test_ngram_buckets_cross_engine_parity_random(spark, duck):
         assert all(0 <= b < 256 for b in bs)
     # unigrams + bigrams: n tokens -> 2n - 1 buckets (n >= 2)
     assert len(got[2]) == 3 and len(got[1]) == 1 and got[0] == [] and got[3] == []
+
+
+def test_crlf_and_case_scrub_hardening(spark, duck):
+    """CRLF blank lines don't inflate repetition; uppercase URL schemes
+    are redacted; both engines agree."""
+    from wpvectordb_spark.operators import text_analysis as TA
+
+    rows = [
+        (1, "para one\r\n\r\npara two\r\n\r\npara three"),
+        (2, "Visit HTTP://Tracker.example.com/uid?e=bob@x.com today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = TA.repetition_features("text")
+    got = {
+        r["doc_id"]: (r["n"], r["d"])
+        for r in df.select(
+            "doc_id", rep["n_lines"].alias("n"), rep["dup_line_ratio"].alias("d")
+        ).collect()
+    }
+    assert got[1] == (3, 0.0)  # three distinct lines, no phantom '\r' dups
+    sc = TA.scrub_features("text")
+    r2 = df.where(F.col("doc_id") == 2).select(
+        sc["n_urls"].alias("u"), sc["n_emails"].alias("e")
+    ).collect()[0]
+    assert r2["u"] == 1 and r2["e"] == 0  # URL-embedded email counts as URL
+    # cross-engine parity of the same features
+    vals = ", ".join(
+        "(%d, '%s')" % (i, t.replace("'", "''").replace("\r\n", "' || chr(13) || chr(10) || '"))
+        for i, t in rows
+    )
+    duck.execute(f"CREATE OR REPLACE TABLE crlf AS SELECT * FROM (VALUES {vals}) t(doc_id, text)")
+    srep = TA.sql_repetition_features("text")
+    ssc = TA.sql_scrub_features("text")
+    d = duck.sql(
+        f"SELECT doc_id, {srep['n_lines']} AS n, {srep['dup_line_ratio']} AS d,"
+        f" {ssc['n_urls']} AS u FROM crlf ORDER BY doc_id"
+    ).fetchall()
+    assert d[0][1] == 3 and d[0][2] == 0.0 and d[1][3] == 1

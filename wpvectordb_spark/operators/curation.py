@@ -946,7 +946,9 @@ def c4_page_filter(
     # NULL text reads as an empty page (0 lines, dropped) in BOTH
     # engines — without the coalesce the two mirrors diverge on NULLs.
     t = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.filter(F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    # \r?\n: a CRLF line would keep its trailing \r (F.trim strips only
+    # spaces) and fail the terminal-punctuation test
+    lines = F.filter(F.split(t, "\\r?\\n"), lambda l: F.length(F.trim(l)) > 0)
     low = F.lower(t)
 
     def line_ok(l: Column) -> Column:
@@ -990,7 +992,7 @@ def sql_c4_page_filter(
         ),
         c4_split AS (
           SELECT doc_id, lower(text) AS low,
-                 list_filter(string_split(text, chr(10)),
+                 list_filter(string_split_regex(text, '\r?\n'),
                              l -> length(trim(l)) > 0) AS lines
           FROM c4_c
         ),

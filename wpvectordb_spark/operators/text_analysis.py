@@ -157,7 +157,11 @@ def repetition_features(text_col: Column | str = "text") -> dict[str, Column]:
     duplicate lines and fraction of duplicate tokens (1 - distinct/total,
     0.0 for empty).  Pure array expressions — no shuffle."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
-    lines = F.filter(F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    # \r?\n: splitting on \n alone leaves a trailing \r on every CRLF
+    # line — blank lines then pass the non-empty filter (F.trim strips
+    # only spaces) and dedupe against each other, inflating n_lines and
+    # dup_line_ratio for clean CRLF documents
+    lines = F.filter(F.split(t, "\\r?\\n"), lambda l: F.length(F.trim(l)) > 0)
     n_lines = F.size(lines)
     dup_lines = F.when(
         n_lines > 0,
@@ -177,7 +181,10 @@ def repetition_features(text_col: Column | str = "text") -> dict[str, Column]:
 
 
 def sql_repetition_features(text: str) -> dict[str, str]:
-    lines = f"list_filter(string_split({text}, chr(10)), l -> length(trim(l)) > 0)"
+    lines = (
+        f"list_filter(string_split_regex({text}, '\\r?\\n'),"
+        " l -> length(trim(l)) > 0)"
+    )
     toks = X.sql_tokens(text)
     dup_lines = (
         f"CASE WHEN len({lines}) > 0 THEN"
@@ -202,7 +209,9 @@ def sql_repetition_features(text: str) -> dict[str, str]:
 # backreferences, no lookaround, explicit whitespace classes (Java's \s
 # includes \x0B, RE2's does not).
 PII_RULES: tuple[tuple[str, str, str], ...] = (
-    ("urls", "https?://[^ \t\n\r]+", "<URL>"),
+    # scheme case-insensitive via explicit classes (portable — no (?i)
+    # flag dependence): HTTP:// was previously never redacted
+    ("urls", "[Hh][Tt][Tt][Pp][Ss]?://[^ \t\n\r]+", "<URL>"),
     ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ips", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
     ("long_numbers", "\\d{7,}", "<NUM>"),
@@ -295,6 +304,7 @@ def unigram_logprob_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    persist: bool = True,
 ) -> DataFrame:
     """CCNet-style unigram language-model quality score: per document,
     the mean log-probability of its tokens under the CORPUS unigram
@@ -306,10 +316,16 @@ def unigram_logprob_scores(
     mean_logprob).
 
     Scale shape: one token explode (narrow), one token-keyed count
-    shuffle for the vocabulary, one token-keyed join to score
-    occurrences, one doc-keyed aggregation — all map-side combinable;
-    no driver-side vocabulary (the LM "model" stays distributed, unlike
-    a broadcast dictionary, so a 100M-type web vocab is fine).
+    shuffle for the vocabulary (map-side combinable), one token-keyed
+    join to score occurrences, one doc-keyed aggregation.  The LAST
+    shuffle ships one rounded double per corpus token (collect_list
+    partials concatenate, they do not combine) — the price of the
+    deterministic sorted fold; swap the fold for a plain sum when
+    cross-engine bit-stability is not needed.  No driver-side vocabulary
+    (the LM "model" stays distributed, unlike a broadcast dictionary, so
+    a 100M-type web vocab is fine).  ``persist=False`` skips caching the
+    exploded token table (see pack_sequences' persist note) for
+    many-corpora sessions.
 
     Determinism: per-token logprobs round to ``round_to`` FIRST (libm
     ``ln`` may differ across engines in the last ulp), then fold in
@@ -318,9 +334,12 @@ def unigram_logprob_scores(
     """
     toks = docs.select(
         F.col(id_col), F.explode(X.tokens(text_col)).alias("term")
-    ).persist()  # two consumers (vocab agg + score-join probe) would
-    # otherwise re-tokenize and re-explode the whole corpus; same
-    # shared-intermediate persist as the minhash shingle table
+    )
+    if persist:
+        # two consumers (vocab agg + score-join probe) would otherwise
+        # re-tokenize and re-explode the whole corpus; same
+        # shared-intermediate persist as the minhash shingle table
+        toks = toks.persist()
     vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = toks.join(vocab, "term").crossJoin(F.broadcast(total)).select(
