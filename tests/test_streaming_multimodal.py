@@ -335,3 +335,31 @@ def test_resize_media_plumbing(spark):
     # checksum audit matches the shared checksum kernel on the new payload
     for r in rows[:5]:
         assert r["checksum"] == M._checksum(bytes(r["payload"]))
+
+
+def test_sample_frames_k1_and_null_payload(spark):
+    """k=1 must not divide by zero; NULL payloads reach the user codec
+    as b'' (real codecs take bytes); k<1 is refused."""
+    import pytest as _pytest
+
+    from wpvectordb_spark.operators import multimodal as M
+
+    media = spark.createDataFrame(
+        [(1, "video/fake", b"0123456789abcdef" * 4, None),
+         (2, "video/fake", None, None)],
+        M.MEDIA_SCHEMA,
+    )
+    rows = M.sample_frames(
+        media, k=1, codec=M.fake_codec, frame_extractor=M.fake_frame_extractor
+    ).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_no"])
+    assert by_id[1] == [0]  # k=1: first frame, no ZeroDivisionError
+    with _pytest.raises(ValueError):
+        M.sample_frames(media, k=0, codec=M.fake_codec, frame_extractor=M.fake_frame_extractor)
+    # NULL payload flows as b'' through decode and resize too
+    assert M.decode_media(media, codec=M.fake_codec).count() == 2
+    out = {r["media_id"]: r["n_bytes"] for r in
+           M.resize_media(media, 16, 16, resizer=M.fake_resizer).collect()}
+    assert out[2] == 1  # (16*16)//256 from the b'' zero-fill path

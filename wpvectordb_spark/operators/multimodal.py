@@ -12,8 +12,10 @@ everything around it (schemas, mapInPandas plumbing, batching) is real and
 tested.
 
 ``media_features`` computes real byte-level features (length, first byte,
-polynomial checksum matching functions.text.string_hash for UTF-8
-payloads) so outputs are oracle-checkable.
+polynomial checksum matching functions.text.string_hash for pure-ASCII
+payloads — the byte fold and the codepoint fold agree only when every
+character is one byte; the entry-parity ASCII guard pins that
+precondition) so outputs are oracle-checkable.
 """
 
 from __future__ import annotations
@@ -66,7 +68,10 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
         F.struct(
             F.col("source").alias("source"),
-            F.col("n_chars").cast("long").alias("declared_bytes"),
+            # octet length of the ACTUAL payload — n_chars undercounts
+            # for multi-byte UTF-8 and would flag spurious corruption in
+            # any declared-vs-measured integrity check
+            F.length(F.encode("text", "UTF-8")).cast("long").alias("declared_bytes"),
         ).alias("meta"),
     )
 
@@ -80,6 +85,13 @@ _POW31 = np.array([1], dtype=np.int64)
 # Chunk bound for the int64 dot product: each term is < 256 * HASH_MOD
 # (~2.6e11), so 2^25 terms stay under 2^63.  Chunks reduce mod p as they go.
 _CHUNK = 1 << 25
+
+# Horner chunk for the per-payload path: CAPS the power table at 8 MB no
+# matter the payload size.  An uncapped table grows 8 bytes per payload
+# byte with a per-byte Python loop and is retained for the worker's
+# lifetime — one 500 MB video payload would cost a 500M-iteration loop
+# and 4 GB of permanently resident memory per Python worker.
+_HORNER_CHUNK = 1 << 20
 
 
 def _powers(n: int) -> np.ndarray:
@@ -95,16 +107,21 @@ def _powers(n: int) -> np.ndarray:
 
 def _checksum(data: bytes) -> int:
     """Polynomial rolling hash ``h = (h*31 + byte) % p`` over the payload,
-    vectorized: bytes -> int64 array, dot with the reversed 31^i powers in
-    overflow-safe chunks."""
+    vectorized: Horner over _HORNER_CHUNK-sized pieces — per chunk, one
+    numpy dot against the reversed power slice, then
+    ``h = h * 31^len(chunk) + chunk_value`` (bit-identical to the single
+    fold; the exponent comes from Python's 3-arg pow).  The chunking
+    bounds BOTH the dot's int64 overflow (2^20 terms * 256*HASH_MOD <
+    2^63) and the shared power table's size."""
     if not data:
         return 0
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-    n = len(arr)
-    coef = _powers(n)[::-1]
     h = 0
-    for s in range(0, n, _CHUNK):
-        h = (h + np.dot(arr[s : s + _CHUNK], coef[s : s + _CHUNK])) % HASH_MOD
+    for s in range(0, len(arr), _HORNER_CHUNK):
+        chunk = arr[s : s + _HORNER_CHUNK]
+        m = len(chunk)
+        coef = _powers(m)[m - 1 :: -1]
+        h = (h * pow(31, m, HASH_MOD) + int(np.dot(chunk, coef))) % HASH_MOD
     return int(h)
 
 
@@ -115,13 +132,13 @@ def _batch_checksums(payloads: list[bytes]) -> np.ndarray:
     with ``np.add.reduceat``.  Per-document Python work is two slices —
     everything else is vectorized over the concatenated buffer.
 
-    Falls back to per-payload ``_checksum`` when the batch is large
-    enough that segment products could overflow the chunked-dot bound
-    (any single payload >= _CHUNK bytes)."""
+    Falls back to the per-payload Horner ``_checksum`` when any single
+    payload exceeds the Horner chunk (keeps the shared power table
+    capped at 8 MB and the segment products inside the int64 bound)."""
     lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
     if len(lens) == 0:
         return np.empty(0, dtype=np.int64)
-    if lens.max(initial=0) >= _CHUNK:
+    if lens.max(initial=0) >= _HORNER_CHUNK:
         return np.fromiter((_checksum(p) for p in payloads), dtype=np.int64, count=len(payloads))
     total = int(lens.sum())
     buf = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
@@ -200,7 +217,10 @@ def decode_media(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                {"media_id": mid, **codec(mt, pl)}
+                # sanitize NULL payloads to b"" before the user callable:
+                # real PIL/ffmpeg codecs take bytes and would raise
+                # TypeError mid-job on None (media_features' precedent)
+                {"media_id": mid, **codec(mt, pl if pl is not None else b"")}
                 for mid, mt, pl in zip(pdf["media_id"], pdf["media_type"], pdf["payload"])
             ]
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "n_frames"])
@@ -248,16 +268,21 @@ def sample_frames(
             "no media codec available in this environment; pass codec= and "
             "frame_extractor= (e.g. fake_codec / fake_frame_extractor)"
         )
+    if k < 1:
+        raise ValueError("sample_frames: k must be >= 1")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, mt, pl in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                pl = pl if pl is not None else b""
                 n_frames = int(codec(mt, pl)["n_frames"])
                 if n_frames <= 0:
                     continue
                 if n_frames <= k:
                     idxs = list(range(n_frames))
+                elif k == 1:
+                    idxs = [0]  # the k-1 spacing formula divides by zero
                 else:
                     idxs = sorted({(j * (n_frames - 1)) // (k - 1) for j in range(k)})
                 for i in idxs:
@@ -332,7 +357,7 @@ def resize_media(
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = [
-                resizer(mt, pl, tw, th)
+                resizer(mt, pl if pl is not None else b"", tw, th)
                 for mt, pl in zip(pdf["media_type"], pdf["payload"])
             ]
             # whole-batch numpy checksum pass, same as media_features —
