@@ -1730,7 +1730,7 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
     """
-    fp = X.sql_string_hash("text")
+    fp = X.sql_fingerprint60("text")  # ~60-bit two-fold pack, as exact_dedup
     tokh = X.sql_token_hashes("text")
     shh = X.sql_shingle_hashes("th", 3)
     sig = X.sql_minhash_signature("sh", 32)
@@ -2097,7 +2097,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS n_windows,
                    CAST(NULL AS BIGINT) AS dup_tokens,
                    CAST(NULL AS VARCHAR) AS cut_text
-            FROM fps GROUP BY fingerprint
+            FROM fps WHERE fingerprint IS NOT NULL GROUP BY fingerprint
+            UNION ALL
+            -- NULL-text passthrough: one row each, never collapsed
+            SELECT 'exact' AS kind, doc_id, fingerprint, 1 AS dup_count,
+                   CAST(NULL AS BIGINT) AS n_windows,
+                   CAST(NULL AS BIGINT) AS dup_tokens,
+                   CAST(NULL AS VARCHAR) AS cut_text
+            FROM fps WHERE fingerprint IS NULL
             UNION ALL
             SELECT 'span' AS kind, doc_id, CAST(NULL AS BIGINT) AS fingerprint,
                    n_dup_windows AS dup_count, n_windows, dup_tokens,

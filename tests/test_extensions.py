@@ -804,3 +804,44 @@ def test_ann_recall_small_corpus_reaches_one(spark):
     assert SIM.ann_recall(small, [qv], k=10) == 1.0
     with pytest.raises(ValueError):
         SIM.ann_recall(small, [], k=10)
+
+
+def test_exact_dedup_hardening(spark):
+    """60-bit two-fold fingerprint (single 30-bit fold false-merges by
+    birthday at ~50k docs); NULL-text rows pass through one each instead
+    of collapsing into a single survivor."""
+    from wpvectordb_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha"), (3, None), (4, None), (5, "beta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["dup_count"] for r in D.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1, 4: 1, 5: 1}  # NULLs never merge
+    fps = {r["doc_id"]: r["fingerprint"] for r in D.exact_dedup(df).collect()}
+    assert fps[3] is None and fps[4] is None
+    # the packed fingerprint really carries both folds
+    row = df.where(F.col("doc_id") == 1).select(
+        X.fingerprint60("text").alias("f"),
+        X.string_hash("text").alias("h1"),
+        X.string_hash2("text").alias("h2"),
+    ).collect()[0]
+    assert row["f"] == row["h1"] * X.HASH_MOD2 + row["h2"]
+
+
+def test_lsh_banding_guard_and_cc_id_type(spark):
+    with pytest.raises(ValueError, match="num_hashes"):
+        D.minhash_lsh_dedup_pairs(
+            spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
+            num_hashes=16,  # default 8 bands x 4 rows = 32 > 16
+        )
+    pairs = spark.createDataFrame(
+        [("a", "b", 0.9)], "id_a string, id_b string, jaccard double"
+    )
+    with pytest.raises(ValueError, match="integer id"):
+        D.connected_components(pairs)
+    with pytest.raises(ValueError, match="bounded pair space"):
+        D.ngram_jaccard_pairs(
+            spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
+            block_col="",  # truthiness hole: '' must refuse like None
+        )

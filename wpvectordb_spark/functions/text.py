@@ -77,6 +77,46 @@ def sql_string_hash(s: str) -> str:
     return _sql_char_fold(s)
 
 
+# Second independent fold for ~60-bit fingerprints: different multiplier,
+# different prime.  Either fold alone is ~30 bits, which false-merges by
+# birthday at ~50k documents — far below the corpus sizes the dedup
+# operators advertise.  a*131 + c stays < 1.4e11, BIGINT-safe anywhere.
+HASH_MOD2 = 999_999_937
+HASH_MUL2 = 131
+
+
+def string_hash2(s: Column | str) -> Column:
+    """The second fold: ``h = fold(chars, h*131 + codepoint) % 999999937``."""
+    s = _col(s)
+    chars = F.filter(F.split(s, ""), lambda c: c != "")
+    return F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * HASH_MUL2 + c) % HASH_MOD2,
+    )
+
+
+def sql_string_hash2(s: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0, list_transform("
+        f"list_filter(string_split_regex({s}, ''), c -> c != ''),"
+        f" c -> CAST(ascii(c) AS BIGINT))),"
+        f" (a, c) -> (a * {HASH_MUL2} + c) % {HASH_MOD2})"
+    )
+
+
+def fingerprint60(s: Column | str) -> Column:
+    """~60-bit content fingerprint: ``h1 * 999999937 + h2`` packs the two
+    independent folds into one BIGINT (< 1.1e18, portable).  Collision
+    odds stay negligible past 10^9 documents, where the single 30-bit
+    fold would silently merge ~half the corpus into false groups."""
+    return string_hash(s) * F.lit(HASH_MOD2) + string_hash2(s)
+
+
+def sql_fingerprint60(s: str) -> str:
+    return f"({sql_string_hash(s)}) * {HASH_MOD2} + ({sql_string_hash2(s)})"
+
+
 def token_hashes(text: Column | str) -> Column:
     """Hash of every token of ``text`` — ``string_hash`` applied per
     element (it accepts any Column, including a lambda variable)."""

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from wpvectordb_spark.functions import kernels as K
 from wpvectordb_spark.functions import sketch_arrow as SA
@@ -59,7 +60,31 @@ def _spread(df: DataFrame) -> DataFrame:
     input already has thousands of splits and this is a cheap rebalance of
     same-sized partitions (ROUND_ROBIN, no key skew)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    # skip when the input already has enough splits: at real scale this
+    # would otherwise be a full exchange of document BODIES (and would
+    # COALESCE thousands of scan splits down to num-cores partitions)
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
+
+
+
+def _jaccard_verify(
+    cands: DataFrame, sh_a: DataFrame, sh_b: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """The ONE exact-Jaccard verify join (formula, rounding, threshold
+    semantics live here — previously copy-pasted per candidate route):
+    join each (id_a, id_b) candidate to its sides' shingle sets, keep
+    pairs at or above the threshold."""
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cands.join(sh_a.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sh_b.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", F.round(jac, 9).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def exact_dedup(
@@ -69,11 +94,19 @@ def exact_dedup(
 
     Hash first so the shuffle key is a bigint, not the document body —
     at 100 TB the exchange carries 8 bytes/row instead of the text.
-    Returns (doc_id, fingerprint, dup_count).
+    The fingerprint is the ~60-bit two-fold pack (text.fingerprint60):
+    a single 30-bit fold false-merges distinct documents by birthday at
+    ~50k docs, silently deleting them as "duplicates" at any real scale.
+    NULL-text documents pass through untouched, one row each — grouping
+    them would collapse every failed-extraction row into one survivor
+    (the NULL-domain data-loss class).  Returns (doc_id, fingerprint,
+    dup_count).
     """
-    fp = X.string_hash(text_col).alias("fingerprint")
-    return (
-        _spread(docs).select(F.col(id_col), fp)
+    hashed = _spread(docs).select(
+        F.col(id_col), X.fingerprint60(text_col).alias("fingerprint")
+    )
+    grouped = (
+        hashed.where(F.col("fingerprint").isNotNull())
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias(id_col),
@@ -81,6 +114,24 @@ def exact_dedup(
         )
         .select(id_col, "fingerprint", "dup_count")
     )
+    nulls = hashed.where(F.col("fingerprint").isNull()).select(
+        F.col(id_col), F.col("fingerprint"), F.lit(1).cast("long").alias("dup_count")
+    )
+    return grouped.unionByName(nulls)
+
+
+
+def _check_banding(num_hashes: int, bands: int, rows_per_band: int) -> None:
+    """Bands that slice past the signature end all yield the SAME empty
+    band key ('' — non-null, so no explode/join guard catches it),
+    colliding every document in those bands: a silent n^2/2 candidate
+    blowup that defeats the LSH design."""
+    if bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"bands*rows_per_band ({bands}*{rows_per_band}) exceeds "
+            f"num_hashes ({num_hashes}) — trailing bands would share one "
+            "empty key and go quadratic"
+        )
 
 
 def minhash_signatures(
@@ -208,16 +259,11 @@ def ngram_jaccard_pairs(
         sh = _spread(docs).select(
             F.col(id_col), X.shingle_hashes(text_col, shingle_k).alias("sh")
         )
-        inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-        union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
-        jac = inter.cast("double") / union.cast("double")
-        return (
-            candidates.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
-            .join(sh.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
-            .select("id_a", "id_b", F.round(jac, 9).alias("jaccard"))
-            .where(F.col("jaccard") >= threshold)
-        )
-    if block_col is None:
+        return _jaccard_verify(candidates, sh, sh, threshold, id_col)
+    if not block_col:
+        # `not` rather than `is None`: '' threaded from config would
+        # bypass an is-None check, fall through every truthiness test
+        # below, and silently run the all-pairs cross join
         raise ValueError(
             "ngram_jaccard_pairs needs a bounded pair space: pass "
             "candidates= (lsh_candidate_pairs output — the scale path) or "
@@ -302,20 +348,13 @@ def minhash_lsh_dedup_pairs(
     ``docs`` may instead be a precomputed (id, sh) shingle index
     (see ``_shingle_side``).
     """
+    _check_banding(num_hashes, bands, rows_per_band)
     sh = _shingle_side(docs, id_col, text_col, shingle_k).persist()
     sigs = sh.select(
         F.col(id_col), _mh_sig(F.col("sh"), num_hashes, engine).alias("signature")
     )
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        cands.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sh.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
-        .select("id_a", "id_b", F.round(jac, 9).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_verify(cands, sh, sh, threshold, id_col)
 
 
 def lsh_band_index(
@@ -335,6 +374,7 @@ def lsh_band_index(
     not once per increment).  Accepts raw docs or a precomputed (id, sh)
     shingle index.  NULL band keys (empty/short docs) are dropped here —
     they can never match an equi-join and would only bloat the index."""
+    _check_banding(num_hashes, bands, rows_per_band)
     sh = _shingle_side(docs, id_col, text_col, shingle_k)
     sigs = sh.select(
         F.col(id_col), _mh_sig(F.col("sh"), num_hashes, engine).alias("signature")
@@ -389,6 +429,7 @@ def incremental_dedup_pairs(
     it has a single consumer (the verify join) and persisting it would
     just accumulate cache entries across streaming batches.
     """
+    _check_banding(num_hashes, bands, rows_per_band)
     own_corpus_banding = corpus_bands is None
     sh_c = _shingle_side(corpus, id_col, text_col, shingle_k)
     if own_corpus_banding:
@@ -420,15 +461,7 @@ def incremental_dedup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        cands.join(sh_c.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sh_d.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
-        .select("id_a", "id_b", F.round(jac, 9).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _jaccard_verify(cands, sh_c, sh_d, threshold, id_col)
 
 
 SIMHASH_BITS = 60
@@ -600,6 +633,17 @@ def connected_components(
     Only nodes that appear in >= 1 pair are returned (singletons have no
     cluster to join).  Output is deterministic: min-id roots.
     """
+    for c in (id_a, id_b):
+        # every other pair operator is id-type agnostic, but the star
+        # contraction needs numeric ids; a silent cast would NULL every
+        # uuid/string edge out and return an empty result (downstream
+        # "keep one per cluster" would then keep every duplicate)
+        if not isinstance(pairs.schema[c].dataType, (T.LongType, T.IntegerType)):
+            raise ValueError(
+                f"connected_components: {c} must be an integer id column, "
+                f"got {pairs.schema[c].dataType.simpleString()} — map string "
+                "ids to longs first (e.g. xxhash64) and join back after"
+            )
     e = (
         pairs.select(
             F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
@@ -675,6 +719,11 @@ def embedding_near_dup_pairs_arrow(
 
     return (
         vectors.select(id_col, vector_col, block_col)
+        # drop NULL blocks BEFORE grouping: the catalyst equi-join path
+        # never matches NULL = NULL, but groupBy collects all NULL-label
+        # rows into ONE pandas group and would emit pairs among them (a
+        # hot single task AND an engine-parity break)
+        .where(F.col(block_col).isNotNull())
         .groupBy(block_col)
         .applyInPandas(block_pairs, out_schema)
     )
@@ -871,12 +920,21 @@ def _span_detection(
     with differing exchange children — ReuseExchange cannot dedupe them,
     same rationale as the minhash shingle table) and carries ``_tk``
     only when the caller needs the tokens back (the cut rewrite)."""
-    from wpvectordb_spark.functions.text import HASH_MOD
+    from wpvectordb_spark.functions.text import HASH_MOD, HASH_MOD2, HASH_MUL2
 
+    # ~60-bit window hash: TWO independent folds packed into one BIGINT
+    # (h31 * 999999937 + h131, < 1.1e18).  A single 30-bit window hash
+    # collides by pigeonhole once the corpus holds more distinct windows
+    # than the 1e9 hash space (~10 GB of text) — unrelated windows would
+    # then be flagged duplicated, and remove_duplicate_spans would CUT
+    # the collided text irreversibly, with no verify stage to catch it.
     fold = (
         f"transform(sequence(0, size(_th) - {k}), i -> "
         f"aggregate(slice(_th, i + 1, {k}), CAST(0 AS LONG), "
-        f"(a, t) -> (a * 31 + t) % {HASH_MOD}))"
+        f"(a, t) -> (a * 31 + t) % {HASH_MOD})"
+        f" * CAST({HASH_MOD2} AS LONG)"
+        f" + aggregate(slice(_th, i + 1, {k}), CAST(0 AS LONG), "
+        f"(a, t) -> (a * {HASH_MUL2} + t) % {HASH_MOD2}))"
     )
     if carry_tokens:
         hashed = (
@@ -912,10 +970,17 @@ def _span_detection(
 
 def _sql_span_cte(corpus_sql: str, k: int, min_docs: int, p: str) -> str:
     """The ONE DuckDB form of the ExactSubstr detection CTE chain
-    (mirrors ``_span_detection``; a fold/guard tweak changes exactly one
-    place): defines ``{p}_w`` (doc_id, tk, ws), ``{p}_wins`` (doc_id,
-    pos, h), ``{p}_dup`` (h)."""
-    from wpvectordb_spark.functions.text import HASH_MOD, sql_hash_elements, sql_tokens
+    (mirrors ``_span_detection``, including the two-fold ~60-bit window
+    hash; a fold/guard tweak changes exactly one place): defines
+    ``{p}_w`` (doc_id, tk, ws), ``{p}_wins`` (doc_id, pos, h),
+    ``{p}_dup`` (h)."""
+    from wpvectordb_spark.functions.text import (
+        HASH_MOD,
+        HASH_MOD2,
+        HASH_MUL2,
+        sql_hash_elements,
+        sql_tokens,
+    )
 
     return f"""
         {p}_c AS ({corpus_sql}),
@@ -926,7 +991,10 @@ def _sql_span_cte(corpus_sql: str, k: int, min_docs: int, p: str) -> str:
                  CASE WHEN len(th) >= {k} THEN
                    list_transform(range(0, len(th) - {k} + 1), i ->
                      list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1 : i+{k}]),
-                                 (a, t) -> (a * 31 + t) % {HASH_MOD}))
+                                 (a, t) -> (a * 31 + t) % {HASH_MOD})
+                     * {HASH_MOD2}
+                     + list_reduce(list_prepend(CAST(0 AS BIGINT), th[i+1 : i+{k}]),
+                                   (a, t) -> (a * {HASH_MUL2} + t) % {HASH_MOD2}))
                  ELSE [] END AS ws
           FROM {p}_h
         ),
