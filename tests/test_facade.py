@@ -86,3 +86,58 @@ def test_queue_lifecycle(spark, tmp_path):
     assert q.get_total_records() == 2
     page = q.get_page_of_records(1, per_page=10)
     assert page.count() == 2
+
+
+def test_snapshot_swap_is_crash_safe(spark, tmp_path):
+    """At every instant of a snapshot rewrite, at least one full copy of
+    the table exists on disk (old or new) — the delete-then-rename order
+    lost the table if the process died in the gap, and init() would then
+    recreate it EMPTY."""
+    import os
+
+    from wpvectordb_spark import table as TBL
+
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1,)], "x long")
+    df2 = spark.createDataFrame([(2,)], "x long")
+    TBL._write_snapshot(path, df1)
+    real_rename = os.rename
+    seen = []
+
+    def spy(a, b):
+        # before each rename, SOME readable copy of the data must exist
+        seen.append(
+            os.path.exists(path) or os.path.exists(path + "__old")
+            or os.path.exists(path + "__staging")
+        )
+        real_rename(a, b)
+
+    os.rename = spy
+    try:
+        TBL._write_snapshot(path, df2)
+    finally:
+        os.rename = real_rename
+    assert seen and all(seen)
+    assert [r["x"] for r in spark.read.parquet(path).collect()] == [2]
+    assert not os.path.exists(path + "__old")
+
+
+def test_facade_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from wpvectordb_spark.table import VectorTable, VectorTableQueue
+
+    with _pytest.raises(ValueError, match="LOCAL"):
+        VectorTable(spark, "s3a://bucket/vectors")
+    with _pytest.raises(ValueError, match="LOCAL"):
+        VectorTableQueue(spark, "hdfs://nn/queue")
+    vt = VectorTable(spark, str(tmp_path / "v"), vector_length=4)
+    vt.init()
+    with _pytest.raises(ValueError):
+        vt.search([0.1] * 3)  # dimension mismatch rejected, not NULL-ranked
+    # queue init seeds a schema'd snapshot even into a pre-created bare dir
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    q = VectorTableQueue(spark, str(qdir))
+    q.init()
+    assert q.get_total_records() == 0

@@ -36,24 +36,55 @@ def _utcnow() -> _dt.datetime:
     return _dt.datetime.now(_dt.timezone.utc)
 
 
+def _check_local_path(path: str) -> None:
+    """The facades manage snapshots with driver-local os/shutil calls; a
+    remote URI (hdfs://, s3a://) would read/write fine through Spark but
+    ALWAYS look absent to os.path — init() would then overwrite the
+    existing remote table with an empty one.  Refuse loudly; production
+    state belongs in a transactional table format anyway."""
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"VectorTable/VectorTableQueue manage LOCAL paths only, got "
+            f"{path!r} — use Delta/Iceberg (or the operators directly) "
+            "for remote storage"
+        )
+
+
 def _write_snapshot(path: str, df: DataFrame) -> None:
     """Snapshot rewrite via a staging dir (parquet cannot overwrite in
     place while reading) — the ONE shared implementation for both
     facades.  A stale staging dir from a crashed earlier write is
     removed first so the fresh write never lands inside it.
-    Delta/Iceberg replaces this with MERGE/commit."""
+
+    Crash-safe swap order: the OLD snapshot is renamed aside (atomic),
+    the new one renamed in (atomic), and only then is the old copy
+    deleted — a kill between steps leaves either the old or the new
+    snapshot in place, never zero copies.  (The delete-then-rename
+    order lost the table on a kill in the gap: init() would then
+    silently recreate it EMPTY.)  Delta/Iceberg replaces this with
+    MERGE/commit."""
     staging = path + "__staging"
+    old = path + "__old"
     shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
     os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 class VectorTable:
     """Parquet-backed vector table with the reference's method surface
-    (VectorTable.php:30-633)."""
+    (VectorTable.php:30-633).
+
+    Read methods return LAZY DataFrames over the current snapshot:
+    consume them before the next mutating call — a write swaps the
+    snapshot files out underneath a pending plan (collect first, as
+    ``get_next_batch`` does, when interleaving reads and writes)."""
 
     def __init__(self, spark: SparkSession, path: str, vector_length: int = 1024):
+        _check_local_path(path)
         self.spark = spark
         self.path = path
         self.vector_length = vector_length  # VectorTable.php:37 default 1024
@@ -70,6 +101,10 @@ class VectorTable:
     def drop_table(self) -> None:
         if os.path.exists(self.path):
             shutil.rmtree(self.path)
+        # a crashed write's staging/old copies would otherwise be
+        # orphaned full-table snapshots
+        shutil.rmtree(self.path + "__staging", ignore_errors=True)
+        shutil.rmtree(self.path + "__old", ignore_errors=True)
 
     def table_exists(self) -> bool:
         return os.path.exists(os.path.join(self.path, "_SUCCESS")) or (
@@ -199,6 +234,10 @@ class VectorTable:
         documents: DataFrame | None = None,
         doc_meta: DataFrame | None = None,
     ) -> DataFrame:
+        # a mismatched query dimension packs a different word count,
+        # nulls every Hamming distance, and silently returns arbitrary
+        # rows — the same reject-early rule as the write path
+        self._check_length(vector)
         return S.search(
             self.df(),
             [float(x) for x in vector],
@@ -214,11 +253,19 @@ class VectorTableQueue:
     (VectorTableQueue.php:20-447)."""
 
     def __init__(self, spark: SparkSession, path: str):
+        _check_local_path(path)
         self.spark = spark
         self.path = path
 
     def init(self) -> None:
-        if not os.path.isdir(self.path):
+        # same existence rule as VectorTable.table_exists: a bare
+        # pre-created directory (deployment mkdir, crash debris) must
+        # still get the schema'd empty snapshot
+        has_data = os.path.exists(os.path.join(self.path, "_SUCCESS")) or (
+            os.path.isdir(self.path)
+            and any(f.endswith(".parquet") for f in os.listdir(self.path))
+        )
+        if not has_data:
             self.spark.createDataFrame([], QUEUE_SCHEMA).write.mode("overwrite").parquet(self.path)
 
     def df(self) -> DataFrame:
@@ -253,12 +300,15 @@ class VectorTableQueue:
         post-claim view."""
         now = now or _utcnow()
         claimed_rows = Q.dequeue_priority(self.df(), batch_size).collect()
-        # rebuild the state from the ALREADY-collected ids — embedding
-        # dequeue_priority in the rewrite would run the whole-queue
-        # priority sort a second time
-        self._write(
-            Q.mark_processing(self.df(), [r["job_id"] for r in claimed_rows], now)
-        )
+        if claimed_rows:
+            # rebuild the state from the ALREADY-collected ids — embedding
+            # dequeue_priority in the rewrite would run the whole-queue
+            # priority sort a second time.  Nothing claimed = no rewrite:
+            # an idle polling worker must not pay (or crash-risk) a full
+            # snapshot swap per empty poll.
+            self._write(
+                Q.mark_processing(self.df(), [r["job_id"] for r in claimed_rows], now)
+            )
         return self.spark.createDataFrame(claimed_rows, QUEUE_SCHEMA)
 
     def update_status(
