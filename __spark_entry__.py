@@ -1730,7 +1730,12 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
     """
-    fp = X.sql_fingerprint60("text")  # ~60-bit two-fold pack, as exact_dedup
+    # fp: the 30-bit single fold — text_analyze's fingerprint FEATURE and
+    # the multimodal byte checksum (char/byte parity on the ASCII corpus).
+    # fp60: the ~60-bit two-fold pack exact_dedup keys on — the dedup
+    # fingerprint must be collision-free, the feature column stays as-is.
+    fp = X.sql_string_hash("text")
+    fp60 = X.sql_fingerprint60("text")
     tokh = X.sql_token_hashes("text")
     shh = X.sql_shingle_hashes("th", 3)
     sig = X.sql_minhash_signature("sh", 32)
@@ -2091,7 +2096,7 @@ def oracle_sql() -> dict[str, str]:
         # --- dedup / text / events / ann / relational (extensions) ---
         "dedup_exact": f"""
             WITH corpus AS ({corpus}),
-            fps AS (SELECT doc_id, {fp} AS fingerprint FROM corpus)
+            fps AS (SELECT doc_id, {fp60} AS fingerprint FROM corpus)
             SELECT 'exact' AS kind, min(doc_id) AS doc_id, fingerprint,
                    COUNT(*) AS dup_count,
                    CAST(NULL AS BIGINT) AS n_windows,
