@@ -1378,6 +1378,17 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("pos"),
         F.col("weight").alias("quality"),
     )
+    pipeline = _pipeline_manifest(spark, sf_dir).select(
+        F.lit("pipeline").alias("kind"),
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "seq_start",
+        "seq_end",
+        "shard",
+        "pos",
+        null_d.alias("quality"),
+    )
     return (
         sample.unionByName(pack)
         .unionByName(shard)
@@ -1386,6 +1397,53 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(chunks)
         .unionByName(domcap)
         .unionByName(dsir)
+        .unionByName(pipeline)
+    )
+
+
+# The composed-pipeline arm's FIXED configuration: every constant here is
+# mirrored literally in the oracle CTE chain — change them in lockstep.
+PIPE_NEAR_DUP_THRESHOLD = 0.5
+PIPE_QUALITY_QUANTILE = 0.25
+PIPE_DECONTAM_SHINGLES = 5
+PIPE_SEQ_LEN = 2048
+PIPE_NUM_SHARDS = 8
+PIPE_SEED = 42
+
+
+def _pipe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-arm input: documents plus 50 exact copies under shifted
+    ids, so the exact-dedup stage provably drops rows (the plain table
+    has no exact duplicates; its 25 near-dup pairs at jaccard >= 0.5
+    exercise the MinHash stage)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    dups = d.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "lang"
+    )
+    return d.unionByName(dups)
+
+
+def _pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ``curate_training_corpus`` end to end (exact dedup ->
+    MinHash near-dedup -> quality quantile gate -> decontamination ->
+    budget mixing -> packing + sharding) under the hard oracle: the
+    DuckDB mirror chains the per-stage sql_* fragments through the same
+    survivor sets.  DSIR is exercised separately (dsir arm) — at this
+    corpus size a top-k >= |survivors| selection would be vacuous."""
+    from wpvectordb_spark import pipelines as PL
+
+    holdout = _docs(spark, sf_dir).where(F.col("doc_id") < 20).select("doc_id", "text")
+    return PL.curate_training_corpus(
+        _pipe_corpus(spark, sf_dir),
+        holdout=holdout,
+        budgets=CURATE_BUDGETS,
+        quality_quantile=PIPE_QUALITY_QUANTILE,
+        near_dup_threshold=PIPE_NEAR_DUP_THRESHOLD,
+        decontam_shingles=PIPE_DECONTAM_SHINGLES,
+        seq_len=PIPE_SEQ_LEN,
+        num_shards=PIPE_NUM_SHARDS,
+        seed=PIPE_SEED,
+        persist=False,  # one-action driver/bench calls must not leak cache
     )
 
 
@@ -2092,6 +2150,82 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY {K.sql_cosine('q.q_vec', 's.embedding')} DESC, s.vec_id ASC
         LIMIT 10
     """
+    # --- composed curation pipeline (pipelines.curate_training_corpus):
+    # the per-stage sql_* mirrors chained through the same survivor sets.
+    # Constants mirror PIPE_* / CURATE_BUDGETS literally.
+    pipe_corpus = """
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text, lang FROM documents WHERE doc_id < 50
+    """
+    pipe_qfilter = CU.sql_quality_quantile_filter(
+        "SELECT doc_id, lang, " + TA.sql_quality_score("text") + " AS quality FROM pk2",
+        quantile=0.25,
+    )
+    pipeline_cte = f"""
+        WITH pipe_c AS ({pipe_corpus}),
+        p_fps AS (SELECT doc_id, {fp60} AS f FROM pipe_c),
+        p_w AS (
+          SELECT min(doc_id) AS doc_id FROM p_fps WHERE f IS NOT NULL GROUP BY f
+          UNION ALL
+          SELECT doc_id FROM p_fps WHERE f IS NULL
+        ),
+        pk1 AS (SELECT c.* FROM pipe_c c JOIN p_w USING (doc_id)),
+        p_tht AS (SELECT doc_id, {tokh} AS th FROM pk1),
+        p_shs AS (SELECT doc_id, {shh} AS sh FROM p_tht),
+        p_sigs AS (SELECT doc_id, {sig} AS signature FROM p_shs),
+        p_banded AS (
+          SELECT doc_id, b.i AS band_id,
+                 array_to_string(signature[b.i*4+1 : b.i*4+4], '-') AS band_key
+          FROM p_sigs, range(0, 8) b(i)
+          WHERE signature IS NOT NULL
+        ),
+        p_cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+          FROM p_banded a JOIN p_banded bb
+            ON a.band_id = bb.band_id AND a.band_key = bb.band_key
+           AND a.doc_id < bb.doc_id
+        ),
+        p_pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, round({jac}, 9) AS jaccard
+            FROM p_cands
+            JOIN p_shs sa ON p_cands.id_a = sa.doc_id
+            JOIN p_shs sb ON p_cands.id_b = sb.doc_id
+          ) WHERE jaccard >= 0.5
+        ),
+        pk2 AS (
+          SELECT * FROM pk1 WHERE doc_id NOT IN (SELECT id_b FROM p_pairs)
+        ),
+        pk3 AS (
+          SELECT k.* FROM pk2 k JOIN ({pipe_qfilter}) q USING (doc_id)
+        ),
+        p_hold AS (
+          SELECT DISTINCT unnest({shh}) AS h
+          FROM (SELECT {tokh} AS th FROM documents WHERE doc_id < 20)
+        ),
+        p_matched AS (
+          SELECT doc_id, COUNT(*) AS n_matched FROM (
+            SELECT s.doc_id, unnest(s.sh) AS h
+            FROM p_shs s JOIN pk3 USING (doc_id)
+          ) cs JOIN p_hold USING (h)
+          GROUP BY doc_id
+        ),
+        pk4 AS (
+          SELECT k.doc_id, k.text, k.lang
+          FROM pk3 k LEFT JOIN p_matched m USING (doc_id)
+          WHERE COALESCE(m.n_matched, 0) < 5
+        ),
+        pk5 AS (
+          SELECT k.doc_id, k.text, k.lang FROM pk4 k
+          JOIN (SELECT doc_id FROM ({CU.sql_budget_sample(CURATE_BUDGETS, table="pk4")})) b
+            USING (doc_id)
+        ),
+        p_packed AS ({CU.sql_pack_sequences(seq_len=2048, table="pk5")}),
+        p_shards AS ({CU.sql_shuffle_shard(num_shards=8, seed=42, table="pk5")})
+        SELECT doc_id, lang, n_tokens, seq_start, seq_end, shard, pos
+        FROM p_packed JOIN p_shards USING (doc_id)
+    """
     return {
         # --- dedup / text / events / ann / relational (extensions) ---
         "dedup_exact": f"""
@@ -2231,6 +2365,12 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT doc_id, text FROM documents WHERE lang = 'en'",
                 k=100,
             )})
+            UNION ALL
+            -- the composed curate_training_corpus manifest
+            SELECT 'pipeline' AS kind, doc_id, lang, n_tokens,
+                   seq_start, seq_end, shard, pos,
+                   CAST(NULL AS DOUBLE) AS quality
+            FROM ({pipeline_cte})
         """,
         "text_fingerprint": winnow_cte,
         "curate_decontaminate": f"""

@@ -133,6 +133,47 @@ def main() -> None:
     )
     print(f"# search_brute_force_arrow: {timings['search_brute_force_arrow']}s", file=sys.stderr)
 
+    # --- extras: round-3/4 operators, PRINTED but NOT part of the frozen
+    # headline total (BENCH_rN "value"/"queries" diff cleanly across
+    # rounds; extras give the newer operators bench visibility) ---------
+    from wpvectordb_spark.operators import curation as CU
+    from wpvectordb_spark.operators import dedup as D
+    from wpvectordb_spark.operators import events as EV
+    from wpvectordb_spark.operators import multimodal as MM
+    from wpvectordb_spark.sources.loaders import load_events
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text", "lang"
+    )
+    events = load_events(spark, SF_DIR)
+    extra_map = {
+        "dedup_span_cut": lambda: D.remove_duplicate_spans(
+            docs.select("doc_id", "text"), k=8, min_docs=2
+        ).count(),
+        "curate_dsir": lambda: CU.dsir_topk(
+            docs.select("doc_id", "text"),
+            docs.where(F.col("lang") == "en").select("doc_id", "text"),
+            k=100,
+        ).count(),
+        "events_retention_cohorts": lambda: EV.retention_cohorts(events).count(),
+        "events_sequence_funnel": lambda: EV.sequence_funnel(
+            events, ["view", "click", "purchase"]
+        ).count(),
+        "multimodal_resize": lambda: MM.resize_media(
+            MM.media_from_documents(
+                spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            ),
+            64,
+            64,
+            resizer=MM.fake_resizer,
+        ).count(),
+        "curate_pipeline": lambda: entry._pipeline_manifest(spark, SF_DIR).count(),
+    }
+    extras: dict[str, float] = {}
+    for name, fn in extra_map.items():
+        extras[name] = timed(fn)
+        print(f"# extra {name}: {extras[name]}s (median of {RUNS})", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)
     print(
@@ -142,6 +183,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
+                "extras_total_sec": round(sum(extras.values()), 3),
                 "sf": float(sf),
                 "median_of": RUNS,
             }

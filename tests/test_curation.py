@@ -451,6 +451,14 @@ def test_dsir_gumbel_sample_properties(docs):
     }
     plain = {r["doc_id"] for r in CU.dsir_topk(corpus, target, k=50).collect()}
     assert cold == plain
+    # string ids: the documented input is dsir_topk(k=None), which is
+    # id-type agnostic — the sampler's hash must be too (the integer
+    # id_hash failed under ANSI / silently NULLed without it)
+    ws = w.withColumn("doc_id", F.concat(F.lit("doc-"), F.col("doc_id")))
+    str0 = {r["doc_id"] for r in CU.dsir_gumbel_sample(ws, k=50, seed=0).collect()}
+    str0b = {r["doc_id"] for r in CU.dsir_gumbel_sample(ws, k=50, seed=0).collect()}
+    str1 = {r["doc_id"] for r in CU.dsir_gumbel_sample(ws, k=50, seed=1).collect()}
+    assert len(str0) == 50 and str0 == str0b and str0 != str1
 
 
 C4_FIXTURE = [

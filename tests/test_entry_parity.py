@@ -66,7 +66,17 @@ EXPECTED_ARMS = {
     "crud_get_delete": ("kind", {"get", "scan"}),
     "curate_sample_pack": (
         "kind",
-        {"budget", "chunk", "domcap", "dsir", "pack", "qfilter", "sample", "shard"},
+        {
+            "budget",
+            "chunk",
+            "domcap",
+            "dsir",
+            "pack",
+            "pipeline",
+            "qfilter",
+            "sample",
+            "shard",
+        },
     ),
     "curate_decontaminate": ("kind", {"boiler", "decon"}),
     "events_windows": ("kind", {"cohort", "slide", "tumble"}),

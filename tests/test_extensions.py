@@ -182,6 +182,64 @@ def test_simhash_recall_is_total(spark, docs):
     assert got == expected  # recall 1.0 AND no false positives post-verify
 
 
+def test_minhash_recall_meets_banding_bound(spark):
+    """The banding-probability analog of the simhash pigeonhole test: on
+    a corpus of constructed pairs with KNOWN shingle Jaccard >= s, the
+    default banding (b=8, r=4) must catch at least the theoretical
+    1-(1-s^r)^b fraction (small slack for the finite, deterministic hash
+    family).  The verify join guarantees no false positives, so found is
+    always a subset of truth."""
+    rows = []
+    for i in range(40):
+        toks = [f"w{i}_{j}" for j in range(120)]
+        rows.append((i, " ".join(toks)))
+        drop = 2 + (i % 3) * 4  # 2/6/10 perturbed tail tokens
+        near = toks[:-drop] + [f"x{i}_{j}" for j in range(drop)]
+        rows.append((i + 1000, " ".join(near)))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    # exact shingle Jaccard per constructed pair (disjoint vocabularies
+    # across pairs, so cross-pair jaccard is 0 and truth is exactly the
+    # constructed pairs above the threshold)
+    sh = {r["doc_id"]: set(r["sh"]) for r in D.shingle_sets(corpus).collect()}
+    s_thresh = 0.8
+    truth = set()
+    for i in range(40):
+        a, b = sh[i], sh[i + 1000]
+        jac = len(a & b) / len(a | b)
+        if jac >= s_thresh:
+            truth.add((i, i + 1000))
+    assert len(truth) >= 20  # the construction must actually produce pairs
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_dedup_pairs(corpus, threshold=s_thresh).collect()
+    }
+    assert found <= truth  # verify join: no false positives possible
+    bound = 1 - (1 - s_thresh**4) ** 8  # b=8 bands, r=4 rows (defaults)
+    recall = len(found & truth) / len(truth)
+    assert recall >= bound - 0.05, f"recall {recall:.3f} < bound {bound:.3f}"
+
+
+def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir= swaps localCheckpoint for reliable checkpoint();
+    the components must be identical either way."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4)],
+        "id_a long, id_b long",
+    )
+    local = sorted(map(tuple, D.connected_components(pairs).collect()))
+    reliable = sorted(
+        map(
+            tuple,
+            D.connected_components(
+                pairs, checkpoint_dir=str(tmp_path / "ckpt")
+            ).collect(),
+        )
+    )
+    assert local == reliable
+    comp = dict(reliable)
+    assert comp[4] == 1 and comp[23] == 20 and comp[11] == 10
+
+
 def test_ngram_jaccard_blocked(docs):
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.05, block_col="lang")
     rows = pairs.collect()
@@ -779,6 +837,57 @@ def test_sequence_funnel_repeated_step_needs_distinct_events(spark):
     got = {r["user_id"]: r["steps_completed"]
            for r in E.sequence_funnel(df, ["signup", "click", "click"]).collect()}
     assert got == {1: 2, 2: 3}
+
+
+def test_sequence_funnel_hot_user_cap(spark):
+    """max_events_per_user bounds the per-user collected array: a bot
+    user with 100k funnel-type events completes without materializing
+    them all, organic users are untouched, and capping only ever
+    UNDER-counts (never invents a completion)."""
+    bot = spark.range(100_000).select(
+        F.lit(99).alias("user_id"),
+        (F.to_timestamp(F.lit("2024-01-01 10:00:00")) + F.make_interval(secs=F.col("id") + 1)).alias("ts"),
+        F.lit("click").alias("event_type"),
+    )
+    organic = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "signup"),
+            (1, "2024-01-01 11:00:00", "click"),
+            (99, "2024-01-01 09:00:00", "signup"),
+        ],
+        "user_id long, ts_s string, event_type string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_type")
+    ev = organic.unionByName(bot)
+    got = {
+        r["user_id"]: r["steps_completed"]
+        for r in E.sequence_funnel(
+            ev, ["signup", "click"], max_events_per_user=1000
+        ).collect()
+    }
+    # the bot's signup + its EARLIEST clicks survive the cap -> completes
+    assert got == {1: 2, 99: 2}
+    # under-count direction: a funnel whose completing event lies past
+    # the cap reads as incomplete, never falsely complete
+    late_purchase = spark.createDataFrame(
+        [(99, "2024-01-02 10:00:00", "purchase")],
+        "user_id long, ts_s string, event_type string",
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "event_type")
+    capped = {
+        r["user_id"]: r["steps_completed"]
+        for r in E.sequence_funnel(
+            ev.unionByName(late_purchase),
+            ["signup", "click", "purchase"],
+            max_events_per_user=1000,
+        ).collect()
+    }
+    assert capped[99] == 2  # purchase is event #100002 for u99: clipped
+    uncapped = {
+        r["user_id"]: r["steps_completed"]
+        for r in E.sequence_funnel(
+            ev.unionByName(late_purchase), ["signup", "click", "purchase"]
+        ).collect()
+    }
+    assert uncapped[99] == 3
 
 
 def test_quantize_fused_matches_and_rejects_nan_query(spark):

@@ -141,3 +141,55 @@ def test_facade_guards(spark, tmp_path):
     q = VectorTableQueue(spark, str(qdir))
     q.init()
     assert q.get_total_records() == 0
+
+
+def test_file_uri_normalized_to_local_path(spark, tmp_path):
+    """file:// URIs are stripped to plain local paths: os.path-based
+    existence checks must see the same table Spark writes — the raw URI
+    made table_exists() False and init() overwrote the data."""
+    import pytest as _pytest
+
+    plain = str(tmp_path / "vectors")
+    vt_uri = VectorTable(spark, f"file://{plain}", vector_length=4)
+    assert vt_uri.path == plain
+    vt_uri.init()
+    vt_uri.insert_all(1, [[1.0, 0.0, 0.0, 0.0]])
+    assert vt_uri.table_exists()
+    # a second handle via the URI must NOT see the table as absent
+    vt2 = VectorTable(spark, f"file://{plain}", vector_length=4)
+    assert vt2.table_exists()
+    vt2.init()  # must be a no-op, not an overwrite
+    assert vt2.get_vector_count() == 1
+    # non-local authority is remote storage in disguise
+    with _pytest.raises(ValueError, match="authority"):
+        VectorTable(spark, "file://other-host/data/v")
+
+
+def test_snapshot_old_copy_recovered_after_crash(spark, tmp_path):
+    """A kill between 'rename old aside' and 'rename staging in' leaves
+    only path__old: every facade entry point must rename it back instead
+    of recreating the table empty (and then gc'ing the only copy)."""
+    import os
+
+    path = str(tmp_path / "vectors")
+    vt = VectorTable(spark, path, vector_length=4)
+    vt.init()
+    vt.insert_all(7, [[1.0, 0.0, 0.0, 0.0]])
+    # simulate the crash window: snapshot renamed aside, new never landed
+    os.rename(path, path + "__old")
+    assert vt.table_exists()  # recovery happened
+    assert not os.path.exists(path + "__old")
+    assert vt.get_vector_count() == 1
+    vt.init()  # still a no-op after recovery
+    assert vt.get_vector_count() == 1
+    # same for the queue facade
+    qpath = str(tmp_path / "queue")
+    q = VectorTableQueue(spark, qpath)
+    q.init()
+    q.add_post(42)
+    os.rename(qpath, qpath + "__old")
+    assert q.get_total_records() == 1
+    # and a write-first sequence (no read between crash and write)
+    os.rename(qpath, qpath + "__old")
+    q.add_post(43)
+    assert q.get_total_records() == 2

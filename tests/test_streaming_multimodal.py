@@ -363,3 +363,158 @@ def test_sample_frames_k1_and_null_payload(spark):
     out = {r["media_id"]: r["n_bytes"] for r in
            M.resize_media(media, 16, 16, resizer=M.fake_resizer).collect()}
     assert out[2] == 1  # (16*16)//256 from the b'' zero-fill path
+
+
+def test_stream_dedup_ingest_compaction_bounds_state_dirs(spark, tmp_path):
+    """A long-running stream must not accumulate one state dir per
+    micro-batch: with compact_every=2, 20 micro-batches end with <= 3
+    dirs per table (one snapshot + the uncompacted tail) — and the
+    accumulated pair set still telescopes to the batch pipeline's."""
+    import os
+
+    from wpvectordb_spark.operators import dedup as D
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    copies = docs.where(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    corpus = docs.unionByName(copies)
+    src = str(tmp_path / "src")
+    corpus.repartition(20).write.parquet(src)  # 20 files -> 20 micro-batches
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    get_pairs, get_index, query = ST.stream_dedup_ingest(
+        spark, stream, threshold=0.5, state_path=state, compact_every=2
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    for sub in ("sh", "bands", "pairs"):
+        entries = [
+            d for d in os.listdir(os.path.join(state, sub)) if not d.endswith("__tmp")
+        ]
+        assert len(entries) <= 3, f"{sub}: {sorted(entries)}"
+        assert any(d.startswith("s") and d[1:].isdigit() for d in entries), sub
+    streamed = {tuple(r) for r in get_pairs().distinct().collect()}
+    batch = {
+        tuple(r) for r in D.minhash_lsh_dedup_pairs(corpus, threshold=0.5).collect()
+    }
+    assert streamed == batch and len(batch) >= 30
+    assert get_index().count() == corpus.count()
+
+
+def test_stream_dedup_ingest_resumes_from_state_path(spark, tmp_path):
+    """The persisted-index reuse story: a SECOND start() over the same
+    source + state_path + checkpoint_path picks up where the first
+    stopped — new files dedup against the first run's corpus, old docs
+    are never re-indexed, and batch ids continue (no b0 collision)."""
+    from wpvectordb_spark.operators import dedup as D
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 80)
+        .select("doc_id", "text")
+    )
+    first = docs.where(F.col("doc_id") < 40)
+    second = docs.where(F.col("doc_id") >= 40).unionByName(
+        first.where(F.col("doc_id") < 15).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )  # near-dups of run-1 docs: cross-RUN pairs prove the resume
+    )
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    first.repartition(2).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        gp, gi, q = ST.stream_dedup_ingest(
+            spark, stream, threshold=0.5, state_path=state, checkpoint_path=ckpt
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return gp, gi
+
+    run_once()
+    second.repartition(2).write.mode("append").parquet(src)
+    get_pairs, get_index = run_once()
+    full = first.unionByName(second)
+    streamed = {tuple(r) for r in get_pairs().distinct().collect()}
+    batch = {
+        tuple(r) for r in D.minhash_lsh_dedup_pairs(full, threshold=0.5).collect()
+    }
+    assert streamed == batch
+    cross_run = {(a, b) for a, b, _ in streamed if a < 40 and b >= 10000}
+    assert len(cross_run) >= 15  # run-2 copies matched against run-1 index
+    assert get_index().count() == full.count()  # each doc indexed exactly once
+
+
+def test_read_state_stable_retries_once(spark, tmp_path, monkeypatch):
+    """The external accessors retry the list+materialize once when a
+    concurrent compaction/replay swap raises mid-materialization."""
+    import os
+
+    root = str(tmp_path / "pairs")
+    os.makedirs(root)
+    spark.createDataFrame(
+        [(1, 2, 0.9)], ST._DEDUP_PAIRS_SCHEMA
+    ).write.parquet(os.path.join(root, "b0"))
+    calls = {"n": 0}
+    real = ST._read_state
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Exception("FileNotFoundException: simulated gc'd delta")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ST, "_read_state", flaky)
+    got = ST._read_state_stable(spark, root, ST._DEDUP_PAIRS_SCHEMA)
+    assert calls["n"] == 2
+    assert [tuple(r) for r in got.collect()] == [(1, 2, 0.9)]
+
+
+def test_stream_queue_ingest_resumes_from_state_path(spark, tmp_path):
+    """stream_queue_ingest adopts an existing versioned state dir: the
+    second run appends to the first run's queue, not a fresh copy of
+    initial_queue."""
+    now = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    empty = spark.createDataFrame([], QUEUE_SCHEMA)
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id").alias("job_id"), F.col("id").alias("post_id")
+        ).repartition(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("job_id long, post_id long").parquet(src)
+        get_state, q = ST.stream_queue_ingest(
+            spark, stream, empty, now, state_path=state, checkpoint_path=ckpt
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return get_state
+
+    run_once(0, 10)
+    get_state = run_once(10, 25)
+    queue = get_state()
+    assert queue.count() == 25  # 10 from run 1 + 15 from run 2, no resets
+    assert queue.where(F.col("status") == "pending").count() == 25

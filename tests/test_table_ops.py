@@ -242,15 +242,23 @@ def test_insert_all_enforces_key_invariant(spark):
         [
             (5, 0, [9.0, 0.0]),
             (5, 0, [8.0, 0.0]),  # duplicate seq -> one deterministic winner
-            (7, 0, [6.0, 6.0]),  # FOREIGN post: must be rejected
         ],
         "post_id long, sequence_no int, vector array<float>",
     )
     out = TO.insert_all(table, 5, new)
     assert out.where(F.col("post_id") == 5).count() == 1  # deduped
     p7 = out.where(F.col("post_id") == 7).collect()
-    assert len(p7) == 1 and p7[0]["id"] == 2  # old chunk intact, no stray row
+    assert len(p7) == 1 and p7[0]["id"] == 2  # other posts untouched
     again = TO.insert_all(table, 5, new).where(F.col("post_id") == 5).collect()
     assert [round(x) for x in again[0]["vector"]] == [
         round(x) for x in out.where(F.col("post_id") == 5).collect()[0]["vector"]
     ]  # deterministic winner
+    # FOREIGN post rows must fail LOUDLY at action time, not silently
+    # vanish (a mixed-post batch losing chunks with no signal hid bugs)
+    mixed = new.unionByName(
+        spark.createDataFrame(
+            [(7, 0, [6.0, 6.0])], "post_id long, sequence_no int, vector array<float>"
+        )
+    )
+    with pytest.raises(Exception, match="chunk for post_id=7"):
+        TO.insert_all(table, 5, mixed).collect()

@@ -764,6 +764,7 @@ def dsir_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    persist: bool = True,
     _scale: int = 1_000_000,
 ) -> DataFrame:
     """DSIR data selection (Xie et al., "Data Selection for Language
@@ -793,6 +794,10 @@ def dsir_topk(
     (map-side combinable, integer-scaled log ratios so the sum is exact
     and order-independent); TakeOrderedAndProject for the top-k.  No
     driver-side state at any size.
+
+    ``persist=False`` skips caching the exploded corpus feature frame
+    (same toggle as unigram_logprob_scores — the cache otherwise stays
+    resident for the session and many-corpora sessions accumulate them).
     """
     def feats(df: DataFrame) -> DataFrame:
         return df.select(
@@ -802,7 +807,9 @@ def dsir_topk(
             F.explode(X.ngram_buckets("th", n_buckets)).alias("bucket"),
         )
 
-    raw = feats(corpus).persist()  # two consumers: raw model + scoring
+    raw = feats(corpus)  # two consumers: raw model + scoring
+    if persist:
+        raw = raw.persist()
     rawm = raw.groupBy("bucket").agg(F.count("*").alias("r_cnt"))
     tgtm = feats(target).groupBy("bucket").agg(F.count("*").alias("t_cnt"))
     r_tot = rawm.agg(F.sum("r_cnt").alias("r_tot"))
@@ -908,9 +915,19 @@ def dsir_gumbel_sample(
     degenerates to the deterministic top-k; large temperatures approach
     uniform sampling.  Scale shape: a pure projection plus one
     TakeOrderedAndProject — no shuffle beyond the top-k merge.
+
+    The hash is ``xxhash64(id, seed)``, type-agnostic: ``dsir_topk``
+    accepts string doc ids, so this sampler must too — the earlier
+    integer-arithmetic hash (id_hash) failed under ANSI on string ids
+    and, worse, silently NULLed every gumbel key with ANSI off,
+    degenerating the "sample" to first-k-by-id.  (No oracle mirror
+    needed — the sampler is a tests-verified extension; portability of
+    id_hash is only load-bearing for the oracle-checked operators.)
     """
     u = (
-        id_hash(F.col(id_col) + F.lit(seed) * F.lit(2654435761)) + F.lit(0.5)
+        (F.xxhash64(F.col(id_col), F.lit(seed)) % F.lit(HASH_RANGE) + F.lit(HASH_RANGE))
+        % F.lit(HASH_RANGE)
+        + F.lit(0.5)
     ) / F.lit(float(HASH_RANGE))
     key = F.col("weight") / F.lit(float(temperature)) - F.log(-F.log(u))
     return (

@@ -338,6 +338,7 @@ def minhash_lsh_dedup_pairs(
     rows_per_band: int = DEFAULT_ROWS_PER_BAND,
     shingle_k: int = 3,
     engine: str = DEFAULT_SKETCH_ENGINE,
+    persist: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
 
@@ -347,9 +348,16 @@ def minhash_lsh_dedup_pairs(
     production scale this intermediate is the on-disk signature index.
     ``docs`` may instead be a precomputed (id, sh) shingle index
     (see ``_shingle_side``).
+
+    ``persist=False`` skips the shingle cache (it otherwise stays
+    resident for the session — the many-corpora accumulation toggle,
+    same as unigram_logprob_scores): the three consumers then re-hash,
+    a bounded 3x of one narrow projection, no compounding.
     """
     _check_banding(num_hashes, bands, rows_per_band)
-    sh = _shingle_side(docs, id_col, text_col, shingle_k).persist()
+    sh = _shingle_side(docs, id_col, text_col, shingle_k)
+    if persist:
+        sh = sh.persist()
     sigs = sh.select(
         F.col(id_col), _mh_sig(F.col("sh"), num_hashes, engine).alias("signature")
     )
@@ -604,6 +612,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a pair list: (doc_id, component_id) with
     ``component_id`` = the smallest doc id reachable through the pair
@@ -623,9 +632,14 @@ def connected_components(
     is checkpointed to TRUNCATE LINEAGE — without it the logical plan
     doubles per round and Catalyst analysis time explodes exponentially
     (measured: 5-round convergence goes from ~5 s total to a
-    multi-minute hang on a 200-node graph).  ``localCheckpoint`` here;
-    on a real cluster set a checkpoint dir and swap in reliable
-    ``checkpoint()`` so a lost executor doesn't kill the iteration.
+    multi-minute hang on a 200-node graph).  ``localCheckpoint`` by
+    default; pass ``checkpoint_dir`` to swap in reliable ``checkpoint()``
+    (HDFS/DBFS-backed) so a lost executor doesn't kill the iteration on
+    a real cluster — localCheckpoint blocks live in executor storage and
+    die with the executor.  Results are identical either way
+    (test-asserted); the trade is per-round write I/O for fault
+    tolerance.  NOTE: setting it calls ``setCheckpointDir`` on the
+    session's SparkContext (Spark holds one checkpoint dir per context).
     Convergence is detected by an order-independent count + hash-sum
     signature of the edge set (count alone is NOT enough: rounds can
     keep the edge count while the set still changes).
@@ -644,14 +658,18 @@ def connected_components(
                 f"got {pairs.schema[c].dataType.simpleString()} — map string "
                 "ids to longs first (e.g. xxhash64) and join back after"
             )
-    e = (
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint()
+    else:
+        _ckpt = lambda df: df.localCheckpoint()
+    e = _ckpt(
         pairs.select(
             F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
-        .localCheckpoint()
     )
     prev_sig = e.agg(
         F.count("*").alias("n"), F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
@@ -660,7 +678,7 @@ def connected_components(
     if prev_sig["n"] == 0:
         return e.select(*out_cols)
     for _ in range(max_iterations):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+        e2 = _ckpt(_small_star(_large_star(e)))
         sig = e2.agg(
             F.count("*").alias("n"), F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
         ).first()

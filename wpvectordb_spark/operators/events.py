@@ -302,6 +302,7 @@ def sequence_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """N-step ORDERED funnel (the product-analytics generalization of
     ``conversion_funnel``'s fixed two steps): per user, ``t_1`` is the
@@ -324,6 +325,18 @@ def sequence_funnel(
     is ONE shuffle regardless of n).  Events are pre-filtered to the
     funnel's types, so the per-user list is bounded by funnel activity
     (same contract as any collect_list sessionizer).
+
+    HOT-USER GUARD: a bot user with millions of funnel-type events would
+    materialize one giant array in a single aggregation buffer.
+    ``max_events_per_user`` keeps only each user's EARLIEST that-many
+    funnel-type events (row_number window, ts then type tie-break)
+    before the collect — the window sorts SPILL to disk where an agg
+    buffer cannot, and its user-hash partitioning is reused by the
+    groupBy (one exchange total).  The documented trade: a step
+    completed only by an event past the cap reads as not-completed
+    (under-count, never a false completion — chained mins only ever
+    move later when events are dropped); pick the cap well above any
+    organic per-user funnel activity so it only clips bots.
     """
     if not steps:
         raise ValueError("sequence_funnel: steps must be non-empty")
@@ -331,6 +344,17 @@ def sequence_funnel(
         F.col(user_col),
         F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("tp")).alias("e"),
     )
+    if max_events_per_user is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(user_col).orderBy(
+            F.col("e.ts").asc(), F.col("e.tp").asc()
+        )
+        evs = (
+            evs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(max_events_per_user))
+            .drop("_rn")
+        )
     cur = evs.groupBy(user_col).agg(F.collect_list("e").alias("_evs"))
     # One PROJECTION per step, referencing the previous step's time as a
     # bound column — inlining t_{i-1} into t_i's filter twice would

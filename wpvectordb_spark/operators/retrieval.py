@@ -71,6 +71,7 @@ def bm25_term_scores(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist: bool = True,
 ) -> DataFrame:
     """(id, term, term_score) for every document containing a query term.
 
@@ -84,6 +85,11 @@ def bm25_term_scores(
     filtered INSIDE the token array before the explode (the corpus never
     explodes wholesale); df and corpus stats are broadcast scalar
     aggregates.
+
+    ``persist=False`` skips caching the narrow frame (same toggle as
+    unigram_logprob_scores): the cache otherwise stays resident for the
+    session, so a service answering MANY ad-hoc queries over the same
+    session would accumulate one full-corpus entry per call.
     """
     query_terms = _unique_terms(query_terms, "bm25_term_scores")
     qarr = F.array(*[F.lit(t) for t in query_terms])
@@ -92,7 +98,9 @@ def bm25_term_scores(
         F.col(id_col),
         _dl(toks).alias("dl"),
         F.filter(toks, lambda t: F.array_contains(qarr, t)).alias("_match"),
-    ).persist()
+    )
+    if persist:
+        narrow = narrow.persist()
     base = narrow.select(
         F.col(id_col), "dl", F.explode("_match").alias("term")
     )
@@ -126,6 +134,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int | None = 9,
+    persist: bool = True,
 ) -> DataFrame:
     """(id, score, rnk) — BM25 top-n, deterministic (score desc, id asc).
 
@@ -139,7 +148,7 @@ def bm25_topk(
     An empty term list is refused — there is nothing to rank by.
     """
     query_terms = _unique_terms(query_terms, "bm25_topk")
-    ts = bm25_term_scores(docs, query_terms, k1, b, id_col, text_col)
+    ts = bm25_term_scores(docs, query_terms, k1, b, id_col, text_col, persist=persist)
     per_term = ts.groupBy(id_col).agg(
         *[
             F.sum(F.when(F.col("term") == t, F.col("term_score"))).alias(f"_s{i}")
@@ -203,6 +212,7 @@ def bm25_topk_many(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int | None = 9,
+    persist: bool = True,
 ) -> DataFrame:
     """Batched BM25: ONE plan scores every query in ``queries`` (the
     lexical analog of ``search.search_many``).  (query_id, id, score,
@@ -222,7 +232,7 @@ def bm25_topk_many(
     # double-count that term's score for the query
     queries = {q: _unique_terms(ts, f"bm25_topk_many[{q!r}]") for q, ts in queries.items()}
     all_terms = sorted({t for ts in queries.values() for t in ts})
-    ts = bm25_term_scores(docs, all_terms, k1, b, id_col, text_col)
+    ts = bm25_term_scores(docs, all_terms, k1, b, id_col, text_col, persist=persist)
     spark = docs.sparkSession
     qdf = spark.createDataFrame(
         [(q, t) for q, terms in sorted(queries.items()) for t in terms],

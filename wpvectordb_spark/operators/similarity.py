@@ -288,17 +288,25 @@ def build_ivf_index(
     """Materialize the IVF layout: assignments written partitioned by
     ``cluster_id`` (parquet partition pruning skips unprobed clusters at
     query time), centroids written alongside for the probe step.
-    Returns the centroid DataFrame."""
-    # persist the tiny centroid frame: without it BOTH writes re-run the
-    # full-table TakeOrdered that deterministic_centroids compiles to —
-    # an extra whole-corpus scan per index build
+    Returns the centroid DataFrame (read back from the written index, so
+    no cache entry outlives the build)."""
+    # persist the tiny centroid frame for the build's TWO consumers:
+    # without it BOTH writes re-run the full-table TakeOrdered that
+    # deterministic_centroids compiles to — an extra whole-corpus scan
+    # per index build.  Both writes are actions inside this function, so
+    # the cache is released before returning (a retained entry per index
+    # build would accumulate across a session); the caller gets the
+    # durable parquet copy instead.
     centroids = deterministic_centroids(vectors, n_clusters, id_col, vector_col).persist()
-    assigned = assign_clusters(vectors, centroids, id_col, vector_col)
-    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
-        f"{path}/vectors"
-    )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    return centroids
+    try:
+        assigned = assign_clusters(vectors, centroids, id_col, vector_col)
+        assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            f"{path}/vectors"
+        )
+        centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    finally:
+        centroids.unpersist()
+    return vectors.sparkSession.read.parquet(f"{path}/centroids")
 
 
 def append_to_ivf_index(

@@ -141,13 +141,30 @@ def insert_all(
     drop them.
 
     The (post_id, sequence_no) unique-key invariant is enforced on the
-    way in: rows for a DIFFERENT post are rejected (they would bypass
-    the delete filter and coexist with that post's old chunks), and
-    duplicate sequence numbers within the batch collapse to one
-    deterministic winner (same xxhash64 tie-break as ``upsert``) — the
-    reference's per-chunk upsert loop collapses them by construction."""
+    way in: rows for a DIFFERENT post are REFUSED — in-plan via
+    ``raise_error`` (no extra validation job), so a mixed-post batch
+    fails loudly at action time instead of silently losing those chunks
+    (they would bypass the delete filter and coexist with that post's
+    old chunks if admitted; dropping them hid caller bugs).  Duplicate
+    sequence numbers within the batch collapse to one deterministic
+    winner (same xxhash64 tie-break as ``upsert``) — the reference's
+    per-chunk upsert loop collapses them by construction."""
     now = F.current_timestamp()
-    own = new_chunks.where(F.col("post_id").eqNullSafe(F.lit(post_id)))
+    own = new_chunks.withColumn(
+        "post_id",
+        F.when(
+            F.col("post_id").eqNullSafe(F.lit(post_id)), F.col("post_id")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("insert_all: batch for post "),
+                    F.lit(str(post_id)),
+                    F.lit(" contains a chunk for post_id="),
+                    F.coalesce(F.col("post_id").cast("string"), F.lit("NULL")),
+                )
+            ).cast("long")
+        ),
+    )
     row_cols = own.columns
     winner = own.groupBy("sequence_no").agg(
         F.max_by(

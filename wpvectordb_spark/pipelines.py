@@ -11,15 +11,20 @@ deterministic (min-id / seeded-hash), so the whole pipeline is
 re-runnable and backfill-stable end to end.
 
 At 100 TB each stage keeps its documented scale shape (docs/SCALE.md).
-Composition adds exactly two materialization barriers: the survivor set
-is persisted after the last filter stage and again after budget mixing,
-because the downstream stages FAN OUT (budget reads survivors twice,
-packing and sharding each read them once more) — without the barriers
-every consumer re-executes the whole dedup + quality + decontamination
-chain, which measured 4x+ slower end to end (a 7-minute sf0.01 run
-dropped to ~90 s).  On a production run, write the survivor manifest to
-parquet at those points instead; the persist is the in-session form of
-the same checkpoint.
+Composition adds a materialization barrier after EVERY filter stage, not
+just at the fan-out points: each stage consumes its input more than once
+(the pair generator AND the survivor semi/anti-join both reference the
+previous survivor set; Spark does not deduplicate common subtrees across
+joins), so an unbarriered chain re-evaluates earlier stages
+MULTIPLICATIVELY — ~3x per stage compounds to two orders of magnitude
+over five stages (measured: 470 s -> ~10 s at sf0.01 when the per-stage
+barriers landed).  Barriers are ``persist()`` when ``persist=True``
+(caller keeps the final survivor cache; intermediates are handed off and
+released once the post-filter set materializes) or lazy
+``localCheckpoint()`` otherwise (blocks are GC'd with the frame — no
+session-lifetime cache accumulation, the right mode for one-shot calls).
+On a production run, write the survivor manifest to parquet at the same
+points instead; the barrier is the in-session form of that checkpoint.
 """
 
 from __future__ import annotations
@@ -47,6 +52,7 @@ def curate_training_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     stratum_col: str = "lang",
+    persist: bool = True,
 ) -> DataFrame:
     """documents -> packed, sharded training corpus in one composed plan.
 
@@ -68,60 +74,98 @@ def curate_training_corpus(
 
     Returns (id, stratum, n_tokens, seq_start, seq_end, shard, pos) —
     the manifest a training loader consumes.
+
+    ``persist=False`` ends the filter chain with an EAGER
+    ``localCheckpoint`` and releases every intermediate stage cache
+    before returning: the only residual blocks are the final survivor
+    set's, and those die with the returned frame — use it for one-shot
+    calls (driver arms, bench) and many-corpora sessions.  The trade:
+    the filter chain executes at CALL time (one job), and a lost
+    executor invalidates the checkpoint blocks (rerun the call) — the
+    standard localCheckpoint contract.
     """
+    # Barrier after every stage that the NEXT stage consumes more than
+    # once (see module docstring): without it each stage re-evaluates
+    # its whole upstream chain per reference and the cost compounds
+    # multiplicatively.
+    def _barrier(df: DataFrame) -> DataFrame:
+        return df.persist()
+
+    staged: list[DataFrame] = []  # stage caches to hand off / release
     kept = docs
     # 1. exact dedup
     winners = D.exact_dedup(kept, id_col=id_col, text_col=text_col).select(id_col)
-    kept = kept.join(winners, id_col, "left_semi")
+    kept = _barrier(kept.join(winners, id_col, "left_semi"))
+    staged.append(kept)
     # 2. near-dedup (greedy min-id survivors)
     pairs = D.minhash_lsh_dedup_pairs(
-        kept, threshold=near_dup_threshold, id_col=id_col, text_col=text_col
+        kept,
+        threshold=near_dup_threshold,
+        id_col=id_col,
+        text_col=text_col,
+        persist=persist,  # one-shot mode must not leave a shingle cache
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    kept = kept.join(dropped, id_col, "left_anti")
+    kept = _barrier(kept.join(dropped, id_col, "left_anti"))
+    staged.append(kept)
     # 3. per-stratum quality gate (the filter projects survivors' ids;
     # semi-join them back so text flows on to the later stages)
     scored = kept.withColumn("quality", TA.quality_score(text_col))
     good = CU.quality_quantile_filter(
         scored, quantile=quality_quantile, stratum_col=stratum_col, id_col=id_col
     ).select(id_col)
-    kept = kept.join(good, id_col, "left_semi")
+    kept = _barrier(kept.join(good, id_col, "left_semi"))
+    staged.append(kept)
     # 4. decontamination
     if holdout is not None:
         flags = CU.decontaminate(
             kept, holdout, threshold=decontam_shingles, id_col=id_col, text_col=text_col
         )
         clean = flags.where(F.col("contaminated") == 0).select(id_col)
-        kept = kept.join(clean, id_col, "left_semi")
+        kept = _barrier(kept.join(clean, id_col, "left_semi"))
+        staged.append(kept)
     # 5. DSIR selection toward the target distribution
     if dsir_target is not None:
         picked = CU.dsir_topk(
             kept, dsir_target, k=dsir_keep, id_col=id_col, text_col=text_col
         ).select(id_col)
-        kept = kept.join(picked, id_col, "left_semi")
-    # The filter chain is done; everything below fans out (budget reads
-    # survivors twice, packing and sharding once each) — persist so the
-    # dedup/quality/decon chain executes once, not per consumer.
-    kept = kept.persist()
+        kept = _barrier(kept.join(picked, id_col, "left_semi"))
+        staged.append(kept)
     # 6. token-budget mixing
     if budgets is not None:
-        pre_budget = kept
-        kept = kept.join(
-            CU.budget_sample(
-                kept, budgets, stratum_col=stratum_col, id_col=id_col, text_col=text_col
-            ).select(id_col),
-            id_col,
-            "left_semi",
-        ).persist()
-        # Hand off the cache: materialize the post-budget survivors, then
-        # release the pre-budget copy — otherwise every pipeline call
-        # leaves TWO full cached corpora (ids + text) resident for the
-        # session's lifetime, and multi-corpus sessions accumulate them.
+        kept = _barrier(
+            kept.join(
+                CU.budget_sample(
+                    kept, budgets, stratum_col=stratum_col, id_col=id_col, text_col=text_col
+                ).select(id_col),
+                id_col,
+                "left_semi",
+            )
+        )
+        staged.append(kept)
+    # Hand off the stage caches: materialize the FINAL survivor set,
+    # then release every intermediate — otherwise each pipeline call
+    # leaves one cached corpus PER STAGE resident for the session's
+    # lifetime.  persist=True keeps the final set cached for the
+    # downstream fan-out (caller-managed); persist=False converts it to
+    # an eager localCheckpoint (lineage truncated, blocks GC'd with the
+    # frame) and releases ALL stage caches.
+    if persist:
         kept.count()
-        pre_budget.unpersist()
+        for df in staged[:-1]:
+            df.unpersist()
+    else:
+        kept = kept.localCheckpoint(eager=True)
+        for df in staged:
+            df.unpersist()
     # 7. packing + sharding
     packed = CU.pack_sequences(
-        kept, seq_len=seq_len, stratum_col=stratum_col, id_col=id_col, text_col=text_col
+        kept,
+        seq_len=seq_len,
+        stratum_col=stratum_col,
+        id_col=id_col,
+        text_col=text_col,
+        persist=persist,  # kept is already a barrier: the double scan is cheap
     )
     shards = CU.shuffle_shard(kept, num_shards=num_shards, seed=seed, id_col=id_col)
     return packed.join(shards, id_col)

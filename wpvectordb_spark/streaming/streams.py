@@ -180,6 +180,8 @@ def stream_queue_ingest(
     post_ids_stream: DataFrame,
     initial_queue: DataFrame,
     now,
+    state_path: str | None = None,
+    checkpoint_path: str | None = None,
 ) -> tuple[DataFrame, object]:
     """Queue ingestion as a stream: each micro-batch of post ids is
     appended as pending jobs via the batch queue transform (anti-join
@@ -202,15 +204,33 @@ def stream_queue_ingest(
     handed out between batches stays readable across the NEXT batch
     landing (only version n-2 is deleted) — consume it within one batch
     of obtaining it.
+
+    ``state_path`` / ``checkpoint_path`` pin the versioned state table
+    and the streaming checkpoint to caller-supplied LOCAL directories so
+    a later ``start()`` over the same source resumes where this one
+    stopped: existing ``v<N>`` dirs are adopted (``initial_queue`` is
+    only written on a fresh state dir) and the checkpoint carries the
+    batch-id sequence forward.  Defaults stay throwaway temp dirs.  The
+    version repointing uses driver-local ``os`` calls, so remote URIs
+    are refused (same rule as the table facades — production state is
+    Delta/Iceberg).
     """
     import shutil
 
     from wpvectordb_spark.operators import queue_ops as Q
 
-    root = tempfile.mkdtemp(prefix="stream_queue_state_")
-    v0 = os.path.join(root, "v0")
-    initial_queue.write.mode("overwrite").parquet(v0)
-    state = {"path": v0, "version": 0}
+    root = _state_root(state_path, "stream_queue_state_")
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(root)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    if versions:
+        state = {"path": os.path.join(root, f"v{versions[-1]}"), "version": versions[-1]}
+    else:
+        v0 = os.path.join(root, "v0")
+        initial_queue.write.mode("overwrite").parquet(v0)
+        state = {"path": v0, "version": 0}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         jobs = batch_df.select(F.col("job_id"), F.col("post_id"))
@@ -223,7 +243,9 @@ def stream_queue_ingest(
         stale = os.path.join(root, f"v{state['version'] - 2}")
         shutil.rmtree(stale, ignore_errors=True)
 
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_q_{uuid.uuid4().hex[:8]}")
+    ckpt = checkpoint_path or os.path.join(
+        tempfile.gettempdir(), f"ckpt_q_{uuid.uuid4().hex[:8]}"
+    )
     query = (
         post_ids_stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", ckpt)
@@ -232,10 +254,30 @@ def stream_queue_ingest(
     return (lambda: spark.read.parquet(state["path"])), query
 
 
+def _state_root(state_path: str | None, prefix: str) -> str:
+    """Resolve a caller-supplied state directory (created if missing) or
+    a throwaway temp dir.  Remote URIs are refused: the state lifecycle
+    (listing, rename-based compaction swaps, gc) runs through driver-
+    local ``os`` calls, which silently see a ``s3a://...`` string as a
+    relative local path — the facades' _check_local_path rule."""
+    if state_path is None:
+        return tempfile.mkdtemp(prefix=prefix)
+    if "://" in state_path:
+        raise ValueError(
+            f"streaming state paths must be driver-local, got {state_path!r}"
+            " — use Delta/Iceberg for object-store state"
+        )
+    os.makedirs(state_path, exist_ok=True)
+    return state_path
+
+
 def stream_dedup_ingest(
     spark: SparkSession,
     docs_stream: DataFrame,
     threshold: float = 0.5,
+    state_path: str | None = None,
+    checkpoint_path: str | None = None,
+    compact_every: int = 16,
 ):
     """Streaming near-dedup ingest — the production crawl pipeline: each
     micro-batch of documents is (a) self-deduped with the full MinHash
@@ -276,29 +318,66 @@ def stream_dedup_ingest(
     explicitly unpersisted before the next trigger — no cache
     accumulation across a long-running stream.
 
-    Returns ``(get_pairs, get_index, query)``.
+    STATE COMPACTION: per-batch delta dirs accumulate one per
+    micro-batch, so a long-running stream's per-batch listing (and its
+    small-file count) would grow O(N) — O(N^2) cumulative over the
+    stream's life.  Once a table holds ``compact_every`` delta dirs
+    older than the in-flight batch, they are folded into ONE snapshot
+    dir (``s<upto>`` = all batches <= upto), using the same crash-safe
+    tmp-write + atomic-rename + gc swap as the table facades: a kill at
+    any point leaves either the old layout or the new one readable,
+    never neither (readers take the max-upto snapshot and ignore delta
+    dirs it covers, so pre-gc debris double-counts nothing).  Folding
+    only batches STRICTLY BEFORE the in-flight one preserves the
+    exactly-once replay contract — a replayed batch still reads exactly
+    the state its first attempt saw.  Listing cost per batch is bounded
+    by ``compact_every``; rewrite cost is the classic size-tiered trade
+    (full-state rewrite every ``compact_every`` batches — Delta/Iceberg
+    OPTIMIZE is the managed form of the same fold).
+
+    ``state_path`` / ``checkpoint_path`` pin the persisted index and
+    the streaming checkpoint so a later ``start()`` resumes this
+    stream's corpus (existing deltas/snapshots are adopted; the
+    checkpoint continues the batch-id sequence — both must be supplied
+    together for a resume).  Defaults stay throwaway temp dirs.
+
+    Returns ``(get_pairs, get_index, query)``.  The accessors
+    re-snapshot the directory layout on EVERY call and return an
+    eagerly ``localCheckpoint``-ed frame, retrying once if a concurrent
+    compaction (or batch replay) swaps files between the listing and
+    the materialization — so the handed-out DataFrame can be consumed
+    at leisure without hitting FileNotFound on gc'd deltas.
     """
-    root = tempfile.mkdtemp(prefix="stream_dedup_state_")
+    root = _state_root(state_path, "stream_dedup_state_")
     sh_dir = os.path.join(root, "sh")
     bands_dir = os.path.join(root, "bands")
     pairs_dir = os.path.join(root, "pairs")
     for d in (sh_dir, bands_dir, pairs_dir):
-        os.makedirs(d)
+        os.makedirs(d, exist_ok=True)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         _dedup_ingest_apply(
-            spark, sh_dir, bands_dir, pairs_dir, threshold, batch_df, batch_id
+            spark,
+            sh_dir,
+            bands_dir,
+            pairs_dir,
+            threshold,
+            batch_df,
+            batch_id,
+            compact_every=compact_every,
         )
 
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_dd_{uuid.uuid4().hex[:8]}")
+    ckpt = checkpoint_path or os.path.join(
+        tempfile.gettempdir(), f"ckpt_dd_{uuid.uuid4().hex[:8]}"
+    )
     query = (
         docs_stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", ckpt)
         .start()
     )
     return (
-        lambda: _read_state(spark, pairs_dir, _DEDUP_PAIRS_SCHEMA),
-        lambda: _read_state(spark, sh_dir, _DEDUP_SH_SCHEMA),
+        lambda: _read_state_stable(spark, pairs_dir, _DEDUP_PAIRS_SCHEMA),
+        lambda: _read_state_stable(spark, sh_dir, _DEDUP_SH_SCHEMA),
         query,
     )
 
@@ -308,32 +387,71 @@ _DEDUP_BANDS_SCHEMA = "doc_id long, band_id int, band_key string"
 _DEDUP_PAIRS_SCHEMA = "id_a long, id_b long, jaccard double"
 
 
+def _list_state(root: str) -> tuple[int | None, str | None, list[tuple[int, str]]]:
+    """One directory listing -> (snapshot coverage, snapshot path, delta
+    dirs as (batch_id, path)).  Crash debris is excluded by NAME: a
+    compaction killed before its atomic rename leaves ``s<u>__tmp``
+    (not all-digits after the prefix); a kill after the rename but
+    before gc leaves older snapshots and covered deltas, which the
+    max-upto rule and the caller's coverage filter ignore."""
+    snaps, deltas = [], []
+    for d in os.listdir(root):
+        if d.startswith("b") and d[1:].isdigit():
+            deltas.append((int(d[1:]), os.path.join(root, d)))
+        elif d.startswith("s") and d[1:].isdigit():
+            snaps.append((int(d[1:]), os.path.join(root, d)))
+    upto, spath = max(snaps) if snaps else (None, None)
+    return upto, spath, sorted(deltas)
+
+
 def _read_state(
     spark: SparkSession, root: str, schema: str, before_batch: int | None = None
 ) -> DataFrame:
-    """Read a per-batch-subdirectory state table; ``before_batch`` limits
-    to deltas of strictly earlier batches (the in-batch view).  An empty
-    or not-yet-written table reads as an empty frame of the right schema."""
-    paths = [
-        os.path.join(root, d)
-        for d in sorted(os.listdir(root))
-        if d.startswith("b")
-        and (before_batch is None or int(d[1:]) < before_batch)
+    """Read a snapshot + per-batch-delta state table; ``before_batch``
+    limits to batches strictly earlier (the in-batch view).  An empty or
+    not-yet-written table reads as an empty frame of the right schema."""
+    upto, spath, deltas = _list_state(root)
+    if upto is not None and before_batch is not None and upto >= before_batch:
+        # compaction only ever folds batches < the in-flight one, so a
+        # snapshot covering the requesting batch means the state dir was
+        # shared across two live streams — refuse rather than double-read
+        raise RuntimeError(
+            f"state snapshot covers batch {upto} but batch {before_batch} "
+            f"asked for its pre-state — is {root} shared by two streams?"
+        )
+    paths = [spath] if spath else []
+    paths += [
+        p
+        for b, p in deltas
+        if (upto is None or b > upto)
+        and (before_batch is None or b < before_batch)
     ]
     if not paths:
         return spark.createDataFrame([], schema)
-    # A batch replay OVERWRITES its own subdir, so an external reader
-    # whose ACTION ran while the rewrite happened can fail loudly with
-    # FileNotFoundException — the CALLER re-invokes the accessor and
-    # re-runs the action (the file listing is bound per returned
-    # DataFrame; a retry here could not help because the failure occurs
-    # at the caller's action, not at read-plan construction).
     # Deliberately NOT ignoreMissingFiles: the scan only knows the file
     # names it listed, so skipping vanished files would silently return
-    # state MISSING that batch's rows rather than surfacing a retryable
-    # error.  The transactional fix is a table format with snapshot
-    # isolation (Delta/Iceberg) — the layout maps 1:1.
+    # state MISSING those rows rather than surfacing a retryable error.
+    # The transactional fix is a table format with snapshot isolation
+    # (Delta/Iceberg) — the layout maps 1:1.
     return spark.read.schema(schema).parquet(*paths)
+
+
+def _read_state_stable(spark: SparkSession, root: str, schema: str) -> DataFrame:
+    """External-accessor form of ``_read_state``: the file listing binds
+    at plan time but executes at the CALLER's action, so a concurrent
+    compaction gc (or batch replay overwrite) between the two raises
+    FileNotFound mid-action.  Materialize eagerly (``localCheckpoint``
+    detaches the frame from the source files) and retry the whole
+    list+materialize once — after a compaction swap the re-listing sees
+    the snapshot that replaced the vanished deltas, so the second
+    attempt reads the SAME logical state.  The returned frame is then
+    immune to later state churn.  (In-batch reads use the raw
+    ``_read_state``: foreachBatch is the single writer, nothing swaps
+    underneath it mid-batch.)"""
+    try:
+        return _read_state(spark, root, schema).localCheckpoint(eager=True)
+    except Exception:
+        return _read_state(spark, root, schema).localCheckpoint(eager=True)
 
 
 def _norm_pairs(pairs: DataFrame) -> DataFrame:
@@ -344,6 +462,40 @@ def _norm_pairs(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _compact_state(
+    spark: SparkSession, root: str, schema: str, before_batch: int, compact_every: int
+) -> None:
+    """Fold the delta dirs of batches strictly before ``before_batch``
+    into one snapshot dir once ``compact_every`` of them have
+    accumulated.  Crash-safe swap (same pattern as table._write_snapshot):
+    write ``s<upto>__tmp``, atomic-rename to ``s<upto>``, THEN gc the
+    superseded snapshot and the folded deltas — a kill in any gap leaves
+    a readable layout because readers take the max-coverage snapshot and
+    skip deltas it covers.  Idempotent under batch replay: the folded
+    deltas are gone, so the re-run sees fewer than ``compact_every`` and
+    skips."""
+    import shutil
+
+    upto, spath, deltas = _list_state(root)
+    foldable = [
+        (b, p) for b, p in deltas if b < before_batch and (upto is None or b > upto)
+    ]
+    if len(foldable) < compact_every:
+        return
+    new_upto = max(b for b, _ in foldable)
+    merged = spark.read.schema(schema).parquet(
+        *([spath] if spath else []), *[p for _, p in foldable]
+    )
+    tmp = os.path.join(root, f"s{new_upto}__tmp")
+    final = os.path.join(root, f"s{new_upto}")
+    merged.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, final)
+    if spath:
+        shutil.rmtree(spath, ignore_errors=True)
+    for _, p in foldable:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def _dedup_ingest_apply(
     spark: SparkSession,
     sh_dir: str,
@@ -352,6 +504,7 @@ def _dedup_ingest_apply(
     threshold: float,
     batch_df: DataFrame,
     batch_id: int,
+    compact_every: int = 16,
 ) -> None:
     """One micro-batch of the dedup ingest — module-level so the
     exactly-once replay contract is directly testable (apply the same
@@ -374,3 +527,12 @@ def _dedup_ingest_apply(
         os.path.join(bands_dir, f"b{bid}")
     )
     batch_sh.unpersist()
+    # Compaction AFTER the batch's own writes, folding only batches < bid:
+    # a replay of bid still reads its exact pre-state (snapshot + uncovered
+    # deltas < bid) and re-overwrites its own delta dirs.
+    for d, sch in (
+        (sh_dir, _DEDUP_SH_SCHEMA),
+        (bands_dir, _DEDUP_BANDS_SCHEMA),
+        (pairs_dir, _DEDUP_PAIRS_SCHEMA),
+    ):
+        _compact_state(spark, d, sch, before_batch=bid, compact_every=compact_every)

@@ -36,18 +36,47 @@ def _utcnow() -> _dt.datetime:
     return _dt.datetime.now(_dt.timezone.utc)
 
 
-def _check_local_path(path: str) -> None:
+def _check_local_path(path: str) -> str:
     """The facades manage snapshots with driver-local os/shutil calls; a
     remote URI (hdfs://, s3a://) would read/write fine through Spark but
     ALWAYS look absent to os.path — init() would then overwrite the
     existing remote table with an empty one.  Refuse loudly; production
-    state belongs in a transactional table format anyway."""
-    if "://" in path and not path.startswith("file://"):
+    state belongs in a transactional table format anyway.
+
+    ``file://`` URIs are NORMALIZED to a plain local path rather than
+    merely allowed through: os.path/os.rename do not understand URIs, so
+    the raw string would hit the exact data-loss the guard exists for
+    (table_exists() false -> create_table() overwrites).  A non-local
+    authority (file://host/...) is refused like any remote scheme."""
+    if path.startswith("file://"):
+        from urllib.parse import urlparse
+
+        parsed = urlparse(path)
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"file:// URI with remote authority {parsed.netloc!r} — "
+                "VectorTable/VectorTableQueue manage LOCAL paths only"
+            )
+        return parsed.path
+    if "://" in path:
         raise ValueError(
             f"VectorTable/VectorTableQueue manage LOCAL paths only, got "
             f"{path!r} — use Delta/Iceberg (or the operators directly) "
             "for remote storage"
         )
+    return path
+
+
+def _recover_snapshot(path: str) -> None:
+    """Close _write_snapshot's one remaining crash window: a kill between
+    'rename old aside' and 'rename staging in' leaves ``path`` absent
+    with the data intact in ``path__old``.  Every existence check and
+    write first renames that orphan back — otherwise init() would
+    silently recreate the table EMPTY and the next write's cleanup would
+    delete the only copy."""
+    old = path + "__old"
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)
 
 
 def _write_snapshot(path: str, df: DataFrame) -> None:
@@ -63,6 +92,7 @@ def _write_snapshot(path: str, df: DataFrame) -> None:
     order lost the table on a kill in the gap: init() would then
     silently recreate it EMPTY.)  Delta/Iceberg replaces this with
     MERGE/commit."""
+    _recover_snapshot(path)
     staging = path + "__staging"
     old = path + "__old"
     shutil.rmtree(staging, ignore_errors=True)
@@ -84,9 +114,8 @@ class VectorTable:
     ``get_next_batch`` does, when interleaving reads and writes)."""
 
     def __init__(self, spark: SparkSession, path: str, vector_length: int = 1024):
-        _check_local_path(path)
         self.spark = spark
-        self.path = path
+        self.path = _check_local_path(path)
         self.vector_length = vector_length  # VectorTable.php:37 default 1024
 
     # -- DDL (C11, VectorTable.php:464-513) ---------------------------------
@@ -107,6 +136,7 @@ class VectorTable:
         shutil.rmtree(self.path + "__old", ignore_errors=True)
 
     def table_exists(self) -> bool:
+        _recover_snapshot(self.path)
         return os.path.exists(os.path.join(self.path, "_SUCCESS")) or (
             os.path.isdir(self.path)
             and any(f.endswith(".parquet") for f in os.listdir(self.path))
@@ -114,6 +144,7 @@ class VectorTable:
 
     # -- state --------------------------------------------------------------
     def df(self) -> DataFrame:
+        _recover_snapshot(self.path)
         return self.spark.read.schema(VECTOR_TABLE_SCHEMA).parquet(self.path)
 
     def _write(self, df: DataFrame) -> None:
@@ -253,14 +284,14 @@ class VectorTableQueue:
     (VectorTableQueue.php:20-447)."""
 
     def __init__(self, spark: SparkSession, path: str):
-        _check_local_path(path)
         self.spark = spark
-        self.path = path
+        self.path = _check_local_path(path)
 
     def init(self) -> None:
         # same existence rule as VectorTable.table_exists: a bare
         # pre-created directory (deployment mkdir, crash debris) must
         # still get the schema'd empty snapshot
+        _recover_snapshot(self.path)
         has_data = os.path.exists(os.path.join(self.path, "_SUCCESS")) or (
             os.path.isdir(self.path)
             and any(f.endswith(".parquet") for f in os.listdir(self.path))
@@ -269,6 +300,7 @@ class VectorTableQueue:
             self.spark.createDataFrame([], QUEUE_SCHEMA).write.mode("overwrite").parquet(self.path)
 
     def df(self) -> DataFrame:
+        _recover_snapshot(self.path)
         return self.spark.read.schema(QUEUE_SCHEMA).parquet(self.path)
 
     def _write(self, df: DataFrame) -> None:
