@@ -109,8 +109,27 @@ def fingerprint60(s: Column | str) -> Column:
     """~60-bit content fingerprint: ``h1 * 999999937 + h2`` packs the two
     independent folds into one BIGINT (< 1.1e18, portable).  Collision
     odds stay negligible past 10^9 documents, where the single 30-bit
-    fold would silently merge ~half the corpus into false groups."""
-    return string_hash(s) * F.lit(HASH_MOD2) + string_hash2(s)
+    fold would silently merge ~half the corpus into false groups.
+
+    ONE fused pass: both folds advance in a single aggregate with a
+    (h1, h2) struct accumulator — the two-fold form walked the document
+    twice (measured 2x the per-doc hash cost, the whole dedup_exact
+    regression of round 3).  The pack is computed in the aggregate's
+    FINISH lambda, the collapse-proof form: extracting h1/h2 from a
+    projected struct column would let CollapseProject re-inline (and
+    re-evaluate) the whole fold once per field."""
+    chars = F.filter(F.split(_col(s), ""), lambda c: c != "")
+    return F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
+        F.struct(
+            F.lit(0).cast("long").alias("h1"), F.lit(0).cast("long").alias("h2")
+        ),
+        lambda a, c: F.struct(
+            ((a["h1"] * 31 + c) % HASH_MOD).alias("h1"),
+            ((a["h2"] * HASH_MUL2 + c) % HASH_MOD2).alias("h2"),
+        ),
+        lambda a: a["h1"] * F.lit(HASH_MOD2) + a["h2"],
+    )
 
 
 def sql_fingerprint60(s: str) -> str:

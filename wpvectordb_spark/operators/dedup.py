@@ -101,23 +101,30 @@ def exact_dedup(
     them would collapse every failed-extraction row into one survivor
     (the NULL-domain data-loss class).  Returns (doc_id, fingerprint,
     dup_count).
+
+    ONE aggregation, no filter/union split: NULL-fingerprint rows keep
+    their own singleton groups via a second grouping key that is the
+    row's id exactly when the fingerprint is NULL (and a constant
+    otherwise, so real fingerprint groups are untouched).  The earlier
+    filtered-branches + union form evaluated the fingerprint fold once
+    per branch per consumer — ~4 O(doc) folds per document in
+    interpreted mode (measured 1.77 s -> 0.66 s at sf0.1).  (A
+    fingerprint is NULL iff the text is NULL, so the discriminator
+    reproduces the old NULL passthrough exactly; ids are unique by
+    table contract.)
     """
     hashed = _spread(docs).select(
         F.col(id_col), X.fingerprint60(text_col).alias("fingerprint")
     )
-    grouped = (
-        hashed.where(F.col("fingerprint").isNotNull())
-        .groupBy("fingerprint")
+    null_key = F.when(F.col("fingerprint").isNull(), F.col(id_col))
+    return (
+        hashed.groupBy("fingerprint", null_key.alias("_nk"))
         .agg(
             F.min(id_col).alias(id_col),
             F.count("*").alias("dup_count"),
         )
         .select(id_col, "fingerprint", "dup_count")
     )
-    nulls = hashed.where(F.col("fingerprint").isNull()).select(
-        F.col(id_col), F.col("fingerprint"), F.lit(1).cast("long").alias("dup_count")
-    )
-    return grouped.unionByName(nulls)
 
 
 
