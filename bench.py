@@ -36,14 +36,18 @@ def main() -> None:
     from wpvectordb_spark.session import get_spark
 
     spark = get_spark("wpvectordb-bench")
-    # Single-shot batch plans at bench scale pay more in Janino whole-stage
-    # compilation than codegen saves in execution (the HOF-heavy signature
-    # expressions generate huge methods); interpreted expression mode is
-    # 2-5x faster end-to-end here.  On a long-running 100 TB cluster the
-    # compile cost amortizes — leave the Spark default (FALLBACK) there.
+    # Codegen mode: the Spark default (FALLBACK, whole-stage codegen with
+    # interpreted fallback).  Round 2 measured interpreted mode faster and
+    # pinned NO_CODEGEN — but that measurement was dominated by COLD
+    # Janino compiles on single-shot plans.  With per-key warm runs and
+    # medians (identical plan text -> codegen cache hit on re-runs), the
+    # production default ties or wins on 21 of 23 keys (rel_* and window
+    # keys by 1.4-1.7x; only dedup_simhash/search_two_phase are ~5% better
+    # interpreted — noise range).  Re-measured 2026-08-14; see
+    # PERFORMANCE.md item 29.
     spark.conf.set(
         "spark.sql.codegen.factoryMode",
-        os.environ.get("SPARK_GRAFT_CODEGEN", "NO_CODEGEN"),
+        os.environ.get("SPARK_GRAFT_CODEGEN", "FALLBACK"),
     )
 
     # Frozen headline set (same keys every round for clean BENCH_rN diffs).

@@ -75,3 +75,70 @@ def test_curate_training_corpus_dsir_stage(spark):
     assert len({r["doc_id"] for r in rows}) <= 40
     langs = [r["lang"] for r in rows]
     assert langs.count("en") / len(langs) > 0.6  # enrichment over 44% base
+
+
+def test_driver_pipeline_arm_every_stage_drops(spark):
+    """The curate_sample_pack 'pipeline' arm stays a REAL end-to-end
+    exercise: every stage of the driver-arm configuration must actually
+    drop documents at sf0.01.  (Testdata regenerations have silently
+    vacuated corpus-dependent arms before — this pins each stage's
+    effect, not just the final hash match.)"""
+    import __spark_entry__ as entry
+    from wpvectordb_spark.operators import curation as CU
+    from wpvectordb_spark.operators import dedup as D
+    from wpvectordb_spark.operators import text_analysis as TA
+    from tests.conftest import SF_DIR
+
+    docs = entry._pipe_corpus(spark, SF_DIR)
+    n0 = docs.count()
+    # stage 1: exact dedup must remove the 50 constructed copies
+    k1 = docs.join(
+        D.exact_dedup(docs).select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint()
+    n1 = k1.count()
+    assert n1 == n0 - 50
+    # stage 2: near-dedup must find pairs among the remaining originals
+    pairs = D.minhash_lsh_dedup_pairs(
+        k1, threshold=entry.PIPE_NEAR_DUP_THRESHOLD, persist=False
+    )
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    k2 = k1.join(dropped, "doc_id", "left_anti").localCheckpoint()
+    n2 = k2.count()
+    assert n2 < n1
+    # stage 3: the per-language quantile gate must cut every stratum
+    scored = k2.withColumn("quality", TA.quality_score("text"))
+    k3 = k2.join(
+        CU.quality_quantile_filter(
+            scored, quantile=entry.PIPE_QUALITY_QUANTILE
+        ).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).localCheckpoint()
+    n3 = k3.count()
+    assert n3 < n2
+    # stage 4: decontamination vs the doc_id<20 holdout must flag docs
+    holdout = entry._docs(spark, SF_DIR).where(F.col("doc_id") < 20).select(
+        "doc_id", "text"
+    )
+    flags = CU.decontaminate(
+        k3, holdout, threshold=entry.PIPE_DECONTAM_SHINGLES
+    )
+    n_contaminated = flags.where(F.col("contaminated") == 1).count()
+    assert n_contaminated > 0
+    k4 = k3.join(
+        flags.where(F.col("contaminated") == 0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).localCheckpoint()
+    n4 = k4.count()
+    assert n4 == n3 - n_contaminated
+    # stage 5: the budget mix must cut tokens (budgets are set below each
+    # language's corpus total at sf0.01) and drop unbudgeted strata
+    k5 = k4.join(
+        CU.budget_sample(k4, entry.CURATE_BUDGETS).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    n5 = k5.count()
+    assert 0 < n5 < n4
+    assert k5.where(~F.col("lang").isin(*entry.CURATE_BUDGETS)).count() == 0

@@ -518,3 +518,47 @@ def test_stream_queue_ingest_resumes_from_state_path(spark, tmp_path):
     queue = get_state()
     assert queue.count() == 25  # 10 from run 1 + 15 from run 2, no resets
     assert queue.where(F.col("status") == "pending").count() == 25
+
+
+def test_state_listing_ignores_uncommitted_dirs(spark, tmp_path):
+    """A batch write killed mid-way leaves a delta/version dir without
+    the _SUCCESS marker: state listings must skip it (the in-flight
+    batch overwrites it on replay; an accessor reading it meanwhile
+    would surface partial rows as committed state)."""
+    import os
+
+    root = str(tmp_path / "pairs")
+    os.makedirs(root)
+    spark.createDataFrame([(1, 2, 0.9)], ST._DEDUP_PAIRS_SCHEMA).write.parquet(
+        os.path.join(root, "b0")
+    )
+    # simulate the crashed write: data file present, no _SUCCESS
+    partial = os.path.join(root, "b1")
+    spark.createDataFrame([(3, 4, 0.8)], ST._DEDUP_PAIRS_SCHEMA).write.parquet(partial)
+    os.remove(os.path.join(partial, "_SUCCESS"))
+    got = sorted(
+        map(tuple, ST._read_state(spark, root, ST._DEDUP_PAIRS_SCHEMA).collect())
+    )
+    assert got == [(1, 2, 0.9)]
+    # same rule for queue version adoption: a partial newest version is
+    # skipped in favor of the last committed one
+    qroot = str(tmp_path / "queue")
+    os.makedirs(qroot)
+    empty = spark.createDataFrame([], QUEUE_SCHEMA)
+    empty.write.parquet(os.path.join(qroot, "v0"))
+    spark.createDataFrame([], QUEUE_SCHEMA).write.parquet(os.path.join(qroot, "v1"))
+    os.remove(os.path.join(qroot, "v1", "_SUCCESS"))
+    now = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    src = str(tmp_path / "src")
+    spark.range(0, 3).select(
+        F.col("id").alias("job_id"), F.col("id").alias("post_id")
+    ).write.parquet(src)
+    stream = spark.readStream.schema("job_id long, post_id long").parquet(src)
+    get_state, q = ST.stream_queue_ingest(
+        spark, stream, empty, now, state_path=qroot
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert get_state().count() == 3  # resumed from committed v0, not partial v1

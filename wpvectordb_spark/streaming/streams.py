@@ -220,10 +220,15 @@ def stream_queue_ingest(
     from wpvectordb_spark.operators import queue_ops as Q
 
     root = _state_root(state_path, "stream_queue_state_")
+    # adopt only COMMITTED versions (_SUCCESS marker): a crashed
+    # mid-write leaves a partial v<N> dir, and resuming from partial
+    # state would silently drop the missing rows forward forever
     versions = sorted(
         int(d[1:])
         for d in os.listdir(root)
-        if d.startswith("v") and d[1:].isdigit()
+        if d.startswith("v")
+        and d[1:].isdigit()
+        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
     )
     if versions:
         state = {"path": os.path.join(root, f"v{versions[-1]}"), "version": versions[-1]}
@@ -389,13 +394,19 @@ _DEDUP_PAIRS_SCHEMA = "id_a long, id_b long, jaccard double"
 
 def _list_state(root: str) -> tuple[int | None, str | None, list[tuple[int, str]]]:
     """One directory listing -> (snapshot coverage, snapshot path, delta
-    dirs as (batch_id, path)).  Crash debris is excluded by NAME: a
-    compaction killed before its atomic rename leaves ``s<u>__tmp``
-    (not all-digits after the prefix); a kill after the rename but
-    before gc leaves older snapshots and covered deltas, which the
-    max-upto rule and the caller's coverage filter ignore."""
+    dirs as (batch_id, path)).  Crash debris is excluded two ways: by
+    NAME (a compaction killed before its atomic rename leaves
+    ``s<u>__tmp`` — not all-digits after the prefix; a kill after the
+    rename but before gc leaves older snapshots and covered deltas,
+    which the max-upto rule and the caller's coverage filter ignore),
+    and by the ``_SUCCESS`` commit marker (a batch write killed mid-way
+    leaves a partial delta dir; the in-flight batch will overwrite it on
+    replay, but an external accessor listing it meanwhile would read
+    partial rows as if they were committed state)."""
     snaps, deltas = [], []
     for d in os.listdir(root):
+        if not os.path.exists(os.path.join(root, d, "_SUCCESS")):
+            continue
         if d.startswith("b") and d[1:].isdigit():
             deltas.append((int(d[1:]), os.path.join(root, d)))
         elif d.startswith("s") and d[1:].isdigit():
@@ -482,6 +493,12 @@ def _compact_state(
     ]
     if len(foldable) < compact_every:
         return
+    # gc tmp debris from any previously crashed fold (a stale
+    # s<other>__tmp would otherwise linger forever — readers ignore it,
+    # but it is dead disk)
+    for d in os.listdir(root):
+        if d.endswith("__tmp"):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     new_upto = max(b for b, _ in foldable)
     merged = spark.read.schema(schema).parquet(
         *([spath] if spath else []), *[p for _, p in foldable]
