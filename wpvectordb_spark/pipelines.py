@@ -97,13 +97,22 @@ def curate_training_corpus(
     winners = D.exact_dedup(kept, id_col=id_col, text_col=text_col).select(id_col)
     kept = _barrier(kept.join(winners, id_col, "left_semi"))
     staged.append(kept)
-    # 2. near-dedup (greedy min-id survivors)
+    # 2. near-dedup (greedy min-id survivors).  The shingle index is
+    # computed ONCE behind its own barrier and handed to the pair
+    # pipeline precomputed (minhash's internal persist is then off: its
+    # three consumers read the barrier, so one-shot mode leaves no
+    # shingle cache AND never re-tokenizes — re-hashing the whole corpus
+    # per consumer is real money at 100 TB).
+    sh = _barrier(
+        D.shingle_sets(kept.select(id_col, text_col), id_col=id_col, text_col=text_col)
+    )
+    staged.append(sh)
     pairs = D.minhash_lsh_dedup_pairs(
-        kept,
+        sh,
         threshold=near_dup_threshold,
         id_col=id_col,
         text_col=text_col,
-        persist=persist,  # one-shot mode must not leave a shingle cache
+        persist=False,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     kept = _barrier(kept.join(dropped, id_col, "left_anti"))
