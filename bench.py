@@ -154,10 +154,14 @@ def main() -> None:
         "dedup_span_cut": lambda: D.remove_duplicate_spans(
             docs.select("doc_id", "text"), k=8, min_docs=2
         ).count(),
+        # persist=False: dsir's internal feature cache would otherwise be
+        # CacheManager-deduped across the median runs — runs 2..N would
+        # measure warm-cache scans, not the operator
         "curate_dsir": lambda: CU.dsir_topk(
             docs.select("doc_id", "text"),
             docs.where(F.col("lang") == "en").select("doc_id", "text"),
             k=100,
+            persist=False,
         ).count(),
         "events_retention_cohorts": lambda: EV.retention_cohorts(events).count(),
         "events_sequence_funnel": lambda: EV.sequence_funnel(

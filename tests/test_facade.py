@@ -163,6 +163,14 @@ def test_file_uri_normalized_to_local_path(spark, tmp_path):
     # non-local authority is remote storage in disguise
     with _pytest.raises(ValueError, match="authority"):
         VectorTable(spark, "file://other-host/data/v")
+    # Hadoop/Spark canonicalize local paths to the SINGLE-slash URI form
+    # (file:/x) — it must normalize like file:///x, and single-slash
+    # remote schemes must still be refused (not treated as relative paths)
+    assert VectorTable(spark, f"file:{plain}", vector_length=4).path == plain
+    with _pytest.raises(ValueError, match="LOCAL"):
+        VectorTable(spark, "hdfs:/data/v")
+    with _pytest.raises(ValueError, match="LOCAL"):
+        VectorTableQueue(spark, "s3a:/bucket/q")
 
 
 def test_snapshot_old_copy_recovered_after_crash(spark, tmp_path):

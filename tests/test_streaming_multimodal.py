@@ -562,3 +562,29 @@ def test_state_listing_ignores_uncommitted_dirs(spark, tmp_path):
     finally:
         q.stop()
     assert get_state().count() == 3  # resumed from committed v0, not partial v1
+
+
+def test_dedup_state_restart_without_checkpoint_is_refused(spark, tmp_path):
+    """Reusing a state_path with a fresh checkpoint restarts batch ids at
+    0 over existing later-batch deltas: the batch must refuse loudly
+    (silently proceeding would skip the old corpus for cross-batch dedup
+    and serve accessors a blend of two streams)."""
+    import os
+
+    import pytest as _pytest
+
+    dirs = [str(tmp_path / d) for d in ("sh", "bands", "pairs")]
+    for d in dirs:
+        os.makedirs(d)
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+    )
+    ST._dedup_ingest_apply(spark, *dirs, 0.5, docs, 0)
+    ST._dedup_ingest_apply(spark, *dirs, 0.5, docs.limit(5), 1)
+    # batch id 0 again over state holding batch 1 = restarted checkpoint
+    with _pytest.raises(Exception, match="ORIGINAL checkpoint_path"):
+        ST._dedup_ingest_apply(spark, *dirs, 0.5, docs, 0)
+    # replaying the LATEST batch id stays legal (its own earlier attempt)
+    ST._dedup_ingest_apply(spark, *dirs, 0.5, docs.limit(5), 1)

@@ -644,9 +644,16 @@ def connected_components(
     (HDFS/DBFS-backed) so a lost executor doesn't kill the iteration on
     a real cluster — localCheckpoint blocks live in executor storage and
     die with the executor.  Results are identical either way
-    (test-asserted); the trade is per-round write I/O for fault
-    tolerance.  NOTE: setting it calls ``setCheckpointDir`` on the
-    session's SparkContext (Spark holds one checkpoint dir per context).
+    (test-asserted).  The trade, fully: per-round write I/O, AND the
+    checkpoint files are RETAINED — Spark does not delete reliable
+    checkpoints unless ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    is enabled, so one call leaves up to ``max_iterations`` edge-set
+    copies (two bigints/row each) in the dir.  Point ``checkpoint_dir``
+    at a per-run subdirectory and delete it after materializing the
+    result, or enable the cleaner conf.  NOTE: setting it calls
+    ``setCheckpointDir`` on the session's SparkContext (Spark holds ONE
+    checkpoint dir per context — it repoints for every other user of
+    the session).
     Convergence is detected by an order-independent count + hash-sum
     signature of the edge set (count alone is NOT enough: rounds can
     keep the edge count while the set still changes).

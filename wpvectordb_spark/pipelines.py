@@ -18,11 +18,13 @@ previous survivor set; Spark does not deduplicate common subtrees across
 joins), so an unbarriered chain re-evaluates earlier stages
 MULTIPLICATIVELY — ~3x per stage compounds to two orders of magnitude
 over five stages (measured: 470 s -> ~10 s at sf0.01 when the per-stage
-barriers landed).  Barriers are ``persist()`` when ``persist=True``
-(caller keeps the final survivor cache; intermediates are handed off and
-released once the post-filter set materializes) or lazy
-``localCheckpoint()`` otherwise (blocks are GC'd with the frame — no
-session-lifetime cache accumulation, the right mode for one-shot calls).
+barriers landed).  Every barrier is a ``persist()``; after the
+filter chain, ``persist=True`` materializes the final survivor set and
+hands off (releases) the intermediates, keeping the final cache for the
+caller, while ``persist=False`` converts the final set to an EAGER
+``localCheckpoint`` (runs the chain at call time; blocks are GC'd with
+the returned frame) and releases every stage cache — no session-lifetime
+cache accumulation, the right mode for one-shot calls.
 On a production run, write the survivor manifest to parquet at the same
 points instead; the barrier is the in-session form of that checkpoint.
 """
@@ -136,7 +138,13 @@ def curate_training_corpus(
     # 5. DSIR selection toward the target distribution
     if dsir_target is not None:
         picked = CU.dsir_topk(
-            kept, dsir_target, k=dsir_keep, id_col=id_col, text_col=text_col
+            kept,
+            dsir_target,
+            k=dsir_keep,
+            id_col=id_col,
+            text_col=text_col,
+            persist=False,  # kept is a barrier: the 2x feature re-explode is
+            # bounded, and dsir's internal cache has no release handle here
         ).select(id_col)
         kept = _barrier(kept.join(picked, id_col, "left_semi"))
         staged.append(kept)
@@ -174,7 +182,8 @@ def curate_training_corpus(
         stratum_col=stratum_col,
         id_col=id_col,
         text_col=text_col,
-        persist=persist,  # kept is already a barrier: the double scan is cheap
+        persist=False,  # kept is already a barrier: the double scan is cheap,
+        # and pack's internal cache would have no release handle here
     )
     shards = CU.shuffle_shard(kept, num_shards=num_shards, seed=seed, id_col=id_col)
     return packed.join(shards, id_col)

@@ -261,17 +261,17 @@ def stream_queue_ingest(
 
 def _state_root(state_path: str | None, prefix: str) -> str:
     """Resolve a caller-supplied state directory (created if missing) or
-    a throwaway temp dir.  Remote URIs are refused: the state lifecycle
-    (listing, rename-based compaction swaps, gc) runs through driver-
-    local ``os`` calls, which silently see a ``s3a://...`` string as a
-    relative local path — the facades' _check_local_path rule."""
+    a throwaway temp dir.  URIs are refused/normalized by the facades'
+    _check_local_path rule (single-slash forms like ``hdfs:/x``
+    included): the state lifecycle (listing, rename-based compaction
+    swaps, gc) runs through driver-local ``os`` calls, which silently
+    see a ``s3a://...`` string as a relative local path — use
+    Delta/Iceberg for object-store state."""
     if state_path is None:
         return tempfile.mkdtemp(prefix=prefix)
-    if "://" in state_path:
-        raise ValueError(
-            f"streaming state paths must be driver-local, got {state_path!r}"
-            " — use Delta/Iceberg for object-store state"
-        )
+    from wpvectordb_spark.table import _check_local_path
+
+    state_path = _check_local_path(state_path)
     os.makedirs(state_path, exist_ok=True)
     return state_path
 
@@ -430,6 +430,22 @@ def _read_state(
             f"state snapshot covers batch {upto} but batch {before_batch} "
             f"asked for its pre-state — is {root} shared by two streams?"
         )
+    if before_batch is not None and any(b > before_batch for b, _ in deltas):
+        # A delta from a LATER batch than the in-flight one means the
+        # batch-id sequence restarted over existing state: a start()
+        # reusing state_path with a fresh/missing checkpoint_path.
+        # Silently proceeding would ignore the old corpus for cross-batch
+        # dedup, overwrite its deltas batch by batch, and serve accessors
+        # a blend of two streams — refuse loudly instead.  (A delta
+        # EQUAL to before_batch is the batch's own earlier attempt: a
+        # legitimate replay, overwritten idempotently.)
+        newest = max(b for b, _ in deltas)
+        raise RuntimeError(
+            f"state dir {root} already holds batch {newest} but the stream "
+            f"is processing batch {before_batch} — resuming a state_path "
+            "requires the ORIGINAL checkpoint_path so batch ids continue "
+            "(or a fresh state_path for a new stream)"
+        )
     paths = [spath] if spath else []
     paths += [
         p
@@ -493,12 +509,24 @@ def _compact_state(
     ]
     if len(foldable) < compact_every:
         return
-    # gc tmp debris from any previously crashed fold (a stale
-    # s<other>__tmp would otherwise linger forever — readers ignore it,
-    # but it is dead disk)
+    # gc debris from any previously crashed fold: stale __tmp dirs (kill
+    # before the rename), plus superseded snapshots and covered deltas
+    # (kill AFTER the rename but before that fold's own gc — readers
+    # ignore them via the max-upto rule, but nothing else would ever
+    # delete them and each such crash leaks a full state copy)
     for d in os.listdir(root):
+        p = os.path.join(root, d)
         if d.endswith("__tmp"):
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith("s") and d[1:].isdigit() and int(d[1:]) < (upto or 0):
+            shutil.rmtree(p, ignore_errors=True)
+        elif (
+            upto is not None
+            and d.startswith("b")
+            and d[1:].isdigit()
+            and int(d[1:]) <= upto
+        ):
+            shutil.rmtree(p, ignore_errors=True)
     new_upto = max(b for b, _ in foldable)
     merged = spark.read.schema(schema).parquet(
         *([spath] if spath else []), *[p for _, p in foldable]

@@ -43,12 +43,23 @@ def _check_local_path(path: str) -> str:
     existing remote table with an empty one.  Refuse loudly; production
     state belongs in a transactional table format anyway.
 
-    ``file://`` URIs are NORMALIZED to a plain local path rather than
+    ``file:`` URIs are NORMALIZED to a plain local path rather than
     merely allowed through: os.path/os.rename do not understand URIs, so
     the raw string would hit the exact data-loss the guard exists for
     (table_exists() false -> create_table() overwrites).  A non-local
-    authority (file://host/...) is refused like any remote scheme."""
-    if path.startswith("file://"):
+    authority (file://host/...) is refused like any remote scheme.
+
+    URI detection matches ANY scheme prefix (``re``: letter then
+    letters/digits/+.-, then ``:/``), not just ``://``: Hadoop and Spark
+    canonicalize local paths to the SINGLE-slash form (``file:/x``,
+    ``hdfs:/x``), so a path copy-pasted from logs or ``inputFiles()``
+    must not slip past the guard as a weird relative path."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):/", path)
+    if m is None:
+        return path
+    if m.group(1).lower() == "file":
         from urllib.parse import urlparse
 
         parsed = urlparse(path)
@@ -58,13 +69,11 @@ def _check_local_path(path: str) -> str:
                 "VectorTable/VectorTableQueue manage LOCAL paths only"
             )
         return parsed.path
-    if "://" in path:
-        raise ValueError(
-            f"VectorTable/VectorTableQueue manage LOCAL paths only, got "
-            f"{path!r} — use Delta/Iceberg (or the operators directly) "
-            "for remote storage"
-        )
-    return path
+    raise ValueError(
+        f"VectorTable/VectorTableQueue manage LOCAL paths only, got "
+        f"{path!r} — use Delta/Iceberg (or the operators directly) "
+        "for remote storage"
+    )
 
 
 def _recover_snapshot(path: str) -> None:
