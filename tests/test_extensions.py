@@ -954,3 +954,46 @@ def test_lsh_banding_guard_and_cc_id_type(spark):
             spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
             block_col="",  # truthiness hole: '' must refuse like None
         )
+
+
+def test_lsh_band_prune_not_vacuous_on_ragged_dims(spark):
+    """dims % 32 != 0 left the tail word's empty TOP bands constant-zero
+    for every vector AND the query, so arrays_overlap matched the whole
+    table (the prune silently became a full scan).  With the dead-band
+    pruning the candidate set must shrink while the top-k stays exact."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(40)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    cand = df.where(
+        F.arrays_overlap(
+            SIM.band_keys("embedding", 32, 8, dims=40),
+            F.array(
+                *[
+                    F.lit(x)
+                    for x in SIM.band_keys_py(
+                        __import__(
+                            "wpvectordb_spark.operators.search", fromlist=["_pack_code"]
+                        )._pack_code(q, 32),
+                        32,
+                        8,
+                        dims=40,
+                    )
+                ]
+            ),
+        )
+    ).count()
+    assert cand < 150, f"prune vacuous: {cand}/200 candidates"
+    got = [r["vec_id"] for r in SIM.lsh_topk(df, q, k=5).collect()]
+    assert got[0] == 0  # self-retrieval survives the pruning
+    # exactness on the pruned candidate set: every returned id must be a
+    # true candidate and ranked by exact cosine (spot-check via brute)
+    brute = [
+        r["vec_id"]
+        for r in SIM.brute_force_topk_arrow(df, q, n=1).collect()
+    ]
+    assert got[0] == brute[0]

@@ -119,3 +119,25 @@ def test_quantized_topk_recall_and_plan(spark):
     assert set(got) == set(exact)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("TakeOrderedAndProject") == 2, plan
+
+
+def test_search_many_rejects_mismatched_query_dims(spark):
+    """The single-query facade rejects mismatched dims (table._check_length);
+    the batch path must too — a misaligned word packing silently returns
+    plausible-looking wrong rows, and an over-long query NULLs every
+    Hamming distance and returns the lowest-id rows as the 'top' k."""
+    import pytest as _pytest
+
+    vectors = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(20)],
+        "id long, vector array<float>",
+    )
+    bad = spark.createDataFrame(
+        [("q0", [1.0, 0.0, 0.0])], "query_id string, query_vector array<float>"
+    )
+    with _pytest.raises(Exception, match="query vector has 3"):
+        S.search_many(vectors, bad, n=3, code_col=None, mag_col=None).collect()
+    ok = spark.createDataFrame(
+        [("q0", [1.0, 0.0, 0.0, 0.0])], "query_id string, query_vector array<float>"
+    )
+    assert S.search_many(vectors, ok, n=3, code_col=None, mag_col=None).count() == 3

@@ -32,8 +32,9 @@ COMPLETED_RETENTION_DAYS = 3  # :329
 RETRY_FETCH_CAP = 25_000  # :347
 PAGE_SIZE = 25  # :403
 
+from wpvectordb_spark.schemas import QUEUE_STATUSES as STATUSES
+
 _TERMINAL = ("completed", "failed")
-STATUSES = ("pending", "processing", "completed", "failed")
 
 
 def _now_lit(now: _dt.datetime) -> F.Column:

@@ -229,12 +229,34 @@ def search_many(
     With ``two_phase`` the Hamming funnel keeps 10n rows per query
     before the exact rerank — the same funnel as ``search`` but for Q
     queries in one plan.
+
+    Query dimensions are guarded like the single-query facade path
+    (table._check_length): a query vector whose length differs from the
+    table's packs a different word count, and the misaligned Hamming
+    comparison silently returns plausible-looking WRONG rows (or ranks
+    all-NULL distances).  The table's dimension is probed from one row
+    (metadata-cheap); mismatched query rows then fail loudly in-plan.
     """
+    dim_row = vectors.select(F.size(vector_col).alias("d")).first()
+    guarded_qv = F.col(query_vec_col)
+    if dim_row is not None and dim_row["d"] is not None:
+        table_dim = int(dim_row["d"])
+        guarded_qv = F.when(
+            F.size(query_vec_col) == table_dim, F.col(query_vec_col)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("search_many: query vector has "),
+                    F.size(query_vec_col).cast("string"),
+                    F.lit(f" dims; table has {table_dim}"),
+                )
+            ).cast("array<float>")
+        )
     q = queries.select(
         F.col(query_id_col),
-        F.col(query_vec_col),
-        K.sign_code(query_vec_col).alias("_q_code"),
-        K.magnitude(query_vec_col).alias("_q_mag"),
+        guarded_qv.alias(query_vec_col),
+        K.sign_code(guarded_qv).alias("_q_code"),
+        K.magnitude(guarded_qv).alias("_q_mag"),
     )
     # Derive per-row code/magnitude BEFORE the cross join: inline
     # expressions after the join would be re-evaluated once per

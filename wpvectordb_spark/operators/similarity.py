@@ -385,6 +385,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF query: rank centroids by query similarity, keep vectors in the
     ``n_probe`` best clusters, exact cosine top-k within them.
@@ -393,6 +394,15 @@ def ivf_topk(
     deterministic oracle-reproducible selection.  On a partitioned-by-
     cluster table the cluster filter becomes parquet partition pruning;
     here it is a semi-join against the probed ids.
+
+    ``assigned`` may be a precomputed ``assign_clusters`` result (or a
+    persisted/bucketed assignment table): WITHOUT it every query re-runs
+    the full-corpus nearest-centroid assignment — n_clusters cosine
+    folds per corpus vector, which is MORE per-vector work than the
+    brute-force scan this index exists to beat.  The default suits the
+    one-shot oracle path only; any repeated-query use should share one
+    assignment (``ivf_topk_from_index`` is the persisted form of the
+    same idea).
     """
     if centroids is None:
         centroids = deterministic_centroids(vectors, n_clusters, id_col, vector_col)
@@ -408,7 +418,8 @@ def ivf_topk(
         .limit(n_probe)
         .select("cluster_id")
     )
-    assigned = assign_clusters(vectors, centroids, id_col, vector_col)
+    if assigned is None:
+        assigned = assign_clusters(vectors, centroids, id_col, vector_col)
     in_probed = assigned.join(F.broadcast(probe), "cluster_id", "left_semi")
     cos = K.cosine_similarity(q_vec, F.col(vector_col), F.lit(q_mag_val), None)
     ranked = (
@@ -431,6 +442,7 @@ def band_keys(
     word_bits: int = 32,
     band_bits: int = 16,
     code: F.Column | None = None,
+    dims: int | None = None,
 ) -> F.Column:
     """LSH band keys of a vector's sign code: each ``band_bits`` slice of
     the packed sign bits, tagged with its band index (``band_idx * 2^32 +
@@ -442,6 +454,18 @@ def band_keys(
     ``n_bands`` matching buckets instead of the full scan.  Smaller bands
     -> more candidates / higher recall (the b,r tradeoff of banded LSH).
     ``band_bits`` must divide ``word_bits``.
+
+    ``dims``: pass the vector length whenever it is not a multiple of
+    ``word_bits``.  sign_code packs the tail word's bits into its LOW
+    bits, so the bands slicing that word's empty TOP bits come out 0 for
+    EVERY vector and every query — shared constant keys that make the
+    ``arrays_overlap`` prune vacuously true (measured: a dims=40 /
+    band_bits=8 table matched 200/200 candidates vs 11/200 at dims=64 —
+    the prune silently became a full scan).  With ``dims`` those
+    all-empty tail bands are dropped (a band that still covers >= 1 real
+    bit keeps discriminating and is kept); dims %% word_bits == 0 is a
+    no-op, and the default (None) preserves the raw slicing for callers
+    that bucket on externally-defined keys.
     """
     if word_bits % band_bits != 0:
         raise ValueError("band_bits must divide word_bits")
@@ -449,7 +473,7 @@ def band_keys(
     chunk_mask = (1 << band_bits) - 1
     if code is None:
         code = K.sign_code(vector_col, word_bits)
-    return F.flatten(
+    keys = F.flatten(
         F.transform(
             code,
             lambda w, i: F.array(
@@ -463,6 +487,30 @@ def band_keys(
             ),
         )
     )
+    dead = _dead_tail_band_keys(dims, word_bits, band_bits)
+    if dead:
+        # all-empty tail bands carry chunk 0 always, so their key VALUES
+        # are fixed constants — a simple not-in filter removes them (no
+        # live band can produce these values: its band index differs)
+        keys = F.filter(
+            keys, lambda kcol: ~kcol.isin(*[F.lit(d) for d in dead])
+        )
+    return keys
+
+
+def _dead_tail_band_keys(
+    dims: int | None, word_bits: int, band_bits: int
+) -> list[int]:
+    """Key values of the bands that cover ONLY unpopulated tail-word
+    bits (constant 0 chunk for every vector) — [] when dims is None or a
+    multiple of word_bits."""
+    if not dims or dims % word_bits == 0:
+        return []
+    n_sub = word_bits // band_bits
+    rem = dims % word_bits
+    last = (dims + word_bits - 1) // word_bits - 1
+    n_empty = (word_bits - rem) // band_bits
+    return [(last * n_sub + j) * BAND_SHIFT for j in range(n_empty)]
 
 
 def sql_band_keys(code: str, word_bits: int = 32, band_bits: int = 16) -> str:
@@ -479,17 +527,21 @@ def sql_band_keys(code: str, word_bits: int = 32, band_bits: int = 16) -> str:
 
 
 def band_keys_py(
-    code_words: list[int], word_bits: int = 32, band_bits: int = 16
+    code_words: list[int], word_bits: int = 32, band_bits: int = 16,
+    dims: int | None = None,
 ) -> list[int]:
     """Driver-side band keys of a literal query vector's packed code
-    (mirrors ``band_keys`` exactly)."""
+    (mirrors ``band_keys`` exactly, dead-tail-band pruning included)."""
     n_sub = word_bits // band_bits
     chunk_mask = (1 << band_bits) - 1
+    dead = set(_dead_tail_band_keys(dims, word_bits, band_bits))
     keys = []
     for i, w in enumerate(code_words):
         for j in range(n_sub):
             chunk = (w >> (word_bits - band_bits * (j + 1))) & chunk_mask
-            keys.append((i * n_sub + j) * BAND_SHIFT + chunk)
+            key = (i * n_sub + j) * BAND_SHIFT + chunk
+            if key not in dead:
+                keys.append(key)
     return keys
 
 
@@ -514,14 +566,22 @@ def lsh_topk(
     the O(d) packing fold over the whole scan.
     """
     from wpvectordb_spark.operators.search import _magnitude, _pack_code
+    from wpvectordb_spark.schemas import CODE_WORD_BITS
 
-    qkeys = band_keys_py(_pack_code(query_vector, 32), 32, band_bits)
+    # CODE_WORD_BITS (not a literal 32): the stored binary_code accepted
+    # via code_col is packed with this constant — a hardcoded width here
+    # would silently misalign the slicing if the packing ever changed.
+    # dims= drops the all-empty tail bands of a non-multiple-of-32
+    # dimension (see band_keys) — without it the prune is vacuous.
+    wb = CODE_WORD_BITS
+    d = len(query_vector)
+    qkeys = band_keys_py(_pack_code(query_vector, wb), wb, band_bits, dims=d)
     q_vec = F.array(*[F.lit(float(x)) for x in query_vector])
     q_mag = _magnitude(query_vector)
     stored = F.col(code_col) if code_col else None
     cand = vectors.where(
         F.arrays_overlap(
-            band_keys(vector_col, 32, band_bits, code=stored),
+            band_keys(vector_col, wb, band_bits, code=stored, dims=d),
             F.array(*[F.lit(int(x)) for x in qkeys]),
         )
     )
