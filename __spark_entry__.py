@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -545,15 +546,58 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup_pairs(_corpus_with_dups(spark, sf_dir), threshold=0.5)
 
 
+def _stream_ingest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup ingest under the HARD oracle: drive the
+    micro-batch kernel (``streams._dedup_ingest_apply``) over a fixed
+    3-way split of the duplicated corpus (``doc_id % 3`` as batch ids
+    0/1/2) and return the ACCUMULATED pairs state.  ``compact_every=2``
+    forces a snapshot fold mid-run, so the compaction path is under the
+    oracle too, not just its unit tests.  The telescoping guarantee
+    (stream_dedup_ingest docstring, test-asserted) says the accumulated
+    set equals ``minhash_lsh_dedup_pairs`` over the whole corpus for ANY
+    split — so the oracle is the SAME pairs CTE the ``pair`` arm uses.
+    State lives in a throwaway temp dir; the read localCheckpoints
+    eagerly (_read_state_stable) so the dir can be removed before the
+    caller's collect."""
+    import shutil
+
+    from wpvectordb_spark.streaming import streams as ST
+
+    corpus = _corpus_with_dups(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ingest_arm_")
+    sh_d, bands_d, pairs_d = (os.path.join(root, d) for d in ("sh", "bands", "pairs"))
+    for d in (sh_d, bands_d, pairs_d):
+        os.makedirs(d)
+    try:
+        for bid in range(3):
+            ST._dedup_ingest_apply(
+                spark,
+                sh_d,
+                bands_d,
+                pairs_d,
+                0.5,
+                corpus.where(F.pmod(F.col("doc_id"), F.lit(3)) == bid),
+                bid,
+                compact_every=2,
+            )
+        return ST._read_state_stable(spark, pairs_d, ST._DEDUP_PAIRS_SCHEMA)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH near-dup pairs PLUS their transitive closure PLUS the
-    incremental form, tagged: ``pair`` rows from the full pipeline,
-    ``component`` rows from ``connected_components`` (large-star/small-star,
-    SoCC'14 — the "keep one per cluster" step), and ``incr`` rows treating
-    the +10000 copies as a new crawl batch deduped against the original
-    corpus via the cross-side band join (corpus never self-joins).  The
-    shingle-set index is computed ONCE and shared by all three stages —
-    the persisted-index reuse path at production scale."""
+    incremental form PLUS the streaming-ingest accumulation, tagged:
+    ``pair`` rows from the full pipeline, ``component`` rows from
+    ``connected_components`` (large-star/small-star, SoCC'14 — the "keep
+    one per cluster" step), ``incr`` rows treating the +10000 copies as a
+    new crawl batch deduped against the original corpus via the
+    cross-side band join (corpus never self-joins), and ``stream`` rows
+    from driving the streaming ingest kernel over a 3-way micro-batch
+    split (telescoping guarantee: must equal the ``pair`` set — see
+    _stream_ingest_pairs).  The shingle-set index is computed ONCE and
+    shared by the three batch stages — the persisted-index reuse path at
+    production scale."""
     sh_all = D.shingle_sets(_corpus_with_dups(spark, sf_dir)).persist()
     pairs = D.minhash_lsh_dedup_pairs(sh_all, threshold=0.5).persist()
     comp = D.connected_components(pairs)
@@ -570,7 +614,10 @@ def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("jaccard"),
     )
     i = incr.select(F.lit("incr").alias("kind"), "id_a", "id_b", "jaccard")
-    return p.unionByName(c).unionByName(i)
+    s = _stream_ingest_pairs(spark, sf_dir).select(
+        F.lit("stream").alias("kind"), "id_a", "id_b", "jaccard"
+    )
+    return p.unionByName(c).unionByName(i).unionByName(s)
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1406,6 +1453,8 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIPE_NEAR_DUP_THRESHOLD = 0.5
 PIPE_QUALITY_QUANTILE = 0.25
 PIPE_DECONTAM_SHINGLES = 5
+PIPE_DSIR_KEEP = 200  # < the 311 stage-4 survivors at sf0.01 (3146 at
+# sf0.1), so the DSIR stage provably drops rows wherever the oracle runs
 PIPE_SEQ_LEN = 2048
 PIPE_NUM_SHARDS = 8
 PIPE_SEED = 42
@@ -1424,15 +1473,20 @@ def _pipe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed ``curate_training_corpus`` end to end (exact dedup ->
-    MinHash near-dedup -> quality quantile gate -> decontamination ->
-    budget mixing -> packing + sharding) under the hard oracle: the
-    DuckDB mirror chains the per-stage sql_* fragments through the same
-    survivor sets.  DSIR is exercised separately (dsir arm) — at this
-    corpus size a top-k >= |survivors| selection would be vacuous."""
+    """The composed ``curate_training_corpus`` end to end — ALL seven
+    stages (exact dedup -> MinHash near-dedup -> quality quantile gate ->
+    decontamination -> DSIR selection -> budget mixing -> packing +
+    sharding) under the hard oracle: the DuckDB mirror chains the
+    per-stage sql_* fragments through the same survivor sets.  The DSIR
+    stage keeps ``PIPE_DSIR_KEEP`` (= 200) docs toward the en-language
+    target — below the stage-4 survivor count at every tested SF, so the
+    stage provably drops rows (the stage-drop guard test pins it)."""
     from wpvectordb_spark import pipelines as PL
 
     holdout = _docs(spark, sf_dir).where(F.col("doc_id") < 20).select("doc_id", "text")
+    dsir_target = _docs(spark, sf_dir).where(F.col("lang") == "en").select(
+        "doc_id", "text"
+    )
     return PL.curate_training_corpus(
         _pipe_corpus(spark, sf_dir),
         holdout=holdout,
@@ -1440,6 +1494,8 @@ def _pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_quantile=PIPE_QUALITY_QUANTILE,
         near_dup_threshold=PIPE_NEAR_DUP_THRESHOLD,
         decontam_shingles=PIPE_DECONTAM_SHINGLES,
+        dsir_target=dsir_target,
+        dsir_keep=PIPE_DSIR_KEEP,
         seq_len=PIPE_SEQ_LEN,
         num_shards=PIPE_NUM_SHARDS,
         seed=PIPE_SEED,
@@ -1633,7 +1689,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Keys whose results changed this round are ordered FIRST in case the
     window is time-bounded rather than count-bounded."""
     return {
-        # --- changed in round 3 (front of window): non-vacuous anti-join
+        # --- changed in round 5 (front of window): streaming-ingest
+        # 'stream' arm under the telescoping oracle; pipeline arm now
+        # exercises its DSIR stage ---
+        "dedup_minhash_lsh": _q_dedup_minhash_components,
+        "curate_sample_pack": _q_curate_sample_pack,
+        # --- changed in round 3: non-vacuous anti-join
         # arms, C10/C11/J11 scalar+DDL arms, persisted-IVF ivf_idx arm,
         # ExactSubstr duplicate-span arm ---
         "dedup_exact": _q_dedup_exact_merged,
@@ -1643,7 +1704,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_ivf": _q_ann_lsh_ivf,
         "dedup_embedding": _q_dedup_embedding,
         "text_terms_tfidf": _q_text_terms_tfidf,
-        "curate_sample_pack": _q_curate_sample_pack,
         "events_windows": _q_events_windows,
         "queue_update_status": _q_queue_update_status,
         # --- changed in round 2 ---------------------------------------------
@@ -1664,7 +1724,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k7_json_codec": _q_k7_json_codec,
         "index_build": _q_index_build,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": _q_dedup_minhash_components,
         "dedup_simhash": _q_dedup_simhash,
         "queue_cleanup": _q_queue_cleanup,
         "dsl_variants": _q_dsl_variants,
@@ -1873,6 +1932,11 @@ def oracle_sql() -> dict[str, str]:
         FROM comp
         UNION ALL
         SELECT 'incr' AS kind, id_a, id_b, jaccard FROM ({incr_cte})
+        UNION ALL
+        -- stream arm: the accumulated micro-batch ingest state must equal
+        -- the whole-corpus pair set (telescoping guarantee), so its oracle
+        -- IS the pairs CTE re-tagged
+        SELECT 'stream' AS kind, id_a, id_b, jaccard FROM pairs
     """
     simhash_expr = X.sql_srp_simhash(X.sql_token_hashes("text"))
     # block-permutation candidates (Manku WWW'07) over the 60-bit SRP
@@ -2216,13 +2280,22 @@ def oracle_sql() -> dict[str, str]:
           FROM pk3 k LEFT JOIN p_matched m USING (doc_id)
           WHERE COALESCE(m.n_matched, 0) < 5
         ),
+        p_dsir AS ({CU.sql_dsir_topk(
+            "SELECT doc_id, text FROM pk4",
+            "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+            k=PIPE_DSIR_KEEP,
+        )}),
         pk5 AS (
           SELECT k.doc_id, k.text, k.lang FROM pk4 k
-          JOIN (SELECT doc_id FROM ({CU.sql_budget_sample(CURATE_BUDGETS, table="pk4")})) b
+          JOIN p_dsir USING (doc_id)
+        ),
+        pk6 AS (
+          SELECT k.doc_id, k.text, k.lang FROM pk5 k
+          JOIN (SELECT doc_id FROM ({CU.sql_budget_sample(CURATE_BUDGETS, table="pk5")})) b
             USING (doc_id)
         ),
-        p_packed AS ({CU.sql_pack_sequences(seq_len=2048, table="pk5")}),
-        p_shards AS ({CU.sql_shuffle_shard(num_shards=8, seed=42, table="pk5")})
+        p_packed AS ({CU.sql_pack_sequences(seq_len=2048, table="pk6")}),
+        p_shards AS ({CU.sql_shuffle_shard(num_shards=8, seed=42, table="pk6")})
         SELECT doc_id, lang, n_tokens, seq_start, seq_end, shard, pos
         FROM p_packed JOIN p_shards USING (doc_id)
     """

@@ -177,13 +177,43 @@ def main() -> None:
         ).count(),
         "curate_pipeline": lambda: entry._pipeline_manifest(spark, SF_DIR).count(),
     }
+    # batched IVF serving: 50 queries through ONE partition-pruned plan
+    # against a persisted index (build cost excluded — it's the serving
+    # path being measured; index_build covers construction)
+    import shutil
+    import tempfile
+
+    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+    SIM.build_ivf_index(emb, ivf_dir, n_clusters=16)
+    extra_map["ann_ivf_batch_50"] = lambda: SIM.ivf_topk_many(
+        spark, qs, path=ivf_dir, k=10, n_probe=4
+    ).count()
+
     extras: dict[str, float] = {}
-    for name, fn in extra_map.items():
-        extras[name] = timed(fn)
-        print(f"# extra {name}: {extras[name]}s (median of {RUNS})", file=sys.stderr)
+    try:
+        for name, fn in extra_map.items():
+            extras[name] = timed(fn)
+            print(f"# extra {name}: {extras[name]}s (median of {RUNS})", file=sys.stderr)
+    finally:
+        shutil.rmtree(ivf_dir, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)
+    # Self-describing run context: round 4's 16.0s-vs-20.0s adjudication
+    # had to be reconstructed from PERFORMANCE.md — the numbers should
+    # carry their own measurement conditions.
+    try:
+        import subprocess
+
+        git_sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        git_sha = None
     print(
         json.dumps(
             {
@@ -195,6 +225,10 @@ def main() -> None:
                 "extras_total_sec": round(sum(extras.values()), 3),
                 "sf": float(sf),
                 "median_of": RUNS,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+                "cpus": os.cpu_count(),
+                "codegen_mode": spark.conf.get("spark.sql.codegen.factoryMode"),
+                "git_sha": git_sha,
             }
         )
     )

@@ -82,7 +82,7 @@ EXPECTED_ARMS = {
     "events_windows": ("kind", {"cohort", "slide", "tumble"}),
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup"}),
     "dedup_exact": ("kind", {"cut", "exact", "span"}),
-    "dedup_minhash_lsh": ("kind", {"component", "incr", "pair"}),
+    "dedup_minhash_lsh": ("kind", {"component", "incr", "pair", "stream"}),
     "text_terms_tfidf": ("kind", {"bm25", "ppl", "rrf", "tfidf", "top"}),
 }
 

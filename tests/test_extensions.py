@@ -227,6 +227,8 @@ def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
         "id_a long, id_b long",
     )
     local = sorted(map(tuple, D.connected_components(pairs).collect()))
+    sc = spark.sparkContext
+    before = sc.getCheckpointDir()
     reliable = sorted(
         map(
             tuple,
@@ -235,6 +237,9 @@ def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
             ).collect(),
         )
     )
+    # the session-wide checkpoint dir is restored, not left repointed at
+    # this call's dir for every other user of the shared SparkContext
+    assert sc.getCheckpointDir() == before
     assert local == reliable
     comp = dict(reliable)
     assert comp[4] == 1 and comp[23] == 20 and comp[11] == 10

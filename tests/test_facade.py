@@ -171,6 +171,14 @@ def test_file_uri_normalized_to_local_path(spark, tmp_path):
         VectorTable(spark, "hdfs:/data/v")
     with _pytest.raises(ValueError, match="LOCAL"):
         VectorTableQueue(spark, "s3a:/bucket/q")
+    # a Windows drive path is a LOCAL path, not a scheme-'C' URI (no
+    # registered URI scheme is one letter); slashless file: is neither a
+    # canonical URI nor a plain path — refused, not a literal filename
+    from wpvectordb_spark.table import _check_local_path
+
+    assert _check_local_path("C:/data/vectors") == "C:/data/vectors"
+    with _pytest.raises(ValueError, match="malformed"):
+        _check_local_path("file:relative/path")
 
 
 def test_snapshot_old_copy_recovered_after_crash(spark, tmp_path):

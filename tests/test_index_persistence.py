@@ -120,3 +120,64 @@ def test_ivf_index_append_equivalent_to_rebuild_corpus(spark, emb, tmp_path_fact
         emb.withColumnRenamed("vec_id", "id"), qv, n=10, vector_col="embedding"
     )
     assert got == [r["id"] for r in brute.collect()]
+
+
+def test_ivf_topk_many_matches_per_query(spark, emb, tmp_path_factory):
+    """Batched IVF == the per-query persisted-index loop on every query:
+    one plan serves 20 queries with one partition-pruned read, and each
+    query's ranked rows equal ivf_topk_from_index's."""
+    path = str(tmp_path_factory.mktemp("ivf4") / "index")
+    SIM.build_ivf_index(emb, path, n_clusters=16)
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    batch = SIM.ivf_topk_many(spark, queries, path=path, k=10, n_probe=4)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cluster_id"], r["cosine_similarity"])
+        )
+    assert set(got) == set(range(20))
+    qrows = {r["query_id"]: list(r["query_vector"]) for r in queries.collect()}
+    for qid in range(20):
+        single = SIM.ivf_topk_from_index(
+            spark, path, [float(x) for x in qrows[qid]], k=10, n_probe=4
+        ).collect()
+        expect = [
+            (i + 1, r["vec_id"], r["cluster_id"], r["cosine_similarity"])
+            for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == expect, f"query {qid} diverged"
+    # the batched read is partition-pruned, not a full scan
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
+def test_ivf_topk_many_in_memory_assigned(spark, emb):
+    """The assigned=/centroids= form (shared in-session assignment)
+    matches the persisted-path form's results."""
+    cents = SIM.deterministic_centroids(emb, n_clusters=16)
+    assigned = SIM.assign_clusters(emb, cents).localCheckpoint()
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    got = SIM.ivf_topk_many(
+        spark, queries, assigned=assigned, centroids=cents, k=10, n_probe=4
+    )
+    rows = sorted(map(tuple, got.collect()))
+    for qid in range(5):
+        qv = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        single = SIM.ivf_topk(
+            emb, qv, k=10, n_probe=4, centroids=cents, assigned=assigned
+        ).collect()
+        mine = [t for t in rows if t[0] == qid]
+        assert [(t[1], t[2], t[4]) for t in sorted(mine, key=lambda t: t[3])] == [
+            (r["vec_id"], r["cluster_id"], r["cosine_similarity"]) for r in single
+        ]
+    with pytest.raises(ValueError, match="pass path="):
+        SIM.ivf_topk_many(spark, queries)

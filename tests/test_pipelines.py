@@ -132,13 +132,120 @@ def test_driver_pipeline_arm_every_stage_drops(spark):
     ).localCheckpoint()
     n4 = k4.count()
     assert n4 == n3 - n_contaminated
-    # stage 5: the budget mix must cut tokens (budgets are set below each
+    # stage 5: DSIR selection toward the en-language target must keep
+    # EXACTLY PIPE_DSIR_KEEP docs — strictly fewer than the decontam
+    # survivors, or the stage is vacuous at this SF
+    target = entry._docs(spark, SF_DIR).where(F.col("lang") == "en").select(
+        "doc_id", "text"
+    )
+    picked = CU.dsir_topk(k4, target, k=entry.PIPE_DSIR_KEEP, persist=False)
+    k5 = k4.join(picked.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
+    n5 = k5.count()
+    assert n5 == entry.PIPE_DSIR_KEEP < n4
+    # stage 6: the budget mix must cut tokens (budgets are set below each
     # language's corpus total at sf0.01) and drop unbudgeted strata
-    k5 = k4.join(
-        CU.budget_sample(k4, entry.CURATE_BUDGETS).select("doc_id"),
+    k6 = k5.join(
+        CU.budget_sample(k5, entry.CURATE_BUDGETS).select("doc_id"),
         "doc_id",
         "left_semi",
     )
-    n5 = k5.count()
-    assert 0 < n5 < n4
-    assert k5.where(~F.col("lang").isin(*entry.CURATE_BUDGETS)).count() == 0
+    n6 = k6.count()
+    assert 0 < n6 < n5
+    assert k6.where(~F.col("lang").isin(*entry.CURATE_BUDGETS)).count() == 0
+
+
+def test_curate_training_corpus_manifest_mode(spark, tmp_path):
+    """manifest_dir= is the production/resumable form: identical results
+    to the in-session mode, stage manifests on disk, and a rerun ADOPTS
+    completed manifests instead of recomputing (proved by handing the
+    rerun a corpus that would give a different answer — the adopted
+    manifests win because no stage recomputes)."""
+    import os
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "lang", "text")
+    )
+    dup = docs.where(F.col("doc_id") == 0).withColumn("doc_id", F.lit(90001))
+    corpus = docs.unionByName(dup)
+    holdout = docs.where(F.col("doc_id") < 10)
+    kwargs = dict(
+        holdout=holdout, quality_quantile=0.25, near_dup_threshold=0.85,
+        num_shards=4, seq_len=256,
+    )
+    mdir = str(tmp_path / "manifests")
+    out1 = {
+        tuple(r)
+        for r in curate_training_corpus(
+            corpus, manifest_dir=mdir, **kwargs
+        ).collect()
+    }
+    in_session = {
+        tuple(r) for r in curate_training_corpus(corpus, **kwargs).collect()
+    }
+    assert out1 == in_session
+    stages = sorted(d for d in os.listdir(mdir) if d.startswith("stage"))
+    assert stages == [
+        "stage01_exact_dedup", "stage02_near_dedup",
+        "stage03_quality_gate", "stage04_decontaminate",
+    ]
+    # rerun with a corpus that would produce a DIFFERENT answer: adopted
+    # manifests mean no stage recomputes, so the output is unchanged
+    decoy = docs.where(F.col("doc_id") < 5)
+    out2 = {
+        tuple(r)
+        for r in curate_training_corpus(
+            decoy, manifest_dir=mdir, **kwargs
+        ).collect()
+    }
+    assert out2 == out1
+    # a changed configuration over the same directory is refused, not
+    # silently blended with the old manifests
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different"):
+        curate_training_corpus(
+            corpus, manifest_dir=mdir, holdout=holdout,
+            quality_quantile=0.5, near_dup_threshold=0.85,
+            num_shards=4, seq_len=256,
+        )
+
+
+def test_curate_training_corpus_manifest_resume_mid_run(spark, tmp_path):
+    """A run killed mid-pipeline resumes at the first incomplete stage:
+    deleting a later stage's manifest (and the _SUCCESS of a partial one)
+    recomputes exactly the missing suffix from the surviving prefix."""
+    import os
+    import shutil
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "lang", "text")
+    )
+    holdout = docs.where(F.col("doc_id") < 10)
+    kwargs = dict(
+        holdout=holdout, quality_quantile=0.25, near_dup_threshold=0.85,
+        num_shards=4, seq_len=256,
+    )
+    mdir = str(tmp_path / "manifests")
+    out1 = {
+        tuple(r)
+        for r in curate_training_corpus(docs, manifest_dir=mdir, **kwargs).collect()
+    }
+    # simulate the crash: stage 4 never committed (partial, no _SUCCESS)
+    shutil.rmtree(os.path.join(mdir, "stage04_decontaminate"))
+    mtime_before = os.path.getmtime(
+        os.path.join(mdir, "stage02_near_dedup", "_SUCCESS")
+    )
+    out2 = {
+        tuple(r)
+        for r in curate_training_corpus(docs, manifest_dir=mdir, **kwargs).collect()
+    }
+    assert out2 == out1
+    assert os.path.exists(os.path.join(mdir, "stage04_decontaminate", "_SUCCESS"))
+    # the surviving prefix was adopted, not rewritten
+    assert os.path.getmtime(
+        os.path.join(mdir, "stage02_near_dedup", "_SUCCESS")
+    ) == mtime_before

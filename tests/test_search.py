@@ -141,3 +141,23 @@ def test_search_many_rejects_mismatched_query_dims(spark):
         [("q0", [1.0, 0.0, 0.0, 0.0])], "query_id string, query_vector array<float>"
     )
     assert S.search_many(vectors, ok, n=3, code_col=None, mag_col=None).count() == 3
+    # expected_dim= skips the eager one-row probe (the facade's declared
+    # length wins over whatever arbitrary row the probe would anchor to)
+    with _pytest.raises(Exception, match="table has 4"):
+        S.search_many(
+            vectors, bad, n=3, code_col=None, mag_col=None, expected_dim=4
+        ).collect()
+    assert (
+        S.search_many(
+            vectors, ok, n=3, code_col=None, mag_col=None, expected_dim=4
+        ).count()
+        == 3
+    )
+    # a NULL query vector is not a dim mismatch: it ranks no rows instead
+    # of raising ('query vector has -1 dims')
+    nullq = spark.createDataFrame(
+        [("q0", None)], "query_id string, query_vector array<float>"
+    )
+    assert (
+        S.search_many(vectors, nullq, n=3, code_col=None, mag_col=None).count() == 0
+    )

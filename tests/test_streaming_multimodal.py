@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -489,6 +490,43 @@ def test_read_state_stable_retries_once(spark, tmp_path, monkeypatch):
     assert [tuple(r) for r in got.collect()] == [(1, 2, 0.9)]
 
 
+def test_read_state_stable_refusals_raise_once(spark, tmp_path, monkeypatch):
+    """The deliberate RuntimeError refusals (shared state dir, batch-id
+    restart) and non-race errors propagate on the FIRST attempt — only
+    the file-vanished class retries."""
+    root = str(tmp_path / "pairs")
+    os.makedirs(root)
+    for exc in (RuntimeError("state dir shared by two streams?"),
+                ValueError("schema drift, not a race")):
+        calls = {"n": 0}
+
+        def boom(*a, _exc=exc, **kw):
+            calls["n"] += 1
+            raise _exc
+
+        monkeypatch.setattr(ST, "_read_state", boom)
+        with pytest.raises(type(exc)):
+            ST._read_state_stable(spark, root, ST._DEDUP_PAIRS_SCHEMA)
+        assert calls["n"] == 1, f"{type(exc).__name__} was retried"
+
+
+def test_read_state_stable_gives_up_after_bounded_retries(spark, tmp_path, monkeypatch):
+    """A persistent file-vanished error propagates after the bounded
+    retry budget instead of looping."""
+    root = str(tmp_path / "pairs")
+    os.makedirs(root)
+    calls = {"n": 0}
+
+    def always_vanished(*a, **kw):
+        calls["n"] += 1
+        raise Exception("FileNotFoundException: never stabilizes")
+
+    monkeypatch.setattr(ST, "_read_state", always_vanished)
+    with pytest.raises(Exception, match="never stabilizes"):
+        ST._read_state_stable(spark, root, ST._DEDUP_PAIRS_SCHEMA)
+    assert calls["n"] == 3
+
+
 def test_stream_queue_ingest_resumes_from_state_path(spark, tmp_path):
     """stream_queue_ingest adopts an existing versioned state dir: the
     second run appends to the first run's queue, not a fresh copy of
@@ -588,3 +626,46 @@ def test_dedup_state_restart_without_checkpoint_is_refused(spark, tmp_path):
         ST._dedup_ingest_apply(spark, *dirs, 0.5, docs, 0)
     # replaying the LATEST batch id stays legal (its own earlier attempt)
     ST._dedup_ingest_apply(spark, *dirs, 0.5, docs.limit(5), 1)
+
+
+def test_queue_state_restart_without_checkpoint_is_refused(spark, tmp_path):
+    """stream_queue_ingest mirrors the dedup stream's restart refusal: a
+    start() reusing state_path with a FRESH checkpoint restarts batch ids
+    at 0 over adopted state and must fail loudly instead of silently
+    replaying the source over the adopted queue (that replay is value-safe
+    only because add_posts happens to be anti-join idempotent)."""
+    now = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    empty = spark.createDataFrame([], QUEUE_SCHEMA)
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(lo, hi, checkpoint):
+        spark.range(lo, hi).select(
+            F.col("id").alias("job_id"), F.col("id").alias("post_id")
+        ).repartition(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("job_id long, post_id long").parquet(src)
+        get_state, q = ST.stream_queue_ingest(
+            spark, stream, empty, now, state_path=state, checkpoint_path=checkpoint
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return get_state
+
+    run_once(0, 10, ckpt)
+    run_once(10, 20, ckpt)  # marker now records batch id 1
+    # same state, FRESH checkpoint -> batch ids restart at 0 < marker
+    stream = spark.readStream.schema("job_id long, post_id long").parquet(src)
+    get_state, q = ST.stream_queue_ingest(
+        spark, stream, empty, now,
+        state_path=state, checkpoint_path=str(tmp_path / "ckpt2"),
+    )
+    with pytest.raises(Exception, match="ORIGINAL checkpoint_path"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # the adopted state survives untouched and readable
+    assert get_state().count() == 20

@@ -650,10 +650,12 @@ def connected_components(
     is enabled, so one call leaves up to ``max_iterations`` edge-set
     copies (two bigints/row each) in the dir.  Point ``checkpoint_dir``
     at a per-run subdirectory and delete it after materializing the
-    result, or enable the cleaner conf.  NOTE: setting it calls
-    ``setCheckpointDir`` on the session's SparkContext (Spark holds ONE
-    checkpoint dir per context — it repoints for every other user of
-    the session).
+    result, or enable the cleaner conf.  Spark holds ONE checkpoint dir
+    per context, so ``setCheckpointDir`` is called for the iteration and
+    the PREVIOUS dir (or unset state) is restored in a ``finally`` —
+    every ``checkpoint()`` here is eager, so nothing outside this call
+    observes the repoint, and the already-written checkpoint files stay
+    readable after the restore.
     Convergence is detected by an order-independent count + hash-sum
     signature of the edge set (count alone is NOT enough: rounds can
     keep the edge count while the set still changes).
@@ -672,38 +674,52 @@ def connected_components(
                 f"got {pairs.schema[c].dataType.simpleString()} — map string "
                 "ids to longs first (e.g. xxhash64) and join back after"
             )
+    sc = pairs.sparkSession.sparkContext
+    prev_ckpt_dir = sc.getCheckpointDir()
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc.setCheckpointDir(checkpoint_dir)
         _ckpt = lambda df: df.checkpoint()
     else:
         _ckpt = lambda df: df.localCheckpoint()
-    e = _ckpt(
-        pairs.select(
-            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    try:
+        e = _ckpt(
+            pairs.select(
+                F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+            .distinct()
         )
-        .where(F.col("u") != F.col("v"))
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .distinct()
-    )
-    prev_sig = e.agg(
-        F.count("*").alias("n"), F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
-    ).first()
-    out_cols = [F.col("u").alias("doc_id"), F.col("v").alias("component_id")]
-    if prev_sig["n"] == 0:
-        return e.select(*out_cols)
-    for _ in range(max_iterations):
-        e2 = _ckpt(_small_star(_large_star(e)))
-        sig = e2.agg(
+        prev_sig = e.agg(
             F.count("*").alias("n"), F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
         ).first()
-        e = e2
-        if (sig["n"], sig["h"]) == (prev_sig["n"], prev_sig["h"]):
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds"
-        )
+        out_cols = [F.col("u").alias("doc_id"), F.col("v").alias("component_id")]
+        if prev_sig["n"] == 0:
+            return e.select(*out_cols)
+        for _ in range(max_iterations):
+            e2 = _ckpt(_small_star(_large_star(e)))
+            sig = e2.agg(
+                F.count("*").alias("n"), F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+            ).first()
+            e = e2
+            if (sig["n"], sig["h"]) == (prev_sig["n"], prev_sig["h"]):
+                break
+            prev_sig = sig
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} rounds"
+            )
+    finally:
+        if checkpoint_dir is not None:
+            # restore the session's checkpoint dir EXACTLY: the var is
+            # Option-typed on the JVM side and setCheckpointDir would
+            # mint a fresh UUID subdir under the old value instead of
+            # restoring it — write the Option back directly, so an
+            # originally-unset dir restores to empty and a set one to
+            # the identical resolved path
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.apply(prev_ckpt_dir)
+            )
     # At convergence the edge set is a star per component: every non-root
     # points straight at its component's min id; roots appear only on the
     # v side.  groupBy-min is belt-and-braces for the (impossible at

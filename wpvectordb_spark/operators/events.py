@@ -337,6 +337,15 @@ def sequence_funnel(
     (under-count, never a false completion — chained mins only ever
     move later when events are dropped); pick the cap well above any
     organic per-user funnel activity so it only clips bots.
+
+    The default stays ``None`` for batch/oracle parity (the uncapped
+    form is the exact funnel), but ANY PRODUCTION RUN over
+    uncurated traffic should set it — ``10_000`` is a sane starting
+    value: orders of magnitude above organic funnel activity for a
+    human user, while bounding a bot user's aggregation buffer to ~160
+    KB of (ts, type) structs.  At 100 TB an uncapped run is one
+    scripted client away from a single-task OOM (docs/SCALE.md
+    "N-step funnel").
     """
     if not steps:
         raise ValueError("sequence_funnel: steps must be non-empty")

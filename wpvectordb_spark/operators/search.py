@@ -207,6 +207,7 @@ def search_many(
     mag_col: str | None = "magnitude",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """Batch top-n search: a DataFrame of query vectors joined against the
     table, per-query top-k via window rank.
@@ -234,13 +235,29 @@ def search_many(
     (table._check_length): a query vector whose length differs from the
     table's packs a different word count, and the misaligned Hamming
     comparison silently returns plausible-looking WRONG rows (or ranks
-    all-NULL distances).  The table's dimension is probed from one row
-    (metadata-cheap); mismatched query rows then fail loudly in-plan.
+    all-NULL distances).  Pass ``expected_dim`` (the facade's declared
+    ``vector_length``) to enforce that dimension with NO extra work;
+    without it the table's dimension is probed from ONE ARBITRARY row —
+    an eager metadata-cheap Spark job at plan-construction time, and on
+    a ragged-dimension table the enforced dim is whichever row the probe
+    happened to read (ragged tables should always pass ``expected_dim``).
+    Mismatched query rows then fail loudly in-plan; a NULL query vector
+    is NOT a mismatch — it is dropped up front and contributes no result
+    rows (the pre-guard behavior was worse than either: NULL scores
+    still take row_number ranks, so a NULL query returned n rows of
+    NULL-cosine noise).
     """
-    dim_row = vectors.select(F.size(vector_col).alias("d")).first()
+    if expected_dim is not None:
+        table_dim = int(expected_dim)
+    else:
+        dim_row = vectors.select(F.size(vector_col).alias("d")).first()
+        table_dim = (
+            int(dim_row["d"])
+            if dim_row is not None and dim_row["d"] is not None
+            else None
+        )
     guarded_qv = F.col(query_vec_col)
-    if dim_row is not None and dim_row["d"] is not None:
-        table_dim = int(dim_row["d"])
+    if table_dim is not None:
         guarded_qv = F.when(
             F.size(query_vec_col) == table_dim, F.col(query_vec_col)
         ).otherwise(
@@ -252,6 +269,7 @@ def search_many(
                 )
             ).cast("array<float>")
         )
+    queries = queries.where(F.col(query_vec_col).isNotNull())
     q = queries.select(
         F.col(query_id_col),
         guarded_qv.alias(query_vec_col),

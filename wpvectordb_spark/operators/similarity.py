@@ -432,6 +432,119 @@ def ivf_topk(
     )
 
 
+def ivf_topk_many(
+    spark,
+    queries: DataFrame,
+    path: str | None = None,
+    k: int = 10,
+    n_probe: int = 4,
+    assigned: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+) -> DataFrame:
+    """Batched IVF: a DataFrame of query vectors served by ONE plan
+    against the persisted (or precomputed) index — the 100x serving
+    shape.  ``ivf_topk_from_index`` runs one driver round-trip per query
+    (rank centroids, collect the probe list, read, rank); a query BATCH
+    through that loop re-reads and re-plans per vector.  Here the whole
+    batch shares one pass:
+
+    1. probe ranking — queries cross-join the broadcast centroid table
+       (tiny by construction) and a per-query ``row_number`` keeps each
+       query's ``n_probe`` best clusters;
+    2. partition pruning — the probed cluster ids are collected once
+       (bounded by ``n_clusters`` DISTINCT values, not by |queries|) into
+       a literal ``IN`` filter, so the partitioned-by-cluster_id parquet
+       read skips every cluster no query probes;
+    3. candidate fan-out — pruned vectors equi-join the broadcast
+       (query_id, cluster_id, query_vector) probe pairs on cluster_id:
+       each vector row fans out ONLY to the queries probing its cluster
+       (never |queries| copies, the cross-join failure mode);
+    4. per-query top-k — the ``search_many`` window pattern: project to
+       narrow (query_id, id, score) rows BEFORE the rank exchange, local
+       per-(query, scan-partition) pre-top-k so the global per-query
+       sort sees <= k x #partitions rows regardless of corpus size.
+
+    ``path`` reads the ``build_ivf_index`` layout; alternatively pass
+    in-memory ``assigned`` (an ``assign_clusters`` result — reusable
+    across calls) + ``centroids`` frames.  Per-query results equal
+    ``ivf_topk_from_index`` on the same index (test-asserted).  Query
+    vectors are assumed to match the index dimension — a mismatched
+    query ranks by a truncated ``zip_with`` fold like the single-query
+    form, garbage-in-garbage-out; dimension guards live at the facade
+    layer (table._check_length / search_many's in-plan raise).
+    """
+    from pyspark.sql import Window
+
+    if path is not None:
+        centroids = spark.read.parquet(f"{path}/centroids")
+    elif assigned is None or centroids is None:
+        raise ValueError("ivf_topk_many: pass path= or assigned= + centroids=")
+    q = queries.select(
+        query_id_col,
+        query_vec_col,
+        K.magnitude(query_vec_col).alias("_q_mag"),
+    )
+    qsim = K.cosine_similarity(
+        F.col(query_vec_col), F.col("centroid"), F.col("_q_mag"), F.col("centroid_mag")
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.col("_qsim").desc(), F.col("cluster_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(query_id_col, query_vec_col, "_q_mag", "cluster_id", qsim.alias("_qsim"))
+        .withColumn("_prank", F.row_number().over(w_probe))
+        .where(F.col("_prank") <= n_probe)
+        .select(query_id_col, query_vec_col, "_q_mag", "cluster_id")
+    )
+    probes = probes.localCheckpoint(eager=True)  # tiny (Q x n_probe); computed
+    # once here instead of once for the id-collect and once per downstream join
+    probe_ids = sorted(
+        r["cluster_id"]
+        for r in probes.select("cluster_id").distinct().collect()
+        # bounded collect: <= n_clusters distinct values regardless of |queries|
+    )
+    if path is not None:
+        clustered = spark.read.parquet(f"{path}/vectors").where(
+            F.col("cluster_id").isin(probe_ids)  # literal IN -> partition pruning
+        )
+    else:
+        clustered = assigned.where(F.col("cluster_id").isin(probe_ids))
+    cos = K.cosine_similarity(
+        F.col(query_vec_col), F.col(vector_col), F.col("_q_mag"), None
+    )
+    narrow = (
+        clustered.join(F.broadcast(probes), "cluster_id")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col("cluster_id"),
+            cos.alias("_cos"),
+            F.spark_partition_id().alias("_pid"),
+        )
+    )
+    order = [F.col("_cos").desc_nulls_last(), F.col(id_col).asc()]
+    w_local = Window.partitionBy(query_id_col, "_pid").orderBy(*order)
+    w_global = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        narrow.withColumn("_lrank", F.row_number().over(w_local))
+        .where(F.col("_lrank") <= k)
+        .withColumn("_crank", F.row_number().over(w_global))
+        .where(F.col("_crank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "cluster_id",
+            F.col("_crank").alias("rank"),
+            F.round("_cos", 9).alias("cosine_similarity"),
+        )
+    )
+
+
 # --- LSH-bucketed ANN (sign-code band buckets) -------------------------------
 
 BAND_SHIFT = 1 << 32  # band-id tag stays clear of the 16-bit chunk value

@@ -214,12 +214,24 @@ def stream_queue_ingest(
     version repointing uses driver-local ``os`` calls, so remote URIs
     are refused (same rule as the table facades — production state is
     Delta/Iceberg).
+
+    Mirroring the dedup stream's restart refusal: a ``_last_batch``
+    marker records the newest applied batch id, and a micro-batch whose
+    id is LOWER than the marker (a ``start()`` reusing ``state_path``
+    with a fresh/missing ``checkpoint_path``, so the batch-id sequence
+    restarted over adopted state) raises instead of silently replaying
+    the whole source over the adopted queue.  That replay happens to be
+    VALUE-safe today only because ``add_posts`` is anti-join idempotent
+    — the guard keeps that property from being silently load-bearing.
+    A replay of the SAME batch id (marker == id, crash-recovery) stays
+    allowed.
     """
     import shutil
 
     from wpvectordb_spark.operators import queue_ops as Q
 
     root = _state_root(state_path, "stream_queue_state_")
+    marker = os.path.join(root, "_last_batch")
     # adopt only COMMITTED versions (_SUCCESS marker): a crashed
     # mid-write leaves a partial v<N> dir, and resuming from partial
     # state would silently drop the missing rows forward forever
@@ -238,6 +250,18 @@ def stream_queue_ingest(
         state = {"path": v0, "version": 0}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                last = int(fh.read().strip() or -1)
+            if bid < last:
+                raise RuntimeError(
+                    f"queue state dir {root} already holds batch {last} but "
+                    f"the stream is processing batch {bid} — resuming a "
+                    "state_path requires the ORIGINAL checkpoint_path so "
+                    "batch ids continue (or a fresh state_path for a new "
+                    "stream)"
+                )
         jobs = batch_df.select(F.col("job_id"), F.col("post_id"))
         prev = spark.read.parquet(state["path"])
         new_state = Q.add_posts(prev, jobs, now)
@@ -247,6 +271,13 @@ def stream_queue_ingest(
         state["version"] += 1
         stale = os.path.join(root, f"v{state['version'] - 2}")
         shutil.rmtree(stale, ignore_errors=True)
+        # marker last (tmp + atomic rename): a crash between the state
+        # write and the marker leaves marker == bid-1, and the replay of
+        # bid passes the < check — never a false refusal
+        tmp = marker + "__tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(bid))
+        os.replace(tmp, marker)
 
     ckpt = checkpoint_path or os.path.join(
         tempfile.gettempdir(), f"ckpt_q_{uuid.uuid4().hex[:8]}"
@@ -474,11 +505,42 @@ def _read_state_stable(spark: SparkSession, root: str, schema: str) -> DataFrame
     attempt reads the SAME logical state.  The returned frame is then
     immune to later state churn.  (In-batch reads use the raw
     ``_read_state``: foreachBatch is the single writer, nothing swaps
-    underneath it mid-batch.)"""
-    try:
-        return _read_state(spark, root, schema).localCheckpoint(eager=True)
-    except Exception:
-        return _read_state(spark, root, schema).localCheckpoint(eager=True)
+    underneath it mid-batch.)
+
+    Only the FILE-VANISHED failure class retries (and only twice more):
+    the deliberate RuntimeError refusals (shared state dir, batch-id
+    restart) and real errors (schema, permissions) must stay single-shot
+    — an earlier bare ``except Exception`` re-executed the refusal path
+    before propagating, doubling side-effect-free but confusing work and
+    masking which attempt actually failed."""
+    attempts = 3
+    for i in range(attempts):
+        try:
+            return _read_state(spark, root, schema).localCheckpoint(eager=True)
+        except RuntimeError:
+            raise  # deliberate refusal — never a race, never retried
+        except Exception as e:
+            if i == attempts - 1 or not _is_file_vanished(e):
+                raise
+
+
+def _is_file_vanished(e: Exception) -> bool:
+    """True iff the error is the listed-file-disappeared race (a
+    concurrent compaction gc or batch-replay overwrite swapped files
+    between the plan's listing and its execution).  Matched on the JVM
+    exception text: Spark surfaces it as FileNotFoundException /
+    PATH_NOT_FOUND / FILE_NOT_EXIST depending on where in the scan the
+    vanish is noticed."""
+    msg = str(e)
+    return any(
+        marker in msg
+        for marker in (
+            "FileNotFoundException",
+            "PATH_NOT_FOUND",
+            "FILE_NOT_EXIST",
+            "does not exist",
+        )
+    )
 
 
 def _norm_pairs(pairs: DataFrame) -> DataFrame:

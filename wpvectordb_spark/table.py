@@ -53,11 +53,22 @@ def _check_local_path(path: str) -> str:
     letters/digits/+.-, then ``:/``), not just ``://``: Hadoop and Spark
     canonicalize local paths to the SINGLE-slash form (``file:/x``,
     ``hdfs:/x``), so a path copy-pasted from logs or ``inputFiles()``
-    must not slip past the guard as a weird relative path."""
+    must not slip past the guard as a weird relative path.  Two-plus
+    letter schemes only: a Windows drive path (``C:/data``) is a local
+    path, not a scheme ``C`` URI (no registered URI scheme is a single
+    letter, so nothing real is lost).  A slashless ``file:relative``
+    form is refused explicitly — it is neither a canonical Hadoop form
+    nor a plain path, and silently treating it as a literal local
+    filename named ``file:relative`` helps no one."""
     import re
 
+    if re.match(r"^file:(?![/])", path, re.IGNORECASE):
+        raise ValueError(
+            f"malformed file: URI {path!r} (no slash) — pass a plain "
+            "local path or a canonical file:/ URI"
+        )
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):/", path)
-    if m is None:
+    if m is None or len(m.group(1)) == 1:
         return path
     if m.group(1).lower() == "file":
         from urllib.parse import urlparse
