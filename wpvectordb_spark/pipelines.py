@@ -18,18 +18,26 @@ previous survivor set; Spark does not deduplicate common subtrees across
 joins), so an unbarriered chain re-evaluates earlier stages
 MULTIPLICATIVELY — ~3x per stage compounds to two orders of magnitude
 over five stages (measured: 470 s -> ~10 s at sf0.01 when the per-stage
-barriers landed).  Every barrier is a ``persist()``; after the
-filter chain, ``persist=True`` materializes the final survivor set and
-hands off (releases) the intermediates, keeping the final cache for the
-caller, while ``persist=False`` converts the final set to an EAGER
-``localCheckpoint`` (runs the chain at call time; blocks are GC'd with
-the returned frame) and releases every stage cache — no session-lifetime
-cache accumulation, the right mode for one-shot calls.
-On a production run, write the survivor manifest to parquet at the same
-points instead; the barrier is the in-session form of that checkpoint.
+barriers landed).  Every barrier is an EAGER ``localCheckpoint`` — it
+both dedupes the multi-scans and truncates the logical plan, and the
+truncation matters as much as the dedup: with full lineage preserved
+(lazy ``persist()``) Catalyst re-analyzes every earlier stage's plan per
+consumer and the DRIVER becomes the bottleneck once wide expression
+trees (DSIR's hashed n-grams) join the chain (measured: 27 s -> ~7 s at
+sf0.01 when the barriers switched to localCheckpoint).  Stage blocks are
+GC'd with their frames, so nothing accumulates for the session;
+``persist=True`` additionally registers the FINAL survivor set in the
+cache manager so long-lived callers keep an explicit ``.unpersist()``
+handle for the downstream fan-out.
+``manifest_dir=`` is the production form of the same checkpoints: each
+survivor set lands as a parquet manifest and reruns resume from the
+last completed stage (the in-session barriers are the ephemeral form).
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -37,6 +45,32 @@ from pyspark.sql import functions as F
 from wpvectordb_spark.operators import curation as CU
 from wpvectordb_spark.operators import dedup as D
 from wpvectordb_spark.operators import text_analysis as TA
+
+
+def _guard_manifest_params(manifest_dir: str, params: dict) -> None:
+    """Pin the stage-affecting parameters of a manifest directory: a
+    rerun with different parameters would ADOPT manifests computed under
+    the old configuration and silently emit a mixed-config corpus — the
+    exact class of quiet wrongness the loud-refusal guards elsewhere in
+    the package exist to prevent.  First run writes ``_params.json``;
+    later runs must match it byte-for-byte (sorted-key JSON)."""
+    blob = json.dumps(params, sort_keys=True)
+    path = os.path.join(manifest_dir, "_params.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            existing = fh.read()
+        if existing != blob:
+            raise ValueError(
+                f"manifest_dir {manifest_dir!r} was written with different "
+                f"parameters ({existing}) than this call ({blob}) — reruns "
+                "must use the original configuration, or a fresh "
+                "manifest_dir"
+            )
+        return
+    tmp = path + "__tmp"
+    with open(tmp, "w") as fh:
+        fh.write(blob)
+    os.replace(tmp, path)
 
 
 def curate_training_corpus(
@@ -55,6 +89,7 @@ def curate_training_corpus(
     text_col: str = "text",
     stratum_col: str = "lang",
     persist: bool = True,
+    manifest_dir: str | None = None,
 ) -> DataFrame:
     """documents -> packed, sharded training corpus in one composed plan.
 
@@ -77,104 +112,178 @@ def curate_training_corpus(
     Returns (id, stratum, n_tokens, seq_start, seq_end, shard, pos) —
     the manifest a training loader consumes.
 
-    ``persist=False`` ends the filter chain with an EAGER
-    ``localCheckpoint`` and releases every intermediate stage cache
-    before returning: the only residual blocks are the final survivor
-    set's, and those die with the returned frame — use it for one-shot
-    calls (driver arms, bench) and many-corpora sessions.  The trade:
-    the filter chain executes at CALL time (one job), and a lost
-    executor invalidates the checkpoint blocks (rerun the call) — the
-    standard localCheckpoint contract.
-    """
-    # Barrier after every stage that the NEXT stage consumes more than
-    # once (see module docstring): without it each stage re-evaluates
-    # its whole upstream chain per reference and the cost compounds
-    # multiplicatively.
-    def _barrier(df: DataFrame) -> DataFrame:
-        return df.persist()
+    In-session, every stage barrier is an EAGER ``localCheckpoint``
+    (see ``_stage`` for why plan truncation, not just scan dedup, is
+    what the barrier must buy); intermediate blocks die with their
+    frames, so neither mode accumulates session state.  ``persist=True``
+    additionally registers the final survivor set in the cache manager,
+    giving long-lived callers an explicit ``.unpersist()`` handle for
+    the downstream fan-out; ``persist=False`` skips that — the one-shot
+    mode for driver arms, bench, and many-corpora sessions.  The trade
+    either way: the filter chain executes at CALL time (one job per
+    stage), and a lost executor invalidates checkpoint blocks (rerun
+    the call) — the standard localCheckpoint contract.
 
-    staged: list[DataFrame] = []  # stage caches to hand off / release
+    ``manifest_dir`` is the PRODUCTION form of the same barriers: each
+    stage's survivor set is written to parquet under the directory
+    (``stage01_exact_dedup`` ... ``stage06_budget_mix``) instead of
+    cached, and a RERUN over the same directory ADOPTS every completed
+    stage manifest — the stage's computation (and everything upstream
+    of it) is skipped entirely, so a run killed at stage 4 resumes at
+    stage 4, and the packed output can be regenerated from the final
+    manifest without re-running any filter.  Completion is the parquet
+    ``_SUCCESS`` marker (a killed mid-write leaves no marker; the rerun
+    overwrites the partial dir).  ``_params.json`` pins the
+    stage-affecting parameters — a rerun with different parameters over
+    the same directory is REFUSED, since adopted manifests would
+    silently reflect the old configuration (the input ``docs`` frame
+    itself is the caller's half of that contract: one manifest_dir per
+    (corpus, config) run).  ``persist`` is ignored in this mode — there
+    are no session caches to manage, and results are identical to both
+    in-session modes (test-asserted).  Local paths only (the completion
+    checks are driver-local ``os`` calls); at 100 TB the same layout
+    maps 1:1 onto Delta/Iceberg tables with the job-level idempotence
+    handled by the table format.
+    """
+    spark = docs.sparkSession
+    stage_no = [0]
+    if manifest_dir is not None:
+        from wpvectordb_spark.table import _check_local_path
+
+        manifest_dir = _check_local_path(manifest_dir)
+        os.makedirs(manifest_dir, exist_ok=True)
+        _guard_manifest_params(
+            manifest_dir,
+            {
+                "quality_quantile": quality_quantile,
+                "near_dup_threshold": near_dup_threshold,
+                "decontam_shingles": decontam_shingles,
+                "dsir_keep": dsir_keep if dsir_target is not None else None,
+                "budgets": budgets,
+                "has_holdout": holdout is not None,
+                "has_dsir_target": dsir_target is not None,
+                "id_col": id_col,
+                "text_col": text_col,
+                "stratum_col": stratum_col,
+            },
+        )
+
+    def _stage(name: str, compute) -> DataFrame:
+        """Barrier after every stage that the NEXT stage consumes more
+        than once (see module docstring): without it each stage
+        re-evaluates its whole upstream chain per reference and the cost
+        compounds multiplicatively.  In-session the barrier is an EAGER
+        ``localCheckpoint``, which does two jobs at once: dedupes the
+        downstream multi-scans AND truncates the logical plan.  The
+        truncation is load-bearing, not hygiene — a lazy ``persist()``
+        keeps the full lineage, so every stage's plan embeds every
+        earlier stage's plan and Catalyst re-analyzes the whole prefix
+        per consumer; with DSIR's wide hashed-n-gram expression trees in
+        the chain that driver-side cost went superlinear (measured at
+        sf0.01: 27 s warm with lazy persists, 66 s with eagerly-counted
+        persists — the count adds yet another optimizer pass per prefix
+        — vs ~7 s with localCheckpoint barriers, identical rows).  In
+        manifest mode the barrier is a durable parquet write (inherently
+        eager AND lineage-truncating), and an already-committed manifest
+        is adopted WITHOUT invoking ``compute`` — that skip is what
+        makes reruns resume."""
+        stage_no[0] += 1
+        if manifest_dir is None:
+            return compute().localCheckpoint(eager=True)
+        path = os.path.join(manifest_dir, f"stage{stage_no[0]:02d}_{name}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            compute().write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     kept = docs
     # 1. exact dedup
-    winners = D.exact_dedup(kept, id_col=id_col, text_col=text_col).select(id_col)
-    kept = _barrier(kept.join(winners, id_col, "left_semi"))
-    staged.append(kept)
+    def _exact(k: DataFrame) -> DataFrame:
+        winners = D.exact_dedup(k, id_col=id_col, text_col=text_col).select(id_col)
+        return k.join(winners, id_col, "left_semi")
+
+    kept = _stage("exact_dedup", lambda k=kept: _exact(k))
     # 2. near-dedup (greedy min-id survivors).  The shingle index is
     # computed ONCE behind its own barrier and handed to the pair
     # pipeline precomputed (minhash's internal persist is then off: its
     # three consumers read the barrier, so one-shot mode leaves no
     # shingle cache AND never re-tokenizes — re-hashing the whole corpus
     # per consumer is real money at 100 TB).
-    sh = _barrier(
-        D.shingle_sets(kept.select(id_col, text_col), id_col=id_col, text_col=text_col)
-    )
-    staged.append(sh)
-    pairs = D.minhash_lsh_dedup_pairs(
-        sh,
-        threshold=near_dup_threshold,
-        id_col=id_col,
-        text_col=text_col,
-        persist=False,
-    )
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    kept = _barrier(kept.join(dropped, id_col, "left_anti"))
-    staged.append(kept)
-    # 3. per-stratum quality gate (the filter projects survivors' ids;
-    # semi-join them back so text flows on to the later stages)
-    scored = kept.withColumn("quality", TA.quality_score(text_col))
-    good = CU.quality_quantile_filter(
-        scored, quantile=quality_quantile, stratum_col=stratum_col, id_col=id_col
-    ).select(id_col)
-    kept = _barrier(kept.join(good, id_col, "left_semi"))
-    staged.append(kept)
-    # 4. decontamination
-    if holdout is not None:
-        flags = CU.decontaminate(
-            kept, holdout, threshold=decontam_shingles, id_col=id_col, text_col=text_col
-        )
-        clean = flags.where(F.col("contaminated") == 0).select(id_col)
-        kept = _barrier(kept.join(clean, id_col, "left_semi"))
-        staged.append(kept)
-    # 5. DSIR selection toward the target distribution
-    if dsir_target is not None:
-        picked = CU.dsir_topk(
-            kept,
-            dsir_target,
-            k=dsir_keep,
+    def _near_dedup(k: DataFrame) -> DataFrame:
+        # call-scoped barrier: blocks are GC'd with the frame once the
+        # stage barrier (or manifest write) has consumed the pairs
+        sh = D.shingle_sets(
+            k.select(id_col, text_col), id_col=id_col, text_col=text_col
+        ).localCheckpoint(eager=True)
+        pairs = D.minhash_lsh_dedup_pairs(
+            sh,
+            threshold=near_dup_threshold,
             id_col=id_col,
             text_col=text_col,
-            persist=False,  # kept is a barrier: the 2x feature re-explode is
-            # bounded, and dsir's internal cache has no release handle here
+            persist=False,
+        )
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return k.join(dropped, id_col, "left_anti")
+
+    kept = _stage("near_dedup", lambda k=kept: _near_dedup(k))
+    # 3. per-stratum quality gate (the filter projects survivors' ids;
+    # semi-join them back so text flows on to the later stages)
+    def _quality(k: DataFrame) -> DataFrame:
+        scored = k.withColumn("quality", TA.quality_score(text_col))
+        good = CU.quality_quantile_filter(
+            scored, quantile=quality_quantile, stratum_col=stratum_col, id_col=id_col
         ).select(id_col)
-        kept = _barrier(kept.join(picked, id_col, "left_semi"))
-        staged.append(kept)
+        return k.join(good, id_col, "left_semi")
+
+    kept = _stage("quality_gate", lambda k=kept: _quality(k))
+    # 4. decontamination
+    if holdout is not None:
+        def _decontam(k: DataFrame) -> DataFrame:
+            flags = CU.decontaminate(
+                k, holdout, threshold=decontam_shingles, id_col=id_col, text_col=text_col
+            )
+            clean = flags.where(F.col("contaminated") == 0).select(id_col)
+            return k.join(clean, id_col, "left_semi")
+
+        kept = _stage("decontaminate", lambda k=kept: _decontam(k))
+    # 5. DSIR selection toward the target distribution
+    if dsir_target is not None:
+        def _dsir(k: DataFrame) -> DataFrame:
+            picked = CU.dsir_topk(
+                k,
+                dsir_target,
+                k=dsir_keep,
+                id_col=id_col,
+                text_col=text_col,
+                persist=False,  # k is a barrier: the 2x feature re-explode is
+                # bounded, and dsir's internal cache has no release handle here
+            ).select(id_col)
+            return k.join(picked, id_col, "left_semi")
+
+        kept = _stage("dsir_select", lambda k=kept: _dsir(k))
     # 6. token-budget mixing
     if budgets is not None:
-        kept = _barrier(
-            kept.join(
+        def _budget(k: DataFrame) -> DataFrame:
+            return k.join(
                 CU.budget_sample(
-                    kept, budgets, stratum_col=stratum_col, id_col=id_col, text_col=text_col
+                    k, budgets, stratum_col=stratum_col, id_col=id_col, text_col=text_col
                 ).select(id_col),
                 id_col,
                 "left_semi",
             )
-        )
-        staged.append(kept)
-    # Hand off the stage caches: materialize the FINAL survivor set,
-    # then release every intermediate — otherwise each pipeline call
-    # leaves one cached corpus PER STAGE resident for the session's
-    # lifetime.  persist=True keeps the final set cached for the
-    # downstream fan-out (caller-managed); persist=False converts it to
-    # an eager localCheckpoint (lineage truncated, blocks GC'd with the
-    # frame) and releases ALL stage caches.
-    if persist:
+
+        kept = _stage("budget_mix", lambda k=kept: _budget(k))
+    # Final survivor set: the last stage barrier already materialized
+    # and lineage-truncated it, and intermediate stage blocks are GC'd
+    # with their frames — nothing accumulates for the session either
+    # way.  persist=True additionally registers the final set in the
+    # cache manager so the caller keeps an explicit handle
+    # (.unpersist()) for long-lived downstream fan-out, the documented
+    # contract; persist=False leaves it as the call-scoped checkpoint.
+    # Manifest mode has nothing to manage: kept is a durable parquet
+    # read, already barriered.
+    if manifest_dir is None and persist:
+        kept = kept.persist()
         kept.count()
-        for df in staged[:-1]:
-            df.unpersist()
-    else:
-        kept = kept.localCheckpoint(eager=True)
-        for df in staged:
-            df.unpersist()
     # 7. packing + sharding
     packed = CU.pack_sequences(
         kept,
