@@ -181,3 +181,15 @@ def test_ivf_topk_many_in_memory_assigned(spark, emb):
         ]
     with pytest.raises(ValueError, match="pass path="):
         SIM.ivf_topk_many(spark, queries)
+    # NULL query vectors contribute no result rows (search_many's
+    # contract) instead of k rows of NULL-cosine noise
+    with_null = queries.unionByName(
+        spark.createDataFrame(
+            [(999,)], "query_id long"
+        ).withColumn("query_vector", F.lit(None).cast("array<float>"))
+    )
+    got_null = SIM.ivf_topk_many(
+        spark, with_null, assigned=assigned, centroids=cents, k=10, n_probe=4
+    )
+    assert got_null.where(F.col("query_id") == 999).count() == 0
+    assert sorted(map(tuple, got_null.collect())) == rows

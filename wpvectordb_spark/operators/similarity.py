@@ -475,7 +475,10 @@ def ivf_topk_many(
     vectors are assumed to match the index dimension — a mismatched
     query ranks by a truncated ``zip_with`` fold like the single-query
     form, garbage-in-garbage-out; dimension guards live at the facade
-    layer (table._check_length / search_many's in-plan raise).
+    layer (table._check_length / search_many's in-plan raise).  NULL
+    query vectors are dropped up front (same contract as search_many:
+    without the drop a NULL query's NULL similarities still take
+    row_number ranks and return k rows of NULL-cosine noise).
     """
     from pyspark.sql import Window
 
@@ -483,6 +486,7 @@ def ivf_topk_many(
         centroids = spark.read.parquet(f"{path}/centroids")
     elif assigned is None or centroids is None:
         raise ValueError("ivf_topk_many: pass path= or assigned= + centroids=")
+    queries = queries.where(F.col(query_vec_col).isNotNull())
     q = queries.select(
         query_id_col,
         query_vec_col,
