@@ -296,6 +296,36 @@ def test_embedding_near_dup(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, catalyst))
 
 
+def test_embedding_near_dup_arrow_null_and_ragged_edges(spark):
+    """The Arrow block kernel matches the catalyst engine's NULL-vector
+    semantics (dropped: a NULL cosine never clears the threshold) instead
+    of crashing np.stack, and a block with MIXED dimensions is refused
+    with a named error — a padded/truncated cosine could emit a false
+    near-dup, which downstream survivor anti-joins turn into data loss."""
+    rows = [(i, [1.0] * 8, "x") for i in range(4)]
+    with_null = spark.createDataFrame(
+        rows + [(99, None, "x")], "vec_id long, embedding array<float>, label string"
+    )
+    arrow = sorted(
+        map(tuple, D.embedding_near_dup_pairs(
+            with_null, threshold=0.5, block_col="label", engine="arrow"
+        ).collect())
+    )
+    catalyst = sorted(
+        map(tuple, D.embedding_near_dup_pairs(
+            with_null, threshold=0.5, block_col="label", engine="catalyst"
+        ).collect())
+    )
+    assert arrow == catalyst and len(arrow) == 6  # C(4,2), 99 contributes none
+    ragged = spark.createDataFrame(
+        rows + [(99, [1.0] * 4, "x")], "vec_id long, embedding array<float>, label string"
+    )
+    with pytest.raises(Exception, match="differing"):
+        D.embedding_near_dup_pairs(
+            ragged, threshold=0.5, block_col="label", engine="arrow"
+        ).collect()
+
+
 def test_language_id_on_clear_text(spark):
     df = spark.createDataFrame(
         [

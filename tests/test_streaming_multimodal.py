@@ -366,6 +366,29 @@ def test_sample_frames_k1_and_null_payload(spark):
     assert out[2] == 1  # (16*16)//256 from the b'' zero-fill path
 
 
+def test_null_media_type_reaches_codec_as_empty_string(spark):
+    """A NULL media_type row must not crash the worker with the codec's
+    AttributeError ('NoneType' has no startswith) — the plumbing hands
+    the codec '' (its dispatch input; rejecting an empty type is the
+    codec's typed decision), same rule as the NULL-payload b'' sanitize,
+    across all three codec-calling kernels."""
+    from wpvectordb_spark.operators import multimodal as M
+
+    # NOT MEDIA_SCHEMA: the facade schema declares media_type non-null,
+    # but the operators accept any user frame with these columns, where
+    # the column is typically nullable
+    media = spark.createDataFrame(
+        [(1, None, b"0123456789abcdef"), (2, "image/png", None)],
+        "media_id long, media_type string, payload binary",
+    )
+    assert M.decode_media(media, codec=M.fake_codec).count() == 2
+    frames = M.sample_frames(
+        media, k=2, codec=M.fake_codec, frame_extractor=M.fake_frame_extractor
+    ).collect()
+    assert {r["media_id"] for r in frames} == {1, 2}
+    assert M.resize_media(media, 16, 16, resizer=M.fake_resizer).count() == 2
+
+
 def test_stream_dedup_ingest_compaction_bounds_state_dirs(spark, tmp_path):
     """A long-running stream must not accumulate one state dir per
     micro-batch: with compact_every=2, 20 micro-batches end with <= 3

@@ -754,7 +754,22 @@ def embedding_near_dup_pairs_arrow(
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
-        mat = np.stack(pdf[vector_col].to_numpy()).astype(np.float64)
+        try:
+            mat = np.stack(pdf[vector_col].to_numpy()).astype(np.float64)
+        except ValueError:
+            # ragged dimensions in the block: np.stack's shape error is
+            # opaque, and padding/truncating instead would compute a
+            # WRONG cosine — a false near-dup match here DELETES a
+            # document downstream (the survivor anti-join).  Diagnose
+            # only on failure so the happy path stays one C-level stack.
+            dims = sorted({len(v) for v in pdf[vector_col]})
+            raise ValueError(
+                f"embedding_near_dup_pairs: block "
+                f"{pdf[block_col].iloc[0]!r} holds vectors of differing "
+                f"dimensions {dims} — near-dup cosine requires one "
+                "dimension per comparison; fix the corpus or block by "
+                "dimension first"
+            ) from None
         norms = np.sqrt((mat * mat).sum(axis=1))
         sims = (mat @ mat.T) / (np.outer(norms, norms) + 1e-12)
         iu, ju = np.triu_indices(len(ids), k=1)
@@ -770,8 +785,10 @@ def embedding_near_dup_pairs_arrow(
         # drop NULL blocks BEFORE grouping: the catalyst equi-join path
         # never matches NULL = NULL, but groupBy collects all NULL-label
         # rows into ONE pandas group and would emit pairs among them (a
-        # hot single task AND an engine-parity break)
-        .where(F.col(block_col).isNotNull())
+        # hot single task AND an engine-parity break).  NULL vectors drop
+        # too — the catalyst form's NULL cosine never clears the
+        # threshold, while np.stack over a None crashed the whole block
+        .where(F.col(block_col).isNotNull() & F.col(vector_col).isNotNull())
         .groupBy(block_col)
         .applyInPandas(block_pairs, out_schema)
     )

@@ -217,10 +217,16 @@ def decode_media(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                # sanitize NULL payloads to b"" before the user callable:
-                # real PIL/ffmpeg codecs take bytes and would raise
-                # TypeError mid-job on None (media_features' precedent)
-                {"media_id": mid, **codec(mt, pl if pl is not None else b"")}
+                # sanitize NULL payloads to b"" and NULL media types to ""
+                # before the user callable: real PIL/ffmpeg codecs take
+                # (str, bytes) and would raise TypeError/AttributeError
+                # mid-job on None (media_features' precedent); an empty
+                # type string is the codec's decision to reject, a typed
+                # error instead of a worker stack trace
+                {
+                    "media_id": mid,
+                    **codec(mt if mt is not None else "", pl if pl is not None else b""),
+                }
                 for mid, mt, pl in zip(pdf["media_id"], pdf["media_type"], pdf["payload"])
             ]
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "n_frames"])
@@ -276,6 +282,7 @@ def sample_frames(
             rows = []
             for mid, mt, pl in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
                 pl = pl if pl is not None else b""
+                mt = mt if mt is not None else ""  # decode_media's sanitize rule
                 n_frames = int(codec(mt, pl)["n_frames"])
                 if n_frames <= 0:
                     continue
@@ -357,7 +364,10 @@ def resize_media(
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = [
-                resizer(mt, pl if pl is not None else b"", tw, th)
+                # same sanitize rule as decode_media — fake_resizer
+                # ignores media_type, but a real resizer dispatches on it
+                # and would crash on None
+                resizer(mt if mt is not None else "", pl if pl is not None else b"", tw, th)
                 for mt, pl in zip(pdf["media_type"], pdf["payload"])
             ]
             # whole-batch numpy checksum pass, same as media_features —
