@@ -1504,10 +1504,13 @@ def _pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN through four index shapes: LSH band buckets (pure-predicate
+    """ANN through five index shapes: LSH band buckets (pure-predicate
     candidates), IVF (in-memory assignment), the PERSISTED IVF index
     (build to parquet partitioned by cluster_id, query through the
-    partition-pruned read — the plan that actually runs at 100 TB), and
+    partition-pruned read — the plan that actually runs at 100 TB),
+    BATCHED IVF serving (``ivf_topk_many``: five query vectors through
+    ONE partition-pruned plan, each query's id fused into the method
+    tag as ``many<qid>`` so the union schema stays four columns), and
     int8 quantized-scan + exact-rerank, tagged."""
     lsh = _q_ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"),
@@ -1534,10 +1537,37 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, ivf_path, _query_vector(spark, sf_dir), k=10, n_probe=4
             ).collect()
         ]
+        # batched serving against the SAME persisted index: 5 queries,
+        # one plan; bounded collect (5 x k rows) so the temp index dir
+        # can be removed before the driver consumes the lazy union
+        many_rows = [
+            (
+                f"many{int(r['query_id'])}",
+                int(r["vec_id"]),
+                int(r["cluster_id"]),
+                float(r["cosine_similarity"]),
+            )
+            for r in SIM.ivf_topk_many(
+                spark,
+                _emb(spark, sf_dir)
+                .where(F.col("vec_id") < 5)
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vector"),
+                ),
+                path=ivf_path,
+                k=10,
+                n_probe=4,
+            ).collect()
+        ]
     ivf_idx = spark.createDataFrame(
         idx_rows, "vec_id long, cluster_id long, cosine_similarity double"
     ).select(
         F.lit("ivf_idx").alias("method"), "vec_id", "cluster_id", "cosine_similarity"
+    )
+    many = spark.createDataFrame(
+        many_rows,
+        "method string, vec_id long, cluster_id long, cosine_similarity double",
     )
     quant = SIM.quantized_topk(
         _emb(spark, sf_dir), _query_vector(spark, sf_dir), n=10
@@ -1547,7 +1577,7 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("cluster_id"),
         "cosine_similarity",
     )
-    return lsh.unionByName(ivf).unionByName(ivf_idx).unionByName(quant)
+    return lsh.unionByName(ivf).unionByName(ivf_idx).unionByName(many).unionByName(quant)
 
 
 def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1691,9 +1721,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- changed in round 5 (front of window): streaming-ingest
         # 'stream' arm under the telescoping oracle; pipeline arm now
-        # exercises its DSIR stage ---
+        # exercises its DSIR stage; batched-IVF 'many<qid>' arms ---
         "dedup_minhash_lsh": _q_dedup_minhash_components,
         "curate_sample_pack": _q_curate_sample_pack,
+        "ann_lsh_ivf": _q_ann_lsh_ivf,
         # --- changed in round 3: non-vacuous anti-join
         # arms, C10/C11/J11 scalar+DDL arms, persisted-IVF ivf_idx arm,
         # ExactSubstr duplicate-span arm ---
@@ -1701,7 +1732,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_membership": _q_rel_membership,
         "crud_composite_get": _q_crud_composite_get,
         "queue_stats": _q_queue_stats,
-        "ann_lsh_ivf": _q_ann_lsh_ivf,
         "dedup_embedding": _q_dedup_embedding,
         "text_terms_tfidf": _q_text_terms_tfidf,
         "events_windows": _q_events_windows,
@@ -2165,6 +2195,58 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY {K.sql_cosine('q.q_vec', 'e.embedding', 'q.q_mag')} DESC, a.vec_id ASC
         LIMIT 10
     """
+    # batched IVF (similarity.ivf_topk_many): the single-query CTE
+    # generalized — probe ranking becomes a per-query row_number window,
+    # the top-k a per-query rank; same centroids, same assignment, same
+    # deterministic ties.  query_id folds into the method tag so the arm
+    # shares ann_lsh_ivf's four-column union schema.
+    ivf_many_sql = f"""
+        WITH cent AS (
+          SELECT vec_id AS cluster_id, embedding AS centroid,
+                 {K.sql_magnitude('embedding')} AS centroid_mag
+          FROM embeddings WHERE vec_id < 16
+        ),
+        qs AS (
+          SELECT vec_id AS query_id, embedding AS q_vec, {mag} AS q_mag
+          FROM embeddings WHERE vec_id < 5
+        ),
+        probes AS (
+          SELECT query_id, q_vec, q_mag, cluster_id FROM (
+            SELECT q.query_id, q.q_vec, q.q_mag, cent.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {K.sql_cosine('q.q_vec', 'cent.centroid', 'q.q_mag', 'cent.centroid_mag')} DESC,
+                              cent.cluster_id ASC
+                   ) AS pr
+            FROM qs q, cent
+          ) WHERE pr <= 4
+        ),
+        assigned AS (
+          SELECT vec_id, cluster_id FROM (
+            SELECT e.vec_id, c.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {cent_cos} DESC, c.cluster_id ASC
+                   ) AS rn
+            FROM embeddings e, cent c
+          ) WHERE rn = 1
+        ),
+        ranked AS (
+          SELECT p.query_id, a.vec_id, a.cluster_id,
+                 {K.sql_cosine('p.q_vec', 'e.embedding', 'p.q_mag')} AS cos_raw,
+                 row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {K.sql_cosine('p.q_vec', 'e.embedding', 'p.q_mag')} DESC,
+                            a.vec_id ASC
+                 ) AS rnk
+          FROM assigned a
+          JOIN embeddings e ON a.vec_id = e.vec_id
+          JOIN probes p ON a.cluster_id = p.cluster_id
+        )
+        SELECT 'many' || CAST(query_id AS VARCHAR) AS method,
+               vec_id, cluster_id, round(cos_raw, 9) AS cosine_similarity
+        FROM ranked WHERE rnk <= 10
+    """
     # int8 quantized-scan + exact-rerank (similarity.quantized_topk):
     # scale = max|x|/127 (1e-30 floor), codes = round-half-away(x/scale),
     # scan ranks by quantized cosine (scales cancel), 4n survivors rerank
@@ -2484,6 +2566,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ivf_idx' AS method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
                    cosine_similarity
             FROM ({ivf_sql})
+            UNION ALL
+            -- batched serving: 5 queries through one plan; the engine
+            -- side reads the persisted index, this mirror re-derives the
+            -- identical assignment (the ivf_idx arm proves they agree)
+            SELECT method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+                   cosine_similarity
+            FROM ({ivf_many_sql})
             UNION ALL
             SELECT 'quant' AS method, vec_id, CAST(NULL AS BIGINT) AS cluster_id,
                    cosine_similarity

@@ -83,6 +83,10 @@ EXPECTED_ARMS = {
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup"}),
     "dedup_exact": ("kind", {"cut", "exact", "span"}),
     "dedup_minhash_lsh": ("kind", {"component", "incr", "pair", "stream"}),
+    "ann_lsh_ivf": (
+        "method",
+        {"lsh", "ivf", "ivf_idx", "quant", "many0", "many1", "many2", "many3", "many4"},
+    ),
     "text_terms_tfidf": ("kind", {"bm25", "ppl", "rrf", "tfidf", "top"}),
 }
 
