@@ -193,3 +193,18 @@ def test_ivf_topk_many_in_memory_assigned(spark, emb):
     )
     assert got_null.where(F.col("query_id") == 999).count() == 0
     assert sorted(map(tuple, got_null.collect())) == rows
+    # expected_dim= enforces the index dimension in-plan (search_many's
+    # contract) instead of the truncated-fold GIGO default
+    ragged = queries.unionByName(
+        spark.createDataFrame([(998, [1.0] * 3)], "query_id long, query_vector array<float>")
+    )
+    ok = SIM.ivf_topk_many(
+        spark, queries, assigned=assigned, centroids=cents, k=10, n_probe=4,
+        expected_dim=len(qrows := queries.first()["query_vector"]),
+    )
+    assert ok.count() > 0
+    with pytest.raises(Exception, match="dims; index has"):
+        SIM.ivf_topk_many(
+            spark, ragged, assigned=assigned, centroids=cents, k=10, n_probe=4,
+            expected_dim=len(qrows),
+        ).collect()

@@ -444,6 +444,7 @@ def ivf_topk_many(
     vector_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """Batched IVF: a DataFrame of query vectors served by ONE plan
     against the persisted (or precomputed) index — the 100x serving
@@ -471,12 +472,13 @@ def ivf_topk_many(
     ``path`` reads the ``build_ivf_index`` layout; alternatively pass
     in-memory ``assigned`` (an ``assign_clusters`` result — reusable
     across calls) + ``centroids`` frames.  Per-query results equal
-    ``ivf_topk_from_index`` on the same index (test-asserted).  Query
-    vectors are assumed to match the index dimension — a mismatched
-    query ranks by a truncated ``zip_with`` fold like the single-query
-    form, garbage-in-garbage-out; dimension guards live at the facade
-    layer (table._check_length / search_many's in-plan raise).  NULL
-    query vectors are dropped up front (same contract as search_many:
+    ``ivf_topk_from_index`` on the same index (test-asserted).  Pass
+    ``expected_dim`` (the index's vector length) to make mismatched
+    query vectors fail loudly in-plan — search_many's contract; without
+    it a mismatched query ranks by a truncated ``zip_with`` fold like
+    the single-query form, garbage-in-garbage-out, and dimension guards
+    live at the facade layer (table._check_length).  NULL query vectors
+    are dropped up front either way (same contract as search_many:
     without the drop a NULL query's NULL similarities still take
     row_number ranks and return k rows of NULL-cosine noise).
     """
@@ -487,6 +489,20 @@ def ivf_topk_many(
     elif assigned is None or centroids is None:
         raise ValueError("ivf_topk_many: pass path= or assigned= + centroids=")
     queries = queries.where(F.col(query_vec_col).isNotNull())
+    if expected_dim is not None:
+        dim = int(expected_dim)
+        queries = queries.withColumn(
+            query_vec_col,
+            F.when(F.size(query_vec_col) == dim, F.col(query_vec_col)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("ivf_topk_many: query vector has "),
+                        F.size(query_vec_col).cast("string"),
+                        F.lit(f" dims; index has {dim}"),
+                    )
+                ).cast("array<float>")
+            ),
+        )
     q = queries.select(
         query_id_col,
         query_vec_col,
