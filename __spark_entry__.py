@@ -830,6 +830,16 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(_emb(spark, sf_dir), _query_vector(spark, sf_dir), k=10)
 
 
+# Product-quantization arm constants — the oracle SQL slices sub-vectors
+# with literal widths, so PQ_DIM must equal the ACTUAL embedding dims
+# (test_entry_parity.test_pq_constants_bind re-checks this against the
+# parquet after any driver testdata regeneration).
+PQ_DIM = 64
+PQ_M = 8  # subspaces -> 8-entry code per vector
+PQ_SUB = PQ_DIM // PQ_M
+PQ_CODES = 16  # codewords per subspace (sub-vectors of vec_id < 16 rows)
+
+
 # --- events ------------------------------------------------------------------
 
 def _q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1510,8 +1520,11 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned read — the plan that actually runs at 100 TB),
     BATCHED IVF serving (``ivf_topk_many``: five query vectors through
     ONE partition-pruned plan, each query's id fused into the method
-    tag as ``many<qid>`` so the union schema stays four columns), and
-    int8 quantized-scan + exact-rerank, tagged."""
+    tag as ``many<qid>`` so the union schema stays four columns),
+    int8 quantized-scan + exact-rerank, and PRODUCT QUANTIZATION
+    (``pq_topk``: m=8 deterministic sub-codebooks, ADC candidate scan
+    over the 8-entry codes, exact rerank — the 32x-memory-shrink scan
+    path), tagged."""
     lsh = _q_ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"),
         "vec_id",
@@ -1577,7 +1590,26 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("cluster_id"),
         "cosine_similarity",
     )
-    return lsh.unionByName(ivf).unionByName(ivf_idx).unionByName(many).unionByName(quant)
+    pq = SIM.pq_topk(
+        _emb(spark, sf_dir),
+        _query_vector(spark, sf_dir),
+        dim=PQ_DIM,
+        m=PQ_M,
+        n_codes=PQ_CODES,
+        n=10,
+    ).select(
+        F.lit("pq").alias("method"),
+        "vec_id",
+        F.lit(None).cast("long").alias("cluster_id"),
+        "cosine_similarity",
+    )
+    return (
+        lsh.unionByName(ivf)
+        .unionByName(ivf_idx)
+        .unionByName(many)
+        .unionByName(quant)
+        .unionByName(pq)
+    )
 
 
 def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2296,6 +2328,73 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY {K.sql_cosine('q.q_vec', 's.embedding')} DESC, s.vec_id ASC
         LIMIT 10
     """
+    # --- product quantization mirror (similarity.pq_topk): deterministic
+    # sub-codebooks (first PQ_CODES vectors by id, positional code ids),
+    # row_number encode with the (dist, code_id) tie-break — the engine's
+    # array_position-of-array_min gives the same first-minimum choice —
+    # ADC summed in FIXED subspace order (a CASE-chain here, an element_at
+    # chain engine-side: each term is a single value, so addition order is
+    # the j=0..m-1 chain in both), exact cosine rerank of the 40
+    # survivors.  Slice widths are literal — PQ_DIM must equal the
+    # parquet's real dims (regen guard in test_entry_parity).
+    _pq_l2 = SIM.sql_l2_sq
+    _pq_qslice = (
+        f"q.q_vec[cb.subspace*{PQ_SUB}+1 : cb.subspace*{PQ_SUB}+{PQ_SUB}]"
+    )
+    pq_adc_sum = " + ".join(
+        f"SUM(CASE WHEN e.subspace = {j} THEN t.qdist END)" for j in range(PQ_M)
+    )
+    pq_sql = f"""
+        WITH pq_base AS (
+          SELECT vec_id, embedding FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = {PQ_DIM}
+        ),
+        pq_cb AS (
+          -- positional code ids (0-based, id order): the PQ storage
+          -- contract — a code must fit a byte, so positions, not vec_ids
+          SELECT t.j AS subspace, b.pos - 1 AS code_id,
+                 b.embedding[t.j*{PQ_SUB}+1 : t.j*{PQ_SUB}+{PQ_SUB}] AS codeword
+          FROM (SELECT embedding,
+                       row_number() OVER (ORDER BY vec_id ASC) AS pos
+                FROM pq_base ORDER BY vec_id ASC LIMIT {PQ_CODES}) b,
+               range(0, {PQ_M}) t(j)
+        ),
+        pq_sub AS (
+          SELECT v.vec_id, t.j AS subspace,
+                 v.embedding[t.j*{PQ_SUB}+1 : t.j*{PQ_SUB}+{PQ_SUB}] AS subvec
+          FROM pq_base v, range(0, {PQ_M}) t(j)
+        ),
+        pq_enc AS (
+          SELECT vec_id, subspace, code_id FROM (
+            SELECT s.vec_id, s.subspace, cb.code_id,
+                   row_number() OVER (
+                     PARTITION BY s.vec_id, s.subspace
+                     ORDER BY {_pq_l2('s.subvec', 'cb.codeword')} ASC,
+                              cb.code_id ASC
+                   ) AS rn
+            FROM pq_sub s JOIN pq_cb cb ON s.subspace = cb.subspace
+          ) WHERE rn = 1
+        ),
+        pq_q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+        pq_tab AS (
+          SELECT cb.subspace, cb.code_id,
+                 {_pq_l2(_pq_qslice, 'cb.codeword')} AS qdist
+          FROM pq_cb cb, pq_q q
+        ),
+        pq_adc AS (
+          SELECT e.vec_id, {pq_adc_sum} AS adc
+          FROM pq_enc e
+          JOIN pq_tab t ON e.subspace = t.subspace AND e.code_id = t.code_id
+          GROUP BY e.vec_id
+        ),
+        pq_surv AS (SELECT vec_id FROM pq_adc ORDER BY adc ASC, vec_id ASC LIMIT 40)
+        SELECT s.vec_id,
+               round({K.sql_cosine('q.q_vec', 'e.embedding')}, 9) AS cosine_similarity
+        FROM pq_surv s, embeddings e, pq_q q
+        WHERE s.vec_id = e.vec_id
+        ORDER BY {K.sql_cosine('q.q_vec', 'e.embedding')} DESC, s.vec_id ASC
+        LIMIT 10
+    """
     # --- composed curation pipeline (pipelines.curate_training_corpus):
     # the per-stage sql_* mirrors chained through the same survivor sets.
     # Constants mirror PIPE_* / CURATE_BUDGETS literally.
@@ -2577,6 +2676,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'quant' AS method, vec_id, CAST(NULL AS BIGINT) AS cluster_id,
                    cosine_similarity
             FROM ({quant_sql})
+            UNION ALL
+            SELECT 'pq' AS method, vec_id, CAST(NULL AS BIGINT) AS cluster_id,
+                   cosine_similarity
+            FROM ({pq_sql})
         """,
         "text_terms_tfidf": f"""
             WITH terms AS (

@@ -177,6 +177,27 @@ def main() -> None:
         ).count(),
         "curate_pipeline": lambda: entry._pipeline_manifest(spark, SF_DIR).count(),
     }
+    # product-quantization serving: zero-shuffle ADC scan over the STORED
+    # 8-entry codes + exact rerank (the 32x-memory-shrink scan path).
+    # Codebook + encode are index-build-time costs, excluded like the IVF
+    # index build; localCheckpoint materializes the codes once.
+    pq_cb = SIM._collect_codebooks(
+        SIM.pq_codebooks(emb, dim=entry.PQ_DIM, m=entry.PQ_M, n_codes=entry.PQ_CODES),
+        entry.PQ_M,
+    )
+    pq_codes = SIM._pq_encode_from_cb(
+        emb, pq_cb, entry.PQ_DIM, entry.PQ_M, "vec_id", "embedding"
+    ).localCheckpoint()
+    extra_map["ann_pq_serve"] = lambda: SIM.pq_topk(
+        emb,
+        qv,
+        dim=entry.PQ_DIM,
+        m=entry.PQ_M,
+        n_codes=entry.PQ_CODES,
+        n=10,
+        codebooks=pq_cb,
+        encoded=pq_codes,
+    ).count()
     # batched IVF serving: 50 queries through ONE partition-pruned plan
     # against a persisted index (build cost excluded — it's the serving
     # path being measured; index_build covers construction)

@@ -45,7 +45,6 @@ EXPECTED_ARMS = {
     "rel_pricing_summary": ("kind", {"plain", "salted", "udaf"}),
     "rel_grouping_sets": ("kind", {"cube", "rollup"}),
     "rel_membership": ("kind", {"seg_0", "seg_1", "set_both", "set_orders_only"}),
-    "ann_lsh_ivf": ("method", {"ivf", "ivf_idx", "lsh", "quant"}),
     "k7_json_codec": ("kind", {"code", "props"}),
     "crud_composite_get": (
         "kind",
@@ -85,7 +84,18 @@ EXPECTED_ARMS = {
     "dedup_minhash_lsh": ("kind", {"component", "incr", "pair", "stream"}),
     "ann_lsh_ivf": (
         "method",
-        {"lsh", "ivf", "ivf_idx", "quant", "many0", "many1", "many2", "many3", "many4"},
+        {
+            "lsh",
+            "ivf",
+            "ivf_idx",
+            "quant",
+            "pq",
+            "many0",
+            "many1",
+            "many2",
+            "many3",
+            "many4",
+        },
     ),
     "text_terms_tfidf": ("kind", {"bm25", "ppl", "rrf", "tfidf", "top"}),
 }
@@ -144,4 +154,49 @@ def test_corpus_is_pure_ascii(spark):
         f"{non_ascii} non-ASCII documents — char-fold vs byte-fold hash "
         "parity (multimodal checksum, frame oracle) no longer holds; "
         "switch those oracles to byte-based folds before trusting hashes"
+    )
+
+
+def test_testdata_constants_bind():
+    """Corpus-dependent registry constants vs the ACTUAL parquet (duckdb
+    only — no Spark session).  The driver regenerates /root/testdata
+    between rounds; when a regeneration shifts shapes, fail HERE with the
+    constant named instead of as a mysterious CORRECTNESS mismatch.
+
+    * PQ_DIM / PQ_CODES: the pq oracle slices sub-vectors with literal
+      widths and takes vec_id-ordered codebooks — dims must equal PQ_DIM
+      exactly and the corpus must exceed PQ_CODES at every SF.
+    * PIPE_DSIR_KEEP: bound by the stage-drop test at sf0.01
+      (test_pipelines.test_driver_pipeline_arm_every_stage_drops); at
+      sf0.1 the bench pipeline extra goes silently vacuous if the stage-4
+      survivor count drops below it — assert the documents corpus keeps
+      enough headroom (survivors scale with corpus size; 311 of 1550 docs
+      at sf0.01, 3146 at sf0.1 when PIPE_DSIR_KEEP=200 was chosen).
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n, dmin, dmax = con.sql(
+            "SELECT count(*), min(len(embedding)), max(len(embedding))"
+            f" FROM read_parquet('/root/testdata/{sf}/embeddings.parquet')"
+        ).fetchone()
+        assert (dmin, dmax) == (entrymod.PQ_DIM, entrymod.PQ_DIM), (
+            f"{sf}: embedding dims [{dmin},{dmax}] != PQ_DIM "
+            f"{entrymod.PQ_DIM} — retune PQ_DIM/PQ_M (oracle slice widths"
+            " are literal) after the testdata regeneration"
+        )
+        assert n > entrymod.PQ_CODES, f"{sf}: corpus {n} <= PQ_CODES"
+    ndocs = con.sql(
+        "SELECT count(*) FROM"
+        " read_parquet('/root/testdata/sf0.1/documents.parquet')"
+    ).fetchone()[0]
+    # 311/1550 sf0.01 survivors scaled how the corpus scales: demand ~4x
+    # headroom over PIPE_DSIR_KEEP so the bench extra's DSIR stage stays
+    # a real selection, with margin for distribution drift
+    assert ndocs * 0.2 > entrymod.PIPE_DSIR_KEEP * 2, (
+        f"sf0.1 documents shrank to {ndocs}: PIPE_DSIR_KEEP="
+        f"{entrymod.PIPE_DSIR_KEEP} may exceed the stage-4 survivor count"
+        " — re-measure survivors and retune (see verify SKILL round-5"
+        " lessons)"
     )

@@ -1032,3 +1032,86 @@ def test_lsh_band_prune_not_vacuous_on_ragged_dims(spark):
         for r in SIM.brute_force_topk_arrow(df, q, n=1).collect()
     ]
     assert got[0] == brute[0]
+
+
+def test_pq_topk_full_coverage_equals_brute_force(spark):
+    """With candidate_factor * n >= |corpus| the ADC stage keeps every
+    vector, so PQ + exact rerank must return EXACTLY the brute-force
+    top-k (ids and rounded cosines) — the lossless-funnel invariant that
+    holds regardless of how lossy the codes are."""
+    from wpvectordb_spark.operators.search import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    pq = SIM.pq_topk(emb, qv, dim=64, m=8, n_codes=16, n=10, candidate_factor=50)
+    renamed = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    bf = brute_force_topk(renamed, qv, n=10)
+    assert [(r[0], r[1]) for r in pq.collect()] == [
+        (r[0], r[1]) for r in bf.collect()
+    ]
+    # lossy setting still finds the self-match and some true neighbours
+    lossy = SIM.pq_topk(emb, qv, dim=64, m=8, n_codes=16, n=10, candidate_factor=4)
+    got = [r["vec_id"] for r in lossy.collect()]
+    assert got[0] == 0  # exact self-match survives any candidate set
+    exact_ids = {r["id"] for r in bf.collect()}
+    assert len(exact_ids & set(got)) >= 3
+
+
+def test_pq_encode_codes_shape_and_edge_guards(spark):
+    """pq_encode emits one m-entry code array per eligible vector, each
+    entry a POSITIONAL codebook id (0-based, id order — byte-sized by
+    contract); NULL / ragged vectors are excluded in-plan; parameter
+    misuse raises at plan-build time."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(40)
+    cb = SIM.pq_codebooks(emb, dim=64, m=8, n_codes=16)
+    code_ids = {r["code_id"] for r in cb.collect()}
+    assert code_ids == set(range(16)) and cb.count() == 16 * 8
+    enc = SIM.pq_encode(emb, cb, dim=64, m=8).collect()
+    assert len(enc) == 40
+    for r in enc:
+        assert len(r["codes"]) == 8
+        assert set(r["codes"]) <= code_ids
+    # positional contract on NON-contiguous ids: each codebook vector
+    # encodes every subspace to its own POSITION (distance 0), with ties
+    # impossible on distinct rows
+    synth = spark.createDataFrame(
+        [(10 * (i + 1), [float(i)] * 64) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    scb = SIM.pq_codebooks(synth, dim=64, m=8, n_codes=4)
+    sout = {r["vec_id"]: r["codes"] for r in SIM.pq_encode(synth, scb, dim=64, m=8).collect()}
+    assert sout == {10 * (i + 1): [i] * 8 for i in range(4)}
+    # NULL and ragged vectors drop in-plan, never crash the fold
+    ragged = spark.createDataFrame(
+        [(900, None), (901, [1.0] * 10), (902, [0.5] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    out = SIM.pq_encode(ragged, cb, dim=64, m=8).collect()
+    assert [r["vec_id"] for r in out] == [902]
+    with pytest.raises(ValueError, match="not divisible"):
+        SIM.pq_codebooks(emb, dim=64, m=7)
+    with pytest.raises(ValueError, match="dims"):
+        SIM.pq_topk(emb, [1.0] * 10, dim=64)
+    with pytest.raises(ValueError, match="NaN"):
+        SIM.pq_topk(emb, [float("nan")] * 64, dim=64)
+
+
+def test_pq_topk_serves_from_stored_codes(spark):
+    """The production serving path: pq_topk(encoded=...) over a
+    PRECOMPUTED codes table returns exactly what the fused
+    derive-and-serve form returns (the codes table is what a 100 TB
+    deployment scans — m bytes/vector, floats only touched for the
+    survivor re-fetch)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).first()["embedding"]]
+    cb = SIM.pq_codebooks(emb, dim=64, m=8, n_codes=16)
+    stored = SIM.pq_encode(emb, cb, dim=64, m=8)
+    served = SIM.pq_topk(
+        emb, qv, dim=64, m=8, n_codes=16, codebooks=cb, encoded=stored
+    )
+    fused = SIM.pq_topk(emb, qv, dim=64, m=8, n_codes=16)
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in fused.collect()
+    ]

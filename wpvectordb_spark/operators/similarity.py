@@ -725,3 +725,298 @@ def lsh_topk(
         .limit(k)
         .select(id_col, F.round("_cos", 9).alias("cosine_similarity"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jegou, Douze & Schmid, "Product Quantization
+# for Nearest Neighbor Search", IEEE TPAMI 2011.
+# ---------------------------------------------------------------------------
+#
+# The third leg of the ANN scale story (after IVF partition pruning and the
+# LSH band predicate): compress each d-dim float vector to m small codes —
+# one byte per subspace at n_codes <= 256 — and rank candidates with
+# asymmetric distance computation (ADC) over the codes alone.  At 100 TB
+# the scan table stores only ``(id, codes)``: m bytes/vector instead of
+# 4d (a 32x shrink at d=64, m=8), and the float vectors live in a separate
+# re-fetch table touched only for the top candidates — the same
+# scan-then-rerank funnel as the reference's Hamming stage
+# (VectorTable.php:214-260) and ``quantized_topk`` above.
+#
+# Codebook selection is deterministic (sub-vectors of the first ``n_codes``
+# vectors by id, mirroring ``deterministic_centroids``) so results are
+# oracle-reproducible; production would run per-subspace k-means — the
+# encode/query plans are identical either way.
+
+
+def _spark_l2_sq(a: str, b: str) -> str:
+    """Spark-SQL squared L2 distance between two array expressions, both
+    cast to double element-wise before subtracting (float32 inputs must
+    widen BEFORE the arithmetic so the fold is bit-identical to the
+    DuckDB oracle's CAST-then-subtract form).  Left fold from 0.0 — see
+    kernels.py parity rules.
+
+    Emitted as SQL TEXT, not composed Columns: the PQ expressions build
+    m * n_codes of these folds, and each Python-lambda HOF costs several
+    py4j round-trips — composing them as Column objects measured ~7.5 s
+    of pure driver time per pq_topk call vs ~0.2 s for one F.expr parse
+    of the same tree."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def sql_l2_sq(a: str, b: str) -> str:
+    """DuckDB mirror of ``_spark_l2_sq`` (same cast-then-fold order)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform("
+        f"list_zip({a}, {b}),"
+        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_double(w: float) -> str:
+    """Exact Spark-SQL double literal: repr round-trips the IEEE value,
+    the ``D`` suffix keeps the parser from minting a DECIMAL."""
+    r = repr(float(w))
+    if "inf" in r or "nan" in r:
+        raise ValueError(f"pq: non-finite codebook/query value {r}")
+    return f"{r}D"
+
+
+def _sql_double_array(word) -> str:
+    return "array(" + ", ".join(_sql_double(w) for w in word) + ")"
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: the ``dim/m``-wide sub-vectors of the
+    first ``n_codes`` vectors by id, one codebook per subspace.  Returns
+    ``(subspace, code_id, codeword)`` where ``code_id`` is the POSITION
+    (0-based, in id order) — positional ids are the PQ storage contract
+    (a code must fit a byte at n_codes <= 256), unlike IVF's
+    ``deterministic_centroids`` which reuses the source vector id.
+
+    ``dim`` is required explicitly — no eager one-row probe (a ragged
+    table would make a sampled dim nondeterministic; see search_many's
+    ``expected_dim``).  Rows whose vector is NULL or not ``dim`` long
+    are excluded from codebook duty in-plan."""
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    from pyspark.sql import Window
+
+    sub = dim // m
+    base = (
+        vectors.where(
+            F.col(vector_col).isNotNull() & (F.size(vector_col) == dim)
+        )
+        .orderBy(F.col(id_col).asc())
+        .limit(n_codes)
+        # row_number over the n_codes-row frame: single-partition window
+        # on a bounded tiny input, never the full table
+        .withColumn(
+            "code_id",
+            F.row_number().over(Window.orderBy(F.col(id_col).asc())) - 1,
+        )
+    )
+    return base.select(
+        F.col("code_id"),
+        F.posexplode(
+            F.array(
+                *[F.slice(F.col(vector_col), j * sub + 1, sub) for j in range(m)]
+            )
+        ).alias("subspace", "codeword"),
+    ).select("subspace", "code_id", "codeword")
+
+
+def _collect_codebooks(codebooks: DataFrame, m: int) -> list[list[list[float]]]:
+    """Materialize the codebook frame driver-side — bounded at
+    m * n_codes rows (the IVF centroid-collect class, never data-sized).
+    Returns ``cb[j][c] = codeword`` with c in code_id order."""
+    rows = codebooks.collect()
+    cb: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+    for r in rows:
+        j, c = int(r["subspace"]), int(r["code_id"])
+        if j >= m:
+            raise ValueError(f"pq: codebook subspace {j} >= m {m}")
+        cb[j][c] = [float(x) for x in r["codeword"]]
+    out = []
+    for j in range(m):
+        ids = sorted(cb[j])
+        if ids != list(range(len(ids))):
+            raise ValueError(f"pq: subspace {j} code_ids not contiguous: {ids}")
+        out.append([cb[j][c] for c in ids])
+    if any(len(b) != len(out[0]) for b in out):
+        raise ValueError("pq: ragged codebook (subspaces differ in n_codes)")
+    if not out[0]:
+        raise ValueError("pq: empty codebook (no eligible vectors)")
+    return out
+
+
+def _pq_code_cols(
+    vector_col: str, cb: list[list[list[float]]], sub: int
+) -> list["F.Column"]:
+    """Per-row encode, one column per subspace: distances to every
+    codeword as an in-plan literal-array fold, argmin via
+    ``array_position(dists, array_min(dists)) - 1`` — first-minimum
+    semantics, i.e. ties break to the SMALLEST code id (the oracle's
+    (dist, code_id) ordering).  Pure projection: no explode, no join, no
+    shuffle — at 100 TB the encode rides inside the scan stage.  Built
+    as one F.expr per subspace (see _spark_l2_sq on why not Columns)."""
+    cols = []
+    for j, book in enumerate(cb):
+        sl = f"slice(`{vector_col}`, {j * sub + 1}, {sub})"
+        dists = (
+            "array("
+            + ", ".join(_spark_l2_sq(sl, _sql_double_array(word)) for word in book)
+            + ")"
+        )
+        cols.append(
+            F.expr(f"array_position({dists}, array_min({dists})) - 1").alias(
+                f"_c{j}"
+            )
+        )
+    return cols
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """PQ storage artifact: ``(id, codes array<bigint>)`` with ``codes[j]``
+    = nearest codeword position for subspace j.  This is the table a
+    100 TB deployment scans — m byte-sized entries/vector instead of the
+    float payload (32x smaller at d=64, m=8).
+
+    Zero-shuffle: the codebook (bounded m * n_codes rows) is collected
+    and inlined as literal arrays, so the encode is a single projection
+    over the vector scan.  NULL / ragged vectors are excluded in-plan."""
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    cb = _collect_codebooks(codebooks, m)
+    return _pq_encode_from_cb(vectors, cb, dim, m, id_col, vector_col)
+
+
+def _pq_encode_from_cb(
+    vectors: DataFrame,
+    cb: list[list[list[float]]],
+    dim: int,
+    m: int,
+    id_col: str,
+    vector_col: str,
+) -> DataFrame:
+    eligible = vectors.where(
+        F.col(vector_col).isNotNull() & (F.size(vector_col) == dim)
+    )
+    code_cols = _pq_code_cols(vector_col, cb, dim // m)
+    return eligible.select(F.col(id_col), *code_cols).select(
+        F.col(id_col),
+        F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes"),
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query_vector: list[float],
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    n: int = 10,
+    candidate_factor: int = 4,
+    codebooks: "DataFrame | list | None" = None,
+    encoded: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Two-stage PQ top-k: ADC scan over the codes, keep
+    ``candidate_factor * n`` survivors, rerank with exact float cosine.
+
+    The ADC stage is a ZERO-SHUFFLE projection + one
+    TakeOrderedAndProject merge: the query-to-codeword distance table
+    (m x n_codes doubles) is precomputed driver-side with oracle-identical
+    fold order and embedded as literals, and each vector's approximate
+    distance is the FIXED-ORDER chain
+    ``qd_0[codes[0]] + ... + qd_{m-1}[codes[m-1]]`` (element_at
+    lookups), never a hash-agg whose addition order could drift.  The
+    rerank re-fetches float vectors for only the survivor set via a
+    broadcast join, so the scan side never carries the float payload.
+
+    Pass ``encoded`` (a ``pq_encode`` output, the stored codes table) to
+    serve from precomputed codes — the production path; without it the
+    codes are derived in the same projection (still zero-shuffle).
+    ``codebooks`` accepts the DataFrame form or an already-collected
+    ``_collect_codebooks`` list (repeated serving calls skip the
+    per-call codebook job).  Vectors with NULL ADC distance (NULL codes)
+    sort LAST, never into the survivor set."""
+    q = [float(x) for x in query_vector]
+    if len(q) != dim:
+        raise ValueError(f"pq_topk: query has {len(q)} dims, expected {dim}")
+    if any(x != x for x in q):
+        raise ValueError("pq_topk: query_vector contains NaN")
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    if codebooks is None:
+        codebooks = pq_codebooks(vectors, dim, m, n_codes, id_col, vector_col)
+    cb = codebooks if isinstance(codebooks, list) else _collect_codebooks(codebooks, m)
+    if len(cb) != m:
+        raise ValueError(f"pq_topk: collected codebook has {len(cb)} subspaces, expected {m}")
+    if encoded is None:
+        encoded = _pq_encode_from_cb(vectors, cb, dim, m, id_col, vector_col)
+    # literal query-distance tables: qd[j][c] = l2sq(q_j, codeword_jc),
+    # computed driver-side in Python with the SAME left fold order as the
+    # SQL form — sub/mul/add on IEEE binary64 are bit-identical across
+    # Python, the JVM, and DuckDB, so embedding the results as double
+    # literals (instead of 128 constant-foldable fold expressions) only
+    # shrinks the plan, never the parity.  One F.expr for the whole ADC
+    # chain — see _spark_l2_sq on why not Columns.
+    terms = []
+    for j, book in enumerate(cb):
+        q_j = q[j * sub : (j + 1) * sub]
+        qd_j = []
+        for word in book:
+            acc = 0.0
+            for x, y in zip(q_j, word):
+                acc = acc + (x - y) * (x - y)
+            qd_j.append(acc)
+        terms.append(
+            f"element_at({_sql_double_array(qd_j)},"
+            f" CAST(codes[{j}] + 1 AS INT))"
+        )
+    adc = F.expr(" + ".join(terms))
+    survivors = (
+        encoded.select(F.col(id_col), adc.alias("_adc"))
+        .orderBy(F.col("_adc").asc_nulls_last(), F.col(id_col).asc())
+        .limit(candidate_factor * n)
+    )
+    from wpvectordb_spark.operators.search import _magnitude
+
+    q_lit = F.array(*[F.lit(x) for x in q])
+    refetch = vectors.join(F.broadcast(survivors.select(id_col)), id_col)
+    exact = K.cosine_similarity(q_lit, F.col(vector_col), F.lit(_magnitude(q)), None)
+    out = refetch.select(
+        F.col(id_col),
+        (F.round(exact, round_to) if round_to is not None else exact).alias(
+            "cosine_similarity"
+        ),
+        exact.alias("_raw"),
+    )
+    return (
+        out.orderBy(F.col("_raw").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_raw")
+    )
