@@ -1521,10 +1521,12 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     BATCHED IVF serving (``ivf_topk_many``: five query vectors through
     ONE partition-pruned plan, each query's id fused into the method
     tag as ``many<qid>`` so the union schema stays four columns),
-    int8 quantized-scan + exact-rerank, and PRODUCT QUANTIZATION
+    int8 quantized-scan + exact-rerank, PRODUCT QUANTIZATION
     (``pq_topk``: m=8 deterministic sub-codebooks, ADC candidate scan
     over the 8-entry codes, exact rerank — the 32x-memory-shrink scan
-    path), tagged."""
+    path), and BATCHED PQ serving (``pq_topk_many``: the same five
+    query vectors as the IVF batch through ONE zero-shuffle ADC plan,
+    tagged ``pqmany<qid>``), tagged."""
     lsh = _q_ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"),
         "vec_id",
@@ -1603,12 +1605,33 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("cluster_id"),
         "cosine_similarity",
     )
+    # batched PQ serving: the same 5 query vectors as the IVF many<qid>
+    # arms, one zero-shuffle-scan ADC plan, query id fused into the tag
+    pq_many = SIM.pq_topk_many(
+        _emb(spark, sf_dir),
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vector"),
+        ),
+        dim=PQ_DIM,
+        m=PQ_M,
+        n_codes=PQ_CODES,
+        n=10,
+    ).select(
+        F.concat(F.lit("pqmany"), F.col("query_id").cast("string")).alias("method"),
+        "vec_id",
+        F.lit(None).cast("long").alias("cluster_id"),
+        "cosine_similarity",
+    )
     return (
         lsh.unionByName(ivf)
         .unionByName(ivf_idx)
         .unionByName(many)
         .unionByName(quant)
         .unionByName(pq)
+        .unionByName(pq_many)
     )
 
 
@@ -2344,8 +2367,8 @@ def oracle_sql() -> dict[str, str]:
     pq_adc_sum = " + ".join(
         f"SUM(CASE WHEN e.subspace = {j} THEN t.qdist END)" for j in range(PQ_M)
     )
-    pq_sql = f"""
-        WITH pq_base AS (
+    pq_prefix = f"""
+        pq_base AS (
           SELECT vec_id, embedding FROM embeddings
           WHERE embedding IS NOT NULL AND len(embedding) = {PQ_DIM}
         ),
@@ -2374,7 +2397,9 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rn
             FROM pq_sub s JOIN pq_cb cb ON s.subspace = cb.subspace
           ) WHERE rn = 1
-        ),
+        )"""
+    pq_sql = f"""
+        WITH {pq_prefix},
         pq_q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
         pq_tab AS (
           SELECT cb.subspace, cb.code_id,
@@ -2394,6 +2419,52 @@ def oracle_sql() -> dict[str, str]:
         WHERE s.vec_id = e.vec_id
         ORDER BY {K.sql_cosine('q.q_vec', 'e.embedding')} DESC, s.vec_id ASC
         LIMIT 10
+    """
+    # batched PQ serving mirror (similarity.pq_topk_many): the same
+    # encode CTEs, the distance table / ADC / survivor / rerank stages
+    # generalized per query_id with row_number windows — exactly how the
+    # batched-IVF many<qid> mirror generalizes the single-query ivf CTE
+    pq_many_sql = f"""
+        WITH {pq_prefix},
+        pq_qm AS (
+          SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+          WHERE vec_id < 5
+        ),
+        pq_tabm AS (
+          SELECT q.query_id, cb.subspace, cb.code_id,
+                 {_pq_l2(_pq_qslice, 'cb.codeword')} AS qdist
+          FROM pq_cb cb, pq_qm q
+        ),
+        pq_adcm AS (
+          SELECT t.query_id, e.vec_id, {pq_adc_sum} AS adc
+          FROM pq_enc e
+          JOIN pq_tabm t ON e.subspace = t.subspace AND e.code_id = t.code_id
+          GROUP BY t.query_id, e.vec_id
+        ),
+        pq_survm AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY adc ASC, vec_id ASC
+                   ) AS rn
+            FROM pq_adcm
+          ) WHERE rn <= 40
+        )
+        SELECT 'pqmany' || CAST(query_id AS VARCHAR) AS method, vec_id,
+               cosine_similarity
+        FROM (
+          SELECT s.query_id, s.vec_id,
+                 round({K.sql_cosine('q.q_vec', 'e.embedding')}, 9)
+                   AS cosine_similarity,
+                 row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY {K.sql_cosine('q.q_vec', 'e.embedding')} DESC,
+                            s.vec_id ASC
+                 ) AS rn
+          FROM pq_survm s
+          JOIN embeddings e ON s.vec_id = e.vec_id
+          JOIN pq_qm q ON s.query_id = q.query_id
+        ) WHERE rn <= 10
     """
     # --- composed curation pipeline (pipelines.curate_training_corpus):
     # the per-stage sql_* mirrors chained through the same survivor sets.
@@ -2680,6 +2751,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pq' AS method, vec_id, CAST(NULL AS BIGINT) AS cluster_id,
                    cosine_similarity
             FROM ({pq_sql})
+            UNION ALL
+            SELECT method, vec_id, CAST(NULL AS BIGINT) AS cluster_id,
+                   cosine_similarity
+            FROM ({pq_many_sql})
         """,
         "text_terms_tfidf": f"""
             WITH terms AS (

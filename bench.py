@@ -198,6 +198,18 @@ def main() -> None:
         codebooks=pq_cb,
         encoded=pq_codes,
     ).count()
+    # batched PQ serving: the same 50-query frame as ann_ivf_batch_50
+    # through ONE zero-shuffle ADC plan over the stored codes
+    extra_map["ann_pq_batch_50"] = lambda: SIM.pq_topk_many(
+        emb,
+        qs,
+        dim=entry.PQ_DIM,
+        m=entry.PQ_M,
+        n_codes=entry.PQ_CODES,
+        n=10,
+        codebooks=pq_cb,
+        encoded=pq_codes,
+    ).count()
     # batched IVF serving: 50 queries through ONE partition-pruned plan
     # against a persisted index (build cost excluded — it's the serving
     # path being measured; index_build covers construction)

@@ -95,6 +95,11 @@ EXPECTED_ARMS = {
             "many2",
             "many3",
             "many4",
+            "pqmany0",
+            "pqmany1",
+            "pqmany2",
+            "pqmany3",
+            "pqmany4",
         },
     ),
     "text_terms_tfidf": ("kind", {"bm25", "ppl", "rrf", "tfidf", "top"}),

@@ -1115,3 +1115,74 @@ def test_pq_topk_serves_from_stored_codes(spark):
     assert [tuple(r) for r in served.collect()] == [
         tuple(r) for r in fused.collect()
     ]
+
+
+def test_pq_topk_many_equals_per_query_and_edges(spark):
+    """Batched PQ serving returns per-query results identical to
+    pq_topk for every query in the batch; NULL query vectors drop
+    (search_many contract); an empty batch returns an empty typed
+    frame; mis-dimensioned or NaN queries raise; string query ids are
+    supported (ids embed as literals)."""
+    from pyspark.sql import types as T
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = (
+        emb.where(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vector"),
+        )
+    )
+    batch = {
+        (r["query_id"], r["vec_id"]): r["cosine_similarity"]
+        for r in SIM.pq_topk_many(emb, qs, dim=64, m=8, n_codes=16, n=5).collect()
+    }
+    assert len(batch) == 8 * 5
+    for qid in (0, 3, 7):
+        qv = [float(x) for x in emb.where(F.col("vec_id") == qid).first()["embedding"]]
+        single = SIM.pq_topk(emb, qv, dim=64, m=8, n_codes=16, n=5).collect()
+        assert {(qid, r["vec_id"]): r["cosine_similarity"] for r in single} == {
+            (q, v): c for (q, v), c in batch.items() if q == qid
+        }
+    # NULL queries drop; string ids work
+    mixed = spark.createDataFrame(
+        [("a", [0.5] * 64), ("b", None)],
+        T.StructType(
+            [
+                T.StructField("query_id", T.StringType()),
+                T.StructField("query_vector", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    out = SIM.pq_topk_many(emb, mixed, dim=64, m=8, n_codes=16, n=3).collect()
+    assert {r["query_id"] for r in out} == {"a"} and len(out) == 3
+    # empty batch: typed empty frame, no job
+    empty = SIM.pq_topk_many(emb, mixed.where(F.col("query_id") == "zzz"),
+                             dim=64, m=8, n_codes=16)
+    assert empty.collect() == []
+    assert empty.columns == ["query_id", "vec_id", "cosine_similarity"]
+    with pytest.raises(ValueError, match="dims"):
+        SIM.pq_topk_many(
+            emb,
+            spark.createDataFrame([(1, [1.0] * 10)], "query_id long, query_vector array<double>"),
+            dim=64,
+        )
+    with pytest.raises(ValueError, match="NaN"):
+        SIM.pq_topk_many(
+            emb,
+            spark.createDataFrame([(1, [float("nan")] * 64)], "query_id long, query_vector array<double>"),
+            dim=64,
+        )
+
+
+def test_pq_empty_corpus_refuses_loudly(spark):
+    """No eligible codebook vectors (empty / all-NULL / all-ragged
+    corpus) is a typed refusal, not a numpy/analysis crash."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty codebook"):
+        SIM.pq_topk(empty, [0.5] * 64, dim=64)
+    ragged = spark.createDataFrame(
+        [(1, [1.0] * 10)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="empty codebook"):
+        SIM.pq_encode(ragged, SIM.pq_codebooks(ragged, dim=64, m=8), dim=64, m=8)

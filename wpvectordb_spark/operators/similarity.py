@@ -928,6 +928,32 @@ def _pq_encode_from_cb(
     )
 
 
+def _pq_adc_expr(cb: list[list[list[float]]], q: list[float], sub: int) -> str:
+    """ADC distance as SQL text over a ``codes`` column: the query's
+    per-subspace distance tables qd[j][c] = l2sq(q_j, codeword_jc) are
+    computed driver-side in Python with the SAME left fold order as the
+    SQL form — sub/mul/add on IEEE binary64 are bit-identical across
+    Python, the JVM, and DuckDB, so embedding the results as double
+    literals (instead of m * n_codes constant-foldable fold expressions)
+    only shrinks the plan, never the parity.  The m lookups are summed
+    as a fixed-order left chain j = 0..m-1, matching the oracle's
+    CASE-chain."""
+    terms = []
+    for j, book in enumerate(cb):
+        q_j = q[j * sub : (j + 1) * sub]
+        qd_j = []
+        for word in book:
+            acc = 0.0
+            for x, y in zip(q_j, word):
+                acc = acc + (x - y) * (x - y)
+            qd_j.append(acc)
+        terms.append(
+            f"element_at({_sql_double_array(qd_j)},"
+            f" CAST(codes[{j}] + 1 AS INT))"
+        )
+    return " + ".join(terms)
+
+
 def pq_topk(
     vectors: DataFrame,
     query_vector: list[float],
@@ -977,27 +1003,7 @@ def pq_topk(
         raise ValueError(f"pq_topk: collected codebook has {len(cb)} subspaces, expected {m}")
     if encoded is None:
         encoded = _pq_encode_from_cb(vectors, cb, dim, m, id_col, vector_col)
-    # literal query-distance tables: qd[j][c] = l2sq(q_j, codeword_jc),
-    # computed driver-side in Python with the SAME left fold order as the
-    # SQL form — sub/mul/add on IEEE binary64 are bit-identical across
-    # Python, the JVM, and DuckDB, so embedding the results as double
-    # literals (instead of 128 constant-foldable fold expressions) only
-    # shrinks the plan, never the parity.  One F.expr for the whole ADC
-    # chain — see _spark_l2_sq on why not Columns.
-    terms = []
-    for j, book in enumerate(cb):
-        q_j = q[j * sub : (j + 1) * sub]
-        qd_j = []
-        for word in book:
-            acc = 0.0
-            for x, y in zip(q_j, word):
-                acc = acc + (x - y) * (x - y)
-            qd_j.append(acc)
-        terms.append(
-            f"element_at({_sql_double_array(qd_j)},"
-            f" CAST(codes[{j}] + 1 AS INT))"
-        )
-    adc = F.expr(" + ".join(terms))
+    adc = F.expr(_pq_adc_expr(cb, q, sub))
     survivors = (
         encoded.select(F.col(id_col), adc.alias("_adc"))
         .orderBy(F.col("_adc").asc_nulls_last(), F.col(id_col).asc())
@@ -1019,4 +1025,170 @@ def pq_topk(
         out.orderBy(F.col("_raw").desc(), F.col(id_col).asc())
         .limit(n)
         .drop("_raw")
+    )
+
+
+def pq_topk_many(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    n: int = 10,
+    candidate_factor: int = 4,
+    codebooks: "DataFrame | list | None" = None,
+    encoded: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Batched PQ serving: a DataFrame of query vectors against the
+    stored codes table in ONE zero-shuffle-scan plan (the ivf_topk_many
+    counterpart for the PQ index).  Per query the result equals
+    ``pq_topk`` exactly (test-asserted).
+
+    The query batch is COLLECTED driver-side — a deliberate contract
+    difference from ivf_topk_many: PQ's whole serving trick is that the
+    batch's distance tables are tiny and literal, so the ADC scan needs
+    no join at all.  A serving batch is bounded by construction (it
+    arrives from a request, not a table); for table-sized query sets,
+    loop batches or use brute force.
+
+    Plan shape: ONE pass over the codes table explodes a query INDEX
+    (0..|batch|-1) per vector and computes every query's ADC distance
+    with m nested lookups into per-subspace 2-D CONSTANT distance
+    tables — generated code is constant-size in |queries| (the
+    per-query expression-chain form blew Janino's method limit at ~200
+    queries and the driver heap at ~500; PERFORMANCE.md item 38) —
+    then the search_many window pattern: local per-(query,
+    scan-partition) pre-top-k bounds the global rank exchange at
+    4n x #partitions rows per query, and one broadcast re-fetch joins
+    the float vectors for the union of survivor sets, reranked by exact
+    cosine per query.  NULL query vectors are dropped up front
+    (search_many contract); NaN or mis-dimensioned queries raise."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    spark = vectors.sparkSession
+    qs = []
+    for r in queries.select(query_id_col, query_vec_col).collect():
+        v = r[query_vec_col]
+        if v is None:
+            continue
+        v = [float(x) for x in v]
+        if len(v) != dim:
+            raise ValueError(
+                f"pq_topk_many: query {r[query_id_col]!r} has {len(v)} dims,"
+                f" expected {dim}"
+            )
+        if any(x != x for x in v):
+            raise ValueError(
+                f"pq_topk_many: query {r[query_id_col]!r} contains NaN"
+            )
+        qs.append((r[query_id_col], v))
+    qid_type = queries.schema[query_id_col].dataType
+    if not qs:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(query_id_col, qid_type),
+                    T.StructField(id_col, vectors.schema[id_col].dataType),
+                    T.StructField("cosine_similarity", T.DoubleType()),
+                ]
+            ),
+        )
+    if codebooks is None:
+        codebooks = pq_codebooks(vectors, dim, m, n_codes, id_col, vector_col)
+    cb = codebooks if isinstance(codebooks, list) else _collect_codebooks(codebooks, m)
+    if len(cb) != m:
+        raise ValueError(
+            f"pq_topk_many: collected codebook has {len(cb)} subspaces, expected {m}"
+        )
+    if encoded is None:
+        encoded = _pq_encode_from_cb(vectors, cb, dim, m, id_col, vector_col)
+    # Per-subspace 2-D literal distance tables qd2d[j][qidx][code]: the
+    # whole batch's ADC is m nested element_at lookups on CONSTANT nested
+    # arrays — generated code size is CONSTANT in |queries| (each table
+    # is one constant reference), only the folded literal DATA grows.
+    # The per-query expression-chain form (one named_struct per query)
+    # was falsified at scale: Janino blew its method limit at ~200
+    # queries (interpreted fallback) and OOM'd the driver heap compiling
+    # ~500 — see PERFORMANCE.md item 38.
+    nq = len(qs)
+    qd2d_terms = []
+    for j in range(m):
+        inner = []
+        for _, v in qs:
+            q_j = v[j * sub : (j + 1) * sub]
+            row = []
+            for word in cb[j]:
+                acc = 0.0
+                for x, y in zip(q_j, word):
+                    acc = acc + (x - y) * (x - y)
+                row.append(acc)
+            inner.append(_sql_double_array(row))
+        qd2d = "array(" + ", ".join(inner) + ")"
+        qd2d_terms.append(
+            f"element_at(element_at({qd2d}, _qidx + 1),"
+            f" CAST(codes[{j}] + 1 AS INT))"
+        )
+    scored = encoded.select(
+        F.col(id_col),
+        F.col("codes"),
+        F.expr(f"explode(sequence(0, {nq - 1}))").alias("_qidx"),
+        F.spark_partition_id().alias("_pid"),
+    ).select(
+        F.col("_qidx"),
+        F.col(id_col),
+        F.expr(" + ".join(qd2d_terms)).alias("_adc"),
+        "_pid",
+    )
+    aord = [F.col("_adc").asc_nulls_last(), F.col(id_col).asc()]
+    w_local = Window.partitionBy("_qidx", "_pid").orderBy(*aord)
+    w_adc = Window.partitionBy("_qidx").orderBy(*aord)
+    cf = candidate_factor * n
+    surv = (
+        scored.withColumn("_lrank", F.row_number().over(w_local))
+        .where(F.col("_lrank") <= cf)
+        .withColumn("_arank", F.row_number().over(w_adc))
+        .where(F.col("_arank") <= cf)
+        .select("_qidx", id_col)
+    )
+    qdf = spark.createDataFrame(
+        [(i, qid, v) for i, (qid, v) in enumerate(qs)],
+        T.StructType(
+            [
+                T.StructField("_qidx", T.IntegerType()),
+                T.StructField(query_id_col, qid_type),
+                T.StructField("_qv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    refetch = vectors.select(id_col, vector_col).join(F.broadcast(surv), id_col)
+    joined = refetch.join(F.broadcast(qdf), "_qidx")
+    exact = K.cosine_similarity(F.col("_qv"), F.col(vector_col), None, None)
+    w_c = Window.partitionBy(query_id_col).orderBy(
+        F.col("_raw").desc_nulls_last(), F.col(id_col).asc()
+    )
+    out = (
+        joined.select(
+            F.col(query_id_col), F.col(id_col), exact.alias("_raw")
+        )
+        .withColumn("_crank", F.row_number().over(w_c))
+        .where(F.col("_crank") <= n)
+    )
+    return out.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        (
+            F.round(F.col("_raw"), round_to)
+            if round_to is not None
+            else F.col("_raw")
+        ).alias("cosine_similarity"),
     )
