@@ -1524,9 +1524,11 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     int8 quantized-scan + exact-rerank, PRODUCT QUANTIZATION
     (``pq_topk``: m=8 deterministic sub-codebooks, ADC candidate scan
     over the 8-entry codes, exact rerank — the 32x-memory-shrink scan
-    path), and BATCHED PQ serving (``pq_topk_many``: the same five
+    path), BATCHED PQ serving (``pq_topk_many``: the same five
     query vectors as the IVF batch through ONE zero-shuffle ADC plan,
-    tagged ``pqmany<qid>``), tagged."""
+    tagged ``pqmany<qid>``), and IVFPQ (``ivfpq_topk``: partition
+    pruning AND code-ADC in one persisted index — the combined FAISS
+    IndexIVFPQ architecture), tagged."""
     lsh = _q_ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"),
         "vec_id",
@@ -1550,6 +1552,21 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(r["vec_id"]), int(r["cluster_id"]), float(r["cosine_similarity"]))
             for r in SIM.ivf_topk_from_index(
                 spark, ivf_path, _query_vector(spark, sf_dir), k=10, n_probe=4
+            ).collect()
+        ]
+        # IVFPQ: partition pruning AND m-byte-code ADC in one persisted
+        # index (similarity.build_ivfpq_index); bounded collect so the
+        # temp dir can be removed before the driver consumes the union
+        ivfpq_path = os.path.join(td, "ivfpq_index")
+        SIM.build_ivfpq_index(
+            _emb(spark, sf_dir), ivfpq_path, dim=PQ_DIM,
+            n_clusters=16, m=PQ_M, n_codes=PQ_CODES,
+        )
+        ivfpq_rows = [
+            (int(r["vec_id"]), int(r["cluster_id"]), float(r["cosine_similarity"]))
+            for r in SIM.ivfpq_topk(
+                spark, ivfpq_path, _query_vector(spark, sf_dir),
+                dim=PQ_DIM, m=PQ_M, k=10, n_probe=4,
             ).collect()
         ]
         # batched serving against the SAME persisted index: 5 queries,
@@ -1579,6 +1596,11 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx_rows, "vec_id long, cluster_id long, cosine_similarity double"
     ).select(
         F.lit("ivf_idx").alias("method"), "vec_id", "cluster_id", "cosine_similarity"
+    )
+    ivfpq = spark.createDataFrame(
+        ivfpq_rows, "vec_id long, cluster_id long, cosine_similarity double"
+    ).select(
+        F.lit("ivfpq").alias("method"), "vec_id", "cluster_id", "cosine_similarity"
     )
     many = spark.createDataFrame(
         many_rows,
@@ -1628,6 +1650,7 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lsh.unionByName(ivf)
         .unionByName(ivf_idx)
+        .unionByName(ivfpq)
         .unionByName(many)
         .unionByName(quant)
         .unionByName(pq)
@@ -2466,6 +2489,59 @@ def oracle_sql() -> dict[str, str]:
           JOIN pq_qm q ON s.query_id = q.query_id
         ) WHERE rn <= 10
     """
+    # IVFPQ mirror (similarity.build_ivfpq_index + ivfpq_topk): the ivf
+    # arm's centroid/probe/assignment CTEs composed with the pq arm's
+    # encode/distance-table CTEs — ADC ranks ONLY vectors assigned to
+    # probed clusters, then the exact-cosine rerank
+    ivfpq_sql = f"""
+        WITH {pq_prefix},
+        cent AS (
+          SELECT vec_id AS cluster_id, embedding AS centroid,
+                 {K.sql_magnitude('embedding')} AS centroid_mag
+          FROM embeddings WHERE vec_id < 16
+        ),
+        q AS (SELECT embedding AS q_vec, {mag} AS q_mag FROM embeddings WHERE vec_id = 0),
+        probe AS (
+          SELECT cluster_id FROM cent, q
+          ORDER BY {K.sql_cosine('q.q_vec', 'cent.centroid', 'q.q_mag', 'cent.centroid_mag')} DESC,
+                   cluster_id ASC
+          LIMIT 4
+        ),
+        assigned AS (
+          SELECT vec_id, cluster_id FROM (
+            SELECT e.vec_id, c.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {cent_cos} DESC, c.cluster_id ASC
+                   ) AS rn
+            FROM embeddings e, cent c
+          ) WHERE rn = 1
+        ),
+        ivfpq_qt AS (
+          SELECT cb.subspace, cb.code_id,
+                 {_pq_l2(_pq_qslice, 'cb.codeword')} AS qdist
+          FROM pq_cb cb, q
+        ),
+        ivfpq_adc AS (
+          SELECT e.vec_id, a.cluster_id, {pq_adc_sum} AS adc
+          FROM pq_enc e
+          JOIN assigned a ON e.vec_id = a.vec_id
+          JOIN probe p ON a.cluster_id = p.cluster_id
+          JOIN ivfpq_qt t ON e.subspace = t.subspace AND e.code_id = t.code_id
+          GROUP BY e.vec_id, a.cluster_id
+        ),
+        ivfpq_surv AS (
+          SELECT vec_id, cluster_id FROM ivfpq_adc
+          ORDER BY adc ASC, vec_id ASC LIMIT 40
+        )
+        SELECT s.vec_id, s.cluster_id,
+               round({K.sql_cosine('q.q_vec', 'e.embedding', 'q.q_mag')}, 9)
+                 AS cosine_similarity
+        FROM ivfpq_surv s, embeddings e, q
+        WHERE s.vec_id = e.vec_id
+        ORDER BY {K.sql_cosine('q.q_vec', 'e.embedding', 'q.q_mag')} DESC, s.vec_id ASC
+        LIMIT 10
+    """
     # --- composed curation pipeline (pipelines.curate_training_corpus):
     # the per-stage sql_* mirrors chained through the same survivor sets.
     # Constants mirror PIPE_* / CURATE_BUDGETS literally.
@@ -2736,6 +2812,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ivf_idx' AS method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
                    cosine_similarity
             FROM ({ivf_sql})
+            UNION ALL
+            -- IVFPQ: probe pruning + code-ADC funnel + exact rerank
+            SELECT 'ivfpq' AS method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+                   cosine_similarity
+            FROM ({ivfpq_sql})
             UNION ALL
             -- batched serving: 5 queries through one plan; the engine
             -- side reads the persisted index, this mirror re-derives the

@@ -221,6 +221,16 @@ def main() -> None:
     extra_map["ann_ivf_batch_50"] = lambda: SIM.ivf_topk_many(
         spark, qs, path=ivf_dir, k=10, n_probe=4
     ).count()
+    # IVFPQ serving: probe-pruned partitions + code-ADC + exact rerank
+    # against the combined persisted index (build excluded, as above)
+    ivfpq_dir = tempfile.mkdtemp(prefix="bench_ivfpq_")
+    SIM.build_ivfpq_index(
+        emb, ivfpq_dir, dim=entry.PQ_DIM,
+        n_clusters=16, m=entry.PQ_M, n_codes=entry.PQ_CODES,
+    )
+    extra_map["ann_ivfpq"] = lambda: SIM.ivfpq_topk(
+        spark, ivfpq_dir, qv, dim=entry.PQ_DIM, m=entry.PQ_M, k=10, n_probe=4
+    ).count()
 
     extras: dict[str, float] = {}
     try:
@@ -229,6 +239,7 @@ def main() -> None:
             print(f"# extra {name}: {extras[name]}s (median of {RUNS})", file=sys.stderr)
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
+        shutil.rmtree(ivfpq_dir, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)

@@ -88,6 +88,7 @@ EXPECTED_ARMS = {
             "lsh",
             "ivf",
             "ivf_idx",
+            "ivfpq",
             "quant",
             "pq",
             "many0",

@@ -208,3 +208,57 @@ def test_ivf_topk_many_in_memory_assigned(spark, emb):
             spark, ragged, assigned=assigned, centroids=cents, k=10, n_probe=4,
             expected_dim=len(qrows),
         ).collect()
+
+
+def test_ivfpq_index_build_query_and_pruning(spark, emb, tmp_path_factory):
+    """IVFPQ (flat-codebook IVFADC): with every cluster probed and a
+    full-coverage candidate set the funnel is lossless — results equal
+    brute force exactly; at n_probe=4 the probe filter prunes partitions
+    at the scan and every result row's cluster_id is a probed cluster;
+    results are deterministic across two queries."""
+    from wpvectordb_spark.operators.search import brute_force_topk
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    SIM.build_ivfpq_index(emb, path, dim=64, n_clusters=16, m=8, n_codes=16)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    # lossless configuration == brute force
+    full = SIM.ivfpq_topk(
+        spark, path, qv, dim=64, m=8, k=10, n_probe=16, candidate_factor=50
+    )
+    bf = brute_force_topk(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector")),
+        qv,
+        n=10,
+    )
+    assert [(r["vec_id"], r["cosine_similarity"]) for r in full.collect()] == [
+        (r["id"], r["cosine_similarity"]) for r in bf.collect()
+    ]
+    # pruned probes: plan-level partition filter + cluster membership
+    pruned = SIM.ivfpq_topk(spark, path, qv, dim=64, m=8, k=10, n_probe=4)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    cents = spark.read.parquet(f"{path}/centroids")
+    from wpvectordb_spark.functions import kernels as K
+    from wpvectordb_spark.operators.search import _magnitude
+
+    probed = {
+        r["cluster_id"]
+        for r in cents.withColumn(
+            "_s",
+            K.cosine_similarity(
+                F.array(*[F.lit(x) for x in qv]),
+                F.col("centroid"),
+                F.lit(_magnitude(qv)),
+                F.col("centroid_mag"),
+            ),
+        )
+        .orderBy(F.col("_s").desc(), F.col("cluster_id").asc())
+        .limit(4)
+        .collect()
+    }
+    rows = pruned.collect()
+    assert rows and {r["cluster_id"] for r in rows} <= probed
+    assert [tuple(r) for r in rows] == [
+        tuple(r)
+        for r in SIM.ivfpq_topk(spark, path, qv, dim=64, m=8, k=10, n_probe=4).collect()
+    ]

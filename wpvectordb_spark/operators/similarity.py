@@ -1192,3 +1192,149 @@ def pq_topk_many(
             else F.col("_raw")
         ).alias("cosine_similarity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ (IVFADC, Jegou et al. 2011 §IV): partition pruning AND code
+# compression in one index — the combined 100 TB serving architecture
+# (FAISS's IndexIVFPQ).  A query prunes (1 - n_probe/n_clusters) of the
+# data at the parquet partition level, then ranks ONLY the probed
+# partitions' m-byte codes by ADC before touching any float vector.
+#
+# This is the flat-codebook variant (codes encode the raw vectors with
+# one global codebook); canonical IVFADC encodes RESIDUALS
+# (vector - centroid) per cluster, which tightens the quantizer at the
+# cost of per-cluster distance tables (m x n_codes per probed cluster
+# per query).  The residual refinement changes only the encode/table
+# expressions; the index layout, probe pruning, and funnel are
+# identical — and the flat variant stays oracle-reproducible with the
+# same deterministic codebooks as pq_topk.
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    dim: int,
+    n_clusters: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> None:
+    """Materialize the IVFPQ layout: per-vector (id, vector, codes)
+    written partitioned by ``cluster_id``, with the centroid table and
+    the PQ codebooks alongside.  The cluster assignment and the PQ
+    encode ride in ONE projection over the corpus scan (broadcast
+    centroid argmax + literal-codebook argmin), so the build costs one
+    write shuffle — same as build_ivf_index.
+
+    The float vector is stored next to the codes for rerank convenience
+    at these test scales; a 100 TB deployment stores codes-only here and
+    re-fetches floats for the survivor set from the primary table
+    (pq_topk's broadcast re-fetch shape)."""
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    centroids = deterministic_centroids(
+        vectors, n_clusters, id_col, vector_col
+    ).persist()
+    cb_df = pq_codebooks(vectors, dim, m, n_codes, id_col, vector_col)
+    cb = _collect_codebooks(cb_df, m)
+    try:
+        assigned = assign_clusters(vectors, centroids, id_col, vector_col)
+        code_cols = _pq_code_cols(vector_col, cb, dim // m)
+        coded = assigned.select(
+            F.col(id_col), F.col(vector_col), F.col("cluster_id"), *code_cols
+        ).select(
+            F.col(id_col),
+            F.col(vector_col),
+            F.col("cluster_id"),
+            F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes"),
+        )
+        coded.write.mode("overwrite").partitionBy("cluster_id").parquet(
+            f"{path}/vectors"
+        )
+        centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        cb_df.write.mode("overwrite").parquet(f"{path}/codebooks")
+    finally:
+        centroids.unpersist()
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    query_vector: list[float],
+    dim: int,
+    m: int = 8,
+    k: int = 10,
+    n_probe: int = 4,
+    candidate_factor: int = 4,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Query a persisted IVFPQ index: rank stored centroids (bounded
+    n_probe collect, the ivf_topk_from_index shape), push a literal
+    ``cluster_id IN (probed)`` filter that prunes parquet partitions,
+    ADC-rank the probed partitions' CODES (literal distance tables,
+    zero-shuffle projection), keep ``candidate_factor * k`` survivors,
+    and rerank them with the exact float cosine.
+
+    Returns (id, cluster_id, cosine_similarity) — the probed-cluster
+    funnel composed with the PQ funnel: at 100 TB the scan after
+    pruning reads m-byte codes instead of 4d-byte floats, a combined
+    (n_probe/n_clusters) x (m/4d) read-volume shrink before the first
+    float op."""
+    q = [float(x) for x in query_vector]
+    if len(q) != dim:
+        raise ValueError(f"ivfpq_topk: query has {len(q)} dims, expected {dim}")
+    if any(x != x for x in q):
+        raise ValueError("ivfpq_topk: query_vector contains NaN")
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cb = _collect_codebooks(spark.read.parquet(f"{path}/codebooks"), m)
+    from wpvectordb_spark.operators.search import _magnitude as _mag_fn
+
+    q_mag_val = _mag_fn(q)
+    q_vec = F.array(*[F.lit(x) for x in q])
+    probe = [
+        r["cluster_id"]
+        for r in centroids.withColumn(
+            "_qsim",
+            K.cosine_similarity(
+                q_vec, F.col("centroid"), F.lit(q_mag_val), F.col("centroid_mag")
+            ),
+        )
+        .orderBy(F.col("_qsim").desc(), F.col("cluster_id").asc())
+        .limit(n_probe)
+        .collect()
+    ]
+    clustered = spark.read.parquet(f"{path}/vectors").where(
+        F.col("cluster_id").isin(probe)  # literal IN -> partition pruning
+    )
+    survivors = (
+        clustered.select(
+            id_col,
+            "cluster_id",
+            vector_col,
+            F.expr(_pq_adc_expr(cb, q, sub)).alias("_adc"),
+        )
+        .orderBy(F.col("_adc").asc_nulls_last(), F.col(id_col).asc())
+        .limit(candidate_factor * k)
+    )
+    exact = K.cosine_similarity(q_vec, F.col(vector_col), F.lit(q_mag_val), None)
+    out = survivors.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        (F.round(exact, round_to) if round_to is not None else exact).alias(
+            "cosine_similarity"
+        ),
+        exact.alias("_raw"),
+    )
+    return (
+        out.orderBy(F.col("_raw").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_raw")
+    )
