@@ -1526,9 +1526,12 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the 8-entry codes, exact rerank — the 32x-memory-shrink scan
     path), BATCHED PQ serving (``pq_topk_many``: the same five
     query vectors as the IVF batch through ONE zero-shuffle ADC plan,
-    tagged ``pqmany<qid>``), and IVFPQ (``ivfpq_topk``: partition
+    tagged ``pqmany<qid>``), IVFPQ (``ivfpq_topk``: partition
     pruning AND code-ADC in one persisted index — the combined FAISS
-    IndexIVFPQ architecture), tagged."""
+    IndexIVFPQ architecture), and BATCHED IVFPQ serving
+    (``ivfpq_topk_many``: the same five queries through one
+    probe-pruned constant-table ADC plan, tagged ``ivfpqmany<qid>``),
+    tagged."""
     lsh = _q_ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"),
         "vec_id",
@@ -1569,6 +1572,32 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dim=PQ_DIM, m=PQ_M, k=10, n_probe=4,
             ).collect()
         ]
+        # batched IVFPQ serving against the SAME persisted index: the
+        # ivf many<qid> batch shape composed with the PQ constant
+        # distance tables — 5 queries, one probe-pruned ADC plan;
+        # bounded collect (5 x k rows) before the temp dir goes away
+        ivfpq_many_rows = [
+            (
+                f"ivfpqmany{int(r['query_id'])}",
+                int(r["vec_id"]),
+                int(r["cluster_id"]),
+                float(r["cosine_similarity"]),
+            )
+            for r in SIM.ivfpq_topk_many(
+                spark,
+                ivfpq_path,
+                _emb(spark, sf_dir)
+                .where(F.col("vec_id") < 5)
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vector"),
+                ),
+                dim=PQ_DIM,
+                m=PQ_M,
+                k=10,
+                n_probe=4,
+            ).collect()
+        ]
         # batched serving against the SAME persisted index: 5 queries,
         # one plan; bounded collect (5 x k rows) so the temp index dir
         # can be removed before the driver consumes the lazy union
@@ -1601,6 +1630,10 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_rows, "vec_id long, cluster_id long, cosine_similarity double"
     ).select(
         F.lit("ivfpq").alias("method"), "vec_id", "cluster_id", "cosine_similarity"
+    )
+    ivfpq_many = spark.createDataFrame(
+        ivfpq_many_rows,
+        "method string, vec_id long, cluster_id long, cosine_similarity double",
     )
     many = spark.createDataFrame(
         many_rows,
@@ -1651,6 +1684,7 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh.unionByName(ivf)
         .unionByName(ivf_idx)
         .unionByName(ivfpq)
+        .unionByName(ivfpq_many)
         .unionByName(many)
         .unionByName(quant)
         .unionByName(pq)
@@ -2542,6 +2576,81 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY {K.sql_cosine('q.q_vec', 'e.embedding', 'q.q_mag')} DESC, s.vec_id ASC
         LIMIT 10
     """
+    # batched IVFPQ mirror (similarity.ivfpq_topk_many): the ivfpq CTE
+    # generalized per query — probe ranking and the ADC/survivor/rerank
+    # windows all gain a query_id partition, exactly how ivf_many_sql
+    # generalizes ivf_sql and pq_many_sql generalizes pq_sql
+    ivfpq_many_sql = f"""
+        WITH {pq_prefix},
+        cent AS (
+          SELECT vec_id AS cluster_id, embedding AS centroid,
+                 {K.sql_magnitude('embedding')} AS centroid_mag
+          FROM embeddings WHERE vec_id < 16
+        ),
+        ipm_q AS (
+          SELECT vec_id AS query_id, embedding AS q_vec, {mag} AS q_mag
+          FROM embeddings WHERE vec_id < 5
+        ),
+        ipm_probe AS (
+          SELECT query_id, cluster_id FROM (
+            SELECT q.query_id, cent.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {K.sql_cosine('q.q_vec', 'cent.centroid', 'q.q_mag', 'cent.centroid_mag')} DESC,
+                              cent.cluster_id ASC
+                   ) AS pr
+            FROM ipm_q q, cent
+          ) WHERE pr <= 4
+        ),
+        assigned AS (
+          SELECT vec_id, cluster_id FROM (
+            SELECT e.vec_id, c.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {cent_cos} DESC, c.cluster_id ASC
+                   ) AS rn
+            FROM embeddings e, cent c
+          ) WHERE rn = 1
+        ),
+        ipm_qt AS (
+          SELECT q.query_id, cb.subspace, cb.code_id,
+                 {_pq_l2(_pq_qslice, 'cb.codeword')} AS qdist
+          FROM pq_cb cb, ipm_q q
+        ),
+        ipm_adc AS (
+          SELECT t.query_id, e.vec_id, a.cluster_id, {pq_adc_sum} AS adc
+          FROM pq_enc e
+          JOIN assigned a ON e.vec_id = a.vec_id
+          JOIN ipm_probe p ON a.cluster_id = p.cluster_id
+          JOIN ipm_qt t ON t.query_id = p.query_id
+                       AND e.subspace = t.subspace AND e.code_id = t.code_id
+          GROUP BY t.query_id, e.vec_id, a.cluster_id
+        ),
+        ipm_surv AS (
+          SELECT query_id, vec_id, cluster_id FROM (
+            SELECT query_id, vec_id, cluster_id,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY adc ASC, vec_id ASC
+                   ) AS rn
+            FROM ipm_adc
+          ) WHERE rn <= 40
+        )
+        SELECT 'ivfpqmany' || CAST(query_id AS VARCHAR) AS method, vec_id,
+               cluster_id, cosine_similarity
+        FROM (
+          SELECT s.query_id, s.vec_id, s.cluster_id,
+                 round({K.sql_cosine('q.q_vec', 'e.embedding', 'q.q_mag')}, 9)
+                   AS cosine_similarity,
+                 row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY {K.sql_cosine('q.q_vec', 'e.embedding', 'q.q_mag')} DESC,
+                            s.vec_id ASC
+                 ) AS rn
+          FROM ipm_surv s
+          JOIN embeddings e ON s.vec_id = e.vec_id
+          JOIN ipm_q q ON s.query_id = q.query_id
+        ) WHERE rn <= 10
+    """
     # --- composed curation pipeline (pipelines.curate_training_corpus):
     # the per-stage sql_* mirrors chained through the same survivor sets.
     # Constants mirror PIPE_* / CURATE_BUDGETS literally.
@@ -2817,6 +2926,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ivfpq' AS method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
                    cosine_similarity
             FROM ({ivfpq_sql})
+            UNION ALL
+            -- batched IVFPQ serving: 5 queries, one probe-pruned ADC plan
+            SELECT method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+                   cosine_similarity
+            FROM ({ivfpq_many_sql})
             UNION ALL
             -- batched serving: 5 queries through one plan; the engine
             -- side reads the persisted index, this mirror re-derives the

@@ -101,6 +101,11 @@ EXPECTED_ARMS = {
             "pqmany2",
             "pqmany3",
             "pqmany4",
+            "ivfpqmany0",
+            "ivfpqmany1",
+            "ivfpqmany2",
+            "ivfpqmany3",
+            "ivfpqmany4",
         },
     ),
     "text_terms_tfidf": ("kind", {"bm25", "ppl", "rrf", "tfidf", "top"}),

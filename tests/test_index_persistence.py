@@ -262,3 +262,61 @@ def test_ivfpq_index_build_query_and_pruning(spark, emb, tmp_path_factory):
         tuple(r)
         for r in SIM.ivfpq_topk(spark, path, qv, dim=64, m=8, k=10, n_probe=4).collect()
     ]
+
+
+def test_ivfpq_topk_many_equals_per_query_and_edges(spark, emb, tmp_path_factory):
+    """Batched IVFPQ serving: per-query results equal ivfpq_topk on the
+    same persisted index (probe ranking, ADC funnel, and rerank all
+    agree); the plan prunes partitions via the probed-cluster literal
+    IN; NULL queries are dropped, the empty batch returns an empty
+    typed frame, and mis-dimensioned or NaN queries raise driver-side."""
+    path = str(tmp_path_factory.mktemp("ivfpqm") / "index")
+    SIM.build_ivfpq_index(emb, path, dim=64, n_clusters=16, m=8, n_codes=16)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    batched = SIM.ivfpq_topk_many(spark, path, queries, dim=64, m=8, k=10, n_probe=4)
+    plan = batched._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    got = sorted(map(tuple, batched.collect()))
+    want = []
+    for r in queries.collect():
+        qv = [float(x) for x in r["query_vector"]]
+        for o in SIM.ivfpq_topk(
+            spark, path, qv, dim=64, m=8, k=10, n_probe=4
+        ).collect():
+            want.append(
+                (r["query_id"], o["vec_id"], o["cluster_id"], o["cosine_similarity"])
+            )
+    assert got == sorted(want) and len(got) == 8 * 10
+    # NULL query dropped; remaining queries unchanged
+    with_null = queries.withColumn(
+        "query_vector",
+        F.when(F.col("query_id") == 0, F.lit(None)).otherwise(F.col("query_vector")),
+    )
+    got_null = SIM.ivfpq_topk_many(spark, path, with_null, dim=64, m=8, k=10, n_probe=4)
+    assert got_null.where(F.col("query_id") == 0).count() == 0
+    assert sorted(map(tuple, got_null.collect())) == [t for t in got if t[0] != 0]
+    # empty batch: typed empty frame, no job beyond the schema read
+    empty = SIM.ivfpq_topk_many(
+        spark, path, queries.where(F.col("query_id") < 0), dim=64, m=8, k=10
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "vec_id", "cluster_id", "cosine_similarity"]
+    # driver-side guards: exact dims and NaN
+    with pytest.raises(ValueError, match="dims, expected 64"):
+        SIM.ivfpq_topk_many(
+            spark, path, queries.withColumn("query_vector", F.slice("query_vector", 1, 7)),
+            dim=64, m=8,
+        )
+    with pytest.raises(ValueError, match="NaN"):
+        SIM.ivfpq_topk_many(
+            spark, path,
+            queries.withColumn(
+                "query_vector",
+                F.when(F.col("query_id") == 1, F.array_repeat(F.lit(float("nan")), 64))
+                .otherwise(F.col("query_vector")),
+            ),
+            dim=64, m=8,
+        )

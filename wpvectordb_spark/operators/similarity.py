@@ -1028,6 +1028,70 @@ def pq_topk(
     )
 
 
+def _pq_qd2d_terms(
+    cb: list[list[list[float]]], qvecs: list[list[float]], sub: int
+) -> list[str]:
+    """Per-subspace ADC lookup terms over 2-D CONSTANT distance tables
+    ``qd2d[j][qidx][code]``: the whole batch's ADC is m nested
+    ``element_at`` lookups on constant nested arrays — generated code
+    size is CONSTANT in |queries| (each table is one constant-pool
+    reference), only the folded literal DATA grows.  The per-query
+    expression-chain form (one named_struct per query) was falsified at
+    scale: Janino blew its 64KB method limit at ~200 queries
+    (interpreted fallback) and OOM'd the driver heap compiling ~500 —
+    see PERFORMANCE.md item 38.  Distances are folded driver-side in
+    the same left-fold order as the engine/oracle kernels (IEEE
+    binary64 sub/mul/add are bit-identical across Python, the JVM, and
+    DuckDB).  The emitted terms reference columns ``_qidx`` (exploded
+    or joined query ordinal) and ``codes`` (the stored PQ code array)."""
+    terms = []
+    for j in range(len(cb)):
+        inner = []
+        for v in qvecs:
+            q_j = v[j * sub : (j + 1) * sub]
+            row = []
+            for word in cb[j]:
+                acc = 0.0
+                for x, y in zip(q_j, word):
+                    acc = acc + (x - y) * (x - y)
+                row.append(acc)
+            inner.append(_sql_double_array(row))
+        qd2d = "array(" + ", ".join(inner) + ")"
+        terms.append(
+            f"element_at(element_at({qd2d}, _qidx + 1),"
+            f" CAST(codes[{j}] + 1 AS INT))"
+        )
+    return terms
+
+
+def _collect_query_batch(
+    queries: DataFrame,
+    dim: int,
+    query_id_col: str,
+    query_vec_col: str,
+    fn: str,
+) -> list[tuple]:
+    """Collect a bounded serving batch of query vectors driver-side
+    (the PQ batched-serving contract: literal distance tables need the
+    raw vectors on the driver).  NULL query vectors are dropped
+    (search_many contract); mis-dimensioned or NaN queries raise."""
+    qs = []
+    for r in queries.select(query_id_col, query_vec_col).collect():
+        v = r[query_vec_col]
+        if v is None:
+            continue
+        v = [float(x) for x in v]
+        if len(v) != dim:
+            raise ValueError(
+                f"{fn}: query {r[query_id_col]!r} has {len(v)} dims,"
+                f" expected {dim}"
+            )
+        if any(x != x for x in v):
+            raise ValueError(f"{fn}: query {r[query_id_col]!r} contains NaN")
+        qs.append((r[query_id_col], v))
+    return qs
+
+
 def pq_topk_many(
     vectors: DataFrame,
     queries: DataFrame,
@@ -1075,22 +1139,9 @@ def pq_topk_many(
         raise ValueError(f"pq: dim {dim} not divisible by m {m}")
     sub = dim // m
     spark = vectors.sparkSession
-    qs = []
-    for r in queries.select(query_id_col, query_vec_col).collect():
-        v = r[query_vec_col]
-        if v is None:
-            continue
-        v = [float(x) for x in v]
-        if len(v) != dim:
-            raise ValueError(
-                f"pq_topk_many: query {r[query_id_col]!r} has {len(v)} dims,"
-                f" expected {dim}"
-            )
-        if any(x != x for x in v):
-            raise ValueError(
-                f"pq_topk_many: query {r[query_id_col]!r} contains NaN"
-            )
-        qs.append((r[query_id_col], v))
+    qs = _collect_query_batch(
+        queries, dim, query_id_col, query_vec_col, "pq_topk_many"
+    )
     qid_type = queries.schema[query_id_col].dataType
     if not qs:
         return spark.createDataFrame(
@@ -1112,32 +1163,8 @@ def pq_topk_many(
         )
     if encoded is None:
         encoded = _pq_encode_from_cb(vectors, cb, dim, m, id_col, vector_col)
-    # Per-subspace 2-D literal distance tables qd2d[j][qidx][code]: the
-    # whole batch's ADC is m nested element_at lookups on CONSTANT nested
-    # arrays — generated code size is CONSTANT in |queries| (each table
-    # is one constant reference), only the folded literal DATA grows.
-    # The per-query expression-chain form (one named_struct per query)
-    # was falsified at scale: Janino blew its method limit at ~200
-    # queries (interpreted fallback) and OOM'd the driver heap compiling
-    # ~500 — see PERFORMANCE.md item 38.
     nq = len(qs)
-    qd2d_terms = []
-    for j in range(m):
-        inner = []
-        for _, v in qs:
-            q_j = v[j * sub : (j + 1) * sub]
-            row = []
-            for word in cb[j]:
-                acc = 0.0
-                for x, y in zip(q_j, word):
-                    acc = acc + (x - y) * (x - y)
-                row.append(acc)
-            inner.append(_sql_double_array(row))
-        qd2d = "array(" + ", ".join(inner) + ")"
-        qd2d_terms.append(
-            f"element_at(element_at({qd2d}, _qidx + 1),"
-            f" CAST(codes[{j}] + 1 AS INT))"
-        )
+    qd2d_terms = _pq_qd2d_terms(cb, [v for _, v in qs], sub)
     scored = encoded.select(
         F.col(id_col),
         F.col("codes"),
@@ -1337,4 +1364,165 @@ def ivfpq_topk(
         out.orderBy(F.col("_raw").desc(), F.col(id_col).asc())
         .limit(k)
         .drop("_raw")
+    )
+
+
+def ivfpq_topk_many(
+    spark,
+    path: str,
+    queries: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 10,
+    n_probe: int = 4,
+    candidate_factor: int = 4,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    round_to: int | None = 9,
+) -> DataFrame:
+    """Batched IVFPQ serving: a DataFrame of query vectors against the
+    persisted ``build_ivfpq_index`` layout in ONE plan — the combined
+    form of ``ivf_topk_many`` (per-query partition-pruned probes) and
+    ``pq_topk_many`` (constant-distance-table ADC).  Per query the
+    result equals ``ivfpq_topk`` on the same index (test-asserted).
+
+    The batch is COLLECTED driver-side (``pq_topk_many`` contract: the
+    ADC distance tables are literal, so the scan needs no per-row join
+    against query vectors); a serving batch is bounded by construction.
+    Plan shape:
+
+    1. probe ranking — the query frame cross-joins the broadcast stored
+       centroids (tiny by construction) and a per-query ``row_number``
+       keeps ``n_probe`` clusters; the (query-ordinal, cluster_id)
+       pairs are localCheckpointed once (Q x n_probe rows);
+    2. partition pruning — the UNION of probed cluster ids (bounded by
+       n_clusters DISTINCT values) becomes a literal ``IN`` filter on
+       the partitionBy(cluster_id) read, so unprobed partitions are
+       never scanned;
+    3. candidate fan-out — pruned code rows equi-join the broadcast
+       probe pairs on cluster_id: each m-byte code row fans out ONLY to
+       the queries probing its cluster (never |queries| copies);
+    4. ADC — m nested lookups into per-subspace 2-D CONSTANT distance
+       tables indexed by the joined query ordinal (generated code
+       constant-size in |queries|; PERFORMANCE.md item 38);
+    5. per-query funnel — local per-(query, scan-partition) pre-top-k
+       bounds the global rank exchange at ``candidate_factor * k`` x
+       #partitions narrow rows per query, then one broadcast re-fetch
+       of the survivors' float vectors from the pruned read, reranked
+       by the exact cosine per query.
+
+    NULL query vectors are dropped up front; NaN or mis-dimensioned
+    queries raise (the batch is driver-side, so the guard is exact —
+    no ``expected_dim`` parameter needed)."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    qs = _collect_query_batch(
+        queries, dim, query_id_col, query_vec_col, "ivfpq_topk_many"
+    )
+    qid_type = queries.schema[query_id_col].dataType
+    vectors_idx = spark.read.parquet(f"{path}/vectors")
+    if not qs:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(query_id_col, qid_type),
+                    T.StructField(id_col, vectors_idx.schema[id_col].dataType),
+                    T.StructField(
+                        "cluster_id", vectors_idx.schema["cluster_id"].dataType
+                    ),
+                    T.StructField("cosine_similarity", T.DoubleType()),
+                ]
+            ),
+        )
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cb = _collect_codebooks(spark.read.parquet(f"{path}/codebooks"), m)
+    qdf = spark.createDataFrame(
+        [(i, qid, v) for i, (qid, v) in enumerate(qs)],
+        T.StructType(
+            [
+                T.StructField("_qidx", T.IntegerType()),
+                T.StructField(query_id_col, qid_type),
+                T.StructField("_qv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    qm = qdf.withColumn("_q_mag", K.magnitude("_qv"))
+    qsim = K.cosine_similarity(
+        F.col("_qv"), F.col("centroid"), F.col("_q_mag"), F.col("centroid_mag")
+    )
+    w_probe = Window.partitionBy("_qidx").orderBy(
+        F.col("_qsim").desc(), F.col("cluster_id").asc()
+    )
+    probes = (
+        qm.crossJoin(F.broadcast(centroids))
+        .select("_qidx", "cluster_id", qsim.alias("_qsim"))
+        .withColumn("_prank", F.row_number().over(w_probe))
+        .where(F.col("_prank") <= n_probe)
+        .select("_qidx", "cluster_id")
+    )
+    probes = probes.localCheckpoint(eager=True)  # Q x n_probe rows; computed
+    # once here instead of once for the id-collect and once per downstream join
+    probe_ids = sorted(
+        r["cluster_id"]
+        for r in probes.select("cluster_id").distinct().collect()
+        # bounded collect: <= n_clusters distinct values regardless of |queries|
+    )
+    clustered = vectors_idx.where(
+        F.col("cluster_id").isin(probe_ids)  # literal IN -> partition pruning
+    )
+    qd2d_terms = _pq_qd2d_terms(cb, [v for _, v in qs], sub)
+    scored = (
+        clustered.select(id_col, "cluster_id", "codes")
+        .join(F.broadcast(probes), "cluster_id")
+        .select(
+            F.col("_qidx"),
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.expr(" + ".join(qd2d_terms)).alias("_adc"),
+            F.spark_partition_id().alias("_pid"),
+        )
+    )
+    aord = [F.col("_adc").asc_nulls_last(), F.col(id_col).asc()]
+    w_local = Window.partitionBy("_qidx", "_pid").orderBy(*aord)
+    w_adc = Window.partitionBy("_qidx").orderBy(*aord)
+    cf = candidate_factor * k
+    surv = (
+        scored.withColumn("_lrank", F.row_number().over(w_local))
+        .where(F.col("_lrank") <= cf)
+        .withColumn("_arank", F.row_number().over(w_adc))
+        .where(F.col("_arank") <= cf)
+        .select("_qidx", id_col, "cluster_id")
+    )
+    refetch = clustered.select(id_col, vector_col).join(F.broadcast(surv), id_col)
+    joined = refetch.join(F.broadcast(qdf), "_qidx")
+    exact = K.cosine_similarity(F.col("_qv"), F.col(vector_col), None, None)
+    w_c = Window.partitionBy(query_id_col).orderBy(
+        F.col("_raw").desc_nulls_last(), F.col(id_col).asc()
+    )
+    out = (
+        joined.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col("cluster_id"),
+            exact.alias("_raw"),
+        )
+        .withColumn("_crank", F.row_number().over(w_c))
+        .where(F.col("_crank") <= k)
+    )
+    return out.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.col("cluster_id"),
+        (
+            F.round(F.col("_raw"), round_to)
+            if round_to is not None
+            else F.col("_raw")
+        ).alias("cosine_similarity"),
     )
