@@ -231,6 +231,11 @@ def main() -> None:
     extra_map["ann_ivfpq"] = lambda: SIM.ivfpq_topk(
         spark, ivfpq_dir, qv, dim=entry.PQ_DIM, m=entry.PQ_M, k=10, n_probe=4
     ).count()
+    # batched IVFPQ serving: the same 50-query frame through ONE
+    # probe-pruned constant-table ADC plan against the persisted index
+    extra_map["ann_ivfpq_batch_50"] = lambda: SIM.ivfpq_topk_many(
+        spark, ivfpq_dir, qs, dim=entry.PQ_DIM, m=entry.PQ_M, k=10, n_probe=4
+    ).count()
 
     extras: dict[str, float] = {}
     try:
