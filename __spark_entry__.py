@@ -1528,9 +1528,13 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vectors as the IVF batch through ONE zero-shuffle ADC plan,
     tagged ``pqmany<qid>``), IVFPQ (``ivfpq_topk``: partition
     pruning AND code-ADC in one persisted index — the combined FAISS
-    IndexIVFPQ architecture), and BATCHED IVFPQ serving
+    IndexIVFPQ architecture), BATCHED IVFPQ serving
     (``ivfpq_topk_many``: the same five queries through one
     probe-pruned constant-table ADC plan, tagged ``ivfpqmany<qid>``),
+    and STREAMING ANN serving (``streams.stream_ann_serve`` kernel:
+    the same five queries as 3 micro-batches against the frozen
+    persisted index with a forced compaction fold, tagged
+    ``sann<qid>`` — telescoping: equals the ``many<qid>`` batch),
     tagged."""
     lsh = _q_ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"),
@@ -1621,6 +1625,51 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_probe=4,
             ).collect()
         ]
+        # streaming ANN serving (streams.stream_ann_serve kernel): the
+        # SAME 5 queries split into 3 micro-batches (query_id % 3) hand-
+        # driving _ann_serve_apply against the SAME persisted IVF index.
+        # The index is frozen during serving, so batches are independent
+        # and the accumulated results equal the many<qid> batch (the
+        # serving analog of the ingest telescoping guarantee) — the
+        # oracle is the SAME SQL mirror re-tagged.  compact_every=2
+        # forces a snapshot fold mid-run, putting the serve stream's
+        # compaction under the oracle too.  Bounded collect (5 x k rows)
+        # before the temp dirs go away.
+        from wpvectordb_spark.streaming import streams as ST
+
+        serve_dir = os.path.join(td, "serve_results")
+        os.makedirs(serve_dir)
+        qserve = (
+            _emb(spark, sf_dir)
+            .where(F.col("vec_id") < 5)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vector"),
+            )
+        )
+        for bid in range(3):
+            ST._ann_serve_apply(
+                spark,
+                ivf_path,
+                serve_dir,
+                qserve.where(F.pmod(F.col("query_id"), F.lit(3)) == bid),
+                bid,
+                kind="ivf",
+                k=10,
+                n_probe=4,
+                compact_every=2,
+            )
+        sann_rows = [
+            (
+                f"sann{int(r['query_id'])}",
+                int(r["vec_id"]),
+                int(r["cluster_id"]),
+                float(r["cosine_similarity"]),
+            )
+            for r in ST._read_state_stable(
+                spark, serve_dir, ST._ANN_RESULTS_SCHEMA
+            ).collect()
+        ]
     ivf_idx = spark.createDataFrame(
         idx_rows, "vec_id long, cluster_id long, cosine_similarity double"
     ).select(
@@ -1637,6 +1686,10 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     many = spark.createDataFrame(
         many_rows,
+        "method string, vec_id long, cluster_id long, cosine_similarity double",
+    )
+    sann = spark.createDataFrame(
+        sann_rows,
         "method string, vec_id long, cluster_id long, cosine_similarity double",
     )
     quant = SIM.quantized_topk(
@@ -1686,6 +1739,7 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ivfpq)
         .unionByName(ivfpq_many)
         .unionByName(many)
+        .unionByName(sann)
         .unionByName(quant)
         .unionByName(pq)
         .unionByName(pq_many)
@@ -2359,6 +2413,11 @@ def oracle_sql() -> dict[str, str]:
                vec_id, cluster_id, round(cos_raw, 9) AS cosine_similarity
         FROM ranked WHERE rnk <= 10
     """
+    # streaming ANN serving mirror: the index is frozen during a serve
+    # run, so the accumulated micro-batch results EQUAL the batched
+    # serve over the same queries (telescoping) — the mirror is the
+    # ivf_many CTE verbatim with only the method tag changed
+    sann_sql = ivf_many_sql.replace("'many' ||", "'sann' ||", 1)
     # int8 quantized-scan + exact-rerank (similarity.quantized_topk):
     # scale = max|x|/127 (1e-30 floor), codes = round-half-away(x/scale),
     # scan ranks by quantized cosine (scales cancel), 4n survivors rerank
@@ -2938,6 +2997,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
                    cosine_similarity
             FROM ({ivf_many_sql})
+            UNION ALL
+            -- streaming ANN serving: the same queries through 3 micro-
+            -- batches against the frozen index; telescoping => equals
+            -- the many<qid> mirror, re-tagged
+            SELECT method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+                   cosine_similarity
+            FROM ({sann_sql})
             UNION ALL
             SELECT 'quant' AS method, vec_id, CAST(NULL AS BIGINT) AS cluster_id,
                    cosine_similarity

@@ -106,6 +106,11 @@ EXPECTED_ARMS = {
             "ivfpqmany2",
             "ivfpqmany3",
             "ivfpqmany4",
+            "sann0",
+            "sann1",
+            "sann2",
+            "sann3",
+            "sann4",
         },
     ),
     "text_terms_tfidf": ("kind", {"bm25", "ppl", "rrf", "tfidf", "top"}),

@@ -692,3 +692,132 @@ def test_queue_state_restart_without_checkpoint_is_refused(spark, tmp_path):
             q.stop()
     # the adopted state survives untouched and readable
     assert get_state().count() == 20
+
+
+def test_stream_ann_serve_matches_batch_serve(spark, tmp_path):
+    """Streaming ANN serving telescopes: the index is frozen during a
+    serve run, so micro-batches are independent and the accumulated
+    results over ANY split of a query set equal the batched serve over
+    the whole set — for both the IVF and IVFPQ kinds.  The per-batch
+    apply runs the batched plans, so partition pruning and constant-size
+    ADC codegen are inherited, not re-proven here."""
+    from wpvectordb_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ivf_dir = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb, ivf_dir, n_clusters=16)
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    src = str(tmp_path / "queries_src")
+    queries.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+    qschema = "query_id long, query_vector array<float>"
+    stream = (
+        spark.readStream.schema(qschema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    get_results, query = ST.stream_ann_serve(
+        spark, ivf_dir, stream, kind="ivf", k=10, n_probe=4
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    streamed = sorted(map(tuple, get_results().collect()))
+    batch = sorted(
+        (r["query_id"], r["vec_id"], r["cluster_id"], r["cosine_similarity"])
+        for r in SIM.ivf_topk_many(
+            spark, queries, path=ivf_dir, k=10, n_probe=4
+        ).collect()
+    )
+    assert streamed == batch and len(streamed) == 20 * 10
+    # IVFPQ kind over the same stream source
+    pq_dir = str(tmp_path / "ivfpq")
+    SIM.build_ivfpq_index(emb, pq_dir, dim=64, n_clusters=16, m=8, n_codes=16)
+    stream2 = (
+        spark.readStream.schema(qschema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    get2, q2 = ST.stream_ann_serve(
+        spark, pq_dir, stream2, kind="ivfpq", dim=64, m=8, k=10, n_probe=4
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    streamed2 = sorted(map(tuple, get2().collect()))
+    batch2 = sorted(
+        map(
+            tuple,
+            SIM.ivfpq_topk_many(
+                spark, pq_dir, queries, dim=64, m=8, k=10, n_probe=4
+            ).collect(),
+        )
+    )
+    assert streamed2 == batch2 and len(streamed2) == 20 * 10
+
+
+def test_stream_ann_serve_replay_compaction_and_refusals(spark, tmp_path):
+    """The serve stream shares the ingest streams' state contract:
+    a replayed batch overwrites its own subdir (exactly-once results),
+    compaction folds old result deltas without changing the accumulated
+    set, a batch-id restart over existing results refuses loudly, and
+    bad configs raise before any job."""
+    import os
+
+    from wpvectordb_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ivf_dir = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb, ivf_dir, n_clusters=16)
+    res_dir = str(tmp_path / "results")
+    os.makedirs(res_dir)
+
+    def qbatch(lo, hi):
+        return emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vector"),
+        )
+
+    for bid in range(4):
+        ST._ann_serve_apply(
+            spark, ivf_dir, res_dir, qbatch(bid * 3, bid * 3 + 3), bid,
+            kind="ivf", k=5, n_probe=4, compact_every=2,
+        )
+    once = sorted(
+        map(tuple, ST._read_state(spark, res_dir, ST._ANN_RESULTS_SCHEMA).collect())
+    )
+    assert len(once) == 12 * 5
+    # compaction folded old deltas: listing stays bounded (snapshot + the
+    # batches newer than its coverage), never 4 loose delta dirs
+    upto, spath, deltas = ST._list_state(res_dir)
+    assert spath is not None and len(deltas) < 4
+    # replay the LATEST batch (the only legitimate replay) -> identical
+    ST._ann_serve_apply(
+        spark, ivf_dir, res_dir, qbatch(9, 12), 3,
+        kind="ivf", k=5, n_probe=4, compact_every=2,
+    )
+    assert (
+        sorted(
+            map(
+                tuple, ST._read_state(spark, res_dir, ST._ANN_RESULTS_SCHEMA).collect()
+            )
+        )
+        == once
+    )
+    # batch-id restart over newer results = two streams blending — refuse
+    # (whichever guard fires first: the snapshot already covers batch 0
+    # after compaction, or uncompacted newer deltas trip the restart check)
+    with pytest.raises(
+        RuntimeError, match="shared by two streams|requires the ORIGINAL checkpoint"
+    ):
+        ST._ann_serve_apply(
+            spark, ivf_dir, res_dir, qbatch(0, 3), 0, kind="ivf", k=5
+        )
+    # config refusals, before any job
+    with pytest.raises(ValueError, match="unknown kind"):
+        ST._ann_serve_apply(
+            spark, ivf_dir, str(tmp_path / "r2"), qbatch(0, 3), 0, kind="hnsw"
+        )
+    with pytest.raises(ValueError, match="requires dim="):
+        ST._ann_serve_apply(
+            spark, ivf_dir, str(tmp_path / "r3"), qbatch(0, 3), 0, kind="ivfpq"
+        )

@@ -643,3 +643,156 @@ def _dedup_ingest_apply(
         (pairs_dir, _DEDUP_PAIRS_SCHEMA),
     ):
         _compact_state(spark, d, sch, before_batch=bid, compact_every=compact_every)
+
+
+# --- streaming ANN serving ----------------------------------------------------
+
+_ANN_RESULTS_SCHEMA = (
+    "query_id long, vec_id long, cluster_id long, cosine_similarity double"
+)
+
+
+def _ann_serve_apply(
+    spark: SparkSession,
+    index_path: str,
+    results_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    kind: str = "ivf",
+    k: int = 10,
+    n_probe: int = 4,
+    dim: int | None = None,
+    m: int = 8,
+    expected_dim: int | None = None,
+    compact_every: int = 16,
+) -> None:
+    """One micro-batch of streaming ANN serving — module-level so the
+    exactly-once replay contract is directly testable (apply the same
+    batch twice, assert identical results).  The batch's query vectors
+    run through the BATCHED serving plan (``ivf_topk_many`` /
+    ``ivfpq_topk_many``) against the frozen persisted index, and the
+    top-k rows land in the deterministic per-batch subdir ``b<bid>``
+    with ``overwrite`` (the idempotent-foreachBatch pattern shared with
+    the ingest streams).  Unlike the ingest streams the batches are
+    INDEPENDENT — serving never reads earlier results — but the
+    pre-state read still runs for its refusal guards: a results dir
+    shared by two live streams or a batch-id restart over old results
+    would silently blend two streams' outputs."""
+    from wpvectordb_spark.operators import similarity as SIM
+
+    bid = int(batch_id)
+    if kind not in ("ivf", "ivfpq"):
+        raise ValueError(f"stream_ann_serve: unknown kind {kind!r}")
+    if kind == "ivfpq" and dim is None:
+        raise ValueError("stream_ann_serve: kind='ivfpq' requires dim=")
+    # refusal guards only (shared dir / batch-id restart); the frame is
+    # lazy and never consumed — no job runs
+    _read_state(spark, results_dir, _ANN_RESULTS_SCHEMA, before_batch=bid)
+    if kind == "ivf":
+        res = SIM.ivf_topk_many(
+            spark,
+            batch_df,
+            path=index_path,
+            k=k,
+            n_probe=n_probe,
+            expected_dim=expected_dim,
+        )
+    else:
+        res = SIM.ivfpq_topk_many(
+            spark, index_path, batch_df, dim=dim, m=m, k=k, n_probe=n_probe
+        )
+    res.select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.col("cluster_id").cast("long"),
+        F.col("cosine_similarity").cast("double"),
+    ).write.mode("overwrite").parquet(os.path.join(results_dir, f"b{bid}"))
+    _compact_state(
+        spark,
+        results_dir,
+        _ANN_RESULTS_SCHEMA,
+        before_batch=bid,
+        compact_every=compact_every,
+    )
+
+
+def stream_ann_serve(
+    spark: SparkSession,
+    index_path: str,
+    queries_stream: DataFrame,
+    *,
+    kind: str = "ivf",
+    k: int = 10,
+    n_probe: int = 4,
+    dim: int | None = None,
+    m: int = 8,
+    expected_dim: int | None = None,
+    state_path: str | None = None,
+    checkpoint_path: str | None = None,
+    compact_every: int = 16,
+):
+    """Streaming ANN serving — the online form of the batched query
+    paths: query vectors ARRIVE as a stream (a Kafka topic of search
+    requests in production; a file source here) and each micro-batch is
+    served in ONE plan against the frozen persisted index via
+    ``ivf_topk_many`` (``kind='ivf'``) or ``ivfpq_topk_many``
+    (``kind='ivfpq'``).  This is the production serving loop the
+    reference runs one HTTP request at a time (reference src/VectorTable.php
+    search(): binarize -> candidates -> rank per call): micro-batching
+    amortizes probe ranking, partition-pruned reads, and plan
+    construction across the whole batch — measured 10-16x over the
+    per-query loop at 50 queries (PERFORMANCE.md items 33/39).
+
+    Because the index is FROZEN during serving, micro-batches are
+    independent and the accumulated results table after any split of a
+    query set equals the batched serve over the whole set (the serving
+    analog of the ingest streams' telescoping guarantee; test- and
+    oracle-asserted).  Results are written exactly-once: each batch
+    overwrites its own ``b<batch_id>`` subdir, so a replayed batch lands
+    on its previous attempt; ``compact_every`` folds old result deltas
+    into one snapshot with the same crash-safe swap as the ingest
+    streams, bounding the listing cost of a long-running serve stream.
+    Index updates compose as in FAISS practice: appends go through
+    ``append_to_ivf_index`` between (not during) serve runs; re-train +
+    rebuild when monitored recall (``ann_recall``) degrades.
+
+    ``state_path`` / ``checkpoint_path`` pin results + checkpoint so a
+    later ``start()`` resumes the batch-id sequence (both together, as
+    with the ingest streams — a fresh checkpoint over old results
+    refuses loudly).  Returns ``(get_results, query)``: ``get_results``
+    re-lists on every call and returns an eagerly materialized frame
+    (query_id, vec_id, cluster_id, cosine_similarity as longs/double),
+    immune to concurrent compaction swaps."""
+    root = _state_root(state_path, "stream_ann_results_")
+    results_dir = os.path.join(root, "results")
+    os.makedirs(results_dir, exist_ok=True)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _ann_serve_apply(
+            spark,
+            index_path,
+            results_dir,
+            batch_df,
+            batch_id,
+            kind=kind,
+            k=k,
+            n_probe=n_probe,
+            dim=dim,
+            m=m,
+            expected_dim=expected_dim,
+            compact_every=compact_every,
+        )
+
+    ckpt = checkpoint_path or os.path.join(
+        tempfile.gettempdir(), f"ckpt_ann_{uuid.uuid4().hex[:8]}"
+    )
+    query = (
+        queries_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    return (
+        lambda: _read_state_stable(spark, results_dir, _ANN_RESULTS_SCHEMA),
+        query,
+    )
