@@ -1186,3 +1186,47 @@ def test_pq_empty_corpus_refuses_loudly(spark):
     )
     with pytest.raises(ValueError, match="empty codebook"):
         SIM.pq_encode(ragged, SIM.pq_codebooks(ragged, dim=64, m=8), dim=64, m=8)
+
+
+def test_pq_and_ivfpq_recall_budget_curve(spark, tmp_path_factory):
+    """The PQ family's recall@10 vs brute force rises monotonically with
+    the candidate budget and clears an absolute floor on the driver's
+    near-random embeddings (the WORST case for ADC: little cluster or
+    subspace structure).  Measured 2026-08-15 at sf0.01: pq cf=4/8/16 ->
+    0.52/0.68/0.92; ivfpq (n_probe,cf)=(4,4)/(8,8)/(16,16) ->
+    0.46/0.74/0.92.  Floors leave margin for testdata regeneration while
+    catching a broken ADC/funnel path; at ALL-probe the IVFPQ index
+    degenerates to the flat PQ scan (same deterministic codebooks), so
+    their recalls must agree."""
+    import os
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id").isin(0, 100, 200, 300, 400)).collect()
+    ]
+    cb = SIM._collect_codebooks(SIM.pq_codebooks(emb, dim=64, m=8, n_codes=16), 8)
+    enc = SIM._pq_encode_from_cb(emb, cb, 64, 8, "vec_id", "embedding").localCheckpoint()
+
+    def pq(cf):
+        return lambda v, q, k: SIM.pq_topk(
+            v, q, dim=64, m=8, n_codes=16, n=k,
+            candidate_factor=cf, codebooks=cb, encoded=enc,
+        )
+
+    r_pq4 = SIM.ann_recall(emb, qvs, k=10, topk_fn=pq(4))
+    r_pq16 = SIM.ann_recall(emb, qvs, k=10, topk_fn=pq(16))
+    assert r_pq4 <= r_pq16  # more rerank candidates never hurt
+    assert r_pq16 >= 0.8
+    path = str(tmp_path_factory.mktemp("recall") / "ivfpq")
+    SIM.build_ivfpq_index(emb, path, dim=64, n_clusters=16, m=8, n_codes=16)
+
+    def ivfpq(npb, cf):
+        return lambda v, q, k: SIM.ivfpq_topk(
+            spark, path, q, dim=64, m=8, k=k, n_probe=npb, candidate_factor=cf
+        )
+
+    r_mid = SIM.ann_recall(emb, qvs, k=10, topk_fn=ivfpq(8, 8))
+    r_all = SIM.ann_recall(emb, qvs, k=10, topk_fn=ivfpq(16, 16))
+    assert r_mid <= r_all + 1e-9 and r_mid >= 0.5
+    assert abs(r_all - r_pq16) <= 0.05  # all-probe IVFPQ ~= flat PQ scan
