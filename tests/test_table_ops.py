@@ -262,3 +262,56 @@ def test_insert_all_enforces_key_invariant(spark):
     )
     with pytest.raises(Exception, match="chunk for post_id=7"):
         TO.insert_all(table, 5, mixed).collect()
+
+
+def test_ingest_documents_jsonl_and_csv_quarantine(spark, tmp_path):
+    """Raw-corpus ingestion: JSONL and CSV drops round-trip losslessly
+    under the explicit schema; malformed lines land in the quarantine
+    frame with their raw text (never dropped, never fatal); unknown
+    formats refuse."""
+    from wpvectordb_spark.sources.loaders import (
+        DOCUMENTS_INGEST_SCHEMA,
+        ingest_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    want = sorted(map(tuple, docs.collect()))
+
+    jdir = str(tmp_path / "drop_jsonl")
+    docs.coalesce(2).write.json(jdir)
+    good, quar = ingest_documents(spark, jdir, format="jsonl")
+    assert sorted(map(tuple, good.collect())) == want
+    # SPARK-21610: a bare count() prunes to only the corrupt column and
+    # is refused on JSON/CSV relations — audits collect/write instead
+    assert len(quar.collect()) == 0
+    with pytest.raises(Exception, match="CORRUPT_RECORD_COLUMN"):
+        quar.count()
+    # inject malformed lines: truncated json + a bare string
+    with open(f"{jdir}/zz_bad.json", "w") as f:
+        f.write('{"doc_id": 1, "text": "tru\nnot json at all\n')
+    good2, quar2 = ingest_documents(spark, jdir, format="jsonl")
+    assert sorted(map(tuple, good2.collect())) == want
+    bad = quar2.collect()
+    assert len(bad) == 2
+    assert {r["_corrupt_record"] for r in bad} == {
+        '{"doc_id": 1, "text": "tru',
+        "not json at all",
+    }
+
+    cdir = str(tmp_path / "drop_csv")
+    docs.coalesce(2).write.csv(cdir)  # header-less, column order = schema
+    goodc, quarc = ingest_documents(spark, cdir, format="csv")
+    assert sorted(map(tuple, goodc.collect())) == want
+    assert len(quarc.collect()) == 0
+    # a row with the wrong token count quarantines, parseable rows survive
+    with open(f"{cdir}/zz_bad.csv", "w") as f:
+        f.write("9000001,only-two-fields\n")
+    goodc2, quarc2 = ingest_documents(spark, cdir, format="csv")
+    assert sorted(map(tuple, goodc2.collect())) == want
+    assert [r["_corrupt_record"] for r in quarc2.collect()] == [
+        "9000001,only-two-fields"
+    ]
+    with pytest.raises(ValueError, match="unknown format"):
+        ingest_documents(spark, jdir, format="orc")

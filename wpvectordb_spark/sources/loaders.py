@@ -86,3 +86,76 @@ FROM (
   FROM documents
 )
 """
+
+
+# --- raw-corpus ingestion (JSONL / CSV crawl drops) ---------------------------
+
+DOCUMENTS_INGEST_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+_CORRUPT_COL = "_corrupt_record"
+
+
+def ingest_documents(
+    spark: SparkSession,
+    path: str,
+    format: str = "jsonl",
+    schema: str = DOCUMENTS_INGEST_SCHEMA,
+) -> tuple[DataFrame, DataFrame]:
+    """Read a raw document drop (the upstream of the dedup/curation
+    pipelines: crawlers hand over JSONL or CSV, not parquet) into
+    ``(good, quarantine)`` frames.
+
+    100 TB ingestion rules, all enforced here rather than left to the
+    caller:
+
+    * EXPLICIT schema, never inference — inference is a full extra pass
+      over the drop, and on a multi-writer directory the inferred type
+      depends on which file the sampler hits (the same trap as the
+      streaming state dirs; see streams._read_state).
+    * PERMISSIVE mode with a corrupt-record column, never FAILFAST or
+      DROPMALFORMED — at crawl scale malformed lines are a certainty,
+      a single bad byte must not kill a 10-hour job, and silently
+      dropping rows is unauditable.  Bad lines land in the quarantine
+      frame with their raw text intact for replay/debugging.
+    * The split is TWO FILTERS over ONE scan (Catalyst reuses the
+      parsed relation); the frames are returned lazily so the caller
+      controls materialization.  CAVEAT (SPARK-21610): Spark refuses
+      any query whose pruned scan reads ONLY the corrupt column of a
+      JSON/CSV relation — a bare ``quarantine.count()`` trips it
+      because count prunes every data column away.  Queries that keep
+      a data column (``collect()``, a sink write, a select of raw +
+      parsed) are fine, which covers the audit/replay uses; for a pure
+      count, write the quarantine to a sink first (what a production
+      ingest does anyway) or count the written files.
+    * JSONL is splittable line-by-line (each task parses its byte
+      range); CSV here is header-less with explicit columns — the
+      multiLine variants of either format destroy splittability and
+      are deliberately not exposed.
+
+    Returns ``(good, quarantine)``: ``good`` has exactly the schema's
+    columns; ``quarantine`` has them plus ``_corrupt_record`` (the raw
+    line).  Reference: the PHP reference ingests posts one INSERT at a
+    time (VectorTable.php insert paths); this is the bulk analog."""
+    full = f"{schema}, {_CORRUPT_COL} string"
+    if format in ("jsonl", "json"):
+        reader = (
+            spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+        )
+        df = reader.json(path)
+    elif format == "csv":
+        df = (
+            spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+            .option("header", "false")
+            .csv(path)
+        )
+    else:
+        raise ValueError(f"ingest_documents: unknown format {format!r}")
+    cols = [f.split()[0] for f in schema.split(",")]
+    good = df.where(F.col(_CORRUPT_COL).isNull()).select(*cols)
+    quarantine = df.where(F.col(_CORRUPT_COL).isNotNull())
+    return good, quarantine
