@@ -1528,7 +1528,10 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vectors as the IVF batch through ONE zero-shuffle ADC plan,
     tagged ``pqmany<qid>``), IVFPQ (``ivfpq_topk``: partition
     pruning AND code-ADC in one persisted index — the combined FAISS
-    IndexIVFPQ architecture), BATCHED IVFPQ serving
+    IndexIVFPQ architecture), RESIDUAL IVFPQ (``residual=True``: codes
+    encode ``v - centroid(assigned(v))``, serving builds one distance
+    table per probed cluster — the canonical FAISS refinement, tagged
+    ``ivfpqres``), BATCHED IVFPQ serving
     (``ivfpq_topk_many``: the same five queries through one
     probe-pruned constant-table ADC plan, tagged ``ivfpqmany<qid>``),
     and STREAMING ANN serving (``streams.stream_ann_serve`` kernel:
@@ -1573,6 +1576,22 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (int(r["vec_id"]), int(r["cluster_id"]), float(r["cosine_similarity"]))
             for r in SIM.ivfpq_topk(
                 spark, ivfpq_path, _query_vector(spark, sf_dir),
+                dim=PQ_DIM, m=PQ_M, k=10, n_probe=4,
+            ).collect()
+        ]
+        # RESIDUAL IVFPQ (the canonical FAISS IndexIVFPQ refinement:
+        # codes encode v - centroid(assigned(v)), serving builds one
+        # distance table per probed cluster over q - centroid_c); the
+        # params sidecar flips the serving path — same call, new index
+        ivfpqres_path = os.path.join(td, "ivfpqres_index")
+        SIM.build_ivfpq_index(
+            _emb(spark, sf_dir), ivfpqres_path, dim=PQ_DIM,
+            n_clusters=16, m=PQ_M, n_codes=PQ_CODES, residual=True,
+        )
+        ivfpqres_rows = [
+            (int(r["vec_id"]), int(r["cluster_id"]), float(r["cosine_similarity"]))
+            for r in SIM.ivfpq_topk(
+                spark, ivfpqres_path, _query_vector(spark, sf_dir),
                 dim=PQ_DIM, m=PQ_M, k=10, n_probe=4,
             ).collect()
         ]
@@ -1680,6 +1699,12 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("ivfpq").alias("method"), "vec_id", "cluster_id", "cosine_similarity"
     )
+    ivfpqres = spark.createDataFrame(
+        ivfpqres_rows, "vec_id long, cluster_id long, cosine_similarity double"
+    ).select(
+        F.lit("ivfpqres").alias("method"), "vec_id", "cluster_id",
+        "cosine_similarity",
+    )
     ivfpq_many = spark.createDataFrame(
         ivfpq_many_rows,
         "method string, vec_id long, cluster_id long, cosine_similarity double",
@@ -1737,6 +1762,7 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh.unionByName(ivf)
         .unionByName(ivf_idx)
         .unionByName(ivfpq)
+        .unionByName(ivfpqres)
         .unionByName(ivfpq_many)
         .unionByName(many)
         .unionByName(sann)
@@ -2586,6 +2612,111 @@ def oracle_sql() -> dict[str, str]:
     # arm's centroid/probe/assignment CTEs composed with the pq arm's
     # encode/distance-table CTEs — ADC ranks ONLY vectors assigned to
     # probed clusters, then the exact-cosine rerank
+    # residual-IVFPQ prefix: the pq_prefix shape rebuilt over residuals
+    # v - centroid(assigned(v)) in DOUBLE math (the engine casts both
+    # arrays up before the zip_with subtract, so bit-identical values).
+    # Lambda vars rx/ri avoid the DuckDB nested-lambda shadowing trap
+    # (verify SKILL.md, round-3 gotchas).
+    rp_cent_cos = K.sql_cosine("e.embedding", "c.centroid", None, "c.centroid_mag")
+    res_prefix = f"""
+        rp_cent AS (
+          SELECT vec_id AS cluster_id, embedding AS centroid,
+                 {K.sql_magnitude('embedding')} AS centroid_mag
+          FROM embeddings WHERE vec_id < 16
+        ),
+        rp_assigned AS (
+          SELECT vec_id, cluster_id FROM (
+            SELECT e.vec_id, c.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {rp_cent_cos} DESC, c.cluster_id ASC
+                   ) AS rn
+            FROM embeddings e, rp_cent c
+          ) WHERE rn = 1
+        ),
+        rp_base AS (
+          SELECT e.vec_id, a.cluster_id,
+                 list_transform(e.embedding, (rx, ri) ->
+                   CAST(rx AS DOUBLE) - CAST(c.centroid[ri] AS DOUBLE)) AS resid
+          FROM embeddings e
+          JOIN rp_assigned a ON e.vec_id = a.vec_id
+          JOIN rp_cent c ON a.cluster_id = c.cluster_id
+          WHERE e.embedding IS NOT NULL AND len(e.embedding) = {PQ_DIM}
+        ),
+        rp_cb AS (
+          SELECT t.j AS subspace, b.pos - 1 AS code_id,
+                 b.resid[t.j*{PQ_SUB}+1 : t.j*{PQ_SUB}+{PQ_SUB}] AS codeword
+          FROM (SELECT resid,
+                       row_number() OVER (ORDER BY vec_id ASC) AS pos
+                FROM rp_base ORDER BY vec_id ASC LIMIT {PQ_CODES}) b,
+               range(0, {PQ_M}) t(j)
+        ),
+        rp_sub AS (
+          SELECT v.vec_id, t.j AS subspace,
+                 v.resid[t.j*{PQ_SUB}+1 : t.j*{PQ_SUB}+{PQ_SUB}] AS subvec
+          FROM rp_base v, range(0, {PQ_M}) t(j)
+        ),
+        rp_enc AS (
+          SELECT vec_id, subspace, code_id FROM (
+            SELECT s.vec_id, s.subspace, cb.code_id,
+                   row_number() OVER (
+                     PARTITION BY s.vec_id, s.subspace
+                     ORDER BY {_pq_l2('s.subvec', 'cb.codeword')} ASC,
+                              cb.code_id ASC
+                   ) AS rn
+            FROM rp_sub s JOIN rp_cb cb ON s.subspace = cb.subspace
+          ) WHERE rn = 1
+        )"""
+    _res_qslice = (
+        f"r.rvec[cb.subspace*{PQ_SUB}+1 : cb.subspace*{PQ_SUB}+{PQ_SUB}]"
+    )
+    # residual-IVFPQ mirror (similarity.ivfpq_topk residual path): the
+    # ivfpq CTE with the ADC stage keyed on the PROBED CLUSTER — one
+    # query-residual distance table per probed cluster, joined on
+    # (cluster, subspace, code)
+    ivfpqres_sql = f"""
+        WITH {res_prefix},
+        q AS (SELECT embedding AS q_vec, {mag} AS q_mag
+              FROM embeddings WHERE vec_id = 0),
+        rq_probe AS (
+          SELECT cluster_id FROM rp_cent cent, q
+          ORDER BY {K.sql_cosine('q.q_vec', 'cent.centroid', 'q.q_mag', 'cent.centroid_mag')} DESC,
+                   cluster_id ASC
+          LIMIT 4
+        ),
+        rq_res AS (
+          SELECT c.cluster_id,
+                 list_transform(q.q_vec, (rx, ri) ->
+                   CAST(rx AS DOUBLE) - CAST(c.centroid[ri] AS DOUBLE)) AS rvec
+          FROM rp_cent c
+          JOIN rq_probe p ON c.cluster_id = p.cluster_id
+          CROSS JOIN q
+        ),
+        rq_tab AS (
+          SELECT r.cluster_id, cb.subspace, cb.code_id,
+                 {_pq_l2(_res_qslice, 'cb.codeword')} AS qdist
+          FROM rp_cb cb, rq_res r
+        ),
+        rq_adc AS (
+          SELECT e.vec_id, a.cluster_id, {pq_adc_sum} AS adc
+          FROM rp_enc e
+          JOIN rp_assigned a ON e.vec_id = a.vec_id
+          JOIN rq_tab t ON t.cluster_id = a.cluster_id
+                        AND e.subspace = t.subspace AND e.code_id = t.code_id
+          GROUP BY e.vec_id, a.cluster_id
+        ),
+        rq_surv AS (
+          SELECT vec_id, cluster_id FROM rq_adc
+          ORDER BY adc ASC, vec_id ASC LIMIT 40
+        )
+        SELECT s.vec_id, s.cluster_id,
+               round({K.sql_cosine('q.q_vec', 'e.embedding', 'q.q_mag')}, 9)
+                 AS cosine_similarity
+        FROM rq_surv s, embeddings e, q
+        WHERE s.vec_id = e.vec_id
+        ORDER BY {K.sql_cosine('q.q_vec', 'e.embedding', 'q.q_mag')} DESC, s.vec_id ASC
+        LIMIT 10
+    """
     ivfpq_sql = f"""
         WITH {pq_prefix},
         cent AS (
@@ -2985,6 +3116,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ivfpq' AS method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
                    cosine_similarity
             FROM ({ivfpq_sql})
+            UNION ALL
+            -- residual IVFPQ: codes over v - centroid(assigned(v)),
+            -- per-probed-cluster query distance tables
+            SELECT 'ivfpqres' AS method, vec_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id, cosine_similarity
+            FROM ({ivfpqres_sql})
             UNION ALL
             -- batched IVFPQ serving: 5 queries, one probe-pruned ADC plan
             SELECT method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,

@@ -236,6 +236,16 @@ def main() -> None:
     extra_map["ann_ivfpq_batch_50"] = lambda: SIM.ivfpq_topk_many(
         spark, ivfpq_dir, qs, dim=entry.PQ_DIM, m=entry.PQ_M, k=10, n_probe=4
     ).count()
+    # residual IVFPQ serving (codes over v - centroid, per-probed-cluster
+    # query tables); build excluded like the other index extras
+    ivfpqres_dir = tempfile.mkdtemp(prefix="bench_ivfpqres_")
+    SIM.build_ivfpq_index(
+        emb, ivfpqres_dir, dim=entry.PQ_DIM,
+        n_clusters=16, m=entry.PQ_M, n_codes=entry.PQ_CODES, residual=True,
+    )
+    extra_map["ann_ivfpq_res"] = lambda: SIM.ivfpq_topk(
+        spark, ivfpqres_dir, qv, dim=entry.PQ_DIM, m=entry.PQ_M, k=10, n_probe=4
+    ).count()
 
     extras: dict[str, float] = {}
     try:
@@ -245,6 +255,7 @@ def main() -> None:
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
         shutil.rmtree(ivfpq_dir, ignore_errors=True)
+        shutil.rmtree(ivfpqres_dir, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)

@@ -111,6 +111,7 @@ EXPECTED_ARMS = {
             "sann2",
             "sann3",
             "sann4",
+            "ivfpqres",
         },
     ),
     "text_terms_tfidf": ("kind", {"bm25", "ppl", "rrf", "tfidf", "top"}),

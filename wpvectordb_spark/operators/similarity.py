@@ -1029,7 +1029,10 @@ def pq_topk(
 
 
 def _pq_qd2d_terms(
-    cb: list[list[list[float]]], qvecs: list[list[float]], sub: int
+    cb: list[list[list[float]]],
+    qvecs: list[list[float]],
+    sub: int,
+    ord_col: str = "_qidx",
 ) -> list[str]:
     """Per-subspace ADC lookup terms over 2-D CONSTANT distance tables
     ``qd2d[j][qidx][code]``: the whole batch's ADC is m nested
@@ -1042,8 +1045,10 @@ def _pq_qd2d_terms(
     see PERFORMANCE.md item 38.  Distances are folded driver-side in
     the same left-fold order as the engine/oracle kernels (IEEE
     binary64 sub/mul/add are bit-identical across Python, the JVM, and
-    DuckDB).  The emitted terms reference columns ``_qidx`` (exploded
-    or joined query ordinal) and ``codes`` (the stored PQ code array)."""
+    DuckDB).  The emitted terms reference columns ``ord_col`` (the
+    joined/exploded ordinal of the TARGET vector — a query for flat PQ,
+    a (query, probed-cluster) residual pair for residual IVFPQ) and
+    ``codes`` (the stored PQ code array)."""
     terms = []
     for j in range(len(cb)):
         inner = []
@@ -1058,7 +1063,7 @@ def _pq_qd2d_terms(
             inner.append(_sql_double_array(row))
         qd2d = "array(" + ", ".join(inner) + ")"
         terms.append(
-            f"element_at(element_at({qd2d}, _qidx + 1),"
+            f"element_at(element_at({qd2d}, {ord_col} + 1),"
             f" CAST(codes[{j}] + 1 AS INT))"
         )
     return terms
@@ -1239,6 +1244,11 @@ def pq_topk_many(
 # ---------------------------------------------------------------------------
 
 
+_IVFPQ_PARAMS_SCHEMA = (
+    "dim long, m long, n_codes long, n_clusters long, residual boolean"
+)
+
+
 def build_ivfpq_index(
     vectors: DataFrame,
     path: str,
@@ -1248,13 +1258,28 @@ def build_ivfpq_index(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vector_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Materialize the IVFPQ layout: per-vector (id, vector, codes)
-    written partitioned by ``cluster_id``, with the centroid table and
-    the PQ codebooks alongside.  The cluster assignment and the PQ
-    encode ride in ONE projection over the corpus scan (broadcast
-    centroid argmax + literal-codebook argmin), so the build costs one
-    write shuffle — same as build_ivf_index.
+    written partitioned by ``cluster_id``, with the centroid table, the
+    PQ codebooks, and a one-row ``params`` table (dim/m/n_codes/
+    n_clusters/residual — serving validates against it, so an index
+    can't silently be read with the wrong geometry) alongside.  The
+    cluster assignment and the PQ encode ride in ONE projection over
+    the corpus scan (broadcast centroid argmax + literal-codebook
+    argmin), so the build costs one write shuffle — same as
+    build_ivf_index.
+
+    ``residual=True`` is the canonical FAISS IndexIVFPQ refinement
+    (Jegou et al., PAMI 2011 §IV): codebooks are trained on and codes
+    encode the RESIDUAL ``v - centroid(assigned(v))`` instead of the
+    raw vector — residuals concentrate near zero, so the same code
+    budget spends its precision on the part of the vector the coarse
+    quantizer didn't explain.  Residuals are computed in float64
+    (vectors cast up before the subtract) so the engine, the collected
+    codebooks, and the DuckDB mirror see bit-identical values; the
+    extra build cost is one broadcast centroid join folded into the
+    same projection.
 
     The float vector is stored next to the codes for rerank convenience
     at these test scales; a 100 TB deployment stores codes-only here and
@@ -1262,15 +1287,36 @@ def build_ivfpq_index(
     (pq_topk's broadcast re-fetch shape)."""
     if dim % m != 0:
         raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    spark = vectors.sparkSession
     centroids = deterministic_centroids(
         vectors, n_clusters, id_col, vector_col
     ).persist()
-    cb_df = pq_codebooks(vectors, dim, m, n_codes, id_col, vector_col)
-    cb = _collect_codebooks(cb_df, m)
     try:
         assigned = assign_clusters(vectors, centroids, id_col, vector_col)
-        code_cols = _pq_code_cols(vector_col, cb, dim // m)
-        coded = assigned.select(
+        if residual:
+            based = assigned.join(
+                F.broadcast(centroids.select("cluster_id", "centroid")),
+                "cluster_id",
+            ).withColumn(
+                "_res",
+                F.zip_with(
+                    F.col(vector_col).cast("array<double>"),
+                    F.col("centroid").cast("array<double>"),
+                    lambda x, y: x - y,
+                ),
+            )
+            cb_df = pq_codebooks(
+                based.select(F.col(id_col), F.col("_res")),
+                dim, m, n_codes, id_col, "_res",
+            )
+            encode_col = "_res"
+        else:
+            based = assigned
+            cb_df = pq_codebooks(vectors, dim, m, n_codes, id_col, vector_col)
+            encode_col = vector_col
+        cb = _collect_codebooks(cb_df, m)
+        code_cols = _pq_code_cols(encode_col, cb, dim // m)
+        coded = based.select(
             F.col(id_col), F.col(vector_col), F.col("cluster_id"), *code_cols
         ).select(
             F.col(id_col),
@@ -1283,8 +1329,39 @@ def build_ivfpq_index(
         )
         centroids.write.mode("overwrite").parquet(f"{path}/centroids")
         cb_df.write.mode("overwrite").parquet(f"{path}/codebooks")
+        # FS-agnostic sidecar (spark write, not a driver-local open()):
+        # the geometry travels with the index
+        spark.createDataFrame(
+            [(dim, m, n_codes, n_clusters, residual)], _IVFPQ_PARAMS_SCHEMA
+        ).coalesce(1).write.mode("overwrite").json(f"{path}/params")
     finally:
         centroids.unpersist()
+
+
+def _read_ivfpq_params(spark, path: str) -> dict | None:
+    """The index's params sidecar, or None for a pre-sidecar index
+    (read with explicit schema — the multi-writer inference trap)."""
+    try:
+        rows = spark.read.schema(_IVFPQ_PARAMS_SCHEMA).json(
+            f"{path}/params"
+        ).collect()
+    except Exception:
+        return None
+    return rows[0].asDict() if rows else None
+
+
+def _check_ivfpq_geometry(params: dict | None, dim: int, m: int, fn: str) -> bool:
+    """Validate caller geometry against the sidecar; returns the
+    index's residual flag (False for pre-sidecar indexes)."""
+    if params is None:
+        return False
+    for name, got in (("dim", dim), ("m", m)):
+        if int(params[name]) != int(got):
+            raise ValueError(
+                f"{fn}: index was built with {name}={params[name]},"
+                f" called with {name}={got}"
+            )
+    return bool(params["residual"])
 
 
 def ivfpq_topk(
@@ -1311,7 +1388,15 @@ def ivfpq_topk(
     funnel composed with the PQ funnel: at 100 TB the scan after
     pruning reads m-byte codes instead of 4d-byte floats, a combined
     (n_probe/n_clusters) x (m/4d) read-volume shrink before the first
-    float op."""
+    float op.
+
+    A RESIDUAL index (build_ivfpq_index(residual=True), detected from
+    the params sidecar) changes only the ADC tables: each probed
+    cluster's table is built over the residual target ``q - centroid_c``
+    (folded driver-side over the n_probe collected centroids — bounded),
+    and the lookup gains a probed-cluster ordinal (``array_position`` on
+    the literal probe list).  Funnel, pruning, and rerank are
+    unchanged."""
     q = [float(x) for x in query_vector]
     if len(q) != dim:
         raise ValueError(f"ivfpq_topk: query has {len(q)} dims, expected {dim}")
@@ -1320,15 +1405,17 @@ def ivfpq_topk(
     if dim % m != 0:
         raise ValueError(f"pq: dim {dim} not divisible by m {m}")
     sub = dim // m
+    residual = _check_ivfpq_geometry(
+        _read_ivfpq_params(spark, path), dim, m, "ivfpq_topk"
+    )
     centroids = spark.read.parquet(f"{path}/centroids")
     cb = _collect_codebooks(spark.read.parquet(f"{path}/codebooks"), m)
     from wpvectordb_spark.operators.search import _magnitude as _mag_fn
 
     q_mag_val = _mag_fn(q)
     q_vec = F.array(*[F.lit(x) for x in q])
-    probe = [
-        r["cluster_id"]
-        for r in centroids.withColumn(
+    probe_rows = (
+        centroids.withColumn(
             "_qsim",
             K.cosine_similarity(
                 q_vec, F.col("centroid"), F.lit(q_mag_val), F.col("centroid_mag")
@@ -1337,16 +1424,30 @@ def ivfpq_topk(
         .orderBy(F.col("_qsim").desc(), F.col("cluster_id").asc())
         .limit(n_probe)
         .collect()
-    ]
+    )
+    probe = [r["cluster_id"] for r in probe_rows]
     clustered = spark.read.parquet(f"{path}/vectors").where(
         F.col("cluster_id").isin(probe)  # literal IN -> partition pruning
     )
+    if residual:
+        # per-probed-cluster residual targets, folded driver-side in the
+        # oracle's fold order (float64 throughout — the build casts up
+        # before subtracting, so these literals are bit-identical)
+        targets = [
+            [x - float(c) for x, c in zip(q, r["centroid"])] for r in probe_rows
+        ]
+        ids = ", ".join(str(int(c)) for c in probe)
+        # CAST: array_position is BIGINT, element_at wants an INT index
+        pidx = f"CAST(array_position(array({ids}), cluster_id) - 1 AS INT)"
+        adc = " + ".join(_pq_qd2d_terms(cb, targets, sub, ord_col=pidx))
+    else:
+        adc = _pq_adc_expr(cb, q, sub)
     survivors = (
         clustered.select(
             id_col,
             "cluster_id",
             vector_col,
-            F.expr(_pq_adc_expr(cb, q, sub)).alias("_adc"),
+            F.expr(adc).alias("_adc"),
         )
         .orderBy(F.col("_adc").asc_nulls_last(), F.col(id_col).asc())
         .limit(candidate_factor * k)
@@ -1415,13 +1516,22 @@ def ivfpq_topk_many(
 
     NULL query vectors are dropped up front; NaN or mis-dimensioned
     queries raise (the batch is driver-side, so the guard is exact —
-    no ``expected_dim`` parameter needed)."""
+    no ``expected_dim`` parameter needed).
+
+    A RESIDUAL index (params sidecar) swaps stage 3/4's probe frame for
+    a (query, probed-cluster) PAIR frame and builds one constant
+    distance table per pair over the target ``q - centroid_c`` —
+    generated code is still constant-size in the batch; only table DATA
+    grows by the n_probe factor."""
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
     if dim % m != 0:
         raise ValueError(f"pq: dim {dim} not divisible by m {m}")
     sub = dim // m
+    residual = _check_ivfpq_geometry(
+        _read_ivfpq_params(spark, path), dim, m, "ivfpq_topk_many"
+    )
     qs = _collect_query_batch(
         queries, dim, query_id_col, query_vec_col, "ivfpq_topk_many"
     )
@@ -1477,10 +1587,39 @@ def ivfpq_topk_many(
     clustered = vectors_idx.where(
         F.col("cluster_id").isin(probe_ids)  # literal IN -> partition pruning
     )
-    qd2d_terms = _pq_qd2d_terms(cb, [v for _, v in qs], sub)
+    if residual:
+        # residual ADC: one distance table per (query, probed-cluster)
+        # PAIR over the target q - centroid_c.  The pairs and the probed
+        # centroids are both bounded collects (Q x n_probe rows /
+        # <= n_clusters rows), pair ordinals are deterministic (sorted),
+        # and the broadcast pair frame replaces the probe frame in the
+        # fan-out join — generated code stays constant-size (item 38),
+        # only the table DATA grows by the extra n_probe factor.
+        cent_map = {
+            int(r["cluster_id"]): [float(x) for x in r["centroid"]]
+            for r in centroids.where(
+                F.col("cluster_id").isin(probe_ids)
+            ).collect()
+        }
+        pair_rows = sorted(
+            (int(r["_qidx"]), int(r["cluster_id"])) for r in probes.collect()
+        )
+        targets = [
+            [x - c for x, c in zip(qs[qi][1], cent_map[cid])]
+            for qi, cid in pair_rows
+        ]
+        pairs_df = spark.createDataFrame(
+            [(p, qi, cid) for p, (qi, cid) in enumerate(pair_rows)],
+            "_pidx int, _qidx int, cluster_id long",
+        )
+        fanout = F.broadcast(pairs_df)
+        qd2d_terms = _pq_qd2d_terms(cb, targets, sub, ord_col="_pidx")
+    else:
+        fanout = F.broadcast(probes)
+        qd2d_terms = _pq_qd2d_terms(cb, [v for _, v in qs], sub)
     scored = (
         clustered.select(id_col, "cluster_id", "codes")
-        .join(F.broadcast(probes), "cluster_id")
+        .join(fanout, "cluster_id")
         .select(
             F.col("_qidx"),
             F.col(id_col),
