@@ -1259,6 +1259,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     residual: bool = False,
+    centroids: DataFrame | None = None,
 ) -> None:
     """Materialize the IVFPQ layout: per-vector (id, vector, codes)
     written partitioned by ``cluster_id``, with the centroid table, the
@@ -1281,6 +1282,14 @@ def build_ivfpq_index(
     extra build cost is one broadcast centroid join folded into the
     same projection.
 
+    ``centroids=`` supplies a trained coarse quantizer
+    (``kmeans_centroids`` — same (cluster_id, centroid, centroid_mag)
+    contract); the deterministic first-k selection stays the default.
+    Residual gains hinge on the coarse quantizer explaining variance
+    (PERFORMANCE.md item 41), so training matters MORE with
+    ``residual=True`` (test-asserted: trained centroids rescue residual
+    recall on a corpus where the deterministic pick is degenerate).
+
     The float vector is stored next to the codes for rerank convenience
     at these test scales; a 100 TB deployment stores codes-only here and
     re-fetches floats for the survivor set from the primary table
@@ -1288,8 +1297,14 @@ def build_ivfpq_index(
     if dim % m != 0:
         raise ValueError(f"pq: dim {dim} not divisible by m {m}")
     spark = vectors.sparkSession
-    centroids = deterministic_centroids(
-        vectors, n_clusters, id_col, vector_col
+    # caller-supplied centroids (kmeans_centroids is the production
+    # trainer — same (cluster_id, centroid, centroid_mag) contract);
+    # the deterministic first-k selection stays the oracle-friendly
+    # default.  Either way the sidecar records the count actually used.
+    centroids = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(vectors, n_clusters, id_col, vector_col)
     ).persist()
     try:
         assigned = assign_clusters(vectors, centroids, id_col, vector_col)
@@ -1330,9 +1345,12 @@ def build_ivfpq_index(
         centroids.write.mode("overwrite").parquet(f"{path}/centroids")
         cb_df.write.mode("overwrite").parquet(f"{path}/codebooks")
         # FS-agnostic sidecar (spark write, not a driver-local open()):
-        # the geometry travels with the index
+        # the geometry travels with the index.  n_clusters is the count
+        # ACTUALLY used (a supplied centroid frame wins over the arg;
+        # bounded count on the persisted tiny frame)
         spark.createDataFrame(
-            [(dim, m, n_codes, n_clusters, residual)], _IVFPQ_PARAMS_SCHEMA
+            [(dim, m, n_codes, int(centroids.count()), residual)],
+            _IVFPQ_PARAMS_SCHEMA,
         ).coalesce(1).write.mode("overwrite").json(f"{path}/params")
     finally:
         centroids.unpersist()
