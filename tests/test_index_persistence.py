@@ -485,3 +485,93 @@ def test_ivfpq_pre_sidecar_index_still_serves(spark, emb, tmp_path_factory):
     # and the geometry guard is simply absent (wrong m no longer refused
     # up front — it fails later or returns garbage, the pre-sidecar deal;
     # here we only pin that the happy path is unchanged)
+
+
+def test_ivfpq_append_equals_rebuild(spark, emb, tmp_path_factory):
+    """append_to_ivfpq_index (FAISS add-after-train for the combined
+    index): assign + encode the delta against the FROZEN stored
+    centroids and codebooks.  When the rebuild's deterministic training
+    inputs (first n_clusters/n_codes ids) lie in the base half, the
+    appended index serves IDENTICALLY to a full rebuild — flat and
+    residual both; a pre-sidecar index refuses the append."""
+    base_dir = tmp_path_factory.mktemp("ivfpqappend")
+    lo = emb.where(F.col("vec_id") < 1000)
+    hi = emb.where(F.col("vec_id") >= 1000)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
+    for name, flag in (("flat", False), ("res", True)):
+        grown = str(base_dir / f"grown_{name}")
+        full = str(base_dir / f"full_{name}")
+        SIM.build_ivfpq_index(
+            lo, grown, dim=64, n_clusters=16, m=8, n_codes=16, residual=flag
+        )
+        SIM.append_to_ivfpq_index(spark, hi, grown)
+        SIM.build_ivfpq_index(
+            emb, full, dim=64, n_clusters=16, m=8, n_codes=16, residual=flag
+        )
+        for p in (grown, full):
+            assert SIM._read_ivfpq_params(spark, p)["residual"] is flag
+        got = [
+            sorted(
+                map(
+                    tuple,
+                    SIM.ivfpq_topk(
+                        spark, p, qv, dim=64, m=8, k=10, n_probe=16
+                    ).collect(),
+                )
+            )
+            for p in (grown, full)
+        ]
+        assert got[0] == got[1] and len(got[0]) == 10
+        # the delta actually landed
+        assert (
+            spark.read.parquet(f"{grown}/vectors").count() == emb.count()
+        )
+    legacy = str(base_dir / "legacy")
+    SIM.build_ivfpq_index(lo, legacy, dim=64, n_clusters=16, m=8, n_codes=16)
+    import shutil as _sh
+
+    _sh.rmtree(f"{legacy}/params")
+    with pytest.raises(ValueError, match="no params sidecar"):
+        SIM.append_to_ivfpq_index(spark, hi, legacy)
+
+
+def test_ivfpq_filtered_serving(spark, emb, tmp_path_factory):
+    """where= / candidates= restrict the CANDIDATE set before the ADC:
+    with all clusters probed and full rerank coverage the filtered
+    top-k equals brute force over the filtered subset; the predicate
+    stacks with partition pruning (both visible in the plan)."""
+    from wpvectordb_spark.operators.search import brute_force_topk
+
+    path = str(tmp_path_factory.mktemp("ivfpqfilter") / "idx")
+    SIM.build_ivfpq_index(emb, path, dim=64, n_clusters=16, m=8, n_codes=16)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    filtered = SIM.ivfpq_topk(
+        spark, path, qv, dim=64, m=8, k=10, n_probe=16,
+        candidate_factor=1000, where="vec_id % 3 = 1",
+    )
+    brute = brute_force_topk(
+        emb.where(F.col("vec_id") % 3 == 1).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+        ),
+        qv,
+        n=10,
+    )
+    assert [r["vec_id"] for r in filtered.collect()] == [
+        r["id"] for r in brute.collect()
+    ]
+    # candidates= (the reference's S3 semi-join restrict) matches where=
+    cand = emb.where(F.col("vec_id") % 3 == 1).select("vec_id")
+    via_cand = SIM.ivfpq_topk(
+        spark, path, qv, dim=64, m=8, k=10, n_probe=16,
+        candidate_factor=1000, candidates=cand,
+    )
+    assert sorted(map(tuple, via_cand.collect())) == sorted(
+        map(tuple, filtered.collect())
+    )
+    # pruning still reaches the scan with a filter stacked on top
+    pruned = SIM.ivfpq_topk(
+        spark, path, qv, dim=64, m=8, k=10, n_probe=4, where="vec_id % 3 = 1"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    assert pruned.count() == 10

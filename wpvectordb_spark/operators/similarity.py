@@ -1309,17 +1309,7 @@ def build_ivfpq_index(
     try:
         assigned = assign_clusters(vectors, centroids, id_col, vector_col)
         if residual:
-            based = assigned.join(
-                F.broadcast(centroids.select("cluster_id", "centroid")),
-                "cluster_id",
-            ).withColumn(
-                "_res",
-                F.zip_with(
-                    F.col(vector_col).cast("array<double>"),
-                    F.col("centroid").cast("array<double>"),
-                    lambda x, y: x - y,
-                ),
-            )
+            based = _with_residual(assigned, centroids, vector_col)
             cb_df = pq_codebooks(
                 based.select(F.col(id_col), F.col("_res")),
                 dim, m, n_codes, id_col, "_res",
@@ -1354,6 +1344,74 @@ def build_ivfpq_index(
         ).coalesce(1).write.mode("overwrite").json(f"{path}/params")
     finally:
         centroids.unpersist()
+
+
+def _with_residual(assigned: DataFrame, centroids: DataFrame, vector_col: str) -> DataFrame:
+    """Residual column over an assigned frame: v - centroid(cluster) in
+    float64 (both arrays cast up first — bit-identical across the
+    engine, the collected codebooks, and the DuckDB mirror)."""
+    return assigned.join(
+        F.broadcast(centroids.select("cluster_id", "centroid")), "cluster_id"
+    ).withColumn(
+        "_res",
+        F.zip_with(
+            F.col(vector_col).cast("array<double>"),
+            F.col("centroid").cast("array<double>"),
+            lambda x, y: x - y,
+        ),
+    )
+
+
+def append_to_ivfpq_index(
+    spark,
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> None:
+    """Incremental growth for the combined index — FAISS ``add`` after
+    ``train`` (same contract as ``append_to_ivf_index``): assign and
+    PQ-encode ONLY the delta against the FROZEN stored centroids and
+    codebooks, then append into the partitioned layout.  Geometry and
+    the residual flag come from the params sidecar (refused if absent —
+    an append can't validate against a pre-sidecar index); a residual
+    index encodes the delta's residuals against the same frozen
+    artifacts.
+
+    Because every training artifact is frozen, an appended index is
+    EXACTLY a full rebuild whenever the rebuild's deterministic
+    training inputs (the first n_clusters / n_codes ids) lie in the
+    base half (test-asserted, all-probe); in general it is the standard
+    add-after-train trade — monitor ``ann_recall`` and re-train +
+    rebuild on drift.  Scale shape: broadcast assign + in-scan encode
+    over the DELTA only; the partitioned append touches only the
+    delta's clusters' files."""
+    params = _read_ivfpq_params(spark, path)
+    if params is None:
+        raise ValueError(
+            "append_to_ivfpq_index: no params sidecar at"
+            f" {path!r} — pre-sidecar indexes can't validate append"
+            " geometry; rebuild with build_ivfpq_index"
+        )
+    dim, m = int(params["dim"]), int(params["m"])
+    residual = bool(params["residual"])
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cb = _collect_codebooks(spark.read.parquet(f"{path}/codebooks"), m)
+    assigned = assign_clusters(vectors, centroids, id_col, vector_col)
+    if residual:
+        based = _with_residual(assigned, centroids, vector_col)
+        encode_col = "_res"
+    else:
+        based, encode_col = assigned, vector_col
+    code_cols = _pq_code_cols(encode_col, cb, dim // m)
+    based.select(
+        F.col(id_col), F.col(vector_col), F.col("cluster_id"), *code_cols
+    ).select(
+        F.col(id_col),
+        F.col(vector_col),
+        F.col("cluster_id"),
+        F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes"),
+    ).write.mode("append").partitionBy("cluster_id").parquet(f"{path}/vectors")
 
 
 def _read_ivfpq_params(spark, path: str) -> dict | None:
@@ -1394,6 +1452,8 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
     round_to: int | None = 9,
+    where: str | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Query a persisted IVFPQ index: rank stored centroids (bounded
     n_probe collect, the ivf_topk_from_index shape), push a literal
@@ -1414,7 +1474,18 @@ def ivfpq_topk(
     (folded driver-side over the n_probe collected centroids — bounded),
     and the lookup gains a probed-cluster ordinal (``array_position`` on
     the literal probe list).  Funnel, pruning, and rerank are
-    unchanged."""
+    unchanged.
+
+    FILTERED ANN (the reference's S2/S3 candidate restriction composed
+    with the index; VectorTable.php search() filters candidates before
+    ranking): ``where=`` is a SQL predicate over the stored index
+    columns, applied to the probe-pruned scan BEFORE the ADC — it
+    stacks with the partition filter, so at 100 TB a pushable predicate
+    (e.g. on a stored metadata column) prunes row groups inside the
+    probed partitions; ``candidates=`` is a one-column id frame
+    semi-joined (broadcast) the same way.  Both restrict the CANDIDATE
+    set: the top-k is exact over the surviving rows (full-coverage
+    equality with the filtered brute force is test-asserted)."""
     q = [float(x) for x in query_vector]
     if len(q) != dim:
         raise ValueError(f"ivfpq_topk: query has {len(q)} dims, expected {dim}")
@@ -1447,6 +1518,15 @@ def ivfpq_topk(
     clustered = spark.read.parquet(f"{path}/vectors").where(
         F.col("cluster_id").isin(probe)  # literal IN -> partition pruning
     )
+    if where is not None:
+        clustered = clustered.where(F.expr(where))
+    if candidates is not None:
+        cand_col = candidates.columns[0]
+        clustered = clustered.join(
+            F.broadcast(candidates.select(F.col(cand_col).alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
+        )
     if residual:
         # per-probed-cluster residual targets, folded driver-side in the
         # oracle's fold order (float64 throughout — the build casts up
