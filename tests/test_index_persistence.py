@@ -575,3 +575,43 @@ def test_ivfpq_filtered_serving(spark, emb, tmp_path_factory):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster_id" in plan
     assert pruned.count() == 10
+
+
+def test_batched_filtered_serving_matches_single(spark, emb, tmp_path_factory):
+    """where=/candidates= on the BATCHED serving paths restrict the
+    whole batch identically to the single-query form: per query the
+    filtered ivfpq_topk_many rows equal filtered ivfpq_topk, and
+    ivf_topk_many honors the same predicate."""
+    base = tmp_path_factory.mktemp("batchfilter")
+    pqp = str(base / "ivfpq")
+    SIM.build_ivfpq_index(emb, pqp, dim=64, n_clusters=16, m=8, n_codes=16)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    pred = "vec_id % 2 = 0"
+    got = sorted(
+        map(
+            tuple,
+            SIM.ivfpq_topk_many(
+                spark, pqp, queries, dim=64, m=8, k=10, where=pred
+            ).collect(),
+        )
+    )
+    want = []
+    for r in queries.collect():
+        for o in SIM.ivfpq_topk(
+            spark, pqp, [float(x) for x in r["query_vector"]],
+            dim=64, m=8, k=10, where=pred,
+        ).collect():
+            want.append(
+                (r["query_id"], o["vec_id"], o["cluster_id"], o["cosine_similarity"])
+            )
+    assert got == sorted(want) and len(got) == 5 * 10
+    assert all(t[1] % 2 == 0 for t in got)
+    ivfp = str(base / "ivf")
+    SIM.build_ivf_index(emb, ivfp, n_clusters=16)
+    cand = emb.where(F.col("vec_id") % 2 == 0).select("vec_id")
+    via = SIM.ivf_topk_many(spark, queries, path=ivfp, k=10, candidates=cand)
+    rows = via.collect()
+    assert len(rows) == 5 * 10 and all(r["vec_id"] % 2 == 0 for r in rows)

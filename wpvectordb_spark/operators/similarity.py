@@ -309,6 +309,33 @@ def build_ivf_index(
     return vectors.sparkSession.read.parquet(f"{path}/centroids")
 
 
+def _restrict_candidates(
+    scan: DataFrame,
+    where: str | None,
+    candidates: DataFrame | None,
+    id_col: str,
+) -> DataFrame:
+    """Filtered-ANN candidate restriction, applied to the probe-pruned
+    index scan BEFORE any distance math: ``where`` is a SQL predicate
+    over the stored index columns (stacks with partition pruning — a
+    pushable predicate prunes row groups inside probed partitions);
+    ``candidates`` is a one-column id frame semi-joined broadcast (the
+    reference's S3 restrict shape).  Both bound the candidate set; the
+    top-k stays exact over the survivors."""
+    if where is not None:
+        scan = scan.where(F.expr(where))
+    if candidates is not None:
+        cand_col = candidates.columns[0]
+        scan = scan.join(
+            F.broadcast(
+                candidates.select(F.col(cand_col).alias(id_col)).distinct()
+            ),
+            id_col,
+            "left_semi",
+        )
+    return scan
+
+
 def append_to_ivf_index(
     spark,
     vectors: DataFrame,
@@ -445,6 +472,8 @@ def ivf_topk_many(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
     expected_dim: int | None = None,
+    where: str | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Batched IVF: a DataFrame of query vectors served by ONE plan
     against the persisted (or precomputed) index — the 100x serving
@@ -481,7 +510,10 @@ def ivf_topk_many(
     are dropped up front either way (same contract as search_many:
     without the drop a NULL query's NULL similarities still take
     row_number ranks and return k rows of NULL-cosine noise).
-    """
+
+    ``where=`` / ``candidates=`` restrict the candidate set for the
+    WHOLE batch before any distance math (``_restrict_candidates`` —
+    the filtered-ANN shape shared with ivfpq_topk)."""
     from pyspark.sql import Window
 
     if path is not None:
@@ -534,6 +566,7 @@ def ivf_topk_many(
         )
     else:
         clustered = assigned.where(F.col("cluster_id").isin(probe_ids))
+    clustered = _restrict_candidates(clustered, where, candidates, id_col)
     cos = K.cosine_similarity(
         F.col(query_vec_col), F.col(vector_col), F.col("_q_mag"), None
     )
@@ -1518,15 +1551,7 @@ def ivfpq_topk(
     clustered = spark.read.parquet(f"{path}/vectors").where(
         F.col("cluster_id").isin(probe)  # literal IN -> partition pruning
     )
-    if where is not None:
-        clustered = clustered.where(F.expr(where))
-    if candidates is not None:
-        cand_col = candidates.columns[0]
-        clustered = clustered.join(
-            F.broadcast(candidates.select(F.col(cand_col).alias(id_col)).distinct()),
-            id_col,
-            "left_semi",
-        )
+    clustered = _restrict_candidates(clustered, where, candidates, id_col)
     if residual:
         # per-probed-cluster residual targets, folded driver-side in the
         # oracle's fold order (float64 throughout — the build casts up
@@ -1580,6 +1605,8 @@ def ivfpq_topk_many(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vector",
     round_to: int | None = 9,
+    where: str | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Batched IVFPQ serving: a DataFrame of query vectors against the
     persisted ``build_ivfpq_index`` layout in ONE plan — the combined
@@ -1620,7 +1647,10 @@ def ivfpq_topk_many(
     a (query, probed-cluster) PAIR frame and builds one constant
     distance table per pair over the target ``q - centroid_c`` —
     generated code is still constant-size in the batch; only table DATA
-    grows by the n_probe factor."""
+    grows by the n_probe factor.
+
+    ``where=`` / ``candidates=`` restrict the candidate set for the
+    WHOLE batch before the ADC (``_restrict_candidates``)."""
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
@@ -1685,6 +1715,7 @@ def ivfpq_topk_many(
     clustered = vectors_idx.where(
         F.col("cluster_id").isin(probe_ids)  # literal IN -> partition pruning
     )
+    clustered = _restrict_candidates(clustered, where, candidates, id_col)
     if residual:
         # residual ADC: one distance table per (query, probed-cluster)
         # PAIR over the target q - centroid_c.  The pairs and the probed

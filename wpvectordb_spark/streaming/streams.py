@@ -666,6 +666,8 @@ def _ann_serve_apply(
     m: int = 8,
     expected_dim: int | None = None,
     compact_every: int = 16,
+    where: str | None = None,
+    candidates: DataFrame | None = None,
 ) -> None:
     """One micro-batch of streaming ANN serving — module-level so the
     exactly-once replay contract is directly testable (apply the same
@@ -697,10 +699,13 @@ def _ann_serve_apply(
             k=k,
             n_probe=n_probe,
             expected_dim=expected_dim,
+            where=where,
+            candidates=candidates,
         )
     else:
         res = SIM.ivfpq_topk_many(
-            spark, index_path, batch_df, dim=dim, m=m, k=k, n_probe=n_probe
+            spark, index_path, batch_df, dim=dim, m=m, k=k, n_probe=n_probe,
+            where=where, candidates=candidates,
         )
     res.select(
         F.col("query_id").cast("long"),
@@ -731,6 +736,8 @@ def stream_ann_serve(
     state_path: str | None = None,
     checkpoint_path: str | None = None,
     compact_every: int = 16,
+    where: str | None = None,
+    candidates: DataFrame | None = None,
 ):
     """Streaming ANN serving — the online form of the batched query
     paths: query vectors ARRIVE as a stream (a Kafka topic of search
@@ -763,7 +770,9 @@ def stream_ann_serve(
     refuses loudly).  Returns ``(get_results, query)``: ``get_results``
     re-lists on every call and returns an eagerly materialized frame
     (query_id, vec_id, cluster_id, cosine_similarity as longs/double),
-    immune to concurrent compaction swaps."""
+    immune to concurrent compaction swaps.  ``where=`` / ``candidates=``
+    apply the batched paths' standing candidate restriction to every
+    micro-batch (e.g. serve only a tenant's rows)."""
     root = _state_root(state_path, "stream_ann_results_")
     results_dir = os.path.join(root, "results")
     os.makedirs(results_dir, exist_ok=True)
@@ -782,6 +791,8 @@ def stream_ann_serve(
             m=m,
             expected_dim=expected_dim,
             compact_every=compact_every,
+            where=where,
+            candidates=candidates,
         )
 
     ckpt = checkpoint_path or os.path.join(
