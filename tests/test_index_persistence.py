@@ -495,8 +495,11 @@ def test_ivfpq_append_equals_rebuild(spark, emb, tmp_path_factory):
     appended index serves IDENTICALLY to a full rebuild — flat and
     residual both; a pre-sidecar index refuses the append."""
     base_dir = tmp_path_factory.mktemp("ivfpqappend")
-    lo = emb.where(F.col("vec_id") < 1000)
-    hi = emb.where(F.col("vec_id") >= 1000)
+    # sf0.01 embeddings hold ids 0..499: split at 250 so the delta is
+    # REAL (an empty delta made an earlier version of this test vacuous)
+    lo = emb.where(F.col("vec_id") < 250)
+    hi = emb.where(F.col("vec_id") >= 250)
+    assert hi.count() > 0
     qv = [float(x) for x in emb.where(F.col("vec_id") == 3).first()["embedding"]]
     for name, flag in (("flat", False), ("res", True)):
         grown = str(base_dir / f"grown_{name}")
@@ -615,3 +618,33 @@ def test_batched_filtered_serving_matches_single(spark, emb, tmp_path_factory):
     via = SIM.ivf_topk_many(spark, queries, path=ivfp, k=10, candidates=cand)
     rows = via.collect()
     assert len(rows) == 5 * 10 and all(r["vec_id"] % 2 == 0 for r in rows)
+
+
+def test_ivfpq_index_stats(spark, emb, tmp_path_factory):
+    """ivfpq_index_stats: one row per cluster, shares sum to 1,
+    imbalance is share x n_clusters (needs the sidecar), the scan reads
+    only the partition column, and appends move the counts."""
+    path = str(tmp_path_factory.mktemp("ivfpqstats") / "idx")
+    lo = emb.where(F.col("vec_id") < 250)
+    SIM.build_ivfpq_index(lo, path, dim=64, n_clusters=16, m=8, n_codes=16)
+    stats = SIM.ivfpq_index_stats(spark, path)
+    rows = stats.collect()
+    assert stats.columns == ["cluster_id", "n_vectors", "share", "imbalance"]
+    assert sum(r["n_vectors"] for r in rows) == 250
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r["imbalance"] - round(r["share"] * 16, 6)) < 1e-6
+    # column pruning: the stats scan reads no vector/code bytes
+    plan = (
+        spark.read.parquet(f"{path}/vectors")
+        .groupBy("cluster_id")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "embedding" not in plan.split("ReadSchema")[-1][:200]
+    # appends shift the distribution
+    SIM.append_to_ivfpq_index(spark, emb.where(F.col("vec_id") >= 250), path)
+    rows2 = SIM.ivfpq_index_stats(spark, path).collect()
+    assert sum(r["n_vectors"] for r in rows2) == emb.count()

@@ -1794,3 +1794,42 @@ def ivfpq_topk_many(
             else F.col("_raw")
         ).alias("cosine_similarity"),
     )
+
+
+def ivfpq_index_stats(spark, path: str) -> DataFrame:
+    """Index health surface — the monitoring half of the add-after-train
+    contract (append_to_ivfpq_index keeps centroids/codebooks frozen;
+    THIS is what tells you when to re-train): one row per cluster with
+    its row count, share of the corpus, and imbalance ratio vs the ideal
+    uniform share.  Reading only the partition column compiles to a
+    metadata-cheap scan (column pruning: no vector or code bytes move),
+    so the stats are safe to run on a 100 TB index.
+
+    Interpretation: max(imbalance) drifting upward across appends means
+    new data no longer matches the trained partition — hot clusters
+    serve more candidates per probe (latency skew) and recall decays
+    for queries near cold ones.  Standard response (FAISS practice):
+    re-train centroids on a sample, rebuild, verify with ``ann_recall``.
+    Pair with the params sidecar for the index's geometry."""
+    counts = (
+        spark.read.parquet(f"{path}/vectors")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_vectors"))
+        .localCheckpoint(eager=True)  # <= n_clusters rows; read once for
+        # the scalar total and once for the stats projection
+    )
+    params = _read_ivfpq_params(spark, path)
+    n_clusters = (
+        int(params["n_clusters"]) if params is not None else None
+    )
+    total = counts.agg(F.sum("n_vectors")).first()[0] or 0
+    stats = counts.select(
+        "cluster_id",
+        "n_vectors",
+        F.round(F.col("n_vectors") / F.lit(total), 6).alias("share"),
+    )
+    if n_clusters:
+        stats = stats.withColumn(
+            "imbalance", F.round(F.col("share") * n_clusters, 6)
+        )
+    return stats.orderBy(F.col("n_vectors").desc(), F.col("cluster_id").asc())
