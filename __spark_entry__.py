@@ -364,6 +364,29 @@ def _q_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_index_build_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """index_build + 'compacted' arm: the SAME derived index written
+    deliberately fragmented (16 writer files), OPTIMIZE-rewritten by
+    ``maintenance.compact_table`` (bin-packed, clustered on post_id,
+    crash-safe snapshot swap), and read back — putting content
+    preservation under the parquet rewrite path under the hard oracle.
+    The rewrite is the 100 TB small-file/clustering maintenance job
+    (SCALE.md 'Table maintenance'); the oracle'd claim is that OPTIMIZE
+    changes LAYOUT only, never rows."""
+    from wpvectordb_spark.operators import maintenance as MA
+
+    cols = ["post_id", "sequence_no", "magnitude", "binary_code", "norm_sum"]
+    base = _q_index_build(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="compact_arm_")
+    path = os.path.join(root, "idx")
+    base.repartition(16).write.parquet(path)
+    MA.compact_table(spark, path, target_file_bytes=1 << 40, sort_by=["post_id"])
+    back = spark.read.parquet(path)
+    return base.select(F.lit("derive").alias("kind"), *cols).unionByName(
+        back.select(F.lit("compacted").alias("kind"), *cols)
+    )
+
+
 def _q_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     existing = TO.derive(
@@ -1917,6 +1940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_components,
         "curate_sample_pack": _q_curate_sample_pack,
         "ann_lsh_ivf": _q_ann_lsh_ivf,
+        # round-5 session 5: + 'compacted' arm (OPTIMIZE rewrite roundtrip)
+        "index_build": _q_index_build_merged,
         # --- changed in round 3: non-vacuous anti-join
         # arms, C10/C11/J11 scalar+DDL arms, persisted-IVF ivf_idx arm,
         # ExactSubstr duplicate-span arm ---
@@ -1944,7 +1969,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": _q_events_percentiles,
         "k3_k4_sign_code_hex": _q_k3_k4_sign_code_hex,
         "k7_json_codec": _q_k7_json_codec,
-        "index_build": _q_index_build,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "queue_cleanup": _q_queue_cleanup,
@@ -3604,12 +3628,20 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ) WHERE rn = 1
         """,
+        # 'compacted' = the same rows read back through the OPTIMIZE
+        # parquet rewrite — a layout-only operation, so the oracle is the
+        # derive SELECT duplicated under the second tag
         "index_build": f"""
-            SELECT vec_id AS post_id, CAST(0 AS INT) AS sequence_no,
-                   round({mag}, 9) AS magnitude,
-                   {hexx} AS binary_code,
-                   round(list_reduce({norm}, (a, b) -> a + b), 9) AS norm_sum
-            FROM embeddings
+            WITH derived AS (
+              SELECT vec_id AS post_id, CAST(0 AS INT) AS sequence_no,
+                     round({mag}, 9) AS magnitude,
+                     {hexx} AS binary_code,
+                     round(list_reduce({norm}, (a, b) -> a + b), 9) AS norm_sum
+              FROM embeddings
+            )
+            SELECT 'derive' AS kind, * FROM derived
+            UNION ALL
+            SELECT 'compacted' AS kind, * FROM derived
         """,
         "upsert_latest_wins": upsert_cte,
         # --- queue ---

@@ -46,6 +46,7 @@ EXPECTED_ARMS = {
     "rel_grouping_sets": ("kind", {"cube", "rollup"}),
     "rel_membership": ("kind", {"seg_0", "seg_1", "set_both", "set_orders_only"}),
     "k7_json_codec": ("kind", {"code", "props"}),
+    "index_build": ("kind", {"derive", "compacted"}),
     "crud_composite_get": (
         "kind",
         {"all", "cap", "get", "count"}

@@ -1,0 +1,276 @@
+"""Table maintenance: small-file compaction and sort / Z-order clustering.
+
+The reference's MySQL storage engine handles page organization invisibly
+(src/VectorTable.php:464-513 just issues DDL); a parquet-backed table on a
+100 TB cluster does NOT — every incremental write (upsert snapshots,
+streaming ingest deltas, queue state versions, crawl appends) leaves files
+sized by the WRITER's parallelism, not by what readers want.  Two failure
+modes at scale:
+
+* **Small files**: a table touched by 10k micro-batches becomes millions
+  of KB-sized files; listing and task-scheduling overhead dwarfs the scan
+  (the classic HDFS/S3 small-file problem).  Fix: bin-pack rewrites to a
+  target file size — Delta ``OPTIMIZE`` / Iceberg ``rewrite_data_files``.
+* **No data skipping**: parquet readers prune row groups by min/max
+  stats, but stats only help if values are CLUSTERED — a randomly-ordered
+  table has every file spanning the whole value domain, so every
+  predicate scans every file.  Fix: sort-cluster on the hot filter column
+  (``sort_by=``), or interleave several via a Z-order curve
+  (``zorder_by=``) so multi-dimensional predicates each prune — Delta
+  ``OPTIMIZE ZORDER BY``, the technique from Morton (1966) popularized
+  for analytic layouts by "Small Materialized Aggregates" (Moerkotte,
+  VLDB 1998) and Delta Lake's OPTIMIZE.
+
+Everything here is a REWRITE job, not a query-path operator: run it
+between query windows (or against a snapshot) the way a production
+lakehouse schedules OPTIMIZE.  The swap reuses the facades' crash-safe
+staging/rename protocol so a kill mid-compaction never loses the table.
+
+Z-order shape (all Catalyst, zero UDFs, zero driver state beyond the
+``2**bits - 1`` quantile boundaries per column):
+
+1. per column: ``approxQuantile`` boundaries -> rank-bucket each row by
+   counting boundaries <= value (one bounded HOF fold over a literal
+   array — NULLs land in bucket 0);
+2. interleave the bucket bits into one BIGINT Morton key (static
+   shift/mask expression, ``bits * n_cols <= 62``);
+3. ``repartitionByRange`` on the key to ``ceil(bytes / target)``
+   partitions, ``sortWithinPartitions`` — one range shuffle total,
+   file count and clustering both set by the same pass.
+
+``data_skipping_stats`` then MEASURES the result from the parquet footers
+(pyarrow, driver-side, metadata-only): per-file min/max for a column and
+the fraction of files a point/range predicate would actually scan — the
+honest check that clustering bought pruning, not just an ordered write.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_FILE_BYTES = 128 << 20  # the HDFS-block-sized lakehouse default
+
+
+def _parquet_files(path: str) -> list[str]:
+    """All data files under ``path`` (recursive: partitioned tables nest
+    ``key=value`` dirs), excluding markers and hidden/staging debris."""
+    out: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def table_file_stats(path: str) -> dict:
+    """File-level shape of a parquet table: the numbers OPTIMIZE decisions
+    are made from.  Driver-side listing — at production scale the same
+    figures come from the table format's manifest (Delta/Iceberg) or a
+    parallel FileSystem listing; a maintenance job reads them once."""
+    sizes = [os.path.getsize(f) for f in _parquet_files(path)]
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "min_file_bytes": min(sizes) if sizes else 0,
+        "max_file_bytes": max(sizes) if sizes else 0,
+        "avg_file_bytes": (sum(sizes) // len(sizes)) if sizes else 0,
+    }
+
+
+def _rank_bucket(col: str, boundaries: list[float], bits: int):
+    """Rank-bucket a numeric column against precomputed quantile
+    boundaries: bucket = #boundaries <= value, a bounded fold over a
+    literal array (|boundaries| = 2**bits - 1 comparisons/row, vectorized
+    by codegen).  Quantile (rank) buckets, not uniform-width ones: equal
+    row mass per bucket is what balances the range partitions regardless
+    of the column's distribution — ``width_bucket`` would collapse a
+    skewed column into one bucket.  NULLs never satisfy >= so they land
+    in bucket 0 (clustered together at the curve's origin)."""
+    barr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.aggregate(
+        barr,
+        F.lit(0),
+        lambda acc, b: acc
+        + F.when(F.col(col).cast("double") >= b, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def zorder_key(
+    df: DataFrame, columns: list[str], bits: int = 8
+) -> "F.Column":
+    """Morton (Z-order) key over ``columns``: per-column rank buckets with
+    their bits interleaved into one BIGINT, so sorting by the key keeps
+    rows close in EVERY dimension at once — each column's per-file
+    min/max range shrinks to ~(1/2**bits)**(1/n_cols) of the domain and
+    predicates on ANY of the columns prune files.
+
+    Bucket boundaries come from one ``approxQuantile`` pass per column
+    (driver holds 2**bits - 1 floats each; relativeError 1e-3 keeps the
+    sketch bounded).  The interleave is a static shift/or expression —
+    ``bits * len(columns)`` terms, no UDF, no extra shuffle.
+    """
+    if not columns:
+        raise ValueError("zorder_key: need at least one column")
+    k = len(columns)
+    if bits * k > 62:
+        raise ValueError(
+            f"zorder_key: {bits} bits x {k} columns = {bits * k} exceeds "
+            "the 62 usable BIGINT bits — lower bits or drop columns"
+        )
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    numeric = df.select(
+        *[F.col(c).cast("double").alias(c) for c in columns]
+    )
+    buckets = []
+    for c in columns:
+        bounds = numeric.approxQuantile(c, probs, 1e-3)
+        # degenerate column (constant / all-NULL): one bucket, zero bits
+        bounds = sorted(set(b for b in bounds if b == b))  # drop NaN
+        buckets.append(_rank_bucket(c, bounds, bits).cast("long") if bounds else F.lit(0))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            key = key + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * k + j
+            )
+    return key
+
+
+def compact_plan(
+    df: DataFrame,
+    n_files: int,
+    sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 8,
+) -> DataFrame:
+    """The lazy rewrite plan OPTIMIZE executes: bin-pack ``df`` into
+    ``n_files`` output files, optionally clustered.
+
+    * no clustering: a plain ``repartition(n)`` round-robins rows — even
+      file sizes, one shuffle, no ordering promise;
+    * ``sort_by``: ``repartitionByRange`` + ``sortWithinPartitions`` —
+      files carry DISJOINT ranges of the sort key (range partitioner
+      samples the data), min/max stats prune point and range predicates;
+    * ``zorder_by``: same shape over the Morton key, pruning on EVERY
+      listed column instead of only the leading sort column.
+
+    One range (or round-robin) shuffle total; the sort is within
+    partitions only (never a global sort's single-pass merge).
+    """
+    if sort_by and zorder_by:
+        raise ValueError("compact_plan: sort_by and zorder_by are exclusive")
+    n_files = max(1, int(n_files))
+    if zorder_by:
+        z = zorder_key(df, list(zorder_by), bits=zorder_bits)
+        return (
+            df.withColumn("__zkey", z)
+            .repartitionByRange(n_files, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")  # projection after the sort keeps the order
+        )
+    if sort_by:
+        cols = [F.col(c) for c in sort_by]
+        return df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    return df.repartition(n_files)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 8,
+    min_files: int = 2,
+) -> dict:
+    """OPTIMIZE for a parquet-snapshot table: rewrite ``path`` bin-packed
+    to ``target_file_bytes`` (sizing from the CURRENT on-disk bytes — the
+    output compresses about the same, and clustering usually improves it)
+    and optionally clustered.  Returns a before/after report.
+
+    Crash-safe: the rewrite lands in a staging dir and swaps in with the
+    facades' rename protocol (old aside -> staging in -> old dropped), so
+    a kill at any point leaves the old or the new snapshot, never zero
+    copies (``table._write_snapshot``).  Reads against the old listing
+    race exactly as they do with any snapshot write — same single-writer
+    contract as the facades; Delta/Iceberg replace this with a commit.
+
+    No-op (returns ``skipped=True``) when the table already has fewer
+    than ``min_files`` files AND no clustering was requested — pure
+    bin-packing a single file is a wasted rewrite, but an explicit
+    ``sort_by``/``zorder_by`` always rewrites (the point is the order,
+    not the count).
+    """
+    # import here: table.py is facade-layer (imports operators); the
+    # one-way dep operators -> table stays acyclic but keep it local so
+    # module import order never matters
+    from wpvectordb_spark.table import _check_local_path, _write_snapshot
+
+    path = _check_local_path(path)
+    before = table_file_stats(path)
+    if before["n_files"] == 0:
+        raise ValueError(f"compact_table: no parquet files under {path!r}")
+    if before["n_files"] < min_files and not (sort_by or zorder_by):
+        return {"before": before, "after": before, "skipped": True}
+    n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
+    df = spark.read.parquet(path)
+    plan = compact_plan(
+        df, n_out, sort_by=sort_by, zorder_by=zorder_by, zorder_bits=zorder_bits
+    )
+    # the plan reads `path` while the swap rewrites it — _write_snapshot
+    # stages first, so the read finishes against the old files before any
+    # rename touches them
+    _write_snapshot(path, plan)
+    return {
+        "before": before,
+        "after": table_file_stats(path),
+        "skipped": False,
+        "n_output_files_target": n_out,
+    }
+
+
+def data_skipping_stats(path: str, column: str) -> list[dict]:
+    """Per-file min/max footer stats for ``column`` — the metadata a
+    parquet reader prunes with.  pyarrow, driver-side, METADATA-ONLY (no
+    data pages read); production equivalents read the same numbers from
+    the table-format manifest.  Returns one dict per file with row-group
+    aggregated min/max; files without stats report None."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in _parquet_files(path):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if column not in names:
+            raise KeyError(f"{column!r} not in {f}: {sorted(names)}")
+        ci = names[column]
+        lo, hi, rows = None, None, 0
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            rows += md.row_group(g).num_rows
+            if st is None or not st.has_min_max:
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append({"file": f, "min": lo, "max": hi, "rows": rows})
+    return out
+
+
+def scan_fraction(stats: list[dict], value) -> float:
+    """Fraction of files a point-equality predicate on the stats column
+    must scan (files whose [min, max] contains ``value``; files without
+    stats count as scanned — the reader cannot prune them).  1.0 means
+    clustering bought nothing; a well-sorted table approaches
+    1/n_files."""
+    if not stats:
+        return 1.0
+    hit = sum(
+        1
+        for s in stats
+        if s["min"] is None or s["max"] is None or (s["min"] <= value <= s["max"])
+    )
+    return hit / len(stats)

@@ -276,6 +276,28 @@ class VectorTable:
         )
         return df.where(F.col("id").isNotNull()).unionByName(numbered)
 
+    # -- maintenance ----------------------------------------------------------
+    def compact(
+        self,
+        target_file_bytes: int | None = None,
+        sort_by: tuple[str, ...] = ("post_id", "sequence_no"),
+    ) -> dict:
+        """OPTIMIZE the snapshot: bin-pack small files and cluster on the
+        read-path key so C1-C5 point/post lookups prune files by parquet
+        min/max stats (operators/maintenance.py).  The MySQL reference
+        gets this from InnoDB's clustered primary key for free
+        (VectorTable.php:472 PRIMARY KEY (id)); a parquet snapshot has to
+        re-establish it after enough incremental writes.  Same crash-safe
+        swap as every other write."""
+        from wpvectordb_spark.operators import maintenance as M
+
+        return M.compact_table(
+            self.spark,
+            self.path,
+            target_file_bytes=target_file_bytes or M.DEFAULT_TARGET_FILE_BYTES,
+            sort_by=list(sort_by),
+        )
+
     # -- search (S1-S8) ------------------------------------------------------
     def search(
         self,
@@ -391,6 +413,20 @@ class VectorTableQueue:
 
     def delete_record(self, job_id: int) -> None:
         self._write(Q.delete_record(self.df(), job_id))
+
+    def compact(self, target_file_bytes: int | None = None) -> dict:
+        """OPTIMIZE the queue snapshot, clustered on job_id (the claim /
+        update / delete key).  Long-lived queues accumulate one rewrite's
+        worth of files per mutation; scheduled compaction keeps listing
+        and scan cost flat (operators/maintenance.py)."""
+        from wpvectordb_spark.operators import maintenance as M
+
+        return M.compact_table(
+            self.spark,
+            self.path,
+            target_file_bytes=target_file_bytes or M.DEFAULT_TARGET_FILE_BYTES,
+            sort_by=["job_id"],
+        )
 
     def get_page_of_records(
         self, page: int, per_page: int = Q.PAGE_SIZE, documents: DataFrame | None = None
