@@ -99,6 +99,32 @@ def test_decontaminate_plan_broadcasts_holdout(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+def test_decontaminate_shuffle_mode_matches_broadcast(spark):
+    """broadcast_holdout=False (the too-big-to-broadcast cross-corpus
+    form) must produce identical rows through a shuffle join — and the
+    plan must actually shuffle instead of broadcasting."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from wpvectordb_spark.operators import curation as CU
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus, hold = docs.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20)
+    bcast = CU.decontaminate(corpus, hold, threshold=5)
+    shuf = CU.decontaminate(corpus, hold, threshold=5, broadcast_holdout=False)
+    assert sorted(map(tuple, bcast.collect())) == sorted(map(tuple, shuf.collect()))
+    plan = shuf._jdf.queryExecution().executedPlan().toString()
+    # the holdout-membership join (on the shingle hash `h`) must be the
+    # shuffle form; the final n_matched left-join on doc_id may still
+    # broadcast — that side is one row per corpus doc, not the holdout
+    h_joins = [
+        ln for ln in plan.splitlines() if "Join [h#" in ln or "Join [h#" in ln
+    ]
+    assert h_joins, plan
+    assert all("Broadcast" not in ln for ln in h_joins), h_joins
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
 def test_decontaminate_threshold_monotone(spark):
     """Raising the threshold can only shrink the contaminated set, and
     n_matched is invariant to the threshold."""

@@ -474,6 +474,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
+    broadcast_holdout: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing >=
     ``threshold`` hashed k-token shingles with the holdout/eval set —
@@ -485,6 +486,15 @@ def decontaminate(
     one aggregation on ``id``.  No shuffle ever carries document text,
     and the corpus is never self-joined.
 
+    ``broadcast_holdout=False`` switches the membership join to a
+    shuffle hash/sort-merge join on the 8-byte shingle hashes for
+    holdouts too big to broadcast — decontaminating against ANOTHER
+    CORPUS (cross-corpus overlap audits, "remove everything that
+    appears in the benchmark suite's training split") can make the
+    right side billions of distinct hashes, past any executor's
+    broadcast budget.  Same output, one extra hash-keyed shuffle; the
+    shuffle carries only (id, hash) pairs, never text.
+
     Returns (id, n_shingles, n_matched, contaminated 0/1) for every
     corpus document.
     """
@@ -495,9 +505,16 @@ def decontaminate(
         holdout.select(F.explode(X.shingle_hashes(text_col, shingle_k)).alias("h"))
         .distinct()
     )
+    if broadcast_holdout:
+        hold = F.broadcast(hold)
+    else:
+        # a broadcast would be planned anyway under the 10 MB default
+        # threshold at test scale — pin the shuffle form with a join
+        # hint so the big-holdout path is the one actually exercised
+        hold = hold.hint("shuffle_hash")
     matched = (
         sh.select(F.col(id_col), F.explode("sh").alias("h"))
-        .join(F.broadcast(hold), "h")
+        .join(hold, "h")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_matched"))
     )
