@@ -247,6 +247,33 @@ def main() -> None:
         spark, ivfpqres_dir, qv, dim=entry.PQ_DIM, m=entry.PQ_M, k=10, n_probe=4
     ).count()
 
+    # table maintenance: the OPTIMIZE rewrite itself — a deliberately
+    # fragmented events copy (32 writer files, shuffled order) bin-packed
+    # and Z-order clustered on (user_id, value).  One pre-written
+    # fragmented input per run so the timer sees only the rewrite (the
+    # clustered read-side payoff is test-asserted via footer stats, not
+    # timed here).
+    from wpvectordb_spark.operators import maintenance as MA
+
+    maint_root = tempfile.mkdtemp(prefix="bench_maint_")
+    _maint_dirs = []
+    for i in range(RUNS):
+        d = os.path.join(maint_root, f"t{i}")
+        (
+            spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+            .orderBy(F.xxhash64("event_id"))
+            .repartition(32)
+            .write.parquet(d)
+        )
+        _maint_dirs.append(d)
+    _maint_iter = iter(_maint_dirs)
+    extra_map["maint_compact_zorder"] = lambda: MA.compact_table(
+        spark,
+        next(_maint_iter),
+        target_file_bytes=1 << 19,
+        zorder_by=["user_id", "value"],
+    )["after"]["n_files"]
+
     extras: dict[str, float] = {}
     try:
         for name, fn in extra_map.items():
@@ -256,6 +283,7 @@ def main() -> None:
         shutil.rmtree(ivf_dir, ignore_errors=True)
         shutil.rmtree(ivfpq_dir, ignore_errors=True)
         shutil.rmtree(ivfpqres_dir, ignore_errors=True)
+        shutil.rmtree(maint_root, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)

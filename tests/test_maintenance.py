@@ -187,6 +187,121 @@ def test_compact_refuses_missing_table(spark, tmp_path):
         M.compact_table(spark, str(tmp_path / "nope"))
 
 
+def _emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def test_compact_refuses_partitioned_layout(spark, tmp_path):
+    """Flat compaction of a Hive-partitioned table would silently destroy
+    partition pruning for every reader — it must refuse and point at the
+    partition-preserving form."""
+    path = str(tmp_path / "t")
+    _events(spark).withColumn("b", F.col("user_id") % 4).write.partitionBy(
+        "b"
+    ).parquet(path)
+    assert M.partition_columns(path) == ["b"]
+    with pytest.raises(ValueError, match="compact_partitioned_table"):
+        M.compact_table(spark, path)
+
+
+def test_compact_partitioned_preserves_layout_and_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    ev = _events(spark).withColumn("b", (F.col("user_id") % 4).cast("int"))
+    # three appends fragment every partition dir
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).repartition(8).write.mode(
+            "append"
+        ).partitionBy("b").parquet(path)
+    one_dir = os.path.join(path, "b=0")
+    frag = len([f for f in os.listdir(one_dir) if f.endswith(".parquet")])
+    assert frag >= 3
+
+    report = M.compact_partitioned_table(spark, path, target_file_bytes=1 << 40)
+    assert report["partition_columns"] == ["b"]
+    # hash-on-partition-cols: exactly one file per partition dir
+    for d in os.listdir(path):
+        if d.startswith("b="):
+            files = [
+                f
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (d, files)
+    got = spark.read.parquet(path)
+    assert got.count() == ev.count()
+    assert got.exceptAll(ev).count() == 0
+    # partition pruning still works after the rewrite
+    plan = (
+        got.where(F.col("b") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "b" in plan
+
+
+def test_optimize_index_defragments_without_changing_results(
+    spark, tmp_path
+):
+    """Build + two appends fragment the cluster dirs; optimize_index folds
+    them back to one file per cluster, results and partition pruning
+    identical."""
+    from wpvectordb_spark.operators import similarity as SIM
+
+    emb = _emb(spark)
+    path = str(tmp_path / "index")
+    SIM.build_ivf_index(emb.where(F.col("vec_id") % 3 == 0), path, n_clusters=8)
+    SIM.append_to_ivf_index(spark, emb.where(F.col("vec_id") % 3 == 1), path)
+    SIM.append_to_ivf_index(spark, emb.where(F.col("vec_id") % 3 == 2), path)
+
+    vec_dir = os.path.join(path, "vectors")
+    frag = M.table_file_stats(vec_dir)["n_files"]
+    n_dirs = len([d for d in os.listdir(vec_dir) if d.startswith("cluster_id=")])
+    assert frag > n_dirs  # appends left >1 file in at least one dir
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    before = [tuple(r) for r in SIM.ivf_topk_from_index(spark, path, qv, k=10, n_probe=4).collect()]
+
+    report = SIM.optimize_index(spark, path)
+    assert M.table_file_stats(vec_dir)["n_files"] <= n_dirs
+
+    res = SIM.ivf_topk_from_index(spark, path, qv, k=10, n_probe=4)
+    assert [tuple(r) for r in res.collect()] == before
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    assert report["after"]["n_files"] < report["before"]["n_files"]
+
+
+def test_optimize_index_on_ivfpq_keeps_serving_identical(spark, tmp_path):
+    """Same maintenance over the combined IVFPQ layout: codes table
+    defragments, the params sidecar and codebooks are untouched, and
+    serving (including a filtered query) returns identical rows."""
+    from wpvectordb_spark.operators import similarity as SIM
+
+    emb = _emb(spark)
+    path = str(tmp_path / "index")
+    SIM.build_ivfpq_index(
+        emb.where(F.col("vec_id") % 2 == 0), path, dim=64, n_clusters=8,
+        m=8, n_codes=16,
+    )
+    SIM.append_to_ivfpq_index(spark, emb.where(F.col("vec_id") % 2 == 1), path)
+
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    kw = dict(dim=64, m=8, k=5, n_probe=4)
+    before = [tuple(r) for r in SIM.ivfpq_topk(spark, path, qv, **kw).collect()]
+    before_f = [
+        tuple(r)
+        for r in SIM.ivfpq_topk(spark, path, qv, where="vec_id >= 10", **kw).collect()
+    ]
+
+    SIM.optimize_index(spark, path)
+    assert [tuple(r) for r in SIM.ivfpq_topk(spark, path, qv, **kw).collect()] == before
+    assert [
+        tuple(r)
+        for r in SIM.ivfpq_topk(spark, path, qv, where="vec_id >= 10", **kw).collect()
+    ] == before_f
+
+
 def test_facade_compact_roundtrip(spark, tmp_path):
     """VectorTable.compact(): snapshot-swap rewrite clustered on the
     read-path key (post_id, sequence_no); contents identical after."""

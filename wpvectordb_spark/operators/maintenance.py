@@ -66,6 +66,34 @@ def _parquet_files(path: str) -> list[str]:
     return sorted(out)
 
 
+def partition_columns(path: str) -> list[str]:
+    """Hive-style partition columns detected from the directory layout
+    (``key=value`` subdirs, outermost first).  Empty list for a flat
+    table.  Mixed layouts (two different keys at one level) refuse —
+    that is not a layout Spark wrote."""
+    cols: list[str] = []
+    cur = path
+    while os.path.isdir(cur):
+        subs = [
+            d
+            for d in os.listdir(cur)
+            if "=" in d
+            and not d.startswith(("_", "."))
+            and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not subs:
+            return cols
+        names = {d.split("=", 1)[0] for d in subs}
+        if len(names) != 1:
+            raise ValueError(
+                f"partition_columns: mixed partition keys {sorted(names)} "
+                f"under {cur!r}"
+            )
+        cols.append(names.pop())
+        cur = os.path.join(cur, sorted(subs)[0])
+    return cols
+
+
 def table_file_stats(path: str) -> dict:
     """File-level shape of a parquet table: the numbers OPTIMIZE decisions
     are made from.  Driver-side listing — at production scale the same
@@ -211,6 +239,15 @@ def compact_table(
     from wpvectordb_spark.table import _check_local_path, _write_snapshot
 
     path = _check_local_path(path)
+    pcols = partition_columns(path)
+    if pcols:
+        # reading a partitioned table and rewriting it flat would
+        # silently DESTROY partition pruning for every reader (the IVF /
+        # IVFPQ indexes prune on cluster_id dirs) — refuse, never flatten
+        raise ValueError(
+            f"compact_table: {path!r} is Hive-partitioned by {pcols} — "
+            "use compact_partitioned_table, which preserves the layout"
+        )
     before = table_file_stats(path)
     if before["n_files"] == 0:
         raise ValueError(f"compact_table: no parquet files under {path!r}")
@@ -229,6 +266,65 @@ def compact_table(
         "before": before,
         "after": table_file_stats(path),
         "skipped": False,
+        "n_output_files_target": n_out,
+    }
+
+
+def compact_partitioned_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE for a Hive-partitioned table, PRESERVING the partition
+    layout (and therefore partition pruning).  The incremental-append
+    paths — ``append_to_ivf_index`` / ``append_to_ivfpq_index``, and any
+    ``mode("append")`` writer — add one file set per call to each touched
+    ``key=value`` dir; after enough appends a probe that prunes to 2 of
+    16 partitions still opens dozens of files inside each.  This rewrite
+    folds every partition dir back to size-targeted files.
+
+    Shape: without ``sort_by``, one hash ``repartition`` on the partition
+    columns — every partition value lands in exactly ONE task, so each
+    dir gets exactly one file (right when partitions are target-sized or
+    smaller, the IVF case).  With ``sort_by``, ``repartitionByRange`` on
+    (partition cols + sort cols): an oversized partition value spans
+    several consecutive range tasks (several target-sized files), and
+    rows inside each file are sorted — min/max row-group pruning for
+    filtered serving (``where=`` id/metadata predicates) stacks on top
+    of the partition pruning.
+
+    Same crash-safe staging/rename swap as ``compact_table``; the swap
+    replaces the WHOLE table dir atomically, so readers never see a
+    half-rewritten partition set.
+    """
+    from wpvectordb_spark.table import _check_local_path, _write_snapshot
+
+    path = _check_local_path(path)
+    pcols = partition_columns(path)
+    if not pcols:
+        raise ValueError(
+            f"compact_partitioned_table: {path!r} has no key=value "
+            "partition dirs — use compact_table"
+        )
+    before = table_file_stats(path)
+    if before["n_files"] == 0:
+        raise ValueError(
+            f"compact_partitioned_table: no parquet files under {path!r}"
+        )
+    n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_by:
+        keys = [F.col(c) for c in (pcols + list(sort_by))]
+        plan = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+    else:
+        plan = df.repartition(n_out, *[F.col(c) for c in pcols])
+    _write_snapshot(path, plan, partition_by=pcols)
+    return {
+        "before": before,
+        "after": table_file_stats(path),
+        "skipped": False,
+        "partition_columns": pcols,
         "n_output_files_target": n_out,
     }
 

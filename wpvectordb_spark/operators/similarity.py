@@ -365,6 +365,40 @@ def append_to_ivf_index(
     )
 
 
+def optimize_index(
+    spark,
+    path: str,
+    target_file_bytes: int | None = None,
+    id_col: str = "vec_id",
+) -> dict:
+    """Index maintenance after incremental appends: every
+    ``append_to_ivf_index`` / ``append_to_ivfpq_index`` call adds one
+    file set per touched ``cluster_id=`` dir, so a long-lived index's
+    probe reads degrade from one file per probed partition to dozens —
+    listing/open overhead the partition pruning can't save.  This folds
+    the vectors table back to size-targeted files per partition dir,
+    sorted by ``id_col`` WITHIN each cluster (row-group min/max pruning
+    for filtered serving's ``where=`` predicates stacks on the partition
+    pruning), via the crash-safe partition-preserving rewrite
+    (``maintenance.compact_partitioned_table``).  Centroids, codebooks,
+    and the params sidecar are untouched — OPTIMIZE changes layout only,
+    never index geometry; query results are identical (test-asserted).
+
+    The FAISS analog is rewriting the inverted lists contiguously; the
+    lakehouse analog is Delta OPTIMIZE on a partitioned table.  Run it
+    between serve windows the way the ingest streams' state compaction
+    runs every ``compact_every`` batches.
+    """
+    from wpvectordb_spark.operators import maintenance as MA
+
+    return MA.compact_partitioned_table(
+        spark,
+        f"{path}/vectors",
+        target_file_bytes=target_file_bytes or MA.DEFAULT_TARGET_FILE_BYTES,
+        sort_by=[id_col],
+    )
+
+
 def ivf_topk_from_index(
     spark,
     path: str,

@@ -99,7 +99,9 @@ def _recover_snapshot(path: str) -> None:
         os.rename(old, path)
 
 
-def _write_snapshot(path: str, df: DataFrame) -> None:
+def _write_snapshot(
+    path: str, df: DataFrame, partition_by: list[str] | None = None
+) -> None:
     """Snapshot rewrite via a staging dir (parquet cannot overwrite in
     place while reading) — the ONE shared implementation for both
     facades.  A stale staging dir from a crashed earlier write is
@@ -111,13 +113,20 @@ def _write_snapshot(path: str, df: DataFrame) -> None:
     snapshot in place, never zero copies.  (The delete-then-rename
     order lost the table on a kill in the gap: init() would then
     silently recreate it EMPTY.)  Delta/Iceberg replaces this with
-    MERGE/commit."""
+    MERGE/commit.
+
+    ``partition_by`` writes the staging copy Hive-partitioned (used by
+    partition-preserving compaction — operators/maintenance.py); the
+    swap itself is layout-agnostic."""
     _recover_snapshot(path)
     staging = path + "__staging"
     old = path + "__old"
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(staging, path)
