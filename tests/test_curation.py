@@ -211,6 +211,68 @@ def test_budget_sample_hits_token_budget(docs):
             assert 0.55 * expect <= got <= 1.45 * expect, (lang, got, expect)
 
 
+def test_temperature_budgets_alpha_extremes(docs):
+    """alpha=1 reproduces natural proportions; alpha=0 splits the budget
+    uniformly across strata (floor rounding aside)."""
+    from wpvectordb_spark.functions import text as X
+
+    totals = {
+        r["lang"]: r["tot"]
+        for r in docs.select(
+            "lang", F.size(X.bpe_pretokens("text")).cast("long").alias("n")
+        )
+        .groupBy("lang")
+        .agg(F.sum("n").alias("tot"))
+        .collect()
+        if r["lang"] is not None
+    }
+    total = sum(totals.values())
+    nat = CU.temperature_budgets(docs, total_budget=100_000, alpha=1.0)
+    assert set(nat) == set(totals)
+    for s in totals:
+        assert abs(nat[s] - 100_000 * totals[s] / total) <= 1
+    uni = CU.temperature_budgets(docs, total_budget=100_000, alpha=0.0)
+    assert max(uni.values()) - min(uni.values()) <= 1
+
+
+def test_temperature_budgets_upweights_low_resource(docs):
+    """At alpha<1 every stratum's share moves toward uniform: the
+    smallest stratum's share strictly grows vs natural, the largest
+    strictly shrinks, and the size ORDER is preserved."""
+    nat = CU.temperature_budgets(docs, total_budget=1_000_000, alpha=1.0)
+    t03 = CU.temperature_budgets(docs, total_budget=1_000_000, alpha=0.3)
+    assert set(nat) == set(t03)
+    smallest = min(nat, key=nat.get)
+    largest = max(nat, key=nat.get)
+    assert t03[smallest] > nat[smallest]
+    assert t03[largest] < nat[largest]
+    order_nat = sorted(nat, key=nat.get)
+    order_t03 = sorted(t03, key=t03.get)
+    assert order_nat == order_t03
+
+
+def test_temperature_budgets_compose_with_budget_sample(docs):
+    """The computed budgets drive budget_sample end to end: kept token
+    mass per stratum lands at or under its budget (hash-threshold
+    fractions under-shoot only stochastically, never over-shoot by more
+    than one doc's tokens in expectation — assert the clipped bound)."""
+    budgets = CU.temperature_budgets(docs, total_budget=4000, alpha=0.5)
+    assert budgets
+    out = CU.budget_sample(docs, budgets).collect()
+    by_lang: dict[str, int] = {}
+    for r in out:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_tokens"]
+    # deterministic: second run identical
+    out2 = CU.budget_sample(docs, budgets).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    assert set(by_lang) <= set(budgets)
+
+
+def test_temperature_budgets_rejects_bad_alpha(docs):
+    with pytest.raises(ValueError, match="alpha"):
+        CU.temperature_budgets(docs, total_budget=1000, alpha=1.5)
+
+
 def test_budget_sample_full_budget_keeps_everything(docs):
     huge = CU.budget_sample(docs, {"en": 10**9})
     n_en = docs.where(F.col("lang") == 'en').count()

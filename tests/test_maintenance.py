@@ -182,6 +182,25 @@ def test_zorder_key_handles_constant_and_null_columns(spark, tmp_path):
     assert len(null_keys) == 1
 
 
+def test_zorder_key_refuses_string_and_accepts_temporal(spark):
+    """A string clustering column would NULL-cast into one bucket and
+    silently produce a random layout that claims to be clustered —
+    refuse.  Date and timestamp columns go through numeric views."""
+    df = spark.sql(
+        "SELECT id, CAST(id AS STRING) s, DATE'2024-01-01' + CAST(id AS INT) d, "
+        "TIMESTAMP'2024-01-01' + make_interval(0,0,0,0,0,0,id) t "
+        "FROM range(200)"
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        M.zorder_key(df, ["s"], bits=4)
+    rows = df.select("id", M.zorder_key(df, ["d", "t"], bits=4).alias("z")).collect()
+    assert all(r["z"] is not None for r in rows)
+    # both temporal columns increase with id, so the z key must too
+    ordered = sorted(rows, key=lambda r: r["id"])
+    zs = [r["z"] for r in ordered]
+    assert zs == sorted(zs)
+
+
 def test_compact_refuses_missing_table(spark, tmp_path):
     with pytest.raises(ValueError, match="no parquet files"):
         M.compact_table(spark, str(tmp_path / "nope"))

@@ -258,3 +258,27 @@ def test_crlf_and_case_scrub_hardening(spark, duck):
         f" {ssc['n_urls']} AS u FROM crlf ORDER BY doc_id"
     ).fetchall()
     assert d[0][1] == 3 and d[0][2] == 0.0 and d[1][3] == 1
+
+
+def test_corpus_profile_parity_and_plan(spark, duck):
+    """corpus_profile: per-(lang, source) volumes/quality/PII/lang-id
+    agreement — DuckDB parity via the int-scaled quality sum (double
+    sums would diverge by merge order), and a plan with exactly one
+    aggregation exchange and no joins."""
+    from wpvectordb_spark.operators import text_analysis as TA
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = TA.corpus_profile(docs)
+    assert_parity(out, duck.sql(TA.sql_corpus_profile()))
+    # sanity: the profile partitions the corpus
+    total = out.agg(F.sum("n_docs")).first()[0]
+    assert total == docs.count()
+    # AQE prints final + initial plan sections — count only the final one
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("Initial Plan")[0]
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan

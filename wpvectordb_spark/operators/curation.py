@@ -207,6 +207,59 @@ def budget_sample(
     )
 
 
+def temperature_budgets(
+    docs: DataFrame,
+    total_budget: int,
+    alpha: float = 0.3,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> dict[str, int]:
+    """Per-stratum token budgets computed FROM the corpus with
+    temperature sampling — p_i ∝ count_i**alpha (the multilingual-mix
+    rule of Lample & Conneau, "Cross-lingual Language Model
+    Pretraining", 2019; mT5 ships alpha≈0.3): alpha=1 keeps natural
+    proportions, alpha=0 is uniform across strata, in between
+    up-weights low-resource strata without letting one mega-domain
+    drown the mix.  The returned dict feeds straight into
+    ``budget_sample`` (and through it the composed pipeline's mix
+    stage) — the knob becomes data, and the actual row selection stays
+    the zero-shuffle deterministic hash filter.
+
+    Cost: ONE aggregation returning #strata rows (bounded driver state,
+    the broadcast-model class); the power/normalize arithmetic runs
+    driver-side over that tiny dict.  NULL strata are excluded — a
+    budget CASE can't match them, so budgeting them would silently
+    produce zero rows.
+
+    Note ``budget_sample`` samples WITHOUT replacement and clips each
+    stratum at its own size (``min(1, budget/total)``): a low-alpha
+    budget that exceeds a tiny stratum keeps the whole stratum rather
+    than upsampling it — epoch repetition is the training loop's job,
+    not the corpus sampler's.
+    """
+    import math as _math
+
+    if not 0.0 <= float(alpha) <= 1.0:
+        raise ValueError(f"temperature_budgets: alpha={alpha} outside [0, 1]")
+    n_tok = F.size(X.bpe_pretokens(text_col)).cast("long")
+    totals = {
+        r[stratum_col]: int(r["_total"])
+        for r in docs.select(F.col(stratum_col), n_tok.alias("_n"))
+        .where(F.col(stratum_col).isNotNull())
+        .groupBy(stratum_col)
+        .agg(F.sum("_n").alias("_total"))
+        .collect()
+    }
+    if not totals:
+        return {}
+    weights = {s: float(c) ** float(alpha) for s, c in totals.items()}
+    z = sum(weights.values())
+    return {
+        s: int(_math.floor(int(total_budget) * w / z))
+        for s, w in sorted(weights.items())
+    }
+
+
 def sql_budget_sample(
     budgets: dict[str, int],
     stratum_col: str = "lang",

@@ -109,8 +109,28 @@ def table_file_stats(path: str) -> dict:
     }
 
 
-def _rank_bucket(col: str, boundaries: list[float], bits: int):
-    """Rank-bucket a numeric column against precomputed quantile
+def _as_double(df: DataFrame, col: str):
+    """Numeric view of a clustering column.  Dates go through
+    ``unix_date`` (no direct double cast exists); timestamps/booleans/
+    numerics cast directly.  Strings REFUSE: a silent NULL-cast would
+    collapse every row into bucket 0 and the "clustered" table would be
+    randomly ordered while reporting success."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.DateType):
+        return F.unix_date(F.col(col)).cast("double")
+    if isinstance(dt, (T.NumericType, T.TimestampType, T.BooleanType)):
+        return F.col(col).cast("double")
+    raise ValueError(
+        f"zorder_key: column {col!r} has non-numeric type "
+        f"{dt.simpleString()} — Z-order needs numeric/timestamp/date "
+        "columns (hash or dictionary-encode strings first)"
+    )
+
+
+def _rank_bucket(value, boundaries: list[float]):
+    """Rank-bucket a numeric expression against precomputed quantile
     boundaries: bucket = #boundaries <= value, a bounded fold over a
     literal array (|boundaries| = 2**bits - 1 comparisons/row, vectorized
     by codegen).  Quantile (rank) buckets, not uniform-width ones: equal
@@ -122,8 +142,7 @@ def _rank_bucket(col: str, boundaries: list[float], bits: int):
     return F.aggregate(
         barr,
         F.lit(0),
-        lambda acc, b: acc
-        + F.when(F.col(col).cast("double") >= b, F.lit(1)).otherwise(F.lit(0)),
+        lambda acc, b: acc + F.when(value >= b, F.lit(1)).otherwise(F.lit(0)),
     )
 
 
@@ -150,15 +169,16 @@ def zorder_key(
             "the 62 usable BIGINT bits — lower bits or drop columns"
         )
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-    numeric = df.select(
-        *[F.col(c).cast("double").alias(c) for c in columns]
-    )
+    as_double = {c: _as_double(df, c) for c in columns}
+    numeric = df.select(*[as_double[c].alias(c) for c in columns])
     buckets = []
     for c in columns:
         bounds = numeric.approxQuantile(c, probs, 1e-3)
         # degenerate column (constant / all-NULL): one bucket, zero bits
         bounds = sorted(set(b for b in bounds if b == b))  # drop NaN
-        buckets.append(_rank_bucket(c, bounds, bits).cast("long") if bounds else F.lit(0))
+        buckets.append(
+            _rank_bucket(as_double[c], bounds).cast("long") if bounds else F.lit(0).cast("long")
+        )
     key = F.lit(0).cast("long")
     for i in range(bits):
         for j, b in enumerate(buckets):

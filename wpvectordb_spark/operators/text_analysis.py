@@ -299,6 +299,113 @@ def analyze_full(
     )
 
 
+def corpus_profile(
+    docs: DataFrame,
+    stratum_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    lang_col: str = "lang",
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-level data profile — the "know your data" pass a training
+    run starts from: per stratum (lang x source by default), document
+    and token volumes, mean quality, PII incidence, and agreement
+    between the heuristic language id and the label.
+
+    Scale shape: ONE narrow projection (the per-doc features ride the
+    scan) feeding ONE map-side-combinable hash aggregation keyed on the
+    strata — output is #strata rows, never data-sized, and the corpus
+    text never shuffles.
+
+    Float discipline: mean quality goes through an INT-SCALED sum
+    (floor(quality * 1e6) summed as BIGINT, divided back once) — a
+    double sum's value depends on partition merge order, so the exact
+    integer sum is what keeps the result deterministic and engine-
+    portable (the DSIR log-ratio trick).  ``avg_quality`` is NULL for a
+    stratum whose every text is NULL (no silent 0.0)."""
+    scrub = scrub_features(text_col)
+    pii = (scrub["n_urls"] + scrub["n_emails"] + scrub["n_ips"]) > 0
+    base = docs.select(
+        *stratum_cols,
+        F.length(text_col).cast("long").alias("_chars"),
+        F.size(X.bpe_pretokens(text_col)).cast("long").alias("_bpe"),
+        F.floor(quality_score(text_col) * F.lit(1000000.0))
+        .cast("long")
+        .alias("_q"),
+        F.when(pii, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("_pii"),
+        F.when(language_id(text_col) == F.col(lang_col), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_agree"),
+    )
+    agg = base.groupBy(*stratum_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_chars").alias("total_chars"),
+        F.sum("_bpe").alias("total_tokens"),
+        F.count("_q").alias("_nq"),
+        F.sum("_q").alias("_qsum"),
+        F.sum("_pii").alias("n_pii_docs"),
+        F.sum("_agree").alias("n_langid_agree"),
+    )
+    return agg.select(
+        *stratum_cols,
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), round_to
+        ).alias("avg_tokens"),
+        F.when(
+            F.col("_nq") > 0,
+            F.round(
+                F.col("_qsum").cast("double") / F.lit(1000000.0) / F.col("_nq"),
+                round_to,
+            ),
+        ).alias("avg_quality"),
+        "n_pii_docs",
+        "n_langid_agree",
+    )
+
+
+def sql_corpus_profile(
+    stratum_cols: tuple[str, ...] = ("lang", "source"),
+    table: str = "documents",
+    text: str = "text",
+    lang_col: str = "lang",
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of ``corpus_profile`` (same int-scaled quality sum
+    and division order, so the doubles agree bit-for-bit)."""
+    scrub = sql_scrub_features(text)
+    strata = ", ".join(stratum_cols)
+    q = sql_quality_score(text)
+    bpe = X.sql_bpe_pretokens(text)
+    pred = sql_language_id(text)
+    return f"""
+        WITH base AS (
+          SELECT {strata},
+                 CAST(length({text}) AS BIGINT) AS _chars,
+                 CAST(len({bpe}) AS BIGINT) AS _bpe,
+                 CAST(floor(({q}) * 1000000.0) AS BIGINT) AS _q,
+                 CASE WHEN ({scrub['n_urls']}) + ({scrub['n_emails']})
+                           + ({scrub['n_ips']}) > 0
+                      THEN 1 ELSE 0 END AS _pii,
+                 CASE WHEN ({pred}) = {lang_col} THEN 1 ELSE 0 END AS _agree
+          FROM {table}
+        )
+        SELECT {strata},
+               COUNT(*) AS n_docs,
+               CAST(SUM(_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(_bpe) AS BIGINT) AS total_tokens,
+               round(CAST(SUM(_bpe) AS DOUBLE) / COUNT(*), {round_to}) AS avg_tokens,
+               CASE WHEN COUNT(_q) > 0 THEN
+                 round(CAST(SUM(_q) AS DOUBLE) / 1000000.0 / COUNT(_q), {round_to})
+               END AS avg_quality,
+               CAST(SUM(_pii) AS BIGINT) AS n_pii_docs,
+               CAST(SUM(_agree) AS BIGINT) AS n_langid_agree
+        FROM base GROUP BY {strata}
+    """
+
+
 def unigram_logprob_scores(
     docs: DataFrame,
     id_col: str = "doc_id",
