@@ -321,6 +321,73 @@ def test_optimize_index_on_ivfpq_keeps_serving_identical(spark, tmp_path):
     ] == before_f
 
 
+def test_compaction_crash_window_recovers(spark, tmp_path):
+    """Simulate the kill between _write_snapshot's renames (table present
+    only as __old): recover_table renames it back, a re-run compaction
+    over the recovered table succeeds, rows intact.  vacuum refuses to
+    delete the orphan while it is the only copy."""
+    path = str(tmp_path / "t")
+    _write_fragmented(spark, path, 8)
+    n = spark.read.parquet(path).count()
+    os.rename(path, path + "__old")
+    os.makedirs(path + "__staging")  # half-written staging debris
+
+    assert M.vacuum(path) == [path + "__staging"]  # __old survives
+    assert os.path.isdir(path + "__old")
+
+    assert M.recover_table(path) is True
+    assert M.recover_table(path) is False  # idempotent
+    report = M.compact_table(spark, path, target_file_bytes=1 << 40)
+    assert report["after"]["n_files"] == 1
+    assert spark.read.parquet(path).count() == n
+    assert M.vacuum(path) == []  # nothing left to clean
+
+
+def test_queue_facade_compact(spark, tmp_path):
+    from wpvectordb_spark.table import VectorTableQueue
+
+    q = VectorTableQueue(spark, str(tmp_path / "q"))
+    q.init()
+    for batch in ([1, 2, 3], [4, 5], [6]):
+        q.add_posts(batch)  # each write = one snapshot rewrite
+    before = sorted(r["job_id"] for r in q.df().collect())
+    report = q.compact()
+    assert report["skipped"] is False
+    assert sorted(r["job_id"] for r in q.df().collect()) == before
+
+
+def test_corpus_profile_and_temperature_edges(spark):
+    """Edge sweep for the new ops: empty frames and NULL text must not
+    crash (typed results, NULL-aware aggregates)."""
+    from wpvectordb_spark.operators import curation as CU
+    from wpvectordb_spark.operators import text_analysis as TA
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    assert TA.corpus_profile(empty).collect() == []
+    assert CU.temperature_budgets(empty, total_budget=1000) == {}
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog", "en", "web"),
+            (2, None, "en", "web"),
+            (3, None, "xx", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {(r["lang"], r["source"]): r for r in TA.corpus_profile(docs).collect()}
+    en = rows[("en", "web")]
+    assert en["n_docs"] == 2  # NULL text still counts as a document
+    assert en["avg_quality"] is not None
+    xx = rows[("xx", "web")]
+    assert xx["n_docs"] == 1
+    # NULL text scores the degenerate-text floor (0.39: no stopwords, no
+    # tokens, no punctuation) in BOTH engines — deterministic, not NULL
+    assert xx["avg_quality"] == 0.39
+    assert xx["total_tokens"] is None or xx["total_tokens"] == 0
+
+
 def test_facade_compact_roundtrip(spark, tmp_path):
     """VectorTable.compact(): snapshot-swap rewrite clustered on the
     read-path key (post_id, sequence_no); contents identical after."""

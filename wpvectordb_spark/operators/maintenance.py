@@ -349,6 +349,46 @@ def compact_partitioned_table(
     }
 
 
+def recover_table(path: str) -> bool:
+    """Close the compaction crash window for STANDALONE tables: a kill
+    between _write_snapshot's two renames leaves ``path`` absent with the
+    data intact in ``path__old``.  The facades recover on every read
+    (``table._recover_snapshot``); a standalone compacted table (an ANN
+    index's vectors dir, a manifest) recovers on its next maintenance
+    call — or explicitly here.  Returns True if an orphan was renamed
+    back."""
+    from wpvectordb_spark.table import _check_local_path, _recover_snapshot
+
+    path = _check_local_path(path)
+    existed = os.path.exists(path)
+    _recover_snapshot(path)
+    return not existed and os.path.exists(path)
+
+
+def vacuum(path: str) -> list[str]:
+    """Remove crash debris around a snapshot table: a ``__staging`` dir
+    from a write that died mid-job and a ``__old`` dir from one that died
+    after the swap completed are both safe to drop once the live copy
+    exists (Delta VACUUM's little sibling).  REFUSES to touch ``__old``
+    when the live dir is missing — that orphan is the only copy and
+    belongs to ``recover_table``.  Returns the paths removed."""
+    import shutil
+
+    from wpvectordb_spark.table import _check_local_path
+
+    path = _check_local_path(path)
+    removed = []
+    staging = path + "__staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+        removed.append(staging)
+    old = path + "__old"
+    if os.path.isdir(old) and os.path.isdir(path):
+        shutil.rmtree(old)
+        removed.append(old)
+    return removed
+
+
 def data_skipping_stats(path: str, column: str) -> list[dict]:
     """Per-file min/max footer stats for ``column`` — the metadata a
     parquet reader prunes with.  pyarrow, driver-side, METADATA-ONLY (no

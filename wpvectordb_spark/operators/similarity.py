@@ -941,6 +941,79 @@ def pq_codebooks(
     ).select("subspace", "code_id", "codeword")
 
 
+def pq_codebooks_kmeans(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """TRAINED PQ codebooks — the FAISS ``ProductQuantizer.train``
+    analog: one pyspark.ml KMeans per subspace over the corpus's
+    ``dim/m``-wide sub-vectors, so each codebook sits at the centroids
+    of its subspace's actual distribution instead of on ``n_codes``
+    arbitrary early rows (``pq_codebooks``, the oracle-reproducible
+    default).
+
+    Returns the SAME ``(subspace, code_id, codeword array<float>)``
+    contract as ``pq_codebooks`` — encode (``_pq_code_cols``), serving
+    (``pq_topk``/``*_many``), and index builds
+    (``build_ivfpq_index(codebooks=)``) consume it unchanged;
+    ``code_id`` is the KMeans center ordinal.  Iterative and
+    implementation-defined, so NOT oracle-checkable — covered by recall
+    tests (the same adjudication as ``kmeans_centroids``).
+
+    Scale shape: training needs a representative SAMPLE, not the corpus
+    (FAISS guidance is tens-of-thousands of points per codebook) —
+    pass ``sample_fraction`` at real scale; the sampled frame persists
+    once and feeds all ``m`` sequential fits (k = n_codes each, on
+    sub-width points); the driver holds m x n_codes x dim/m floats.
+    For ``build_ivfpq_index(residual=True)`` train on residuals: pass
+    the ``_with_residual`` frame's ``_res`` column as ``vector_col``.
+    """
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // m
+    base = vectors.where(
+        F.col(vector_col).isNotNull() & (F.size(vector_col) == dim)
+    ).select(vector_col)
+    if sample_fraction is not None:
+        base = base.sample(fraction=float(sample_fraction), seed=seed)
+    base = base.persist()
+    try:
+        # bounded eligibility probe (n_codes + 1 rows max, never a full
+        # count): KMeans with k > |points| would fail mid-fit instead
+        if base.limit(n_codes).count() < n_codes:
+            raise ValueError(
+                f"pq_codebooks_kmeans: fewer than n_codes={n_codes} "
+                f"eligible vectors (dim={dim}, after sampling)"
+            )
+        rows = []
+        for j in range(m):
+            feat = base.select(
+                array_to_vector(
+                    F.slice(F.col(vector_col), j * sub + 1, sub).cast(
+                        "array<double>"
+                    )
+                ).alias("features")
+            )
+            model = KMeans(k=n_codes, seed=seed + j, maxIter=max_iter).fit(feat)
+            for c, center in enumerate(model.clusterCenters()):
+                rows.append((j, c, [float(x) for x in center]))
+    finally:
+        base.unpersist()
+    return vectors.sparkSession.createDataFrame(
+        rows, "subspace int, code_id int, codeword array<float>"
+    )
+
+
 def _collect_codebooks(codebooks: DataFrame, m: int) -> list[list[list[float]]]:
     """Materialize the codebook frame driver-side — bounded at
     m * n_codes rows (the IVF centroid-collect class, never data-sized).
@@ -1363,6 +1436,7 @@ def build_ivfpq_index(
     vector_col: str = "embedding",
     residual: bool = False,
     centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
 ) -> None:
     """Materialize the IVFPQ layout: per-vector (id, vector, codes)
     written partitioned by ``cluster_id``, with the centroid table, the
@@ -1393,6 +1467,14 @@ def build_ivfpq_index(
     ``residual=True`` (test-asserted: trained centroids rescue residual
     recall on a corpus where the deterministic pick is degenerate).
 
+    ``codebooks=`` supplies trained PQ codebooks the same way
+    (``pq_codebooks_kmeans`` — same (subspace, code_id, codeword)
+    contract, geometry validated by the collect step).  With
+    ``residual=True`` the supplied codebooks MUST have been trained on
+    residuals against the SAME centroids (slice the ``_with_residual``
+    frame) — codebooks trained on raw vectors would quantize a
+    distribution the codes never see.
+
     The float vector is stored next to the codes for rerank convenience
     at these test scales; a 100 TB deployment stores codes-only here and
     re-fetches floats for the survivor set from the primary table
@@ -1413,14 +1495,22 @@ def build_ivfpq_index(
         assigned = assign_clusters(vectors, centroids, id_col, vector_col)
         if residual:
             based = _with_residual(assigned, centroids, vector_col)
-            cb_df = pq_codebooks(
-                based.select(F.col(id_col), F.col("_res")),
-                dim, m, n_codes, id_col, "_res",
+            cb_df = (
+                codebooks
+                if codebooks is not None
+                else pq_codebooks(
+                    based.select(F.col(id_col), F.col("_res")),
+                    dim, m, n_codes, id_col, "_res",
+                )
             )
             encode_col = "_res"
         else:
             based = assigned
-            cb_df = pq_codebooks(vectors, dim, m, n_codes, id_col, vector_col)
+            cb_df = (
+                codebooks
+                if codebooks is not None
+                else pq_codebooks(vectors, dim, m, n_codes, id_col, vector_col)
+            )
             encode_col = vector_col
         cb = _collect_codebooks(cb_df, m)
         code_cols = _pq_code_cols(encode_col, cb, dim // m)
@@ -1438,11 +1528,12 @@ def build_ivfpq_index(
         centroids.write.mode("overwrite").parquet(f"{path}/centroids")
         cb_df.write.mode("overwrite").parquet(f"{path}/codebooks")
         # FS-agnostic sidecar (spark write, not a driver-local open()):
-        # the geometry travels with the index.  n_clusters is the count
-        # ACTUALLY used (a supplied centroid frame wins over the arg;
-        # bounded count on the persisted tiny frame)
+        # the geometry travels with the index.  n_clusters AND n_codes
+        # are the counts ACTUALLY used (supplied centroid/codebook
+        # frames win over the args; both already materialized — bounded
+        # count on the persisted tiny frame, len() on the collected cb)
         spark.createDataFrame(
-            [(dim, m, n_codes, int(centroids.count()), residual)],
+            [(dim, m, len(cb[0]), int(centroids.count()), residual)],
             _IVFPQ_PARAMS_SCHEMA,
         ).coalesce(1).write.mode("overwrite").json(f"{path}/params")
     finally:

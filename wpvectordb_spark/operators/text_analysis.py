@@ -320,8 +320,11 @@ def corpus_profile(
     (floor(quality * 1e6) summed as BIGINT, divided back once) — a
     double sum's value depends on partition merge order, so the exact
     integer sum is what keeps the result deterministic and engine-
-    portable (the DSIR log-ratio trick).  ``avg_quality`` is NULL for a
-    stratum whose every text is NULL (no silent 0.0)."""
+    portable (the DSIR log-ratio trick).  NULL text still scores — the
+    quality formula's guards bottom out at the degenerate-text floor
+    (0.39) in both engines, so NULL-text docs pull the mean toward it
+    rather than vanishing; the ``_nq > 0`` guard only protects the
+    impossible empty-group division."""
     scrub = scrub_features(text_col)
     pii = (scrub["n_urls"] + scrub["n_emails"] + scrub["n_ips"]) > 0
     base = docs.select(
