@@ -740,3 +740,68 @@ def test_pq_codebooks_kmeans_guards(spark, emb):
         SIM.pq_codebooks_kmeans(
             emb.where(F.col("vec_id") < 4), dim=64, m=8, n_codes=16
         )
+
+
+def test_ivfpq_residual_with_trained_codebooks_end_to_end(spark, tmp_path_factory):
+    """The fully-trained IVFPQ composition the build docstring describes:
+    kmeans coarse quantizer + kmeans PQ codebooks trained ON RESIDUALS
+    against those same centroids, supplied via centroids=/codebooks=.
+    Pins that (a) the residual+codebooks= path builds and serves, (b)
+    the sidecar records residual=True so serving auto-detects, and (c)
+    recall at a tight budget is at least the flat-trained variant's on
+    a clustered corpus (residuals concentrate -> codes resolve more)."""
+    import random
+
+    rnd = random.Random(13)
+    dim, n_centers, per = 64, 8, 50
+    centers = [
+        [10.0 if (j % n_centers) == c else rnd.uniform(-0.5, 0.5) for j in range(dim)]
+        for c in range(n_centers)
+    ]
+    rows = [
+        (c * per + i, [centers[c][j] + rnd.uniform(-0.3, 0.3) for j in range(dim)])
+        for c in range(n_centers)
+        for i in range(per)
+    ]
+    clus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    clus = clus.localCheckpoint()
+    qvs = [
+        [float(x) for x in r["embedding"]]
+        for r in clus.where(F.col("vec_id").isin(60, 120, 210, 330)).collect()
+    ]
+    base = tmp_path_factory.mktemp("ivfpq_trained")
+
+    cents = SIM.kmeans_centroids(clus, n_clusters=8).localCheckpoint()
+    assigned = SIM.assign_clusters(clus, cents)
+    res_frame = SIM._with_residual(assigned, cents, "embedding")
+    res_cb = SIM.pq_codebooks_kmeans(
+        res_frame.select("vec_id", "_res"), dim=dim, m=8, n_codes=16,
+        vector_col="_res",
+    )
+
+    p_res = str(base / "res")
+    SIM.build_ivfpq_index(
+        clus, p_res, dim=dim, n_clusters=8, m=8, n_codes=16,
+        residual=True, centroids=cents, codebooks=res_cb,
+    )
+    params = spark.read.json(f"{p_res}/params").first()
+    assert params["residual"] is True and params["n_codes"] == 16
+
+    p_flat = str(base / "flat")
+    SIM.build_ivfpq_index(
+        clus, p_flat, dim=dim, n_clusters=8, m=8, n_codes=16,
+        centroids=cents,
+        codebooks=SIM.pq_codebooks_kmeans(clus, dim=dim, m=8, n_codes=16),
+    )
+
+    def recall_at(path):
+        return SIM.ann_recall(
+            clus, qvs, k=10,
+            topk_fn=lambda v, q, k, p=path: SIM.ivfpq_topk(
+                spark, p, q, dim=dim, m=8, k=k, n_probe=2, candidate_factor=4
+            ),
+        )
+
+    r_res, r_flat = recall_at(p_res), recall_at(p_flat)
+    assert r_res >= r_flat, (r_res, r_flat)
+    assert r_res >= 0.9
