@@ -373,15 +373,23 @@ def _q_index_build_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rewrite is the 100 TB small-file/clustering maintenance job
     (SCALE.md 'Table maintenance'); the oracle'd claim is that OPTIMIZE
     changes LAYOUT only, never rows."""
+    import shutil
+
     from wpvectordb_spark.operators import maintenance as MA
 
     cols = ["post_id", "sequence_no", "magnitude", "binary_code", "norm_sum"]
     base = _q_index_build(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="compact_arm_")
     path = os.path.join(root, "idx")
-    base.repartition(16).write.parquet(path)
-    MA.compact_table(spark, path, target_file_bytes=1 << 40, sort_by=["post_id"])
-    back = spark.read.parquet(path)
+    try:
+        base.repartition(16).write.parquet(path)
+        MA.compact_table(spark, path, target_file_bytes=1 << 40, sort_by=["post_id"])
+        # eager localCheckpoint detaches the rows from the temp dir so it
+        # can be removed before the caller's collect (ingest-arm pattern
+        # — an unbounded leak otherwise: one index copy per invocation)
+        back = spark.read.parquet(path).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return base.select(F.lit("derive").alias("kind"), *cols).unionByName(
         back.select(F.lit("compacted").alias("kind"), *cols)
     )

@@ -117,9 +117,7 @@ def test_decontaminate_shuffle_mode_matches_broadcast(spark):
     # the holdout-membership join (on the shingle hash `h`) must be the
     # shuffle form; the final n_matched left-join on doc_id may still
     # broadcast — that side is one row per corpus doc, not the holdout
-    h_joins = [
-        ln for ln in plan.splitlines() if "Join [h#" in ln or "Join [h#" in ln
-    ]
+    h_joins = [ln for ln in plan.splitlines() if "Join [h#" in ln]
     assert h_joins, plan
     assert all("Broadcast" not in ln for ln in h_joins), h_joins
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
@@ -593,3 +591,24 @@ def test_c4_page_filter_cross_engine_parity(spark, duck):
         key=repr,
     )
     assert s == d
+
+
+def test_temperature_budgets_null_and_zero_strata(spark):
+    """Strata with NULL or zero token mass drop instead of crashing the
+    driver arithmetic (NULL sum -> TypeError; all-zero -> ZeroDivision)."""
+    from wpvectordb_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world tokens here", "en"),
+            (2, None, "xx"),
+            (3, "", "zz"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    budgets = CU.temperature_budgets(docs, total_budget=1000, alpha=0.5)
+    assert set(budgets) == {"en"}
+    all_null = spark.createDataFrame(
+        [(1, None, "xx")], "doc_id long, text string, lang string"
+    )
+    assert CU.temperature_budgets(all_null, total_budget=1000) == {}

@@ -805,3 +805,40 @@ def test_ivfpq_residual_with_trained_codebooks_end_to_end(spark, tmp_path_factor
     r_res, r_flat = recall_at(p_res), recall_at(p_flat)
     assert r_res >= r_flat, (r_res, r_flat)
     assert r_res >= 0.9
+
+
+def test_pq_codebooks_kmeans_pads_degenerate_subspace(spark):
+    """A constant (zero-padded) subspace yields fewer KMeans centers than
+    n_codes; the builder pads to a rectangular book so the collect step
+    and every consumer keep working (duplicate codewords are harmless —
+    first-min argmin picks the lowest code id)."""
+    import random
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(4)] + [0.0, 0.0, 0.0, 0.0])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = SIM._collect_codebooks(
+        SIM.pq_codebooks_kmeans(df, dim=8, m=2, n_codes=8), 2, 4
+    )
+    assert len(cb) == 2 and all(len(book) == 8 for book in cb)
+    qv = [float(x) for x in df.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = SIM.pq_topk(df, qv, dim=8, m=2, n_codes=8, n=5, codebooks=cb)
+    assert out.count() == 5
+
+
+def test_pq_geometry_width_guard(spark, emb):
+    """Codebooks trained at a different dim/m must refuse with the
+    geometry named (a NULL-padded zip would silently produce garbage
+    distances — or a corrupted index on the build path)."""
+    emb32 = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    cb32 = SIM.pq_codebooks_kmeans(emb32, dim=32, m=8, n_codes=8)  # width 4
+    with pytest.raises(ValueError, match="codeword width"):
+        SIM.pq_topk(emb, [0.0] * 64, dim=64, m=8, n_codes=8, codebooks=cb32)
+    with pytest.raises(ValueError, match="codeword width"):
+        SIM.build_ivfpq_index(
+            emb, "/tmp/never_written_pq_guard", dim=64, n_clusters=4,
+            m=8, n_codes=8, codebooks=cb32,
+        )

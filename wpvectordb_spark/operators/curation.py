@@ -242,6 +242,9 @@ def temperature_budgets(
     if not 0.0 <= float(alpha) <= 1.0:
         raise ValueError(f"temperature_budgets: alpha={alpha} outside [0, 1]")
     n_tok = F.size(X.bpe_pretokens(text_col)).cast("long")
+    # a stratum whose every text is NULL sums to NULL, and zero-token
+    # strata have nothing to sample — both drop (0**alpha would also
+    # zero the weight, or divide-by-zero the normalizer when ALL are 0)
     totals = {
         r[stratum_col]: int(r["_total"])
         for r in docs.select(F.col(stratum_col), n_tok.alias("_n"))
@@ -249,6 +252,7 @@ def temperature_budgets(
         .groupBy(stratum_col)
         .agg(F.sum("_n").alias("_total"))
         .collect()
+        if r["_total"] is not None and int(r["_total"]) > 0
     }
     if not totals:
         return {}

@@ -171,9 +171,12 @@ def zorder_key(
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
     as_double = {c: _as_double(df, c) for c in columns}
     numeric = df.select(*[as_double[c].alias(c) for c in columns])
+    # ONE sketch pass for every column (the list form shares the scan) —
+    # per-column calls would re-scan the table len(columns) times, real
+    # I/O at the scale this module exists for
+    all_bounds = numeric.approxQuantile(list(columns), probs, 1e-3)
     buckets = []
-    for c in columns:
-        bounds = numeric.approxQuantile(c, probs, 1e-3)
+    for c, bounds in zip(columns, all_bounds):
         # degenerate column (constant / all-NULL): one bucket, zero bits
         bounds = sorted(set(b for b in bounds if b == b))  # drop NaN
         buckets.append(

@@ -1005,8 +1005,17 @@ def pq_codebooks_kmeans(
                 ).alias("features")
             )
             model = KMeans(k=n_codes, seed=seed + j, maxIter=max_iter).fit(feat)
-            for c, center in enumerate(model.clusterCenters()):
-                rows.append((j, c, [float(x) for x in center]))
+            centers = [[float(x) for x in c] for c in model.clusterCenters()]
+            # a subspace with fewer than n_codes distinct sub-vectors
+            # (constant / zero-padded dimensions) yields fewer centers —
+            # pad by repeating the last so the codebook stays rectangular
+            # (the collect step refuses ragged books); duplicate
+            # codewords are harmless: the encode's first-min argmin
+            # always picks the lowest code id
+            while len(centers) < n_codes:
+                centers.append(list(centers[-1]))
+            for c, center in enumerate(centers):
+                rows.append((j, c, center))
     finally:
         base.unpersist()
     return vectors.sparkSession.createDataFrame(
@@ -1014,10 +1023,31 @@ def pq_codebooks_kmeans(
     )
 
 
-def _collect_codebooks(codebooks: DataFrame, m: int) -> list[list[list[float]]]:
+def _check_codeword_widths(
+    cb: list[list[list[float]]], sub: int, where: str
+) -> None:
+    """Geometry guard for SUPPLIED codebooks: a codebook trained at a
+    different dim/m has the wrong codeword width, and the downstream
+    zip-based L2 folds would NULL-pad into garbage distances (or write a
+    corrupted index) instead of failing — refuse with the geometry
+    named."""
+    for j, book in enumerate(cb):
+        for w in book:
+            if len(w) != sub:
+                raise ValueError(
+                    f"{where}: subspace {j} codeword width {len(w)} != "
+                    f"dim/m = {sub} — codebooks trained at a different "
+                    "geometry"
+                )
+
+
+def _collect_codebooks(
+    codebooks: DataFrame, m: int, sub: int | None = None
+) -> list[list[list[float]]]:
     """Materialize the codebook frame driver-side — bounded at
     m * n_codes rows (the IVF centroid-collect class, never data-sized).
-    Returns ``cb[j][c] = codeword`` with c in code_id order."""
+    Returns ``cb[j][c] = codeword`` with c in code_id order.  Pass
+    ``sub`` (= dim/m) to also validate codeword widths."""
     rows = codebooks.collect()
     cb: list[dict[int, list[float]]] = [dict() for _ in range(m)]
     for r in rows:
@@ -1035,6 +1065,8 @@ def _collect_codebooks(codebooks: DataFrame, m: int) -> list[list[list[float]]]:
         raise ValueError("pq: ragged codebook (subspaces differ in n_codes)")
     if not out[0]:
         raise ValueError("pq: empty codebook (no eligible vectors)")
+    if sub is not None:
+        _check_codeword_widths(out, sub, "pq")
     return out
 
 
@@ -1082,7 +1114,7 @@ def pq_encode(
     over the vector scan.  NULL / ragged vectors are excluded in-plan."""
     if dim % m != 0:
         raise ValueError(f"pq: dim {dim} not divisible by m {m}")
-    cb = _collect_codebooks(codebooks, m)
+    cb = _collect_codebooks(codebooks, m, dim // m)
     return _pq_encode_from_cb(vectors, cb, dim, m, id_col, vector_col)
 
 
@@ -1177,6 +1209,7 @@ def pq_topk(
     cb = codebooks if isinstance(codebooks, list) else _collect_codebooks(codebooks, m)
     if len(cb) != m:
         raise ValueError(f"pq_topk: collected codebook has {len(cb)} subspaces, expected {m}")
+    _check_codeword_widths(cb, sub, "pq_topk")
     if encoded is None:
         encoded = _pq_encode_from_cb(vectors, cb, dim, m, id_col, vector_col)
     adc = F.expr(_pq_adc_expr(cb, q, sub))
@@ -1342,6 +1375,7 @@ def pq_topk_many(
         raise ValueError(
             f"pq_topk_many: collected codebook has {len(cb)} subspaces, expected {m}"
         )
+    _check_codeword_widths(cb, dim // m, "pq_topk_many")
     if encoded is None:
         encoded = _pq_encode_from_cb(vectors, cb, dim, m, id_col, vector_col)
     nq = len(qs)
@@ -1512,7 +1546,7 @@ def build_ivfpq_index(
                 else pq_codebooks(vectors, dim, m, n_codes, id_col, vector_col)
             )
             encode_col = vector_col
-        cb = _collect_codebooks(cb_df, m)
+        cb = _collect_codebooks(cb_df, m, dim // m)
         code_cols = _pq_code_cols(encode_col, cb, dim // m)
         coded = based.select(
             F.col(id_col), F.col(vector_col), F.col("cluster_id"), *code_cols
