@@ -821,3 +821,76 @@ def test_stream_ann_serve_replay_compaction_and_refusals(spark, tmp_path):
         ST._ann_serve_apply(
             spark, ivf_dir, str(tmp_path / "r3"), qbatch(0, 3), 0, kind="ivfpq"
         )
+
+
+def test_stream_corpus_profile_matches_batch_profile(spark, tmp_path):
+    """Exact batch-equivalence: the merged streaming profile after N
+    micro-batches equals corpus_profile over the whole corpus — every
+    state column is an integer sum, so partials re-sum exactly and the
+    ratio columns derive from identical integers."""
+    from wpvectordb_spark.operators import text_analysis as TA
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    get_profile, query = ST.stream_corpus_profile(
+        spark, stream, compact_every=2  # force a snapshot fold mid-run
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    streamed = sorted(map(tuple, get_profile().collect()))
+    batch = sorted(map(tuple, TA.corpus_profile(docs).collect()))
+    assert streamed == batch
+    assert len(streamed) >= 2  # multiple strata, non-vacuous
+
+
+def test_stream_corpus_profile_replay_is_exactly_once(spark, tmp_path):
+    """A replayed micro-batch overwrites its own delta: applying the
+    same batch twice leaves state identical (no double-counted sums)."""
+    import os
+
+    from wpvectordb_spark.operators import text_analysis as TA
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    sums_dir = str(tmp_path / "sums")
+    os.makedirs(sums_dir)
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    ST._profile_ingest_apply(spark, sums_dir, b0, 0)
+    ST._profile_ingest_apply(spark, sums_dir, b1, 1)
+    ST._profile_ingest_apply(spark, sums_dir, b1, 1)  # replay of batch 1
+    raw = ST._read_state_stable(
+        spark, sums_dir, ST._profile_state_schema(("lang", "source"))
+    )
+    merged = raw.groupBy("lang", "source").agg(
+        *[F.sum(c).alias(c) for c in TA.PROFILE_SUM_COLS]
+    )
+    got = sorted(map(tuple, TA._profile_from_sums(merged, ("lang", "source")).collect()))
+    want = sorted(map(tuple, TA.corpus_profile(docs).collect()))
+    assert got == want
+
+
+def test_stream_corpus_profile_refuses_batch_id_restart(spark, tmp_path):
+    import os
+
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    sums_dir = str(tmp_path / "sums")
+    os.makedirs(sums_dir)
+    ST._profile_ingest_apply(spark, sums_dir, docs, 5)
+    with pytest.raises(RuntimeError, match="batch"):
+        ST._profile_ingest_apply(spark, sums_dir, docs, 2)

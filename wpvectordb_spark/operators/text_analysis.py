@@ -325,6 +325,36 @@ def corpus_profile(
     (0.39) in both engines, so NULL-text docs pull the mean toward it
     rather than vanishing; the ``_nq > 0`` guard only protects the
     impossible empty-group division."""
+    return _profile_from_sums(
+        _profile_sums(docs, stratum_cols, text_col, lang_col),
+        stratum_cols,
+        round_to,
+    )
+
+
+#: the integer state columns a profile reduces to — every one is a plain
+#: long SUM (or a count, which is a sum of 1s), so partial profiles merge
+#: EXACTLY by re-summing: sum(sum_batch_i) == sum(union) for integers,
+#: the property the streaming profile's batch-equivalence rests on
+PROFILE_SUM_COLS = (
+    "n_docs",
+    "total_chars",
+    "total_tokens",
+    "_nq",
+    "_qsum",
+    "n_pii_docs",
+    "n_langid_agree",
+)
+
+
+def _profile_sums(
+    docs: DataFrame,
+    stratum_cols: tuple[str, ...],
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The mergeable half of ``corpus_profile``: per-stratum INTEGER sums
+    (PROFILE_SUM_COLS) from one narrow projection + one hash agg."""
     scrub = scrub_features(text_col)
     pii = (scrub["n_urls"] + scrub["n_emails"] + scrub["n_ips"]) > 0
     base = docs.select(
@@ -340,7 +370,7 @@ def corpus_profile(
         .cast("long")
         .alias("_agree"),
     )
-    agg = base.groupBy(*stratum_cols).agg(
+    return base.groupBy(*stratum_cols).agg(
         F.count("*").alias("n_docs"),
         F.sum("_chars").alias("total_chars"),
         F.sum("_bpe").alias("total_tokens"),
@@ -349,7 +379,14 @@ def corpus_profile(
         F.sum("_pii").alias("n_pii_docs"),
         F.sum("_agree").alias("n_langid_agree"),
     )
-    return agg.select(
+
+
+def _profile_from_sums(
+    sums: DataFrame, stratum_cols: tuple[str, ...], round_to: int = 6
+) -> DataFrame:
+    """The presentation half: derive the ratio columns from the integer
+    sums (one division each, identical order in every engine/path)."""
+    return sums.select(
         *stratum_cols,
         "n_docs",
         "total_chars",

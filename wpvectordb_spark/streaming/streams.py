@@ -807,3 +807,124 @@ def stream_ann_serve(
         lambda: _read_state_stable(spark, results_dir, _ANN_RESULTS_SCHEMA),
         query,
     )
+
+
+# --- streaming corpus profile --------------------------------------------------
+
+_PROFILE_NUM_SCHEMA = (
+    "n_docs long, total_chars long, total_tokens long, _nq long, _qsum long, "
+    "n_pii_docs long, n_langid_agree long"
+)
+
+
+def _profile_state_schema(stratum_cols: tuple[str, ...]) -> str:
+    return ", ".join(f"{c} string" for c in stratum_cols) + ", " + _PROFILE_NUM_SCHEMA
+
+
+def _profile_ingest_apply(
+    spark: SparkSession,
+    sums_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    stratum_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    lang_col: str = "lang",
+    compact_every: int = 16,
+) -> None:
+    """One micro-batch of the profile monitor — module-level so the
+    exactly-once replay contract is directly testable.  The batch
+    reduces to its per-stratum INTEGER sums (text_analysis._profile_sums)
+    and writes them as the batch's delta; nothing data-sized is ever
+    stored.  The pre-state read runs for its refusal guards only
+    (shared state dir / batch-id restart — same contract as the other
+    ingest streams)."""
+    from wpvectordb_spark.operators import text_analysis as TA
+    from pyspark.sql import functions as F
+
+    bid = int(batch_id)
+    schema = _profile_state_schema(stratum_cols)
+    _read_state(spark, sums_dir, schema, before_batch=bid)  # guards only
+    sums = TA._profile_sums(batch_df, stratum_cols, text_col, lang_col).select(
+        *[F.col(c).cast("string").alias(c) for c in stratum_cols],
+        *[F.col(c) for c in TA.PROFILE_SUM_COLS],
+    )
+    sums.write.mode("overwrite").parquet(os.path.join(sums_dir, f"b{bid}"))
+    _compact_state(
+        spark, sums_dir, schema, before_batch=bid, compact_every=compact_every
+    )
+
+
+def stream_corpus_profile(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    stratum_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    lang_col: str = "lang",
+    state_path: str | None = None,
+    checkpoint_path: str | None = None,
+    compact_every: int = 16,
+):
+    """Streaming data-quality monitor: the per-stratum corpus profile
+    (volumes, int-scaled mean quality, PII incidence, langid-label
+    agreement — ``text_analysis.corpus_profile``) maintained
+    incrementally over an ingest stream.  The monitoring story a 100 TB
+    crawl pipeline runs NEXT TO the dedup ingest: drift in per-source
+    quality or PII rates is visible per micro-batch instead of at the
+    next full-corpus profile job.
+
+    EXACT batch-equivalence (the profile analog of the dedup stream's
+    telescoping guarantee, test-asserted): because every state column is
+    an integer SUM, re-summing per-batch partials equals the one-shot
+    profile over the union for ANY split — no floating merge order
+    anywhere; the ratio columns are derived from the merged integers at
+    READ time by the same division the batch form uses.
+
+    State is O(#strata) rows per batch (never data-sized), written
+    exactly-once to ``b<batch_id>`` overwrite subdirs and folded every
+    ``compact_every`` batches with the ingest streams' crash-safe
+    snapshot swap; ``state_path``/``checkpoint_path`` pin it for
+    cross-run resume under the same refusal guards.  Stratum columns are
+    stored as strings (explicit schema on every read — the multi-writer
+    inference trap).
+
+    Returns ``(get_profile, query)``: ``get_profile(round_to=6)``
+    re-lists state and returns the merged profile frame with the same
+    columns as ``corpus_profile``."""
+    from wpvectordb_spark.operators import text_analysis as TA
+    from pyspark.sql import functions as F
+
+    root = _state_root(state_path, "stream_profile_")
+    sums_dir = os.path.join(root, "sums")
+    os.makedirs(sums_dir, exist_ok=True)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _profile_ingest_apply(
+            spark,
+            sums_dir,
+            batch_df,
+            batch_id,
+            stratum_cols=stratum_cols,
+            text_col=text_col,
+            lang_col=lang_col,
+            compact_every=compact_every,
+        )
+
+    ckpt = checkpoint_path or os.path.join(
+        tempfile.gettempdir(), f"ckpt_profile_{uuid.uuid4().hex[:8]}"
+    )
+    query = (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def get_profile(round_to: int = 6) -> DataFrame:
+        raw = _read_state_stable(
+            spark, sums_dir, _profile_state_schema(stratum_cols)
+        )
+        merged = raw.groupBy(*stratum_cols).agg(
+            *[F.sum(c).alias(c) for c in TA.PROFILE_SUM_COLS]
+        )
+        return TA._profile_from_sums(merged, stratum_cols, round_to)
+
+    return get_profile, query
