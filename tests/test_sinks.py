@@ -52,12 +52,15 @@ def test_write_corpus_partitioned_sorted_shards(spark, tmp_path):
     want = {r["lang"] for r in docs.select("lang").distinct().collect()}
     assert langs == want
     assert M.partition_columns(path) == ["lang"]
-    # each lang dir's files carry near-disjoint doc_id ranges
+    # each lang dir's files carry near-disjoint doc_id ranges (pick the
+    # dir with the MOST files so the assertion can never go vacuous —
+    # the range split guarantees multi-file dirs exist at 4 ranges)
     probe = int(docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0])
-    one = os.path.join(path, f"lang={sorted(langs)[0]}")
-    stats = M.data_skipping_stats(one, "doc_id")
-    if len(stats) > 1:
-        assert M.scan_fraction(stats, probe) <= 2 / len(stats) + 1e-9
+    dirs = [os.path.join(path, f"lang={lg}") for lg in sorted(langs)]
+    stats_by_dir = {d: M.data_skipping_stats(d, "doc_id") for d in dirs}
+    best = max(stats_by_dir.values(), key=len)
+    assert len(best) > 1, {d: len(s) for d, s in stats_by_dir.items()}
+    assert M.scan_fraction(best, probe) <= 2 / len(best) + 1e-9
     assert SK.read_corpus(spark, path).count() == docs.count()
 
 

@@ -894,3 +894,43 @@ def test_stream_corpus_profile_refuses_batch_id_restart(spark, tmp_path):
     ST._profile_ingest_apply(spark, sums_dir, docs, 5)
     with pytest.raises(RuntimeError, match="batch"):
         ST._profile_ingest_apply(spark, sums_dir, docs, 2)
+
+
+def test_stream_corpus_profile_restores_stratum_types(spark, tmp_path):
+    """State stores strata as strings; get_profile must cast back to the
+    INPUT type so equality joins against batch profiles work for
+    non-string strata (integer shard ids)."""
+    from wpvectordb_spark.operators import text_analysis as TA
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            (F.col("doc_id") % 3).cast("long").alias("shard_id"),
+        )
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, shard_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    get_profile, query = ST.stream_corpus_profile(
+        spark, stream, stratum_cols=("shard_id",)
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    prof = get_profile()
+    assert dict(prof.dtypes)["shard_id"] == "bigint"
+    streamed = sorted(map(tuple, prof.collect()))
+    batch = sorted(
+        map(tuple, TA.corpus_profile(docs, stratum_cols=("shard_id",)).collect())
+    )
+    assert streamed == batch

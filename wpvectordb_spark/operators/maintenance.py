@@ -55,13 +55,16 @@ from pyspark.sql import functions as F
 DEFAULT_TARGET_FILE_BYTES = 128 << 20  # the HDFS-block-sized lakehouse default
 
 
-def _parquet_files(path: str) -> list[str]:
+def _parquet_files(path: str, suffix: str = ".parquet") -> list[str]:
     """All data files under ``path`` (recursive: partitioned tables nest
-    ``key=value`` dirs), excluding markers and hidden/staging debris."""
+    ``key=value`` dirs), excluding markers and hidden/staging debris.
+    ``suffix`` generalizes the listing to other Spark output formats
+    (the training-shard sink's .orc/.json/.csv reports share this one
+    debris rule instead of growing a second walk)."""
     out: list[str] = []
     for root, _dirs, files in os.walk(path):
         for f in files:
-            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+            if f.endswith(suffix) and not f.startswith(("_", ".")):
                 out.append(os.path.join(root, f))
     return sorted(out)
 
@@ -94,12 +97,12 @@ def partition_columns(path: str) -> list[str]:
     return cols
 
 
-def table_file_stats(path: str) -> dict:
+def table_file_stats(path: str, suffix: str = ".parquet") -> dict:
     """File-level shape of a parquet table: the numbers OPTIMIZE decisions
     are made from.  Driver-side listing — at production scale the same
     figures come from the table format's manifest (Delta/Iceberg) or a
     parallel FileSystem listing; a maintenance job reads them once."""
-    sizes = [os.path.getsize(f) for f in _parquet_files(path)]
+    sizes = [os.path.getsize(f) for f in _parquet_files(path, suffix)]
     return {
         "n_files": len(sizes),
         "total_bytes": sum(sizes),

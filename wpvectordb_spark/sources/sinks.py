@@ -64,23 +64,35 @@ def write_corpus(
         complex_cols = [
             f.name
             for f in df.schema.fields
-            if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
+            if isinstance(
+                f.dataType,
+                (T.ArrayType, T.StructType, T.MapType, T.BinaryType, T.NullType),
+            )
         ]
         if complex_cols:
             raise ValueError(
-                f"write_corpus: csv cannot hold complex columns "
+                f"write_corpus: csv cannot hold complex/binary columns "
                 f"{complex_cols} — drop/serialize them or use parquet/orc/json"
             )
     out = df
+    # the dynamic-partition writer REQUIRES an ordering by the partition
+    # columns and inserts its own (spill-unstable) sort when the incoming
+    # order doesn't satisfy it — which would scramble sort_by inside each
+    # task and silently break the disjoint-range/footer-skipping
+    # contract.  Prefixing partition_by makes our sort satisfy the
+    # requirement, so the writer adds nothing and sort_by truly reaches
+    # the files.
+    sort_cols = list(partition_by or []) + list(sort_by or [])
     if n_files is not None:
         n = max(1, int(n_files))
         if sort_by:
-            keys = [F.col(c) for c in sort_by]
-            out = out.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
+            out = out.repartitionByRange(
+                n, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*[F.col(c) for c in sort_cols])
         else:
             out = out.repartition(n)
     elif sort_by:
-        out = out.sortWithinPartitions(*[F.col(c) for c in sort_by])
+        out = out.sortWithinPartitions(*[F.col(c) for c in sort_cols])
     writer = out.write.mode(mode)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
@@ -90,24 +102,12 @@ def write_corpus(
     from wpvectordb_spark.operators.maintenance import table_file_stats
 
     ext = {"parquet": ".parquet", "orc": ".orc", "json": ".json", "csv": ".csv"}[fmt]
-    if fmt == "parquet":
-        stats = table_file_stats(path)
-        n_out, total = stats["n_files"], stats["total_bytes"]
-    else:
-        files = []
-        for root, _d, fs in os.walk(path):
-            files += [
-                os.path.join(root, f)
-                for f in fs
-                if f.endswith(ext) or (not f.startswith(("_", ".")) and "part-" in f)
-            ]
-        files = sorted(set(files))
-        n_out, total = len(files), sum(os.path.getsize(f) for f in files)
+    stats = table_file_stats(path, suffix=ext)
     return {
         "path": path,
         "format": fmt,
-        "n_files": n_out,
-        "total_bytes": total,
+        "n_files": stats["n_files"],
+        "total_bytes": stats["total_bytes"],
     }
 
 

@@ -811,14 +811,15 @@ def stream_ann_serve(
 
 # --- streaming corpus profile --------------------------------------------------
 
-_PROFILE_NUM_SCHEMA = (
-    "n_docs long, total_chars long, total_tokens long, _nq long, _qsum long, "
-    "n_pii_docs long, n_langid_agree long"
-)
-
-
 def _profile_state_schema(stratum_cols: tuple[str, ...]) -> str:
-    return ", ".join(f"{c} string" for c in stratum_cols) + ", " + _PROFILE_NUM_SCHEMA
+    """Derived from text_analysis.PROFILE_SUM_COLS — hand-duplicating the
+    column list here would let the two modules drift (an explicit parquet
+    schema silently DROPS columns it doesn't name)."""
+    from wpvectordb_spark.operators import text_analysis as TA
+
+    return ", ".join(f"{c} string" for c in stratum_cols) + ", " + ", ".join(
+        f"{c} long" for c in TA.PROFILE_SUM_COLS
+    )
 
 
 def _profile_ingest_apply(
@@ -893,6 +894,11 @@ def stream_corpus_profile(
     from wpvectordb_spark.operators import text_analysis as TA
     from pyspark.sql import functions as F
 
+    # state stores strata as strings; remember the INPUT types so
+    # get_profile can cast back — otherwise an integer stratum (shard id)
+    # would come back string-typed and equality joins against batch
+    # profiles would silently miss
+    stratum_types = {c: docs_stream.schema[c].dataType for c in stratum_cols}
     root = _state_root(state_path, "stream_profile_")
     sums_dir = os.path.join(root, "sums")
     os.makedirs(sums_dir, exist_ok=True)
@@ -925,6 +931,13 @@ def stream_corpus_profile(
         merged = raw.groupBy(*stratum_cols).agg(
             *[F.sum(c).alias(c) for c in TA.PROFILE_SUM_COLS]
         )
-        return TA._profile_from_sums(merged, stratum_cols, round_to)
+        prof = TA._profile_from_sums(merged, stratum_cols, round_to)
+        return prof.select(
+            *[
+                F.col(c).cast(stratum_types[c]).alias(c)
+                for c in stratum_cols
+            ],
+            *[c for c in prof.columns if c not in stratum_cols],
+        )
 
     return get_profile, query
