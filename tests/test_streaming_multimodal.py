@@ -840,7 +840,7 @@ def test_stream_corpus_profile_matches_batch_profile(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    get_profile, query = ST.stream_corpus_profile(
+    get_profile, get_timeseries, query = ST.stream_corpus_profile(
         spark, stream, compact_every=2  # force a snapshot fold mid-run
     )
     try:
@@ -851,6 +851,17 @@ def test_stream_corpus_profile_matches_batch_profile(spark, tmp_path):
     batch = sorted(map(tuple, TA.corpus_profile(docs).collect()))
     assert streamed == batch
     assert len(streamed) >= 2  # multiple strata, non-vacuous
+    # drift view: one profile row per (batch, stratum); per-stratum doc
+    # counts across batches re-sum to the merged profile's
+    ts = get_timeseries().collect()
+    assert len({r["_batch_id"] for r in ts}) == 4  # one per input file
+    by_stratum: dict[tuple, int] = {}
+    for r in ts:
+        by_stratum[(r["lang"], r["source"])] = (
+            by_stratum.get((r["lang"], r["source"]), 0) + r["n_docs"]
+        )
+    merged = {(r["lang"], r["source"]): r["n_docs"] for r in get_profile().collect()}
+    assert by_stratum == merged
 
 
 def test_stream_corpus_profile_replay_is_exactly_once(spark, tmp_path):
@@ -920,7 +931,7 @@ def test_stream_corpus_profile_restores_stratum_types(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    get_profile, query = ST.stream_corpus_profile(
+    get_profile, _ts, query = ST.stream_corpus_profile(
         spark, stream, stratum_cols=("shard_id",)
     )
     try:

@@ -814,11 +814,18 @@ def stream_ann_serve(
 def _profile_state_schema(stratum_cols: tuple[str, ...]) -> str:
     """Derived from text_analysis.PROFILE_SUM_COLS — hand-duplicating the
     column list here would let the two modules drift (an explicit parquet
-    schema silently DROPS columns it doesn't name)."""
+    schema silently DROPS columns it doesn't name).  ``_batch_id`` stamps
+    every state row with its micro-batch: the merged profile ignores it,
+    and the time-series accessor groups on it — compaction only UNIONS
+    delta rows (never re-aggregates), so per-batch granularity survives
+    snapshot folds."""
     from wpvectordb_spark.operators import text_analysis as TA
 
-    return ", ".join(f"{c} string" for c in stratum_cols) + ", " + ", ".join(
-        f"{c} long" for c in TA.PROFILE_SUM_COLS
+    return (
+        "_batch_id long, "
+        + ", ".join(f"{c} string" for c in stratum_cols)
+        + ", "
+        + ", ".join(f"{c} long" for c in TA.PROFILE_SUM_COLS)
     )
 
 
@@ -846,6 +853,7 @@ def _profile_ingest_apply(
     schema = _profile_state_schema(stratum_cols)
     _read_state(spark, sums_dir, schema, before_batch=bid)  # guards only
     sums = TA._profile_sums(batch_df, stratum_cols, text_col, lang_col).select(
+        F.lit(bid).cast("long").alias("_batch_id"),
         *[F.col(c).cast("string").alias(c) for c in stratum_cols],
         *[F.col(c) for c in TA.PROFILE_SUM_COLS],
     )
@@ -888,9 +896,12 @@ def stream_corpus_profile(
     stored as strings (explicit schema on every read — the multi-writer
     inference trap).
 
-    Returns ``(get_profile, query)``: ``get_profile(round_to=6)``
-    re-lists state and returns the merged profile frame with the same
-    columns as ``corpus_profile``."""
+    Returns ``(get_profile, get_timeseries, query)``:
+    ``get_profile(round_to=6)`` re-lists state and returns the merged
+    profile frame with the same columns as ``corpus_profile``;
+    ``get_timeseries(round_to=6)`` returns the per-(micro-batch,
+    stratum) drift view (one profile row per batch a stratum appeared
+    in, ``_batch_id`` leading)."""
     from wpvectordb_spark.operators import text_analysis as TA
     from pyspark.sql import functions as F
 
@@ -924,6 +935,14 @@ def stream_corpus_profile(
         .start()
     )
 
+    def _restore_types(prof: DataFrame) -> DataFrame:
+        other = [c for c in prof.columns if c not in stratum_cols]
+        return prof.select(
+            *[c for c in other if c == "_batch_id"],
+            *[F.col(c).cast(stratum_types[c]).alias(c) for c in stratum_cols],
+            *[c for c in other if c != "_batch_id"],
+        )
+
     def get_profile(round_to: int = 6) -> DataFrame:
         raw = _read_state_stable(
             spark, sums_dir, _profile_state_schema(stratum_cols)
@@ -931,13 +950,21 @@ def stream_corpus_profile(
         merged = raw.groupBy(*stratum_cols).agg(
             *[F.sum(c).alias(c) for c in TA.PROFILE_SUM_COLS]
         )
-        prof = TA._profile_from_sums(merged, stratum_cols, round_to)
-        return prof.select(
-            *[
-                F.col(c).cast(stratum_types[c]).alias(c)
-                for c in stratum_cols
-            ],
-            *[c for c in prof.columns if c not in stratum_cols],
+        return _restore_types(TA._profile_from_sums(merged, stratum_cols, round_to))
+
+    def get_timeseries(round_to: int = 6) -> DataFrame:
+        """Per-(micro-batch, stratum) profile rows — the DRIFT view: a
+        stratum's quality/PII rate over stream time, one row per batch it
+        appeared in.  Exactly-once per cell (a replay overwrites its
+        batch's delta), compaction-proof (folds union rows, never
+        re-aggregate)."""
+        raw = _read_state_stable(
+            spark, sums_dir, _profile_state_schema(stratum_cols)
+        )
+        return _restore_types(
+            TA._profile_from_sums(
+                raw, ("_batch_id",) + tuple(stratum_cols), round_to
+            )
         )
 
-    return get_profile, query
+    return get_profile, get_timeseries, query
