@@ -95,3 +95,13 @@ def test_write_corpus_csv_refuses_complex_columns(spark, tmp_path):
 def test_write_corpus_rejects_unknown_format(spark, tmp_path):
     with pytest.raises(ValueError, match="format"):
         SK.write_corpus(_docs(spark), str(tmp_path / "c"), fmt="avro")
+
+
+def test_write_corpus_empty_frame(spark, tmp_path):
+    """An empty frame writes a valid (empty) dataset that reads back
+    empty — the zero-survivors pipeline tail must not crash the sink."""
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    path = str(tmp_path / "c")
+    report = SK.write_corpus(empty, path, n_files=1, sort_by=["doc_id"])
+    assert report["total_bytes"] >= 0
+    assert SK.read_corpus(spark, path).count() == 0

@@ -945,3 +945,28 @@ def test_stream_corpus_profile_restores_stratum_types(spark, tmp_path):
         map(tuple, TA.corpus_profile(docs, stratum_cols=("shard_id",)).collect())
     )
     assert streamed == batch
+
+
+def test_stream_corpus_profile_empty_state_reads_empty(spark, tmp_path):
+    """Accessors over a not-yet-started monitor return empty typed frames
+    (no listing crash, no NULL rows)."""
+    import os
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+    docs_stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # state dir exists but holds no committed batches yet
+    get_profile, get_timeseries, query = ST.stream_corpus_profile(
+        spark, docs_stream, state_path=str(tmp_path / "state")
+    )
+    try:
+        assert get_profile().collect() == []
+        assert get_timeseries().collect() == []
+    finally:
+        query.stop()
