@@ -269,6 +269,22 @@ def test_temperature_budgets_compose_with_budget_sample(docs):
 def test_temperature_budgets_rejects_bad_alpha(docs):
     with pytest.raises(ValueError, match="alpha"):
         CU.temperature_budgets(docs, total_budget=1000, alpha=1.5)
+    with pytest.raises(ValueError, match="alpha"):
+        CU.temperature_budgets_frame(docs, total_budget=1000, alpha=-0.1)
+
+
+def test_temperature_budgets_frame_matches_dict(docs):
+    """The frame form is the dict form as a query: same strata, same
+    integer budgets (identical pow/fold/round-floor arithmetic), plus
+    the normalized ratio column summing to ~1 and never exceeding the
+    budget invariant sum(budgets) <= total_budget."""
+    budgets = CU.temperature_budgets(docs, total_budget=10_000, alpha=0.3)
+    rows = CU.temperature_budgets_frame(docs, total_budget=10_000, alpha=0.3).collect()
+    assert {r["stratum"]: r["budget"] for r in rows} == budgets
+    assert sum(budgets.values()) <= 10_000
+    assert abs(sum(r["ratio"] for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert r["total_tokens"] > 0
 
 
 def test_budget_sample_full_budget_keeps_everything(docs):

@@ -46,7 +46,7 @@ EXPECTED_ARMS = {
     "rel_grouping_sets": ("kind", {"cube", "rollup"}),
     "rel_membership": ("kind", {"seg_0", "seg_1", "set_both", "set_orders_only"}),
     "k7_json_codec": ("kind", {"code", "props"}),
-    "index_build": ("kind", {"derive", "compacted"}),
+    "index_build": ("kind", {"derive", "compacted", "sink"}),
     "crud_composite_get": (
         "kind",
         {"all", "cap", "get", "count"}
@@ -76,6 +76,7 @@ EXPECTED_ARMS = {
             "qfilter",
             "sample",
             "shard",
+            "temp",
         },
     ),
     "curate_decontaminate": ("kind", {"boiler", "decon"}),
@@ -83,10 +84,15 @@ EXPECTED_ARMS = {
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup"}),
     "dedup_exact": ("kind", {"cut", "exact", "span"}),
     "dedup_minhash_lsh": ("kind", {"component", "incr", "pair", "stream"}),
+    # round 6: batched-serving arms shrunk to ONE representative batch
+    # per family (ANN_MANY_QUERIES=2 queries; sann keeps 3 so the qid%3
+    # split still forces a compaction) and the multi-probe 'mplsh' arm
+    # joined the key — the round-5 verdict's blast-radius item
     "ann_lsh_ivf": (
         "method",
         {
             "lsh",
+            "mplsh",
             "ivf",
             "ivf_idx",
             "ivfpq",
@@ -94,28 +100,23 @@ EXPECTED_ARMS = {
             "pq",
             "many0",
             "many1",
-            "many2",
-            "many3",
-            "many4",
             "pqmany0",
             "pqmany1",
-            "pqmany2",
-            "pqmany3",
-            "pqmany4",
             "ivfpqmany0",
             "ivfpqmany1",
-            "ivfpqmany2",
-            "ivfpqmany3",
-            "ivfpqmany4",
             "sann0",
             "sann1",
             "sann2",
-            "sann3",
-            "sann4",
             "ivfpqres",
         },
     ),
     "text_terms_tfidf": ("kind", {"bm25", "ppl", "rrf", "tfidf", "top"}),
+    # round 6: per-doc analysis + corpus profile + streaming-monitor
+    # accumulation (must equal 'profile' exactly — integer-sum merge)
+    "text_analyze": ("kind", {"doc", "profile", "sprofile"}),
+    # round 6: batch enqueue + the hand-driven ingest-stream accumulation
+    # (must equal 'batch' exactly — disjoint-batch telescoping)
+    "queue_enqueue": ("kind", {"batch", "stream"}),
 }
 
 

@@ -325,18 +325,24 @@ def test_compaction_crash_window_recovers(spark, tmp_path):
     """Simulate the kill between _write_snapshot's renames (table present
     only as __old): recover_table renames it back, a re-run compaction
     over the recovered table succeeds, rows intact.  vacuum refuses to
-    delete the orphan while it is the only copy."""
+    delete ANYTHING while the live dir is missing — __old is the only
+    copy, and __staging may hold a completed rewrite from a crash
+    between the swap's renames (it only becomes debris once the live
+    copy exists again)."""
     path = str(tmp_path / "t")
     _write_fragmented(spark, path, 8)
     n = spark.read.parquet(path).count()
     os.rename(path, path + "__old")
-    os.makedirs(path + "__staging")  # half-written staging debris
+    os.makedirs(path + "__staging")  # staging left by the dying swap
 
-    assert M.vacuum(path) == [path + "__staging"]  # __old survives
+    assert M.vacuum(path) == []  # both survive: live dir missing
     assert os.path.isdir(path + "__old")
+    assert os.path.isdir(path + "__staging")
 
     assert M.recover_table(path) is True
     assert M.recover_table(path) is False  # idempotent
+    # live copy restored -> the stale staging is now removable debris
+    assert M.vacuum(path) == [path + "__staging"]
     report = M.compact_table(spark, path, target_file_bytes=1 << 40)
     assert report["after"]["n_files"] == 1
     assert spark.read.parquet(path).count() == n

@@ -257,11 +257,117 @@ def temperature_budgets(
     if not totals:
         return {}
     weights = {s: float(c) ** float(alpha) for s, c in totals.items()}
-    z = sum(weights.values())
+    # stratum-SORTED fold: collect() row order is nondeterministic and a
+    # float sum's value depends on addition order — the same rule every
+    # oracle-checked float fold in the repo follows
+    z = sum(w for _s, w in sorted(weights.items()))
+    # floor() per stratum means sum(budgets) may UNDERSHOOT total_budget
+    # by up to len(strata)-1 tokens — deliberate: never exceeding the
+    # budget is the invariant callers rely on, and the training loop's
+    # epoch logic absorbs a <#strata token shortfall.  round(x, 6)
+    # before floor(): the ratio math is double arithmetic, and an
+    # engine-dependent ulp below an exact integer would otherwise flip
+    # floor (the frame/SQL mirrors compute the same way).
     return {
-        s: int(_math.floor(int(total_budget) * w / z))
+        s: int(_math.floor(round(int(total_budget) * w / z, 6)))
         for s, w in sorted(weights.items())
     }
+
+
+def temperature_budgets_frame(
+    docs: DataFrame,
+    total_budget: int,
+    alpha: float = 0.3,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    round_to: int = 9,
+) -> DataFrame:
+    """``temperature_budgets`` as a query: one row per stratum with the
+    corpus token total, the normalized temperature ratio
+    (``total**alpha / Z``) and the integer token budget — the
+    inspectable/joinable form of the mixing decision (what a training
+    run logs next to its data card), and the oracle-checkable one.
+
+    Float discipline: ``Z`` is a stratum-SORTED left fold over the
+    per-stratum ``pow`` weights (collect_list → array_sort → aggregate),
+    so the sum's value is engine-portable; budgets floor AFTER a 6 dp
+    round (same rule as the dict form).  Scale shape: one map-side
+    combinable aggregation to #strata rows, one single-row broadcast
+    cross join — the corpus never shuffles and nothing data-sized
+    reaches the driver."""
+    if not 0.0 <= float(alpha) <= 1.0:
+        raise ValueError(f"temperature_budgets_frame: alpha={alpha} outside [0, 1]")
+    n_tok = F.size(X.bpe_pretokens(text_col)).cast("long")
+    tot = (
+        docs.where(F.col(stratum_col).isNotNull())
+        .select(F.col(stratum_col).alias("stratum"), n_tok.alias("_n"))
+        .groupBy("stratum")
+        .agg(F.sum("_n").alias("total_tokens"))
+        .where(F.col("total_tokens") > 0)
+    )
+    w = tot.withColumn(
+        "_w", F.pow(F.col("total_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    z = w.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("stratum", "_w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["_w"],
+        ).alias("_z")
+    )
+    b = F.lit(int(total_budget)).cast("double")
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "stratum",
+            "total_tokens",
+            F.round(F.col("_w") / F.col("_z"), round_to).alias("ratio"),
+            F.floor(F.round(b * F.col("_w") / F.col("_z"), 6))
+            .cast("long")
+            .alias("budget"),
+        )
+    )
+
+
+def sql_temperature_budgets(
+    total_budget: int,
+    alpha: float = 0.3,
+    stratum_col: str = "lang",
+    table: str = "documents",
+    text: str = "text",
+    round_to: int = 9,
+) -> str:
+    """DuckDB mirror of ``temperature_budgets_frame`` (same pow weights,
+    same stratum-sorted Z fold via list(ORDER BY) + list_reduce, same
+    round-then-floor budgets)."""
+    bpe = X.sql_bpe_pretokens(text)
+    return f"""
+        WITH tb_t AS (
+          SELECT {stratum_col} AS stratum, CAST(len({bpe}) AS BIGINT) AS n
+          FROM {table} WHERE {stratum_col} IS NOT NULL
+        ),
+        tb_tot AS (
+          SELECT stratum, SUM(n) AS total_tokens FROM tb_t
+          GROUP BY stratum HAVING SUM(n) > 0
+        ),
+        tb_w AS (
+          SELECT stratum, total_tokens,
+                 pow(CAST(total_tokens AS DOUBLE), {float(alpha)}) AS w
+          FROM tb_tot
+        ),
+        tb_z AS (
+          SELECT list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY stratum)),
+                   (acc, wv) -> acc + wv
+                 ) AS z
+          FROM tb_w
+        )
+        SELECT stratum, total_tokens,
+               round(w / z, {round_to}) AS ratio,
+               CAST(floor(round({int(total_budget)} * w / z, 6)) AS BIGINT)
+                 AS budget
+        FROM tb_w, tb_z
+    """
 
 
 def sql_budget_sample(

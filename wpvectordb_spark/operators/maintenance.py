@@ -375,9 +375,13 @@ def vacuum(path: str) -> list[str]:
     """Remove crash debris around a snapshot table: a ``__staging`` dir
     from a write that died mid-job and a ``__old`` dir from one that died
     after the swap completed are both safe to drop once the live copy
-    exists (Delta VACUUM's little sibling).  REFUSES to touch ``__old``
-    when the live dir is missing — that orphan is the only copy and
-    belongs to ``recover_table``.  Returns the paths removed."""
+    exists (Delta VACUUM's little sibling).  REFUSES to touch EITHER
+    dir when the live dir is missing: ``__old`` is then the only copy
+    and belongs to ``recover_table``, and ``__staging`` may hold a
+    COMPLETED rewrite from a crash between the swap's two renames —
+    vacuuming it would discard finished work and force the recovery to
+    fall back to the older ``__old`` snapshot.  Returns the paths
+    removed."""
     import shutil
 
     from wpvectordb_spark.table import _check_local_path
@@ -385,7 +389,7 @@ def vacuum(path: str) -> list[str]:
     path = _check_local_path(path)
     removed = []
     staging = path + "__staging"
-    if os.path.isdir(staging):
+    if os.path.isdir(staging) and os.path.isdir(path):
         shutil.rmtree(staging)
         removed.append(staging)
     old = path + "__old"

@@ -57,6 +57,10 @@ def write_corpus(
 
     Returns {path, format, n_files, total_bytes} from a post-write
     listing (driver-side; the manifest-read at production scale).
+    The report describes the WHOLE dataset after the write — with
+    ``mode='append'`` it includes files from earlier writes, not just
+    this call's output (the manifest semantics: what a reader of
+    ``path`` sees now, not a per-commit delta).
     """
     if fmt not in _FORMATS:
         raise ValueError(f"write_corpus: format {fmt!r} not in {_FORMATS}")

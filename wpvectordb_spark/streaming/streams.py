@@ -226,58 +226,12 @@ def stream_queue_ingest(
     A replay of the SAME batch id (marker == id, crash-recovery) stays
     allowed.
     """
-    import shutil
-
-    from wpvectordb_spark.operators import queue_ops as Q
-
     root = _state_root(state_path, "stream_queue_state_")
-    marker = os.path.join(root, "_last_batch")
-    # adopt only COMMITTED versions (_SUCCESS marker): a crashed
-    # mid-write leaves a partial v<N> dir, and resuming from partial
-    # state would silently drop the missing rows forward forever
-    versions = sorted(
-        int(d[1:])
-        for d in os.listdir(root)
-        if d.startswith("v")
-        and d[1:].isdigit()
-        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
-    )
-    if versions:
-        state = {"path": os.path.join(root, f"v{versions[-1]}"), "version": versions[-1]}
-    else:
-        v0 = os.path.join(root, "v0")
-        initial_queue.write.mode("overwrite").parquet(v0)
-        state = {"path": v0, "version": 0}
+    if not _queue_state_versions(root):
+        initial_queue.write.mode("overwrite").parquet(os.path.join(root, "v0"))
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        bid = int(batch_id)
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                last = int(fh.read().strip() or -1)
-            if bid < last:
-                raise RuntimeError(
-                    f"queue state dir {root} already holds batch {last} but "
-                    f"the stream is processing batch {bid} — resuming a "
-                    "state_path requires the ORIGINAL checkpoint_path so "
-                    "batch ids continue (or a fresh state_path for a new "
-                    "stream)"
-                )
-        jobs = batch_df.select(F.col("job_id"), F.col("post_id"))
-        prev = spark.read.parquet(state["path"])
-        new_state = Q.add_posts(prev, jobs, now)
-        nxt = os.path.join(root, f"v{state['version'] + 1}")
-        new_state.write.mode("overwrite").parquet(nxt)
-        state["path"] = nxt
-        state["version"] += 1
-        stale = os.path.join(root, f"v{state['version'] - 2}")
-        shutil.rmtree(stale, ignore_errors=True)
-        # marker last (tmp + atomic rename): a crash between the state
-        # write and the marker leaves marker == bid-1, and the replay of
-        # bid passes the < check — never a false refusal
-        tmp = marker + "__tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(bid))
-        os.replace(tmp, marker)
+        _queue_ingest_apply(spark, root, batch_df, batch_id, now)
 
     ckpt = checkpoint_path or os.path.join(
         tempfile.gettempdir(), f"ckpt_q_{uuid.uuid4().hex[:8]}"
@@ -287,7 +241,81 @@ def stream_queue_ingest(
         .option("checkpointLocation", ckpt)
         .start()
     )
-    return (lambda: spark.read.parquet(state["path"])), query
+
+    def get_state() -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(root, f"v{_queue_state_versions(root)[-1]}")
+        )
+
+    return get_state, query
+
+
+def _queue_state_versions(root: str) -> list[int]:
+    """COMMITTED (_SUCCESS-marked) version numbers of a queue state dir,
+    ascending.  A crashed mid-write leaves a partial v<N> dir, and
+    resuming from partial state would silently drop the missing rows
+    forward forever — partials are invisible here and overwritten by
+    the next write."""
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(root)
+        if d.startswith("v")
+        and d[1:].isdigit()
+        and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+    )
+
+
+def _queue_ingest_apply(
+    spark: SparkSession, root: str, batch_df: DataFrame, batch_id: int, now
+) -> None:
+    """One micro-batch of the queue ingest — module-level (like the
+    dedup/profile kernels) so the exactly-once replay contract and the
+    batch-vs-stream telescoping are directly drivable: the latest
+    committed version is discovered from DISK each call, so a
+    crash-recovery replay of the same batch id reapplies over the same
+    predecessor state (``add_posts`` is anti-join idempotent on top).
+    With batches whose post/job ids are disjoint — the normal crawl
+    shape — sequential application telescopes to ONE ``add_posts`` of
+    the union, which is the oracle the stream arm is checked against."""
+    import shutil
+
+    from wpvectordb_spark.operators import queue_ops as Q
+
+    bid = int(batch_id)
+    marker = os.path.join(root, "_last_batch")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            last = int(fh.read().strip() or -1)
+        if bid < last:
+            raise RuntimeError(
+                f"queue state dir {root} already holds batch {last} but "
+                f"the stream is processing batch {bid} — resuming a "
+                "state_path requires the ORIGINAL checkpoint_path so "
+                "batch ids continue (or a fresh state_path for a new "
+                "stream)"
+            )
+    versions = _queue_state_versions(root)
+    if not versions:
+        raise RuntimeError(
+            f"queue state dir {root} has no committed v<N> state — "
+            "stream_queue_ingest seeds v0 from initial_queue before the "
+            "first batch"
+        )
+    cur = versions[-1]
+    jobs = batch_df.select(F.col("job_id"), F.col("post_id"))
+    prev = spark.read.parquet(os.path.join(root, f"v{cur}"))
+    new_state = Q.add_posts(prev, jobs, now)
+    new_state.write.mode("overwrite").parquet(os.path.join(root, f"v{cur + 1}"))
+    # retention keeps ONE superseded version: a get_state() frame handed
+    # out between batches stays readable across the next batch landing
+    shutil.rmtree(os.path.join(root, f"v{cur - 1}"), ignore_errors=True)
+    # marker last (tmp + atomic rename): a crash between the state
+    # write and the marker leaves marker == bid-1, and the replay of
+    # bid passes the < check — never a false refusal
+    tmp = marker + "__tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(bid))
+    os.replace(tmp, marker)
 
 
 def _state_root(state_path: str | None, prefix: str) -> str:
