@@ -1565,10 +1565,17 @@ def build_ivfpq_index(
         # the geometry travels with the index.  n_clusters AND n_codes
         # are the counts ACTUALLY used (supplied centroid/codebook
         # frames win over the args; both already materialized — bounded
-        # count on the persisted tiny frame, len() on the collected cb)
-        spark.createDataFrame(
-            [(dim, m, len(cb[0]), int(centroids.count()), residual)],
-            _IVFPQ_PARAMS_SCHEMA,
+        # count on the persisted tiny frame, len() on the collected cb).
+        # range(1).select(lit...) instead of createDataFrame([tuple]):
+        # the Python-local-relation + coalesce(1) write path costs ~4 s
+        # of fixed overhead per call (measured, PERFORMANCE.md item 48);
+        # the JVM-literal form writes the identical JSON in ~0.2 s.
+        spark.range(1).select(
+            F.lit(int(dim)).cast("long").alias("dim"),
+            F.lit(int(m)).cast("long").alias("m"),
+            F.lit(len(cb[0])).cast("long").alias("n_codes"),
+            F.lit(int(centroids.count())).cast("long").alias("n_clusters"),
+            F.lit(bool(residual)).alias("residual"),
         ).coalesce(1).write.mode("overwrite").json(f"{path}/params")
     finally:
         centroids.unpersist()
