@@ -164,12 +164,66 @@ def _q_dsl_filter_cnf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: raw-ingestion fixture lines (deterministic JSONL drop): 2 clean, 1
+#: truncated JSON, 1 non-JSON, 1 type-mismatched doc_id, 1 clean with
+#: missing optional fields.  The expected split is frozen in the oracle
+#: as VALUES — the arm pins the PERMISSIVE + corrupt-record parse
+#: contract (loaders.ingest_documents).  No single quotes: the lines
+#: are embedded verbatim in the oracle SQL literal.
+_INGEST_LINES = (
+    '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1", "n_chars": 11}',
+    '{"doc_id": 2, "text": "hola mundo", "lang": "es", "source": "s2", "n_chars": 10}',
+    '{"doc_id": 3, "text": "truncated',
+    "not json at all",
+    '{"doc_id": "seven", "text": "bad id type", "lang": "en", "source": "s1", "n_chars": 11}',
+    '{"doc_id": 6, "text": "short"}',
+)
+
+
+def _ingest_quarantine_rows(spark: SparkSession) -> DataFrame:
+    """Drive ``loaders.ingest_documents`` over the fixture drop and
+    return (kind, id, val) rows: ``ingest_ok`` carries (doc_id, text) of
+    parsed rows, ``ingest_bad`` the raw quarantined line.  The
+    quarantine projection keeps ``text`` through the localCheckpoint —
+    a scan reading ONLY the corrupt column is refused by Spark
+    (SPARK-21610, documented on the loader); the checkpoint also
+    detaches the rows so the temp drop can be removed."""
+    import shutil
+
+    from wpvectordb_spark.sources import loaders as LD
+
+    root = tempfile.mkdtemp(prefix="ingest_fixture_")
+    p = os.path.join(root, "drop.jsonl")
+    try:
+        with open(p, "w") as fh:
+            fh.write("\n".join(_INGEST_LINES) + "\n")
+        good, quar = LD.ingest_documents(spark, p, format="jsonl")
+        g = good.select(
+            F.lit("ingest_ok").alias("kind"),
+            F.col("doc_id").alias("id"),
+            F.col("text").alias("val"),
+            F.lit(None).cast("string").alias("_keep"),
+        ).localCheckpoint()
+        b = quar.select(
+            F.lit("ingest_bad").alias("kind"),
+            F.lit(None).cast("long").alias("id"),
+            F.col(LD._CORRUPT_COL).alias("val"),
+            F.col("text").alias("_keep"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return g.unionByName(b).select("kind", "id", "val")
+
+
 def _q_k7_json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K7 get_binary_code (VectorTable.php:522-529): vectors arriving as
     JSON text are parsed then sign-coded (hex-projected so the harness can
     hash it; the oracle codes the raw vector — equal outputs prove the
     codec is lossless).  Unioned with JSON field extraction over the
-    events props column (the general JSON-decode surface)."""
+    events props column (the general JSON-decode surface) and the
+    raw-corpus ingestion quarantine split over a fixed JSONL drop
+    (ingest_ok/ingest_bad arms — the PERMISSIVE parse contract under
+    the oracle)."""
     emb = _emb(spark, sf_dir)
     parsed = F.from_json(F.to_json(F.col("embedding")), "array<float>")
     code_part = emb.select(
@@ -183,7 +237,9 @@ def _q_k7_json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("id"),
         F.get_json_object("props", "$.k").cast("bigint").cast("string").alias("val"),
     )
-    return code_part.unionByName(props_part)
+    return code_part.unionByName(props_part).unionByName(
+        _ingest_quarantine_rows(spark)
+    )
 
 
 def _q_dsl_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2137,6 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_sample_pack": _q_curate_sample_pack,
         "index_build": _q_index_build_merged,
         "queue_enqueue": _q_queue_enqueue,
+        "k7_json_codec": _q_k7_json_codec,
         # --- changed in round 5: streaming-ingest
         # 'stream' arm under the telescoping oracle; pipeline arm now
         # exercises its DSIR stage ---
@@ -2167,7 +2224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_conversion_funnel": _q_events_conversion_funnel,
         "events_percentiles": _q_events_percentiles,
         "k3_k4_sign_code_hex": _q_k3_k4_sign_code_hex,
-        "k7_json_codec": _q_k7_json_codec,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "queue_cleanup": _q_queue_cleanup,
@@ -3822,6 +3878,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'props' AS kind, event_id AS id,
                    CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) AS val
             FROM events
+            UNION ALL
+            -- raw-ingestion quarantine split over the fixed JSONL drop
+            -- (_INGEST_LINES): the expected split is frozen here — clean
+            -- lines parse (missing fields are null, not corrupt), the
+            -- truncated/non-JSON/type-mismatched lines quarantine with
+            -- their raw text (the type-mismatch row is the one the
+            -- pruning-dependent datasource path silently DROPPED)
+            SELECT kind, id, val FROM (VALUES
+              ('ingest_ok', CAST(1 AS BIGINT), 'hello world'),
+              ('ingest_ok', CAST(2 AS BIGINT), 'hola mundo'),
+              ('ingest_ok', CAST(6 AS BIGINT), 'short'),
+              ('ingest_bad', CAST(NULL AS BIGINT), '{_INGEST_LINES[2]}'),
+              ('ingest_bad', CAST(NULL AS BIGINT), '{_INGEST_LINES[3]}'),
+              ('ingest_bad', CAST(NULL AS BIGINT), '{_INGEST_LINES[4]}')
+            ) AS t(kind, id, val)
         """,
         "search_multi_sorted": f"""
         WITH doc_meta AS ({DOC_META_ORACLE_SQL}),

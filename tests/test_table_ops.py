@@ -283,22 +283,31 @@ def test_ingest_documents_jsonl_and_csv_quarantine(spark, tmp_path):
     docs.coalesce(2).write.json(jdir)
     good, quar = ingest_documents(spark, jdir, format="jsonl")
     assert sorted(map(tuple, good.collect())) == want
-    # SPARK-21610: a bare count() prunes to only the corrupt column and
-    # is refused on JSON/CSV relations — audits collect/write instead
-    assert len(quar.collect()) == 0
-    with pytest.raises(Exception, match="CORRUPT_RECORD_COLUMN"):
-        quar.count()
-    # inject malformed lines: truncated json + a bare string
+    # the text+from_json parse is exempt from SPARK-21610: a bare
+    # count() on the quarantine WORKS (the datasource path refused it)
+    assert quar.count() == 0
+    # inject malformed lines: truncated json + a bare string + a
+    # TYPE-MISMATCHED doc_id.  The type mismatch is the regression the
+    # rewrite fixed: under the JSON datasource the corrupt decision was
+    # re-derived against each query's pruned columns, so that row was
+    # corrupt for `good` (doc_id projected) and clean for `quarantine`
+    # (only the corrupt column read) — it vanished from BOTH frames.
     with open(f"{jdir}/zz_bad.json", "w") as f:
-        f.write('{"doc_id": 1, "text": "tru\nnot json at all\n')
+        f.write(
+            '{"doc_id": 1, "text": "tru\nnot json at all\n'
+            '{"doc_id": "seven", "text": "bad id"}\n'
+        )
     good2, quar2 = ingest_documents(spark, jdir, format="jsonl")
     assert sorted(map(tuple, good2.collect())) == want
     bad = quar2.collect()
-    assert len(bad) == 2
+    assert len(bad) == 3
     assert {r["_corrupt_record"] for r in bad} == {
         '{"doc_id": 1, "text": "tru',
         "not json at all",
+        '{"doc_id": "seven", "text": "bad id"}',
     }
+    # every input line is in exactly one frame — no silent loss
+    assert good2.count() + quar2.count() == len(want) + 3
 
     cdir = str(tmp_path / "drop_csv")
     docs.coalesce(2).write.csv(cdir)  # header-less, column order = schema

@@ -118,43 +118,45 @@ def ingest_documents(
       a single bad byte must not kill a 10-hour job, and silently
       dropping rows is unauditable.  Bad lines land in the quarantine
       frame with their raw text intact for replay/debugging.
-    * The split is TWO FILTERS over ONE scan (Catalyst reuses the
-      parsed relation); the frames are returned lazily so the caller
-      controls materialization.  CAVEAT (SPARK-21610): Spark refuses
-      any query whose pruned scan reads ONLY the corrupt column of a
-      JSON/CSV relation — a bare ``quarantine.count()`` trips it
-      because count prunes every data column away.  Queries that keep
-      a data column (``collect()``, a sink write, a select of raw +
-      parsed) are fine, which covers the audit/replay uses; for a pure
-      count, write the quarantine to a sink first (what a production
-      ingest does anyway) or count the written files.
-    * JSONL is splittable line-by-line (each task parses its byte
-      range); CSV here is header-less with explicit columns — the
-      multiLine variants of either format destroy splittability and
-      are deliberately not exposed.
+    * The parse is ``spark.read.text`` (splittable, byte-range per
+      task) + ``from_json``/``from_csv`` with the FULL schema, NOT the
+      JSON/CSV datasource.  The datasource re-derives the corrupt
+      decision against each query's PRUNED column set, so a row whose
+      only malformed field is pruned away flips between good and
+      corrupt depending on which columns the consumer selects — a
+      type-mismatched ``doc_id`` made the row corrupt for the ``good``
+      filter (doc_id in its projection) and clean for the
+      ``quarantine`` filter (which only reads the corrupt column):
+      the row silently vanished from BOTH frames (data loss, caught by
+      the oracle arm's fixture).  ``from_json`` with explicit options
+      is exempt from Catalyst's schema pruning, so the decision is
+      made once against the full schema for every consumer.  Bonus:
+      the SPARK-21610 refusal (a bare ``quarantine.count()``) no
+      longer applies — counts work.
+    * Whitespace-only lines are skipped before the parse (matching the
+      datasource's ignore-blank-lines behavior).
+    * JSONL is splittable line-by-line; CSV here is header-less with
+      explicit columns — the multiLine variants of either format
+      destroy splittability and are deliberately not exposed.
 
     Returns ``(good, quarantine)``: ``good`` has exactly the schema's
     columns; ``quarantine`` has them plus ``_corrupt_record`` (the raw
     line).  Reference: the PHP reference ingests posts one INSERT at a
     time (VectorTable.php insert paths); this is the bulk analog."""
     full = f"{schema}, {_CORRUPT_COL} string"
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT_COL}
     if format in ("jsonl", "json"):
-        reader = (
-            spark.read.schema(full)
-            .option("mode", "PERMISSIVE")
-            .option("columnNameOfCorruptRecord", _CORRUPT_COL)
-        )
-        df = reader.json(path)
+        parse = F.from_json(F.col("value"), full, opts)
     elif format == "csv":
-        df = (
-            spark.read.schema(full)
-            .option("mode", "PERMISSIVE")
-            .option("columnNameOfCorruptRecord", _CORRUPT_COL)
-            .option("header", "false")
-            .csv(path)
-        )
+        parse = F.from_csv(F.col("value"), full, opts)
     else:
         raise ValueError(f"ingest_documents: unknown format {format!r}")
+    df = (
+        spark.read.text(path)
+        .where(F.trim(F.col("value")) != "")
+        .select(parse.alias("_parsed"))
+        .select("_parsed.*")
+    )
     cols = [f.split()[0] for f in schema.split(",")]
     good = df.where(F.col(_CORRUPT_COL).isNull()).select(*cols)
     quarantine = df.where(F.col(_CORRUPT_COL).isNotNull())
