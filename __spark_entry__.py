@@ -837,19 +837,25 @@ def _q_text_analyze_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROFILE_STRATA = ("lang", "source")
 
 
-def _stream_profile_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_profile_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     """The streaming quality monitor under the HARD oracle: drive the
     micro-batch kernel (``streams._profile_ingest_apply``) over a fixed
     3-way split of the documents table (``doc_id % 3`` as batch ids
     0/1/2, ``compact_every=2`` forcing a snapshot fold mid-run) and
-    return the MERGED profile.  The state is per-stratum INTEGER sums
-    (text_analysis.PROFILE_SUM_COLS), and integer sums merge exactly —
-    sum(sum(batch_i)) == sum(union) for ANY split — so the oracle is
-    the SAME full-corpus profile SQL the batch arm uses (the profile
-    analog of the dedup stream's telescoping guarantee).  State lives
-    in a throwaway temp dir; the read localCheckpoints eagerly
-    (_read_state_stable) so the dir can be removed before the caller's
-    collect."""
+    return ``(merged_profile, drift_timeseries)``.  The state is
+    per-stratum INTEGER sums (text_analysis.PROFILE_SUM_COLS), and
+    integer sums merge exactly — sum(sum(batch_i)) == sum(union) for
+    ANY split — so the merged oracle is the SAME full-corpus profile
+    SQL the batch arm uses (the profile analog of the dedup stream's
+    telescoping guarantee).  The TIME SERIES (one profile row per
+    (micro-batch, stratum) — the drift view a 100 TB pipeline alerts
+    on) is ALSO exactly mirrorable: the batch assignment is
+    ``doc_id % 3`` by construction, so DuckDB re-derives every
+    per-batch cell by grouping on it.  State lives in a throwaway temp
+    dir; the read localCheckpoints eagerly (_read_state_stable) so the
+    dir can be removed before the caller's collect."""
     import shutil
 
     from wpvectordb_spark.streaming import streams as ST
@@ -876,7 +882,10 @@ def _stream_profile_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = raw.groupBy(*PROFILE_STRATA).agg(
         *[F.sum(c).alias(c) for c in TA.PROFILE_SUM_COLS]
     )
-    return TA._profile_from_sums(merged, PROFILE_STRATA)
+    tseries = TA._profile_from_sums(raw, ("_batch_id",) + PROFILE_STRATA).select(
+        F.col("_batch_id").alias("batch_id"), "*"
+    ).drop("_batch_id")
+    return TA._profile_from_sums(merged, PROFILE_STRATA), tseries
 
 
 def _q_text_analyze_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -887,20 +896,25 @@ def _q_text_analyze_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement); ``sprofile`` rows are the SAME profile accumulated by
     the streaming monitor kernel over a 3-way micro-batch split with a
     forced compaction (must equal the ``profile`` arm exactly — integer
-    sums merge exactly, see _stream_profile_sums).  The union is
-    NULL-widened (allowMissingColumns): doc rows carry NULL profile
-    columns and vice versa; no column-name collisions (per-doc
-    ``n_tokens`` vs corpus ``total_tokens``)."""
+    sums merge exactly); ``tseries`` rows are the monitor's per-
+    (micro-batch, stratum) DRIFT view, mirrored exactly in DuckDB by
+    grouping on the split key ``doc_id % 3`` (see
+    _stream_profile_frames).  The union is NULL-widened
+    (allowMissingColumns): doc rows carry NULL profile columns and vice
+    versa; no column-name collisions (per-doc ``n_tokens`` vs corpus
+    ``total_tokens``)."""
     docs = _docs(spark, sf_dir)
     d = TA.analyze_full(docs).select(F.lit("doc").alias("kind"), "*")
     p = TA.corpus_profile(docs, stratum_cols=PROFILE_STRATA).select(
         F.lit("profile").alias("kind"), "*"
     )
-    s = _stream_profile_sums(spark, sf_dir).select(
-        F.lit("sprofile").alias("kind"), "*"
-    )
-    return d.unionByName(p, allowMissingColumns=True).unionByName(
-        s, allowMissingColumns=True
+    sprof, tseries = _stream_profile_frames(spark, sf_dir)
+    s = sprof.select(F.lit("sprofile").alias("kind"), "*")
+    t = tseries.select(F.lit("tseries").alias("kind"), "*")
+    return (
+        d.unionByName(p, allowMissingColumns=True)
+        .unionByName(s, allowMissingColumns=True)
+        .unionByName(t, allowMissingColumns=True)
     )
 
 
@@ -2588,12 +2602,29 @@ def oracle_sql() -> dict[str, str]:
         " CAST(NULL AS BIGINT) AS n_ips, CAST(NULL AS BIGINT) AS n_long_numbers,"
         " CAST(NULL AS BIGINT) AS clean_len, CAST(NULL AS BIGINT) AS clean_fingerprint"
     )
+    # tseries mirror: the per-micro-batch drift cells re-derived by
+    # grouping the corpus on the split key itself (batch_id = doc_id%3)
+    tseries_sql = TA.sql_corpus_profile(
+        ("batch_id",) + PROFILE_STRATA,
+        table="(SELECT d.*, CAST(doc_id % 3 AS BIGINT) AS batch_id"
+        " FROM documents d) AS tsrc",
+    )
+    _null_batch = "CAST(NULL AS BIGINT) AS batch_id"
     text_analyze_merged_sql = f"""
-        SELECT 'doc' AS kind, a.*, {_doc_null_profile_cols} FROM ({analyze_sql}) a
+        SELECT 'doc' AS kind, a.*, {_doc_null_profile_cols}, {_null_batch}
+        FROM ({analyze_sql}) a
         UNION ALL
-        SELECT 'profile' AS kind, {_profile_null_doc_cols}, p.* FROM ({profile_sql}) p
+        SELECT 'profile' AS kind, {_profile_null_doc_cols}, p.*, {_null_batch}
+        FROM ({profile_sql}) p
         UNION ALL
-        SELECT 'sprofile' AS kind, {_profile_null_doc_cols}, p.* FROM ({profile_sql}) p
+        SELECT 'sprofile' AS kind, {_profile_null_doc_cols}, p.*, {_null_batch}
+        FROM ({profile_sql}) p
+        UNION ALL
+        SELECT 'tseries' AS kind, {_profile_null_doc_cols},
+               t.lang, t.source, t.n_docs, t.total_chars, t.total_tokens,
+               t.avg_tokens, t.avg_quality, t.n_pii_docs, t.n_langid_agree,
+               t.batch_id
+        FROM ({tseries_sql}) t
     """
     batch_ham = K.sql_hamming(K.sql_sign_code("e.embedding"), "q.q_code")
     search_batch_sql = f"""

@@ -144,6 +144,7 @@ def main() -> None:
     from wpvectordb_spark.operators import dedup as D
     from wpvectordb_spark.operators import events as EV
     from wpvectordb_spark.operators import multimodal as MM
+    from wpvectordb_spark.operators import text_analysis as TA
     from wpvectordb_spark.sources.loaders import load_events
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
@@ -176,6 +177,11 @@ def main() -> None:
             resizer=MM.fake_resizer,
         ).count(),
         "curate_pipeline": lambda: entry._pipeline_manifest(spark, SF_DIR).count(),
+        # corpus quality profile: one narrow projection + one hash agg
+        # to #strata rows — the daily "know your data" monitor pass
+        "corpus_profile": lambda: TA.corpus_profile(
+            spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        ).count(),
     }
     # product-quantization serving: zero-shuffle ADC scan over the STORED
     # 8-entry codes + exact rerank (the 32x-memory-shrink scan path).

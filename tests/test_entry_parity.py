@@ -113,7 +113,7 @@ EXPECTED_ARMS = {
     "text_terms_tfidf": ("kind", {"bm25", "ppl", "rrf", "tfidf", "top"}),
     # round 6: per-doc analysis + corpus profile + streaming-monitor
     # accumulation (must equal 'profile' exactly — integer-sum merge)
-    "text_analyze": ("kind", {"doc", "profile", "sprofile"}),
+    "text_analyze": ("kind", {"doc", "profile", "sprofile", "tseries"}),
     # round 6: batch enqueue + the hand-driven ingest-stream accumulation
     # (must equal 'batch' exactly — disjoint-batch telescoping)
     "queue_enqueue": ("kind", {"batch", "stream"}),
