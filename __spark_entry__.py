@@ -183,11 +183,9 @@ _INGEST_LINES = (
 def _ingest_quarantine_rows(spark: SparkSession) -> DataFrame:
     """Drive ``loaders.ingest_documents`` over the fixture drop and
     return (kind, id, val) rows: ``ingest_ok`` carries (doc_id, text) of
-    parsed rows, ``ingest_bad`` the raw quarantined line.  The
-    quarantine projection keeps ``text`` through the localCheckpoint —
-    a scan reading ONLY the corrupt column is refused by Spark
-    (SPARK-21610, documented on the loader); the checkpoint also
-    detaches the rows so the temp drop can be removed."""
+    parsed rows, ``ingest_bad`` the raw quarantined line.  The eager
+    localCheckpoints detach the rows so the temp drop can be removed
+    before the caller's collect."""
     import shutil
 
     from wpvectordb_spark.sources import loaders as LD
@@ -202,17 +200,15 @@ def _ingest_quarantine_rows(spark: SparkSession) -> DataFrame:
             F.lit("ingest_ok").alias("kind"),
             F.col("doc_id").alias("id"),
             F.col("text").alias("val"),
-            F.lit(None).cast("string").alias("_keep"),
         ).localCheckpoint()
         b = quar.select(
             F.lit("ingest_bad").alias("kind"),
             F.lit(None).cast("long").alias("id"),
             F.col(LD._CORRUPT_COL).alias("val"),
-            F.col("text").alias("_keep"),
         ).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return g.unionByName(b).select("kind", "id", "val")
+    return g.unionByName(b)
 
 
 def _q_k7_json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2813,10 +2809,13 @@ def oracle_sql() -> dict[str, str]:
     # ivf_many CTE verbatim with only the method tag changed
     # sann serves ANN_SANN_QUERIES queries (3, so the qid%3 split still
     # yields 3 micro-batches and forces a compaction) — widen the query
-    # predicate along with the tag when re-deriving the mirror
+    # predicate along with the tag when re-deriving the mirror.  The
+    # newline anchor keeps the replace from matching inside the cent
+    # CTE's "vec_id < 16" if ANN_MANY_QUERIES ever became a prefix of 16.
     sann_sql = ivf_many_sql.replace("'many' ||", "'sann' ||", 1).replace(
-        f"vec_id < {ANN_MANY_QUERIES}", f"vec_id < {ANN_SANN_QUERIES}", 1
+        f"vec_id < {ANN_MANY_QUERIES}\n", f"vec_id < {ANN_SANN_QUERIES}\n", 1
     )
+    assert f"vec_id < {ANN_SANN_QUERIES}" in sann_sql
     # int8 quantized-scan + exact-rerank (similarity.quantized_topk):
     # scale = max|x|/127 (1e-30 floor), codes = round-half-away(x/scale),
     # scan ranks by quantized cosine (scales cancel), 4n survivors rerank

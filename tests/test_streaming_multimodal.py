@@ -694,6 +694,37 @@ def test_queue_state_restart_without_checkpoint_is_refused(spark, tmp_path):
     assert get_state().count() == 20
 
 
+def test_queue_ingest_apply_crash_replay_is_idempotent(spark, tmp_path):
+    """The module-level kernel (round 6 extraction): replaying the SAME
+    batch id — the crash-recovery case where the marker was written but
+    the stream restarts the batch — discovers the newest committed
+    version from disk and reapplies add_posts over it; the anti-join
+    makes the replay a no-op on values, and a later batch id continues
+    normally."""
+    now = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    root = str(tmp_path / "qstate")
+    os.makedirs(root)
+    spark.createDataFrame([], QUEUE_SCHEMA).write.parquet(f"{root}/v0")
+    jobs = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("job_id"), F.col("id").alias("post_id")
+    )
+    ST._queue_ingest_apply(spark, root, jobs(0, 10), 0, now)
+    before = sorted(map(tuple, spark.read.parquet(
+        f"{root}/v{ST._queue_state_versions(root)[-1]}").collect()))
+    assert len(before) == 10
+    # crash-recovery replay of batch 0 (marker == bid): allowed, no-op
+    ST._queue_ingest_apply(spark, root, jobs(0, 10), 0, now)
+    after = sorted(map(tuple, spark.read.parquet(
+        f"{root}/v{ST._queue_state_versions(root)[-1]}").collect()))
+    assert after == before
+    # the stream continues
+    ST._queue_ingest_apply(spark, root, jobs(10, 15), 1, now)
+    assert spark.read.parquet(
+        f"{root}/v{ST._queue_state_versions(root)[-1]}").count() == 15
+    # retention: at most the current + one superseded version on disk
+    assert len(ST._queue_state_versions(root)) <= 2
+
+
 def test_stream_ann_serve_matches_batch_serve(spark, tmp_path):
     """Streaming ANN serving telescopes: the index is frozen during a
     serve run, so micro-batches are independent and the accumulated
