@@ -1780,6 +1780,11 @@ def _pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_MANY_QUERIES = 2
 ANN_SANN_QUERIES = 3
 
+#: filtered-ANN arm predicate — over the STORED index columns, applied
+#: pre-ADC (identical text runs as the Spark where= and inside the
+#: DuckDB mirror's candidate CTE)
+ANN_FILTER_PREDICATE = "vec_id % 2 = 0"
+
 
 def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN through five index shapes: LSH band buckets (pure-predicate
@@ -1856,6 +1861,19 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in SIM.ivfpq_topk(
                 spark, ivfpq_path, _query_vector(spark, sf_dir),
                 dim=PQ_DIM, m=PQ_M, k=10, n_probe=4,
+            ).collect()
+        ]
+        # FILTERED ANN serving (where=): the metadata predicate restricts
+        # the probe-pruned candidate scan BEFORE the ADC
+        # (_restrict_candidates), so the survivor pool and the exact
+        # rerank both see only matching rows — the serving path every
+        # metadata-scoped vector query takes
+        ivfpqfilt_rows = [
+            (int(r["vec_id"]), int(r["cluster_id"]), float(r["cosine_similarity"]))
+            for r in SIM.ivfpq_topk(
+                spark, ivfpq_path, _query_vector(spark, sf_dir),
+                dim=PQ_DIM, m=PQ_M, k=10, n_probe=4,
+                where=ANN_FILTER_PREDICATE,
             ).collect()
         ]
         # RESIDUAL IVFPQ (the canonical FAISS IndexIVFPQ refinement:
@@ -1978,6 +1996,12 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("ivfpq").alias("method"), "vec_id", "cluster_id", "cosine_similarity"
     )
+    ivfpqfilt = spark.createDataFrame(
+        ivfpqfilt_rows, "vec_id long, cluster_id long, cosine_similarity double"
+    ).select(
+        F.lit("ivfpqfilt").alias("method"), "vec_id", "cluster_id",
+        "cosine_similarity",
+    )
     ivfpqres = spark.createDataFrame(
         ivfpqres_rows, "vec_id long, cluster_id long, cosine_similarity double"
     ).select(
@@ -2042,6 +2066,7 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ivf)
         .unionByName(ivf_idx)
         .unionByName(ivfpq)
+        .unionByName(ivfpqfilt)
         .unionByName(ivfpqres)
         .unionByName(ivfpq_many)
         .unionByName(many)
@@ -3138,6 +3163,15 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY {K.sql_cosine('q.q_vec', 'e.embedding', 'q.q_mag')} DESC, s.vec_id ASC
         LIMIT 10
     """
+    # filtered-ANN mirror: the ivfpq CTE with the SAME predicate text the
+    # Spark where= runs, applied to the index scan inside the ADC CTE —
+    # pre-ADC, so the survivor pool and the rerank see only matching rows
+    assert "GROUP BY e.vec_id, a.cluster_id" in ivfpq_sql
+    ivfpqfilt_sql = ivfpq_sql.replace(
+        "GROUP BY e.vec_id, a.cluster_id",
+        f"WHERE e.{ANN_FILTER_PREDICATE}\n          GROUP BY e.vec_id, a.cluster_id",
+        1,
+    )
     # batched IVFPQ mirror (similarity.ivfpq_topk_many): the ivfpq CTE
     # generalized per query — probe ranking and the ADC/survivor/rerank
     # windows all gain a query_id partition, exactly how ivf_many_sql
@@ -3505,6 +3539,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ivfpq' AS method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
                    cosine_similarity
             FROM ({ivfpq_sql})
+            UNION ALL
+            -- filtered serving: the metadata predicate restricts the
+            -- candidate scan pre-ADC (survivors and rerank inherit it)
+            SELECT 'ivfpqfilt' AS method, vec_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id, cosine_similarity
+            FROM ({ivfpqfilt_sql})
             UNION ALL
             -- residual IVFPQ: codes over v - centroid(assigned(v)),
             -- per-probed-cluster query distance tables

@@ -96,6 +96,7 @@ EXPECTED_ARMS = {
             "ivf",
             "ivf_idx",
             "ivfpq",
+            "ivfpqfilt",
             "quant",
             "pq",
             "many0",
