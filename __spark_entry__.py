@@ -177,6 +177,10 @@ _INGEST_LINES = (
     "not json at all",
     '{"doc_id": "seven", "text": "bad id type", "lang": "en", "source": "s1", "n_chars": 11}',
     '{"doc_id": 6, "text": "short"}',
+    # whitespace-variant blank line: must vanish (ignored), NOT surface
+    # as a phantom all-NULL good row (from_json yields a NULL struct for
+    # blank-ish input) — the oracle expects no row for it
+    "\t \t",
 )
 
 
@@ -820,12 +824,6 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench-surface form (frozen key); the driver registers the superset
     return TA.analyze(_docs(spark, sf_dir))
-
-
-def _q_text_analyze_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc analysis superset: language id, quality features, both
-    token-count variants, repetition signals — one narrow projection."""
-    return TA.analyze_full(_docs(spark, sf_dir))
 
 
 #: stratum columns of the profile arms — shared between the batch

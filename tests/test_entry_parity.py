@@ -45,7 +45,6 @@ EXPECTED_ARMS = {
     "rel_pricing_summary": ("kind", {"plain", "salted", "udaf"}),
     "rel_grouping_sets": ("kind", {"cube", "rollup"}),
     "rel_membership": ("kind", {"seg_0", "seg_1", "set_both", "set_orders_only"}),
-    "k7_json_codec": ("kind", {"code", "props"}),
     "index_build": ("kind", {"derive", "compacted", "sink"}),
     "crud_composite_get": (
         "kind",

@@ -292,10 +292,15 @@ def test_ingest_documents_jsonl_and_csv_quarantine(spark, tmp_path):
     # re-derived against each query's pruned columns, so that row was
     # corrupt for `good` (doc_id projected) and clean for `quarantine`
     # (only the corrupt column read) — it vanished from BOTH frames.
+    # blank-ish lines (empty / tab-only / space-only) are IGNORED — they
+    # must not become phantom all-NULL good rows (from_json returns a
+    # NULL struct, whose _corrupt_record IS NULL, so without the
+    # parsed-non-null guard they'd pass the good filter)
     with open(f"{jdir}/zz_bad.json", "w") as f:
         f.write(
             '{"doc_id": 1, "text": "tru\nnot json at all\n'
             '{"doc_id": "seven", "text": "bad id"}\n'
+            "\t\n \n\n"
         )
     good2, quar2 = ingest_documents(spark, jdir, format="jsonl")
     assert sorted(map(tuple, good2.collect())) == want
@@ -306,7 +311,7 @@ def test_ingest_documents_jsonl_and_csv_quarantine(spark, tmp_path):
         "not json at all",
         '{"doc_id": "seven", "text": "bad id"}',
     }
-    # every input line is in exactly one frame — no silent loss
+    # every non-blank input line is in exactly one frame — no silent loss
     assert good2.count() + quar2.count() == len(want) + 3
 
     cdir = str(tmp_path / "drop_csv")

@@ -376,12 +376,13 @@ def vacuum(path: str) -> list[str]:
     from a write that died mid-job and a ``__old`` dir from one that died
     after the swap completed are both safe to drop once the live copy
     exists (Delta VACUUM's little sibling).  REFUSES to touch EITHER
-    dir when the live dir is missing: ``__old`` is then the only copy
-    and belongs to ``recover_table``, and ``__staging`` may hold a
-    COMPLETED rewrite from a crash between the swap's two renames —
-    vacuuming it would discard finished work and force the recovery to
-    fall back to the older ``__old`` snapshot.  Returns the paths
-    removed."""
+    dir when the live dir is missing: that directory set describes a
+    crashed swap and belongs to ``recover_table`` — ``__old`` is the
+    only recoverable copy (recovery adopts ``__old`` exclusively;
+    ``__staging`` contents are never promoted, a completed rewrite is
+    simply re-run after recovery), and a cleanup that mutates a crashed
+    table's directory set before recovery has adjudicated it invites
+    operator error.  Returns the paths removed."""
     import shutil
 
     from wpvectordb_spark.table import _check_local_path

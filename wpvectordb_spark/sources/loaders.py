@@ -133,8 +133,13 @@ def ingest_documents(
       made once against the full schema for every consumer.  Bonus:
       the SPARK-21610 refusal (a bare ``quarantine.count()``) no
       longer applies — counts work.
-    * Whitespace-only lines are skipped before the parse (matching the
-      datasource's ignore-blank-lines behavior).
+    * Whitespace-only lines are skipped (matching the datasource's
+      ignore-blank-lines behavior): a whitespace-class regex blank
+      check before the parse, PLUS a parsed-struct-non-null guard
+      after it — ``from_json`` returns a NULL struct (not a corrupt
+      row) for blank-ish input, and without the guard such lines would
+      surface as phantom all-NULL rows in the good frame (corrupt IS
+      NULL passes when the whole struct is NULL).
     * JSONL is splittable line-by-line; CSV here is header-less with
       explicit columns — the multiLine variants of either format
       destroy splittability and are deliberately not exposed.
@@ -153,8 +158,9 @@ def ingest_documents(
         raise ValueError(f"ingest_documents: unknown format {format!r}")
     df = (
         spark.read.text(path)
-        .where(F.trim(F.col("value")) != "")
+        .where(F.regexp_replace(F.col("value"), r"\s", "") != "")
         .select(parse.alias("_parsed"))
+        .where(F.col("_parsed").isNotNull())
         .select("_parsed.*")
     )
     cols = [f.split()[0] for f in schema.split(",")]
