@@ -1783,6 +1783,13 @@ ANN_SANN_QUERIES = 3
 #: DuckDB mirror's candidate CTE)
 ANN_FILTER_PREDICATE = "vec_id % 2 = 0"
 
+#: append-arm base half: must contain every deterministic training id
+#: (vec_id < 16 centroids and < PQ_CODES codebook rows), so the frozen
+#: artifacts of the base build equal a full rebuild's and the appended
+#: index serves IDENTICALLY under all-probe (append_to_ivfpq_index's
+#: test-asserted guarantee — here promoted to the hard oracle)
+ANN_APPEND_BASE = 100
+
 
 def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN through five index shapes: LSH band buckets (pure-predicate
@@ -1872,6 +1879,37 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, ivfpq_path, _query_vector(spark, sf_dir),
                 dim=PQ_DIM, m=PQ_M, k=10, n_probe=4,
                 where=ANN_FILTER_PREDICATE,
+            ).collect()
+        ]
+        # INDEX HEALTH STATS: per-cluster counts/shares off the existing
+        # persisted index — the re-train trigger of the add-after-train
+        # contract; partition-column-only scan.  Column reuse: vec_id
+        # carries the cluster's row count, cosine_similarity its share.
+        stats_rows = [
+            (int(r["n_vectors"]), int(r["cluster_id"]), float(r["share"]))
+            for r in SIM.ivfpq_index_stats(spark, ivfpq_path).collect()
+        ]
+        # APPEND-AFTER-TRAIN (FAISS add): base index built on the first
+        # ANN_APPEND_BASE ids (a superset of every deterministic
+        # training id), the rest appended against the FROZEN
+        # centroids/codebooks, served all-probe — must equal a full
+        # rebuild served all-probe, so the mirror is the ivfpq CTE with
+        # the probe limit widened to every cluster
+        app_path = os.path.join(td, "ivfpqapp_index")
+        SIM.build_ivfpq_index(
+            _emb(spark, sf_dir).where(F.col("vec_id") < ANN_APPEND_BASE),
+            app_path, dim=PQ_DIM, n_clusters=16, m=PQ_M, n_codes=PQ_CODES,
+        )
+        SIM.append_to_ivfpq_index(
+            spark,
+            _emb(spark, sf_dir).where(F.col("vec_id") >= ANN_APPEND_BASE),
+            app_path,
+        )
+        ivfpqapp_rows = [
+            (int(r["vec_id"]), int(r["cluster_id"]), float(r["cosine_similarity"]))
+            for r in SIM.ivfpq_topk(
+                spark, app_path, _query_vector(spark, sf_dir),
+                dim=PQ_DIM, m=PQ_M, k=10, n_probe=16,
             ).collect()
         ]
         # RESIDUAL IVFPQ (the canonical FAISS IndexIVFPQ refinement:
@@ -2000,6 +2038,18 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivfpqfilt").alias("method"), "vec_id", "cluster_id",
         "cosine_similarity",
     )
+    stats = spark.createDataFrame(
+        stats_rows, "vec_id long, cluster_id long, cosine_similarity double"
+    ).select(
+        F.lit("stats").alias("method"), "vec_id", "cluster_id",
+        "cosine_similarity",
+    )
+    ivfpqapp = spark.createDataFrame(
+        ivfpqapp_rows, "vec_id long, cluster_id long, cosine_similarity double"
+    ).select(
+        F.lit("ivfpqapp").alias("method"), "vec_id", "cluster_id",
+        "cosine_similarity",
+    )
     ivfpqres = spark.createDataFrame(
         ivfpqres_rows, "vec_id long, cluster_id long, cosine_similarity double"
     ).select(
@@ -2065,6 +2115,8 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ivf_idx)
         .unionByName(ivfpq)
         .unionByName(ivfpqfilt)
+        .unionByName(stats)
+        .unionByName(ivfpqapp)
         .unionByName(ivfpqres)
         .unionByName(ivfpq_many)
         .unionByName(many)
@@ -3170,6 +3222,41 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE e.{ANN_FILTER_PREDICATE}\n          GROUP BY e.vec_id, a.cluster_id",
         1,
     )
+    # append-after-train mirror: frozen artifacts == full rebuild's (the
+    # base half contains every deterministic training id), so the
+    # appended index served ALL-PROBE equals the ivfpq CTE with the
+    # probe limit widened to every cluster.  Newline anchor so LIMIT 40
+    # (survivors) can't match.
+    ivfpqapp_sql = ivfpq_sql.replace("LIMIT 4\n", "LIMIT 16\n", 1)
+    assert "LIMIT 16" in ivfpqapp_sql
+    # index health stats mirror: per-cluster counts of the SAME
+    # deterministic assignment, shares as double division (both engines
+    # divide doubles; DuckDB SUM(BIGINT) is HUGEINT — cast explicitly)
+    ivfpq_stats_sql = f"""
+        WITH cent AS (
+          SELECT vec_id AS cluster_id, embedding AS centroid,
+                 {K.sql_magnitude('embedding')} AS centroid_mag
+          FROM embeddings WHERE vec_id < 16
+        ),
+        assigned AS (
+          SELECT vec_id, cluster_id FROM (
+            SELECT e.vec_id, c.cluster_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {cent_cos} DESC, c.cluster_id ASC
+                   ) AS rn
+            FROM embeddings e, cent c
+          ) WHERE rn = 1
+        ),
+        counts AS (
+          SELECT cluster_id, COUNT(*) AS n FROM assigned GROUP BY cluster_id
+        )
+        SELECT n AS vec_id, cluster_id,
+               round(CAST(n AS DOUBLE) /
+                     (SELECT CAST(SUM(n) AS DOUBLE) FROM counts), 6)
+                 AS cosine_similarity
+        FROM counts
+    """
     # batched IVFPQ mirror (similarity.ivfpq_topk_many): the ivfpq CTE
     # generalized per query — probe ranking and the ADC/survivor/rerank
     # windows all gain a query_id partition, exactly how ivf_many_sql
@@ -3543,6 +3630,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ivfpqfilt' AS method, vec_id,
                    CAST(cluster_id AS BIGINT) AS cluster_id, cosine_similarity
             FROM ({ivfpqfilt_sql})
+            UNION ALL
+            -- index health stats: vec_id carries the cluster count,
+            -- cosine_similarity its corpus share
+            SELECT 'stats' AS method, vec_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id, cosine_similarity
+            FROM ({ivfpq_stats_sql})
+            UNION ALL
+            -- append-after-train, served all-probe == full rebuild
+            SELECT 'ivfpqapp' AS method, vec_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id, cosine_similarity
+            FROM ({ivfpqapp_sql})
             UNION ALL
             -- residual IVFPQ: codes over v - centroid(assigned(v)),
             -- per-probed-cluster query distance tables

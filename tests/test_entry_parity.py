@@ -96,6 +96,8 @@ EXPECTED_ARMS = {
             "ivf_idx",
             "ivfpq",
             "ivfpqfilt",
+            "ivfpqapp",
+            "stats",
             "quant",
             "pq",
             "many0",
