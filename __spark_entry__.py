@@ -929,12 +929,35 @@ def _boiler_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lined_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic line structure for the C4 rules: the corpus has no
+    newlines, so each document is re-laid-out as BOILER_CHUNK-token
+    lines joined with \\n, with every EVEN-indexed line given a
+    terminal '.' — giving the line-level keep rule both passing and
+    failing lines on every page (non-vacuous both ways).  The identical
+    construction runs in the DuckDB mirror."""
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split(text, ' ', -1)) / {BOILER_CHUNK}.0)"
+        f" as int) - 1),"
+        f" i -> array_join(slice(split(text, ' ', -1), i * {BOILER_CHUNK} + 1,"
+        f" {BOILER_CHUNK}), ' ')"
+        f" || (CASE WHEN i % 2 = 0 THEN '.' ELSE '' END))"
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.array_join(chunks, "\n").alias("text")
+    )
+
+
 def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus hygiene, tagged: ``decon`` rows flag the corpus
     (doc_id >= 20) against the holdout/eval slice (doc_id < 20) by
     shared-shingle count; ``boiler`` rows are C4-style line-level dedup —
     12-token chunks occurring in >= 2 distinct documents of the
-    duplicated corpus are stripped and the text reassembled in order."""
+    duplicated corpus are stripped and the text reassembled in order;
+    ``c4`` rows run the C4 line/page cleaning rules (terminal
+    punctuation, min words, page gates) over the synthetic lined
+    corpus (_lined_corpus), column reuse: n_shingles carries n_lines,
+    n_matched n_kept, contaminated the page_kept flag."""
     docs = _docs(spark, sf_dir)
     decon = CU.decontaminate(
         docs.where(F.col("doc_id") >= 20),
@@ -963,7 +986,16 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "n_removed",
     )
-    return d.unionByName(b)
+    c4 = CU.c4_page_filter(_lined_corpus(spark, sf_dir)).select(
+        F.lit("c4").alias("kind"),
+        "doc_id",
+        F.col("n_lines").alias("n_shingles"),
+        F.col("n_kept").alias("n_matched"),
+        F.col("page_kept").alias("contaminated"),
+        "text",
+        null_l.alias("n_removed"),
+    )
+    return d.unionByName(b).unionByName(c4)
 
 
 def _q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2022,6 +2054,32 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, serve_dir, ST._ANN_RESULTS_SCHEMA
             ).collect()
         ]
+        # the serve stream's IVFPQ path: one micro-batch (query 0, the
+        # ivfpq arm's query) driven kind='ivfpq' against the SAME
+        # persisted IVFPQ index — the batches-are-independent contract
+        # means one batch IS the whole result, so the mirror is the
+        # single-query ivfpq CTE re-tagged
+        servepq_dir = os.path.join(td, "servepq_results")
+        os.makedirs(servepq_dir)
+        ST._ann_serve_apply(
+            spark,
+            ivfpq_path,
+            servepq_dir,
+            qserve.where(F.col("query_id") == 0),
+            0,
+            kind="ivfpq",
+            k=10,
+            n_probe=4,
+            dim=PQ_DIM,
+            m=PQ_M,
+        )
+        sannpq_rows = [
+            ("sannpq", int(r["vec_id"]), int(r["cluster_id"]),
+             float(r["cosine_similarity"]))
+            for r in ST._read_state_stable(
+                spark, servepq_dir, ST._ANN_RESULTS_SCHEMA
+            ).collect()
+        ]
     ivf_idx = spark.createDataFrame(
         idx_rows, "vec_id long, cluster_id long, cosine_similarity double"
     ).select(
@@ -2066,6 +2124,10 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sann = spark.createDataFrame(
         sann_rows,
+        "method string, vec_id long, cluster_id long, cosine_similarity double",
+    )
+    sannpq = spark.createDataFrame(
+        sannpq_rows,
         "method string, vec_id long, cluster_id long, cosine_similarity double",
     )
     quant = SIM.quantized_topk(
@@ -2121,6 +2183,7 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ivfpq_many)
         .unionByName(many)
         .unionByName(sann)
+        .unionByName(sannpq)
         .unionByName(quant)
         .unionByName(pq)
         .unionByName(pq_many)
@@ -3597,6 +3660,28 @@ def oracle_sql() -> dict[str, str]:
                                 FROM ({corpus})) t0) t''',
                 min_docs=2,
             )})
+            UNION ALL
+            -- C4 line/page rules over the synthetic lined corpus
+            -- (_lined_corpus: BOILER_CHUNK-token lines, even-indexed
+            -- lines get a terminal '.') — column reuse: n_shingles
+            -- carries n_lines, n_matched n_kept, contaminated page_kept
+            SELECT 'c4' AS kind, doc_id,
+                   n_lines AS n_shingles, n_kept AS n_matched,
+                   page_kept AS contaminated, text,
+                   CAST(NULL AS BIGINT) AS n_removed
+            FROM ({CU.sql_c4_page_filter(
+                f'''SELECT doc_id,
+                           array_to_string(list_transform(
+                             range(0, CAST(ceil(len(toks) / {BOILER_CHUNK}.0)
+                                    AS BIGINT)),
+                             i -> array_to_string(
+                                    toks[i * {BOILER_CHUNK} + 1 : i * {BOILER_CHUNK} + {BOILER_CHUNK}],
+                                    ' ')
+                                  || (CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)),
+                             chr(10)) AS text
+                    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                          FROM documents) c4t0'''
+            )})
         """,
         "ann_lsh_ivf": f"""
             SELECT 'lsh' AS method, vec_id, CAST(NULL AS BIGINT) AS cluster_id,
@@ -3666,6 +3751,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
                    cosine_similarity
             FROM ({sann_sql})
+            UNION ALL
+            -- the serve stream's IVFPQ path (one batch, query 0):
+            -- batches are independent, so the single-query ivfpq CTE
+            -- re-tagged IS the mirror
+            SELECT 'sannpq' AS method, vec_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id, cosine_similarity
+            FROM ({ivfpq_sql})
             UNION ALL
             SELECT 'quant' AS method, vec_id, CAST(NULL AS BIGINT) AS cluster_id,
                    cosine_similarity

@@ -78,7 +78,8 @@ EXPECTED_ARMS = {
             "temp",
         },
     ),
-    "curate_decontaminate": ("kind", {"boiler", "decon"}),
+    # round 6: + the C4 line/page rules over the synthetic lined corpus
+    "curate_decontaminate": ("kind", {"boiler", "decon", "c4"}),
     "events_windows": ("kind", {"cohort", "slide", "tumble"}),
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup"}),
     "dedup_exact": ("kind", {"cut", "exact", "span"}),
@@ -109,6 +110,7 @@ EXPECTED_ARMS = {
             "sann0",
             "sann1",
             "sann2",
+            "sannpq",
             "ivfpqres",
         },
     ),
