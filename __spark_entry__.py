@@ -2330,18 +2330,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window is time-bounded rather than count-bounded."""
     return {
         # --- changed in round 6 (front of window): text_analyze gains
-        # the corpus-profile + streaming-monitor arms; ann_lsh_ivf
-        # shrinks the batched-serving arms to one representative batch
-        # per family and gains the multi-probe 'mplsh' arm;
-        # curate_sample_pack gains the temperature-mixing 'temp' arm;
-        # index_build the training-shard 'sink' roundtrip; queue_enqueue
-        # the ingest-stream 'stream' arm ---
+        # the corpus-profile + streaming-monitor + drift-tseries arms;
+        # ann_lsh_ivf shrinks the batched-serving arms to one
+        # representative batch per family and gains
+        # mplsh/ivfpqfilt/ivfpqapp/stats/sannpq; curate_sample_pack
+        # gains the temperature-mixing 'temp' arm; index_build the
+        # training-shard 'sink' roundtrip; queue_enqueue the
+        # ingest-stream 'stream' arm; k7_json_codec the quarantine
+        # split; curate_decontaminate the C4 line/page rules ---
         "text_analyze": _q_text_analyze_merged,
         "ann_lsh_ivf": _q_ann_lsh_ivf,
         "curate_sample_pack": _q_curate_sample_pack,
         "index_build": _q_index_build_merged,
         "queue_enqueue": _q_queue_enqueue,
         "k7_json_codec": _q_k7_json_codec,
+        "curate_decontaminate": _q_curate_decontaminate,
         # --- changed in round 5: streaming-ingest
         # 'stream' arm under the telescoping oracle; pipeline arm now
         # exercises its DSIR stage ---
@@ -2377,7 +2380,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_cleanup": _q_queue_cleanup,
         "dsl_variants": _q_dsl_variants,
         "crud_get_delete": _q_crud_get_delete,
-        "curate_decontaminate": _q_curate_decontaminate,
         # --- green in round 1 (back of window) ------------------------------
         "k1_k2_magnitude_normalize": _q_k1_k2_magnitude_normalize,
         "k5_k6_hamming_cosine": _q_k5_k6_hamming_cosine,
