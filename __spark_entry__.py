@@ -183,36 +183,61 @@ _INGEST_LINES = (
     "\t \t",
 )
 
+#: CSV-format fixture (header-less, column order = DOCUMENTS_INGEST_SCHEMA):
+#: 2 clean, 1 wrong-token-count, 1 type-mismatched doc_id, 1 blank-ish —
+#: the from_csv PERMISSIVE path is a DIFFERENT parser than from_json, so
+#: it gets its own frozen-split arm
+_INGEST_CSV_LINES = (
+    "11,csv hello,en,s1,9",
+    "12,csv hola,es,s2,8",
+    "13,only-two-fields",
+    "abc,bad id,en,s1,6",
+    " \t",
+)
+
 
 def _ingest_quarantine_rows(spark: SparkSession) -> DataFrame:
-    """Drive ``loaders.ingest_documents`` over the fixture drop and
-    return (kind, id, val) rows: ``ingest_ok`` carries (doc_id, text) of
-    parsed rows, ``ingest_bad`` the raw quarantined line.  The eager
-    localCheckpoints detach the rows so the temp drop can be removed
-    before the caller's collect."""
+    """Drive ``loaders.ingest_documents`` over the fixture drops (one
+    JSONL, one CSV — different parsers, same contract) and return
+    (kind, id, val) rows: ``ingest_ok``/``ingest_csv_ok`` carry
+    (doc_id, text) of parsed rows, ``ingest_bad``/``ingest_csv_bad``
+    the raw quarantined line.  The eager localCheckpoints detach the
+    rows so the temp drop can be removed before the caller's collect."""
     import shutil
 
     from wpvectordb_spark.sources import loaders as LD
 
     root = tempfile.mkdtemp(prefix="ingest_fixture_")
-    p = os.path.join(root, "drop.jsonl")
     try:
-        with open(p, "w") as fh:
-            fh.write("\n".join(_INGEST_LINES) + "\n")
-        good, quar = LD.ingest_documents(spark, p, format="jsonl")
-        g = good.select(
-            F.lit("ingest_ok").alias("kind"),
-            F.col("doc_id").alias("id"),
-            F.col("text").alias("val"),
-        ).localCheckpoint()
-        b = quar.select(
-            F.lit("ingest_bad").alias("kind"),
-            F.lit(None).cast("long").alias("id"),
-            F.col(LD._CORRUPT_COL).alias("val"),
-        ).localCheckpoint()
+        frames = []
+        for fmt, lines, tag in (
+            ("jsonl", _INGEST_LINES, "ingest"),
+            ("csv", _INGEST_CSV_LINES, "ingest_csv"),
+        ):
+            p = os.path.join(root, f"drop_{fmt}")
+            with open(p, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+            good, quar = LD.ingest_documents(spark, p, format=fmt)
+            frames.append(
+                good.select(
+                    F.lit(f"{tag}_ok").alias("kind"),
+                    F.col("doc_id").alias("id"),
+                    F.col("text").alias("val"),
+                ).localCheckpoint()
+            )
+            frames.append(
+                quar.select(
+                    F.lit(f"{tag}_bad").alias("kind"),
+                    F.lit(None).cast("long").alias("id"),
+                    F.col(LD._CORRUPT_COL).alias("val"),
+                ).localCheckpoint()
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return g.unionByName(b)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _q_k7_json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4151,7 +4176,11 @@ def oracle_sql() -> dict[str, str]:
               ('ingest_ok', CAST(6 AS BIGINT), 'short'),
               ('ingest_bad', CAST(NULL AS BIGINT), '{_INGEST_LINES[2]}'),
               ('ingest_bad', CAST(NULL AS BIGINT), '{_INGEST_LINES[3]}'),
-              ('ingest_bad', CAST(NULL AS BIGINT), '{_INGEST_LINES[4]}')
+              ('ingest_bad', CAST(NULL AS BIGINT), '{_INGEST_LINES[4]}'),
+              ('ingest_csv_ok', CAST(11 AS BIGINT), 'csv hello'),
+              ('ingest_csv_ok', CAST(12 AS BIGINT), 'csv hola'),
+              ('ingest_csv_bad', CAST(NULL AS BIGINT), '{_INGEST_CSV_LINES[2]}'),
+              ('ingest_csv_bad', CAST(NULL AS BIGINT), '{_INGEST_CSV_LINES[3]}')
             ) AS t(kind, id, val)
         """,
         "search_multi_sorted": f"""

@@ -121,8 +121,19 @@ EXPECTED_ARMS = {
     # round 6: batch enqueue + the hand-driven ingest-stream accumulation
     # (must equal 'batch' exactly — disjoint-batch telescoping)
     "queue_enqueue": ("kind", {"batch", "stream"}),
-    # round 6: + the raw-ingestion quarantine split over the fixed drop
-    "k7_json_codec": ("kind", {"code", "props", "ingest_ok", "ingest_bad"}),
+    # round 6: + the raw-ingestion quarantine splits over the fixed
+    # drops (JSONL and CSV parsers separately)
+    "k7_json_codec": (
+        "kind",
+        {
+            "code",
+            "props",
+            "ingest_ok",
+            "ingest_bad",
+            "ingest_csv_ok",
+            "ingest_csv_bad",
+        },
+    ),
 }
 
 
