@@ -940,17 +940,46 @@ def _q_text_analyze_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOILER_CHUNK = 12  # tokens per synthetic "line" (corpus has no newlines)
 
 
+def _chunk_lines_expr(append_dot: bool = False) -> "F.Column":
+    """BOILER_CHUNK-token chunk lines over a pre-split ``_toks`` column
+    — the ONE Spark-side copy of the synthetic-line construction (the
+    boiler and c4 arms share it; ``append_dot`` gives even-indexed
+    lines a terminal '.' so the C4 keep rule has passing lines).  The
+    pre-split projection keeps the O(T) tokenization out of the
+    per-chunk lambda (HOF lambdas re-evaluate their body per element —
+    an inlined split(text) would cost O(T^2/chunk) per document)."""
+    dot = " || (CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)" if append_dot else ""
+    return F.expr(
+        f"transform(sequence(0, cast(ceil(size(_toks) / {BOILER_CHUNK}.0)"
+        f" as int) - 1),"
+        f" i -> array_join(slice(_toks, i * {BOILER_CHUNK} + 1,"
+        f" {BOILER_CHUNK}), ' '){dot})"
+    )
+
+
+def _sql_chunk_line(i: str, append_dot: bool = False) -> str:
+    """DuckDB mirror of one _chunk_lines_expr line over a ``toks``
+    list column (the boiler and c4 oracle fragments share it)."""
+    s = (
+        f"array_to_string(toks[{i} * {BOILER_CHUNK} + 1 :"
+        f" {i} * {BOILER_CHUNK} + {BOILER_CHUNK}], ' ')"
+    )
+    if append_dot:
+        s += f" || (CASE WHEN {i} % 2 = 0 THEN '.' ELSE '' END)"
+    return s
+
+
+#: DuckDB chunk-count bound over a ``toks`` list column
+_SQL_CHUNK_BOUND = f"CAST(ceil(len(toks) / {BOILER_CHUNK}.0) AS BIGINT)"
+
+
 def _boiler_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pos, line) — fixed 12-token chunks of the duplicated
     corpus, the custom-segmentation input to remove_boilerplate_lines."""
-    chunks = F.expr(
-        f"transform(sequence(0, cast(ceil(size(split(text, ' ', -1)) / {BOILER_CHUNK}.0)"
-        f" as int) - 1),"
-        f" i -> array_join(slice(split(text, ' ', -1), i * {BOILER_CHUNK} + 1,"
-        f" {BOILER_CHUNK}), ' '))"
-    )
-    return _corpus_with_dups(spark, sf_dir).select(
-        "doc_id", F.posexplode(chunks).alias("pos", "line")
+    return (
+        _corpus_with_dups(spark, sf_dir)
+        .select("doc_id", F.split("text", " ", -1).alias("_toks"))
+        .select("doc_id", F.posexplode(_chunk_lines_expr()).alias("pos", "line"))
     )
 
 
@@ -960,16 +989,14 @@ def _lined_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines joined with \\n, with every EVEN-indexed line given a
     terminal '.' — giving the line-level keep rule both passing and
     failing lines on every page (non-vacuous both ways).  The identical
-    construction runs in the DuckDB mirror."""
-    chunks = F.expr(
-        f"transform(sequence(0, cast(ceil(size(split(text, ' ', -1)) / {BOILER_CHUNK}.0)"
-        f" as int) - 1),"
-        f" i -> array_join(slice(split(text, ' ', -1), i * {BOILER_CHUNK} + 1,"
-        f" {BOILER_CHUNK}), ' ')"
-        f" || (CASE WHEN i % 2 = 0 THEN '.' ELSE '' END))"
-    )
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.array_join(chunks, "\n").alias("text")
+    construction runs in the DuckDB mirror (_sql_chunk_line)."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ", -1).alias("_toks"))
+        .select(
+            "doc_id",
+            F.array_join(_chunk_lines_expr(append_dot=True), "\n").alias("text"),
+        )
     )
 
 
@@ -1849,7 +1876,16 @@ ANN_APPEND_BASE = 100
 
 
 def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN through five index shapes: LSH band buckets (pure-predicate
+    """Every ANN index shape and serving path, tagged (21 arms): LSH
+    band buckets, multi-probe LSH, in-memory IVF, persisted IVF,
+    batched IVF, int8 quantized scan, PQ, batched PQ, IVFPQ, FILTERED
+    IVFPQ (``ivfpqfilt``: where= pre-ADC), residual IVFPQ, batched
+    IVFPQ, APPEND-AFTER-TRAIN (``ivfpqapp``: frozen-artifact append
+    served all-probe == full rebuild), INDEX HEALTH STATS (``stats``:
+    per-cluster counts/shares), streaming IVF serving (``sann<qid>``),
+    and streaming IVFPQ serving (``sannpq``).  Details per arm below.
+
+    ANN through five index shapes: LSH band buckets (pure-predicate
     candidates) plus the MULTI-PROBE variant (``n_flip=1``: neighbor
     buckets within one sign-bit flip per band are probed too — Lv et
     al., VLDB'07 — tagged ``mplsh``; the recall-critical serving knob
@@ -3318,7 +3354,9 @@ def oracle_sql() -> dict[str, str]:
     # probe limit widened to every cluster.  Newline anchor so LIMIT 40
     # (survivors) can't match.
     ivfpqapp_sql = ivfpq_sql.replace("LIMIT 4\n", "LIMIT 16\n", 1)
-    assert "LIMIT 16" in ivfpqapp_sql
+    # the probe limit must be today's SOLE newline-terminated LIMIT 4 —
+    # a second match would silently widen the wrong clause
+    assert "LIMIT 16" in ivfpqapp_sql and "LIMIT 4\n" not in ivfpqapp_sql
     # index health stats mirror: per-cluster counts of the SAME
     # deterministic assignment, shares as double division (both engines
     # divide doubles; DuckDB SUM(BIGINT) is HUGEINT — cast explicitly)
@@ -3676,13 +3714,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS INTEGER) AS contaminated,
                    text, n_removed
             FROM ({CU.sql_remove_boilerplate_lines(
-                f'''SELECT doc_id, i AS pos,
-                           array_to_string(
-                             toks[i * {BOILER_CHUNK} + 1 : i * {BOILER_CHUNK} + {BOILER_CHUNK}],
-                             ' ') AS line
+                f'''SELECT doc_id, i AS pos, {_sql_chunk_line('i')} AS line
                     FROM (SELECT doc_id, toks,
-                                 unnest(range(0, CAST(ceil(len(toks) / {BOILER_CHUNK}.0)
-                                              AS BIGINT))) AS i
+                                 unnest(range(0, {_SQL_CHUNK_BOUND})) AS i
                           FROM (SELECT doc_id, string_split(text, ' ') AS toks
                                 FROM ({corpus})) t0) t''',
                 min_docs=2,
@@ -3699,12 +3733,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ({CU.sql_c4_page_filter(
                 f'''SELECT doc_id,
                            array_to_string(list_transform(
-                             range(0, CAST(ceil(len(toks) / {BOILER_CHUNK}.0)
-                                    AS BIGINT)),
-                             i -> array_to_string(
-                                    toks[i * {BOILER_CHUNK} + 1 : i * {BOILER_CHUNK} + {BOILER_CHUNK}],
-                                    ' ')
-                                  || (CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)),
+                             range(0, {_SQL_CHUNK_BOUND}),
+                             i -> {_sql_chunk_line('i', append_dot=True)}),
                              chr(10)) AS text
                     FROM (SELECT doc_id, string_split(text, ' ') AS toks
                           FROM documents) c4t0'''
