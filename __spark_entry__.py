@@ -177,6 +177,11 @@ _INGEST_LINES = (
     "not json at all",
     '{"doc_id": "seven", "text": "bad id type", "lang": "en", "source": "s1", "n_chars": 11}',
     '{"doc_id": 6, "text": "short"}',
+    # the bare JSON literal null: from_json yields a NULL struct with NO
+    # corrupt record — it must land in quarantine with the raw line, not
+    # silently drop from both frames (every non-blank line lands in
+    # exactly one frame)
+    "null",
     # whitespace-variant blank line: must vanish (ignored), NOT surface
     # as a phantom all-NULL good row (from_json yields a NULL struct for
     # blank-ish input) — the oracle expects no row for it
@@ -1199,6 +1204,42 @@ def _q_events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.conversion_funnel(load_events(spark, sf_dir))
 
 
+#: N-step funnel arm's step sequence (chained strictly-after mins);
+#: literal in both engines' mirrors
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _q_events_funnel_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step conversion funnel ('conv') + the N-step ordered
+    ``sequence_funnel`` ('seq' arm, FUNNEL_STEPS) as a tagged union.
+    Column reuse on the seq arm: the completed prefix is POS-EXPLODED —
+    ``first_t`` carries the step's completion time, ``converted`` the
+    0-based step index; ``then_t`` is NULL.  Users completing ZERO
+    steps keep one all-NULL row (``posexplode_outer``), so the
+    every-user row count is preserved and the mirror's zero-branch is
+    non-vacuous."""
+    ev = load_events(spark, sf_dir)
+    conv = E.conversion_funnel(ev).select(
+        F.lit("conv").alias("kind"),
+        "user_id",
+        "first_t",
+        "then_t",
+        F.col("converted").cast("int").alias("converted"),
+    )
+    seq = (
+        E.sequence_funnel(ev, FUNNEL_STEPS)
+        .select("user_id", F.posexplode_outer("step_ts").alias("pos", "t"))
+        .select(
+            F.lit("seq").alias("kind"),
+            "user_id",
+            F.col("t").alias("first_t"),
+            F.lit(None).cast("timestamp").alias("then_t"),
+            F.col("pos").cast("int").alias("converted"),
+        )
+    )
+    return conv.unionByName(seq)
+
+
 def _q_dedup_embedding_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked-matmul variant of embedding near-dup (BLAS per block)."""
     return D.embedding_near_dup_pairs_arrow(_emb(spark, sf_dir), threshold=0.3)
@@ -1856,11 +1897,13 @@ def _pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: property (>= 2 queries through one plan) is what the arm pins, not
 #: the batch width; the round-4/5 5-query width added 9 redundant arms
 #: to the registry's heaviest key (the round-5 verdict's blast-radius
-#: item).  The streaming serve keeps 3 queries so the qid%3 split still
-#: drives 3 micro-batches and compact_every=2 still forces a compaction
-#: fold under the oracle.
+#: item).  The streaming serve runs 2 queries as 2 micro-batches (qid%2
+#: split) with compact_every=1, so the accumulate-across-batches AND
+#: the snapshot-compaction fold both stay under the oracle at one batch
+#: less than the round-6 shape (fixed per-batch plan cost is the key's
+#: wall-clock driver).
 ANN_MANY_QUERIES = 2
-ANN_SANN_QUERIES = 3
+ANN_SANN_QUERIES = 2
 
 #: filtered-ANN arm predicate — over the STORED index columns, applied
 #: pre-ADC (identical text runs as the Spark where= and inside the
@@ -1870,58 +1913,124 @@ ANN_FILTER_PREDICATE = "vec_id % 2 = 0"
 #: append-arm base half: must contain every deterministic training id
 #: (vec_id < 16 centroids and < PQ_CODES codebook rows), so the frozen
 #: artifacts of the base build equal a full rebuild's and the appended
-#: index serves IDENTICALLY under all-probe (append_to_ivfpq_index's
-#: test-asserted guarantee — here promoted to the hard oracle)
+#: index serves IDENTICALLY — under all-probe for the top-k arms, and
+#: for EVERY probe depth at the assignment level (frozen centroids give
+#: the delta the same assignments a rebuild would).  Since round 7 BOTH
+#: persisted indexes are built base+append, so every serving arm's
+#: full-rebuild oracle doubles as an append-correctness proof.
 ANN_APPEND_BASE = 100
+
+
+def _ann_session_dir() -> str:
+    """Session-lifetime temp dir for the ANN key's persisted indexes.
+    The serve arms stay LAZY — they execute inside the driver's single
+    collect of the returned union (one job whose independent subtrees
+    the DAG scheduler runs concurrently) instead of ~10 sequential
+    bounded collects + Python-local-relation rebuilds (the round-6
+    wall-clock driver for this key) — so the index dirs must outlive
+    the call.  Removed at interpreter exit; a few MB per invocation at
+    oracle scale (sf0.01)."""
+    import atexit
+    import shutil
+
+    td = tempfile.mkdtemp(prefix="ann_key_")
+    atexit.register(shutil.rmtree, td, ignore_errors=True)
+    return td
 
 
 def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every ANN index shape and serving path, tagged (21 arms): LSH
-    band buckets, multi-probe LSH, in-memory IVF, persisted IVF,
-    batched IVF, int8 quantized scan, PQ, batched PQ, IVFPQ, FILTERED
-    IVFPQ (``ivfpqfilt``: where= pre-ADC), residual IVFPQ, batched
-    IVFPQ, APPEND-AFTER-TRAIN (``ivfpqapp``: frozen-artifact append
-    served all-probe == full rebuild), INDEX HEALTH STATS (``stats``:
-    per-cluster counts/shares), streaming IVF serving (``sann<qid>``),
-    and streaming IVFPQ serving (``sannpq``).  Details per arm below.
+    band buckets, multi-probe LSH, in-memory IVF, persisted IVF
+    (``ivf_idx``), PLAIN-IVF APPEND (``ivfapp``: base+append served
+    all-probe == full rebuild), batched IVF (``many<qid>``), int8
+    quantized scan, PQ, batched PQ (``pqmany<qid>``), IVFPQ, FILTERED
+    IVFPQ (``ivfpqfilt``: where= pre-ADC), residual IVFPQ
+    (``ivfpqres``), batched IVFPQ (``ivfpqmany<qid>``),
+    IVFPQ APPEND-AFTER-TRAIN (``ivfpqapp``), INDEX HEALTH STATS
+    (``stats``: per-cluster counts/shares), streaming IVF serving
+    (``sann<qid>``), and streaming IVFPQ serving (``sannpq``).
 
-    ANN through five index shapes: LSH band buckets (pure-predicate
-    candidates) plus the MULTI-PROBE variant (``n_flip=1``: neighbor
-    buckets within one sign-bit flip per band are probed too — Lv et
-    al., VLDB'07 — tagged ``mplsh``; the recall-critical serving knob
-    item 43 measured), IVF (in-memory assignment), the PERSISTED IVF
-    index (build to parquet partitioned by cluster_id, query through
-    the partition-pruned read — the plan that actually runs at 100 TB),
-    BATCHED IVF serving (``ivf_topk_many``: ANN_MANY_QUERIES query
-    vectors through ONE partition-pruned plan, each query's id fused
-    into the method tag as ``many<qid>`` so the union schema stays four
-    columns), int8 quantized-scan + exact-rerank, PRODUCT QUANTIZATION
+    Round-7 structure — build once, serve lazily:
+
+    * BOTH persisted indexes are built BASE+APPEND (base = the first
+      ``ANN_APPEND_BASE`` ids, a superset of every deterministic
+      training id; delta appended against the FROZEN centroids/
+      codebooks via ``append_to_ivf_index`` / ``append_to_ivfpq_index``
+      — FAISS ``add`` after ``train``).  Frozen artifacts make the
+      appended index EXACTLY a full rebuild, so every serving arm's
+      full-rebuild DuckDB mirror doubles as an append-correctness
+      proof, and the dedicated ``ivfapp``/``ivfpqapp`` arms pin the
+      all-probe form (mirror = the single-query CTE with the probe
+      LIMIT widened to every cluster).
+    * The appended IVF index is then ``optimize_index``-ed (the
+      partition-preserving OPTIMIZE rewrite,
+      ``maintenance.compact_partitioned_table`` — folds the append's
+      extra file sets back to one per ``cluster_id=`` dir).  Layout-
+      only by contract, so the ``ivf_idx``/``ivfapp``/``many``/
+      ``sann`` arms serving through the optimized layout put the
+      100 TB index-maintenance path under the hash oracle.
+    * Serve arms are LAZY: the index dirs live in a session-lifetime
+      temp dir (``_ann_session_dir``), so every serving plan executes
+      inside the driver's ONE collect of the returned union —
+      independent subtrees scheduled concurrently — instead of the
+      round-6 shape's ~10 sequential bounded collects (measured 34 s
+      -> see PERFORMANCE.md round-7 item).  Stream-serve batches still
+      RUN eagerly (they write versioned state); only the state READ is
+      lazy.
+    * PQ codebooks are collected ONCE and the encoded codes
+      checkpointed ONCE, shared by the ``pq`` and ``pqmany`` arms
+      (the codebook is deterministic, so the shared artifacts equal
+      each arm's internal derivation — the bench ann_pq_serve pattern).
+
+    Arm semantics (unchanged from round 6): LSH band buckets
+    (pure-predicate candidates) and multi-probe LSH (``n_flip=1``:
+    neighbor buckets within one sign-bit flip per band — Lv et al.,
+    VLDB'07), IVF (in-memory assignment), persisted IVF through the
+    partition-pruned read (the plan that actually runs at 100 TB),
+    batched IVF (``ivf_topk_many``: ANN_MANY_QUERIES query vectors
+    through ONE partition-pruned plan, query id fused into the method
+    tag), int8 quantized-scan + exact rerank, PRODUCT QUANTIZATION
     (``pq_topk``: m=8 deterministic sub-codebooks, ADC candidate scan
-    over the 8-entry codes, exact rerank — the 32x-memory-shrink scan
-    path), BATCHED PQ serving (``pq_topk_many``: the same query batch
-    as the IVF batch through ONE zero-shuffle ADC plan, tagged
-    ``pqmany<qid>``), IVFPQ (``ivfpq_topk``: partition
-    pruning AND code-ADC in one persisted index — the combined FAISS
-    IndexIVFPQ architecture), RESIDUAL IVFPQ (``residual=True``: codes
-    encode ``v - centroid(assigned(v))``, serving builds one distance
-    table per probed cluster — the canonical FAISS refinement, tagged
-    ``ivfpqres``), BATCHED IVFPQ serving
-    (``ivfpq_topk_many``: the same query batch through one
-    probe-pruned constant-table ADC plan, tagged ``ivfpqmany<qid>``),
-    and STREAMING ANN serving (``streams.stream_ann_serve`` kernel:
-    ANN_SANN_QUERIES queries as 3 micro-batches against the frozen
-    persisted index with a forced compaction fold, tagged
-    ``sann<qid>`` — telescoping: equals the batched serve over the
-    same queries), tagged."""
+    over the 8-entry codes, exact rerank), batched PQ
+    (``pq_topk_many``: one zero-shuffle ADC plan), IVFPQ
+    (``ivfpq_topk``: partition pruning AND code-ADC in one persisted
+    index — the combined FAISS IndexIVFPQ architecture), residual
+    IVFPQ (codes over ``v - centroid(assigned(v))``, per-probed-
+    cluster distance tables — the canonical FAISS refinement), batched
+    IVFPQ (one probe-pruned constant-table ADC plan), and STREAMING
+    ANN serving (``streams.stream_ann_serve`` kernel:
+    ANN_SANN_QUERIES queries as 2 micro-batches with compact_every=1
+    forcing a snapshot fold; the index is frozen during serving so
+    batches are independent and the accumulated results equal the
+    batched serve — the mirror is the batched CTE re-tagged)."""
+    emb = _emb(spark, sf_dir)
+    qv = _query_vector(spark, sf_dir)
+
+    def _tag(df: DataFrame, method: str) -> DataFrame:
+        return df.select(
+            F.lit(method).alias("method"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "cosine_similarity",
+        )
+
+    def _tag_many(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.concat(F.lit(prefix), F.col("query_id").cast("string")).alias(
+                "method"
+            ),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "cosine_similarity",
+        )
+
     lsh = _q_ann_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"),
         "vec_id",
         F.lit(None).cast("long").alias("cluster_id"),
         "cosine_similarity",
     )
-    mplsh = SIM.lsh_topk(
-        _emb(spark, sf_dir), _query_vector(spark, sf_dir), k=10, n_flip=1
-    ).select(
+    mplsh = SIM.lsh_topk(emb, qv, k=10, n_flip=1).select(
         F.lit("mplsh").alias("method"),
         "vec_id",
         F.lit(None).cast("long").alias("cluster_id"),
@@ -1933,194 +2042,70 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").cast("long").alias("cluster_id"),
         "cosine_similarity",
     )
-    # persisted-index path, materialized eagerly so the temp index dir can
-    # be removed before the driver collects the returned (lazy) union
-    import tempfile
 
-    with tempfile.TemporaryDirectory() as td:
-        ivf_path = os.path.join(td, "ivf_index")
-        SIM.build_ivf_index(_emb(spark, sf_dir), ivf_path, n_clusters=16)
-        idx_rows = [
-            (int(r["vec_id"]), int(r["cluster_id"]), float(r["cosine_similarity"]))
-            for r in SIM.ivf_topk_from_index(
-                spark, ivf_path, _query_vector(spark, sf_dir), k=10, n_probe=4
-            ).collect()
-        ]
-        # IVFPQ: partition pruning AND m-byte-code ADC in one persisted
-        # index (similarity.build_ivfpq_index); bounded collect so the
-        # temp dir can be removed before the driver consumes the union
-        ivfpq_path = os.path.join(td, "ivfpq_index")
-        SIM.build_ivfpq_index(
-            _emb(spark, sf_dir), ivfpq_path, dim=PQ_DIM,
-            n_clusters=16, m=PQ_M, n_codes=PQ_CODES,
-        )
-        ivfpq_rows = [
-            (int(r["vec_id"]), int(r["cluster_id"]), float(r["cosine_similarity"]))
-            for r in SIM.ivfpq_topk(
-                spark, ivfpq_path, _query_vector(spark, sf_dir),
-                dim=PQ_DIM, m=PQ_M, k=10, n_probe=4,
-            ).collect()
-        ]
-        # FILTERED ANN serving (where=): the metadata predicate restricts
-        # the probe-pruned candidate scan BEFORE the ADC
-        # (_restrict_candidates), so the survivor pool and the exact
-        # rerank both see only matching rows — the serving path every
-        # metadata-scoped vector query takes
-        ivfpqfilt_rows = [
-            (int(r["vec_id"]), int(r["cluster_id"]), float(r["cosine_similarity"]))
-            for r in SIM.ivfpq_topk(
-                spark, ivfpq_path, _query_vector(spark, sf_dir),
-                dim=PQ_DIM, m=PQ_M, k=10, n_probe=4,
-                where=ANN_FILTER_PREDICATE,
-            ).collect()
-        ]
-        # INDEX HEALTH STATS: per-cluster counts/shares off the existing
-        # persisted index — the re-train trigger of the add-after-train
-        # contract; partition-column-only scan.  Column reuse: vec_id
-        # carries the cluster's row count, cosine_similarity its share.
-        stats_rows = [
-            (int(r["n_vectors"]), int(r["cluster_id"]), float(r["share"]))
-            for r in SIM.ivfpq_index_stats(spark, ivfpq_path).collect()
-        ]
-        # APPEND-AFTER-TRAIN (FAISS add): base index built on the first
-        # ANN_APPEND_BASE ids (a superset of every deterministic
-        # training id), the rest appended against the FROZEN
-        # centroids/codebooks, served all-probe — must equal a full
-        # rebuild served all-probe, so the mirror is the ivfpq CTE with
-        # the probe limit widened to every cluster
-        app_path = os.path.join(td, "ivfpqapp_index")
-        SIM.build_ivfpq_index(
-            _emb(spark, sf_dir).where(F.col("vec_id") < ANN_APPEND_BASE),
-            app_path, dim=PQ_DIM, n_clusters=16, m=PQ_M, n_codes=PQ_CODES,
-        )
-        SIM.append_to_ivfpq_index(
-            spark,
-            _emb(spark, sf_dir).where(F.col("vec_id") >= ANN_APPEND_BASE),
-            app_path,
-        )
-        ivfpqapp_rows = [
-            (int(r["vec_id"]), int(r["cluster_id"]), float(r["cosine_similarity"]))
-            for r in SIM.ivfpq_topk(
-                spark, app_path, _query_vector(spark, sf_dir),
-                dim=PQ_DIM, m=PQ_M, k=10, n_probe=16,
-            ).collect()
-        ]
-        # RESIDUAL IVFPQ (the canonical FAISS IndexIVFPQ refinement:
-        # codes encode v - centroid(assigned(v)), serving builds one
-        # distance table per probed cluster over q - centroid_c); the
-        # params sidecar flips the serving path — same call, new index
-        ivfpqres_path = os.path.join(td, "ivfpqres_index")
-        SIM.build_ivfpq_index(
-            _emb(spark, sf_dir), ivfpqres_path, dim=PQ_DIM,
-            n_clusters=16, m=PQ_M, n_codes=PQ_CODES, residual=True,
-        )
-        ivfpqres_rows = [
-            (int(r["vec_id"]), int(r["cluster_id"]), float(r["cosine_similarity"]))
-            for r in SIM.ivfpq_topk(
-                spark, ivfpqres_path, _query_vector(spark, sf_dir),
-                dim=PQ_DIM, m=PQ_M, k=10, n_probe=4,
-            ).collect()
-        ]
-        # batched IVFPQ serving against the SAME persisted index: the
-        # ivf many<qid> batch shape composed with the PQ constant
-        # distance tables — 5 queries, one probe-pruned ADC plan;
-        # bounded collect (5 x k rows) before the temp dir goes away
-        ivfpq_many_rows = [
-            (
-                f"ivfpqmany{int(r['query_id'])}",
-                int(r["vec_id"]),
-                int(r["cluster_id"]),
-                float(r["cosine_similarity"]),
-            )
-            for r in SIM.ivfpq_topk_many(
-                spark,
-                ivfpq_path,
-                _emb(spark, sf_dir)
-                .where(F.col("vec_id") < ANN_MANY_QUERIES)
-                .select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("query_vector"),
-                ),
-                dim=PQ_DIM,
-                m=PQ_M,
-                k=10,
-                n_probe=4,
-            ).collect()
-        ]
-        # batched serving against the SAME persisted index: 5 queries,
-        # one plan; bounded collect (5 x k rows) so the temp index dir
-        # can be removed before the driver consumes the lazy union
-        many_rows = [
-            (
-                f"many{int(r['query_id'])}",
-                int(r["vec_id"]),
-                int(r["cluster_id"]),
-                float(r["cosine_similarity"]),
-            )
-            for r in SIM.ivf_topk_many(
-                spark,
-                _emb(spark, sf_dir)
-                .where(F.col("vec_id") < ANN_MANY_QUERIES)
-                .select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("query_vector"),
-                ),
-                path=ivf_path,
-                k=10,
-                n_probe=4,
-            ).collect()
-        ]
-        # streaming ANN serving (streams.stream_ann_serve kernel): the
-        # SAME 5 queries split into 3 micro-batches (query_id % 3) hand-
-        # driving _ann_serve_apply against the SAME persisted IVF index.
-        # The index is frozen during serving, so batches are independent
-        # and the accumulated results equal the many<qid> batch (the
-        # serving analog of the ingest telescoping guarantee) — the
-        # oracle is the SAME SQL mirror re-tagged.  compact_every=2
-        # forces a snapshot fold mid-run, putting the serve stream's
-        # compaction under the oracle too.  Bounded collect (5 x k rows)
-        # before the temp dirs go away.
-        from wpvectordb_spark.streaming import streams as ST
+    td = _ann_session_dir()
+    base = emb.where(F.col("vec_id") < ANN_APPEND_BASE)
+    delta = emb.where(F.col("vec_id") >= ANN_APPEND_BASE)
+    ivf_path = os.path.join(td, "ivf_index")
+    ivfpq_path = os.path.join(td, "ivfpq_index")
+    ivfpqres_path = os.path.join(td, "ivfpqres_index")
+    serve_dir = os.path.join(td, "serve_results")
+    servepq_dir = os.path.join(td, "servepq_results")
 
-        serve_dir = os.path.join(td, "serve_results")
+    from wpvectordb_spark.streaming import streams as ST
+
+    qserve = emb.where(F.col("vec_id") < ANN_SANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+
+    # Three INDEPENDENT build+serve-stream chains, each a strict
+    # sequential dependency internally, submitted from three driver
+    # threads (Spark's standard concurrent-job-submission pattern —
+    # the scheduler interleaves their small jobs across the executor
+    # cores instead of paying each job's fixed latency back-to-back;
+    # results are deterministic, only scheduling overlaps).  The PQ
+    # artifacts build on the main thread meanwhile.
+    def _chain_ivf() -> None:
+        # appended + OPTIMIZEd IVF index: build on the base half, append
+        # the delta against the frozen centroids (append_to_ivf_index),
+        # fold the append's extra file sets back to one per partition
+        # dir (optimize_index -> compact_partitioned_table, layout-only
+        # rewrite) — then the sann micro-batches serve through it
+        SIM.build_ivf_index(base, ivf_path, n_clusters=16)
+        SIM.append_to_ivf_index(spark, delta, ivf_path)
+        SIM.optimize_index(spark, ivf_path)
+        # streaming IVF serving: ANN_SANN_QUERIES queries split
+        # query_id % 2 into 2 micro-batches hand-driving
+        # _ann_serve_apply against the frozen optimized index;
+        # compact_every=1 folds batch 0's delta into a snapshot when
+        # batch 1 lands, so accumulate-and-compact stays under the
+        # oracle.  Writes are eager (versioned state); the read is lazy.
         os.makedirs(serve_dir)
-        qserve = (
-            _emb(spark, sf_dir)
-            .where(F.col("vec_id") < ANN_SANN_QUERIES)
-            .select(
-                F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("query_vector"),
-            )
-        )
-        for bid in range(3):
+        for bid in range(2):
             ST._ann_serve_apply(
                 spark,
                 ivf_path,
                 serve_dir,
-                qserve.where(F.pmod(F.col("query_id"), F.lit(3)) == bid),
+                qserve.where(F.pmod(F.col("query_id"), F.lit(2)) == bid),
                 bid,
                 kind="ivf",
                 k=10,
                 n_probe=4,
-                compact_every=2,
+                compact_every=1,
             )
-        sann_rows = [
-            (
-                f"sann{int(r['query_id'])}",
-                int(r["vec_id"]),
-                int(r["cluster_id"]),
-                float(r["cosine_similarity"]),
-            )
-            for r in ST._read_state_stable(
-                spark, serve_dir, ST._ANN_RESULTS_SCHEMA
-            ).collect()
-        ]
-        # the serve stream's IVFPQ path: one micro-batch (query 0, the
-        # ivfpq arm's query) driven kind='ivfpq' against the SAME
-        # persisted IVFPQ index — the batches-are-independent contract
-        # means one batch IS the whole result, so the mirror is the
+
+    def _chain_ivfpq() -> None:
+        # appended IVFPQ index (same base/delta split, frozen codebooks
+        # too), then the serve stream's IVFPQ path: one micro-batch
+        # (query 0, the ivfpq arm's query) — batches are independent,
+        # so one batch IS the whole result and the mirror is the
         # single-query ivfpq CTE re-tagged
-        servepq_dir = os.path.join(td, "servepq_results")
+        SIM.build_ivfpq_index(
+            base, ivfpq_path, dim=PQ_DIM, n_clusters=16, m=PQ_M,
+            n_codes=PQ_CODES,
+        )
+        SIM.append_to_ivfpq_index(spark, delta, ivfpq_path)
         os.makedirs(servepq_dir)
         ST._ann_serve_apply(
             spark,
@@ -2134,98 +2119,129 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             dim=PQ_DIM,
             m=PQ_M,
         )
-        sannpq_rows = [
-            ("sannpq", int(r["vec_id"]), int(r["cluster_id"]),
-             float(r["cosine_similarity"]))
-            for r in ST._read_state_stable(
-                spark, servepq_dir, ST._ANN_RESULTS_SCHEMA
-            ).collect()
-        ]
-    ivf_idx = spark.createDataFrame(
-        idx_rows, "vec_id long, cluster_id long, cosine_similarity double"
-    ).select(
-        F.lit("ivf_idx").alias("method"), "vec_id", "cluster_id", "cosine_similarity"
+
+    def _chain_res() -> None:
+        # residual IVFPQ: full build (the residual encode path is what
+        # the arm pins; its append form shares append_to_ivfpq_index's
+        # kernel)
+        SIM.build_ivfpq_index(
+            emb, ivfpqres_path, dim=PQ_DIM,
+            n_clusters=16, m=PQ_M, n_codes=PQ_CODES, residual=True,
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futures = [ex.submit(f) for f in (_chain_ivf, _chain_ivfpq, _chain_res)]
+        # PQ serving artifacts on the main thread: ONE codebook collect
+        # + ONE checkpointed encode pass shared by the single-query and
+        # batched arms (deterministic codebooks, so the shared
+        # artifacts equal each arm's internal derivation)
+        pq_cb = SIM._collect_codebooks(
+            SIM.pq_codebooks(emb, dim=PQ_DIM, m=PQ_M, n_codes=PQ_CODES), PQ_M
+        )
+        pq_codes = SIM._pq_encode_from_cb(
+            emb, pq_cb, PQ_DIM, PQ_M, "vec_id", "embedding"
+        ).localCheckpoint()
+        for fut in futures:
+            fut.result()
+
+    ivf_idx = _tag(
+        SIM.ivf_topk_from_index(spark, ivf_path, qv, k=10, n_probe=4), "ivf_idx"
     )
-    ivfpq = spark.createDataFrame(
-        ivfpq_rows, "vec_id long, cluster_id long, cosine_similarity double"
-    ).select(
-        F.lit("ivfpq").alias("method"), "vec_id", "cluster_id", "cosine_similarity"
+    # plain-IVF append served ALL-PROBE == full rebuild (the all-probe
+    # form is exact, so the mirror is the ivf CTE with LIMIT 16 probes)
+    ivfapp = _tag(
+        SIM.ivf_topk_from_index(spark, ivf_path, qv, k=10, n_probe=16), "ivfapp"
     )
-    ivfpqfilt = spark.createDataFrame(
-        ivfpqfilt_rows, "vec_id long, cluster_id long, cosine_similarity double"
+    ivfpq = _tag(
+        SIM.ivfpq_topk(
+            spark, ivfpq_path, qv, dim=PQ_DIM, m=PQ_M, k=10, n_probe=4
+        ),
+        "ivfpq",
+    )
+    # FILTERED ANN serving (where=): the metadata predicate restricts
+    # the probe-pruned candidate scan BEFORE the ADC
+    # (_restrict_candidates), so the survivor pool and the exact rerank
+    # both see only matching rows
+    ivfpqfilt = _tag(
+        SIM.ivfpq_topk(
+            spark, ivfpq_path, qv, dim=PQ_DIM, m=PQ_M, k=10, n_probe=4,
+            where=ANN_FILTER_PREDICATE,
+        ),
+        "ivfpqfilt",
+    )
+    # INDEX HEALTH STATS: per-cluster counts/shares off the persisted
+    # index — the re-train trigger of the add-after-train contract;
+    # partition-column-only scan.  Column reuse: vec_id carries the
+    # cluster's row count, cosine_similarity its share.
+    stats = SIM.ivfpq_index_stats(spark, ivfpq_path).select(
+        F.lit("stats").alias("method"),
+        F.col("n_vectors").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("share").alias("cosine_similarity"),
+    )
+    # IVFPQ append served all-probe == full rebuild (mirror = the ivfpq
+    # CTE with the probe limit widened to every cluster)
+    ivfpqapp = _tag(
+        SIM.ivfpq_topk(
+            spark, ivfpq_path, qv, dim=PQ_DIM, m=PQ_M, k=10, n_probe=16
+        ),
+        "ivfpqapp",
+    )
+    ivfpqres = _tag(
+        SIM.ivfpq_topk(
+            spark, ivfpqres_path, qv, dim=PQ_DIM, m=PQ_M, k=10, n_probe=4
+        ),
+        "ivfpqres",
+    )
+    qs = emb.where(F.col("vec_id") < ANN_MANY_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    ivfpq_many = _tag_many(
+        SIM.ivfpq_topk_many(
+            spark, ivfpq_path, qs, dim=PQ_DIM, m=PQ_M, k=10, n_probe=4
+        ),
+        "ivfpqmany",
+    )
+    many = _tag_many(
+        SIM.ivf_topk_many(spark, qs, path=ivf_path, k=10, n_probe=4), "many"
+    )
+    # stream-serve results: the batches ran in the build chains above;
+    # the reads are lazy over the session-lifetime state dirs
+    sann = _tag_many(
+        ST._read_state_stable(spark, serve_dir, ST._ANN_RESULTS_SCHEMA), "sann"
+    )
+    sannpq = ST._read_state_stable(
+        spark, servepq_dir, ST._ANN_RESULTS_SCHEMA
     ).select(
-        F.lit("ivfpqfilt").alias("method"), "vec_id", "cluster_id",
+        F.lit("sannpq").alias("method"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
         "cosine_similarity",
     )
-    stats = spark.createDataFrame(
-        stats_rows, "vec_id long, cluster_id long, cosine_similarity double"
-    ).select(
-        F.lit("stats").alias("method"), "vec_id", "cluster_id",
-        "cosine_similarity",
-    )
-    ivfpqapp = spark.createDataFrame(
-        ivfpqapp_rows, "vec_id long, cluster_id long, cosine_similarity double"
-    ).select(
-        F.lit("ivfpqapp").alias("method"), "vec_id", "cluster_id",
-        "cosine_similarity",
-    )
-    ivfpqres = spark.createDataFrame(
-        ivfpqres_rows, "vec_id long, cluster_id long, cosine_similarity double"
-    ).select(
-        F.lit("ivfpqres").alias("method"), "vec_id", "cluster_id",
-        "cosine_similarity",
-    )
-    ivfpq_many = spark.createDataFrame(
-        ivfpq_many_rows,
-        "method string, vec_id long, cluster_id long, cosine_similarity double",
-    )
-    many = spark.createDataFrame(
-        many_rows,
-        "method string, vec_id long, cluster_id long, cosine_similarity double",
-    )
-    sann = spark.createDataFrame(
-        sann_rows,
-        "method string, vec_id long, cluster_id long, cosine_similarity double",
-    )
-    sannpq = spark.createDataFrame(
-        sannpq_rows,
-        "method string, vec_id long, cluster_id long, cosine_similarity double",
-    )
-    quant = SIM.quantized_topk(
-        _emb(spark, sf_dir), _query_vector(spark, sf_dir), n=10
-    ).select(
+
+    quant = SIM.quantized_topk(emb, qv, n=10).select(
         F.lit("quant").alias("method"),
         "vec_id",
         F.lit(None).cast("long").alias("cluster_id"),
         "cosine_similarity",
     )
     pq = SIM.pq_topk(
-        _emb(spark, sf_dir),
-        _query_vector(spark, sf_dir),
-        dim=PQ_DIM,
-        m=PQ_M,
-        n_codes=PQ_CODES,
-        n=10,
+        emb, qv, dim=PQ_DIM, m=PQ_M, n_codes=PQ_CODES, n=10,
+        codebooks=pq_cb, encoded=pq_codes,
     ).select(
         F.lit("pq").alias("method"),
         "vec_id",
         F.lit(None).cast("long").alias("cluster_id"),
         "cosine_similarity",
     )
-    # batched PQ serving: the same 5 query vectors as the IVF many<qid>
+    # batched PQ serving: the same query batch as the IVF many<qid>
     # arms, one zero-shuffle-scan ADC plan, query id fused into the tag
     pq_many = SIM.pq_topk_many(
-        _emb(spark, sf_dir),
-        _emb(spark, sf_dir)
-        .where(F.col("vec_id") < ANN_MANY_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_vector"),
-        ),
-        dim=PQ_DIM,
-        m=PQ_M,
-        n_codes=PQ_CODES,
-        n=10,
+        emb, qs, dim=PQ_DIM, m=PQ_M, n_codes=PQ_CODES, n=10,
+        codebooks=pq_cb, encoded=pq_codes,
     ).select(
         F.concat(F.lit("pqmany"), F.col("query_id").cast("string")).alias("method"),
         "vec_id",
@@ -2236,6 +2252,7 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh.unionByName(mplsh)
         .unionByName(ivf)
         .unionByName(ivf_idx)
+        .unionByName(ivfapp)
         .unionByName(ivfpq)
         .unionByName(ivfpqfilt)
         .unionByName(stats)
@@ -2390,21 +2407,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Keys whose results changed this round are ordered FIRST in case the
     window is time-bounded rather than count-bounded."""
     return {
-        # --- changed in round 6 (front of window): text_analyze gains
-        # the corpus-profile + streaming-monitor + drift-tseries arms;
-        # ann_lsh_ivf shrinks the batched-serving arms to one
-        # representative batch per family and gains
-        # mplsh/ivfpqfilt/ivfpqapp/stats/sannpq; curate_sample_pack
-        # gains the temperature-mixing 'temp' arm; index_build the
-        # training-shard 'sink' roundtrip; queue_enqueue the
-        # ingest-stream 'stream' arm; k7_json_codec the quarantine
-        # split; curate_decontaminate the C4 line/page rules ---
-        "text_analyze": _q_text_analyze_merged,
+        # --- changed in round 7 (front of window): ann_lsh_ivf moves
+        # both persisted indexes to base+append (+ the plain-IVF
+        # 'ivfapp' arm over append_to_ivf_index + optimize_index, sann
+        # to 2 batches with compact_every=1); events_conversion_funnel
+        # gains the N-step 'seq' arm (sequence_funnel); k7_json_codec's
+        # ingest fixture pins the bare-`null` quarantine line ---
         "ann_lsh_ivf": _q_ann_lsh_ivf,
+        "events_conversion_funnel": _q_events_funnel_merged,
+        "k7_json_codec": _q_k7_json_codec,
+        # --- changed in round 6: text_analyze gained the corpus-profile
+        # + streaming-monitor + drift-tseries arms; curate_sample_pack
+        # the temperature-mixing 'temp' arm; index_build the
+        # training-shard 'sink' roundtrip; queue_enqueue the
+        # ingest-stream 'stream' arm; curate_decontaminate the C4
+        # line/page rules ---
+        "text_analyze": _q_text_analyze_merged,
         "curate_sample_pack": _q_curate_sample_pack,
         "index_build": _q_index_build_merged,
         "queue_enqueue": _q_queue_enqueue,
-        "k7_json_codec": _q_k7_json_codec,
         "curate_decontaminate": _q_curate_decontaminate,
         # --- changed in round 5: streaming-ingest
         # 'stream' arm under the telescoping oracle; pipeline arm now
@@ -2433,7 +2454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_interval_sessions": _q_join_interval_sessions,
         "events_sessionize": _q_events_sessionize,
         "events_user_profile": _q_events_user_profile,
-        "events_conversion_funnel": _q_events_conversion_funnel,
         "events_percentiles": _q_events_percentiles,
         "k3_k4_sign_code_hex": _q_k3_k4_sign_code_hex,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -3007,9 +3027,10 @@ def oracle_sql() -> dict[str, str]:
     # streaming ANN serving mirror: the index is frozen during a serve
     # run, so the accumulated micro-batch results EQUAL the batched
     # serve over the same queries (telescoping) — the mirror is the
-    # ivf_many CTE verbatim with only the method tag changed
-    # sann serves ANN_SANN_QUERIES queries (3, so the qid%3 split still
-    # yields 3 micro-batches and forces a compaction) — widen the query
+    # ivf_many CTE verbatim with only the method tag changed.
+    # sann serves ANN_SANN_QUERIES queries (2, split qid%2 into 2
+    # micro-batches; compact_every=1 folds batch 0 when batch 1 lands,
+    # so the snapshot compaction stays exercised) — widen the query
     # predicate along with the tag when re-deriving the mirror.  The
     # newline anchor keeps the replace from matching inside the cent
     # CTE's "vec_id < 16" if ANN_MANY_QUERIES ever became a prefix of 16.
@@ -3017,6 +3038,29 @@ def oracle_sql() -> dict[str, str]:
         f"vec_id < {ANN_MANY_QUERIES}\n", f"vec_id < {ANN_SANN_QUERIES}\n", 1
     )
     assert f"vec_id < {ANN_SANN_QUERIES}" in sann_sql
+    # plain-IVF append served all-probe == full rebuild: the ivf CTE
+    # with the probe limit widened to every cluster (the ivfpqapp
+    # pattern applied to the plain-IVF append + OPTIMIZE path)
+    ivfapp_sql = ivf_sql.replace("LIMIT 4\n", "LIMIT 16\n", 1)
+    assert "LIMIT 16" in ivfapp_sql and "LIMIT 4\n" not in ivfapp_sql
+    # N-step funnel 'seq' arm: one UNION branch per LITERAL step index
+    # over the sql_sequence_funnel CTE (DuckDB lists are 1-based; the
+    # Spark posexplode pos is 0-based -> `converted` carries i), plus
+    # the zero-completion all-NULL branch (posexplode_outer's row)
+    seq_arm_sql = "".join(
+        f"""
+            UNION ALL
+            SELECT 'seq' AS kind, user_id, step_ts[{i + 1}] AS first_t,
+                   CAST(NULL AS TIMESTAMP) AS then_t,
+                   CAST({i} AS INT) AS converted
+            FROM sqf WHERE steps_completed >= {i + 1}"""
+        for i in range(len(FUNNEL_STEPS))
+    ) + """
+            UNION ALL
+            SELECT 'seq' AS kind, user_id, CAST(NULL AS TIMESTAMP) AS first_t,
+                   CAST(NULL AS TIMESTAMP) AS then_t,
+                   CAST(NULL AS INT) AS converted
+            FROM sqf WHERE steps_completed = 0"""
     # int8 quantized-scan + exact-rerank (similarity.quantized_topk):
     # scale = max|x|/127 (1e-30 floor), codes = round-half-away(x/scale),
     # scan ranks by quantized cosine (scales cancel), 4n survivors rerank
@@ -3586,7 +3630,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT engine, id_a, id_b, cosine FROM ({semdedup_cte})
         """,
-        "events_conversion_funnel": """
+        "events_conversion_funnel": f"""
             WITH firsts AS (
               SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_t
               FROM events WHERE event_type = 'signup' GROUP BY user_id
@@ -3596,12 +3640,18 @@ def oracle_sql() -> dict[str, str]:
               FROM events e JOIN firsts f ON e.user_id = f.user_id
               WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= f.first_t
               GROUP BY e.user_id
-            )
-            SELECT f.user_id, f.first_t, t.then_t,
+            ),
+            sqf AS ({E.sql_sequence_funnel("CAST(ts AS TIMESTAMP)", FUNNEL_STEPS)})
+            SELECT 'conv' AS kind, f.user_id, f.first_t, t.then_t,
                    CAST(CASE WHEN t.then_t IS NOT NULL
                               AND epoch_us(t.then_t) - epoch_us(f.first_t) <= 86400000000
                          THEN 1 ELSE 0 END AS INT) AS converted
             FROM firsts f LEFT JOIN thens t ON f.user_id = t.user_id
+            -- N-step funnel arm: the completed prefix exploded, one
+            -- branch per (literal) step index, 1-based list indexing ->
+            -- 0-based step index in `converted`; zero-completion users
+            -- keep one all-NULL row (the posexplode_outer mirror)
+            {seq_arm_sql}
         """,
         "text_analyze": text_analyze_merged_sql,
         "search_batch": search_batch_sql,
@@ -3761,6 +3811,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ivf_idx' AS method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
                    cosine_similarity
             FROM ({ivf_sql})
+            UNION ALL
+            -- plain-IVF append (+ OPTIMIZE rewrite), served all-probe
+            -- == full rebuild
+            SELECT 'ivfapp' AS method, vec_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id, cosine_similarity
+            FROM ({ivfapp_sql})
             UNION ALL
             -- IVFPQ: probe pruning + code-ADC funnel + exact rerank
             SELECT 'ivfpq' AS method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
@@ -4207,6 +4263,7 @@ def oracle_sql() -> dict[str, str]:
               ('ingest_bad', CAST(NULL AS BIGINT), '{_INGEST_LINES[2]}'),
               ('ingest_bad', CAST(NULL AS BIGINT), '{_INGEST_LINES[3]}'),
               ('ingest_bad', CAST(NULL AS BIGINT), '{_INGEST_LINES[4]}'),
+              ('ingest_bad', CAST(NULL AS BIGINT), '{_INGEST_LINES[6]}'),
               ('ingest_csv_ok', CAST(11 AS BIGINT), 'csv hello'),
               ('ingest_csv_ok', CAST(12 AS BIGINT), 'csv hola'),
               ('ingest_csv_bad', CAST(NULL AS BIGINT), '{_INGEST_CSV_LINES[2]}'),

@@ -35,6 +35,20 @@ def main() -> None:
     from wpvectordb_spark.operators import search as S
     from wpvectordb_spark.session import get_spark
 
+    # Capture load BEFORE the JVM launches: the end-of-run loadavg is
+    # self-inflated by the benchmark itself, so it cannot adjudicate
+    # whether the window was quiet.  Rounds 5 and 6 both shipped
+    # artifacts ~50% above quiet-window truth because the recorded
+    # number couldn't prove contamination (PERFORMANCE.md items 47/49).
+    loadavg_prelaunch = [round(x, 2) for x in os.getloadavg()]
+    window = "quiet" if loadavg_prelaunch[0] < 1.0 else "contaminated"
+    if window == "contaminated":
+        print(
+            f"# WARNING: pre-launch 1-min loadavg {loadavg_prelaunch[0]} >= 1 — "
+            "this run's numbers are not comparable across rounds",
+            file=sys.stderr,
+        )
+
     spark = get_spark("wpvectordb-bench")
     # Codegen mode: the Spark default (FALLBACK, whole-stage codegen with
     # interpreted fallback).  Round 2 measured interpreted mode faster and
@@ -320,6 +334,8 @@ def main() -> None:
                 "sf": float(sf),
                 "median_of": RUNS,
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
+                "loadavg_prelaunch": loadavg_prelaunch,
+                "window": window,
                 "cpus": os.cpu_count(),
                 "codegen_mode": spark.conf.get("spark.sql.codegen.factoryMode"),
                 "git_sha": git_sha,

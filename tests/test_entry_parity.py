@@ -84,10 +84,11 @@ EXPECTED_ARMS = {
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup"}),
     "dedup_exact": ("kind", {"cut", "exact", "span"}),
     "dedup_minhash_lsh": ("kind", {"component", "incr", "pair", "stream"}),
-    # round 6: batched-serving arms shrunk to ONE representative batch
-    # per family (ANN_MANY_QUERIES=2 queries; sann keeps 3 so the qid%3
-    # split still forces a compaction) and the multi-probe 'mplsh' arm
-    # joined the key — the round-5 verdict's blast-radius item
+    # round 7: both persisted indexes are base+append (every serving
+    # arm's full-rebuild mirror doubles as an append proof), 'ivfapp'
+    # pins the plain-IVF append + OPTIMIZE path all-probe, and sann
+    # shrank to 2 micro-batches (qid%2, compact_every=1 keeps the
+    # snapshot fold exercised)
     "ann_lsh_ivf": (
         "method",
         {
@@ -95,6 +96,7 @@ EXPECTED_ARMS = {
             "mplsh",
             "ivf",
             "ivf_idx",
+            "ivfapp",
             "ivfpq",
             "ivfpqfilt",
             "ivfpqapp",
@@ -109,12 +111,14 @@ EXPECTED_ARMS = {
             "ivfpqmany1",
             "sann0",
             "sann1",
-            "sann2",
             "sannpq",
             "ivfpqres",
         },
     ),
     "text_terms_tfidf": ("kind", {"bm25", "ppl", "rrf", "tfidf", "top"}),
+    # round 7: + the N-step sequence_funnel 'seq' arm (exploded
+    # completed prefix; zero-completion users keep one all-NULL row)
+    "events_conversion_funnel": ("kind", {"conv", "seq"}),
     # round 6: per-doc analysis + corpus profile + streaming-monitor
     # accumulation (must equal 'profile' exactly — integer-sum merge)
     "text_analyze": ("kind", {"doc", "profile", "sprofile", "tseries"}),

@@ -296,23 +296,31 @@ def test_ingest_documents_jsonl_and_csv_quarantine(spark, tmp_path):
     # must not become phantom all-NULL good rows (from_json returns a
     # NULL struct, whose _corrupt_record IS NULL, so without the
     # parsed-non-null guard they'd pass the good filter)
+    # ... and the bare JSON literal `null`: from_json yields a NULL
+    # struct with NO corrupt record — it must quarantine with the raw
+    # line, not vanish from both frames (the ADVICE r6 invariant)
     with open(f"{jdir}/zz_bad.json", "w") as f:
         f.write(
             '{"doc_id": 1, "text": "tru\nnot json at all\n'
             '{"doc_id": "seven", "text": "bad id"}\n'
+            "null\n"
             "\t\n \n\n"
         )
     good2, quar2 = ingest_documents(spark, jdir, format="jsonl")
     assert sorted(map(tuple, good2.collect())) == want
     bad = quar2.collect()
-    assert len(bad) == 3
+    assert len(bad) == 4
     assert {r["_corrupt_record"] for r in bad} == {
         '{"doc_id": 1, "text": "tru',
         "not json at all",
         '{"doc_id": "seven", "text": "bad id"}',
+        "null",
     }
+    # the NULL-struct row carries typed NULL data columns + the raw line
+    nrow = [r for r in bad if r["_corrupt_record"] == "null"][0]
+    assert nrow["doc_id"] is None and nrow["text"] is None
     # every non-blank input line is in exactly one frame — no silent loss
-    assert good2.count() + quar2.count() == len(want) + 3
+    assert good2.count() + quar2.count() == len(want) + 4
 
     cdir = str(tmp_path / "drop_csv")
     docs.coalesce(2).write.csv(cdir)  # header-less, column order = schema

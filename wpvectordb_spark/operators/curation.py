@@ -340,6 +340,8 @@ def sql_temperature_budgets(
     """DuckDB mirror of ``temperature_budgets_frame`` (same pow weights,
     same stratum-sorted Z fold via list(ORDER BY) + list_reduce, same
     round-then-floor budgets)."""
+    if not 0.0 <= float(alpha) <= 1.0:
+        raise ValueError(f"sql_temperature_budgets: alpha={alpha} outside [0, 1]")
     bpe = X.sql_bpe_pretokens(text)
     return f"""
         WITH tb_t AS (

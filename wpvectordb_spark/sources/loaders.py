@@ -135,11 +135,12 @@ def ingest_documents(
       longer applies — counts work.
     * Whitespace-only lines are skipped (matching the datasource's
       ignore-blank-lines behavior): a whitespace-class regex blank
-      check before the parse, PLUS a parsed-struct-non-null guard
-      after it — ``from_json`` returns a NULL struct (not a corrupt
-      row) for blank-ish input, and without the guard such lines would
-      surface as phantom all-NULL rows in the good frame (corrupt IS
-      NULL passes when the whole struct is NULL).
+      check before the parse.  A NON-blank line that still parses to a
+      NULL struct (``from_json`` returns one for the bare JSON literal
+      ``null``, with no corrupt record set) is routed to quarantine
+      with the raw line — never to the good frame as a phantom
+      all-NULL row, and never silently dropped: every non-blank input
+      line lands in exactly one of the two frames.
     * JSONL is splittable line-by-line; CSV here is header-less with
       explicit columns — the multiLine variants of either format
       destroy splittability and are deliberately not exposed.
@@ -156,14 +157,24 @@ def ingest_documents(
         parse = F.from_csv(F.col("value"), full, opts)
     else:
         raise ValueError(f"ingest_documents: unknown format {format!r}")
-    df = (
+    lines = (
         spark.read.text(path)
         .where(F.regexp_replace(F.col("value"), r"\s", "") != "")
-        .select(parse.alias("_parsed"))
-        .where(F.col("_parsed").isNotNull())
-        .select("_parsed.*")
+        .select(F.col("value"), parse.alias("_parsed"))
     )
     cols = [f.split()[0] for f in schema.split(",")]
-    good = df.where(F.col(_CORRUPT_COL).isNull()).select(*cols)
-    quarantine = df.where(F.col(_CORRUPT_COL).isNotNull())
+    parsed = lines.where(F.col("_parsed").isNotNull()).select("_parsed.*")
+    good = parsed.where(F.col(_CORRUPT_COL).isNull()).select(*cols)
+    # A NON-blank line whose parse yields a NULL struct with no corrupt
+    # record (e.g. the bare JSON literal ``null``) is still a line the
+    # caller handed us: the invariant is every non-blank input line lands
+    # in exactly one frame, so these go to quarantine with the raw line —
+    # getField on the NULL struct gives correctly-typed NULL columns.
+    null_struct = lines.where(F.col("_parsed").isNull()).select(
+        *[F.col("_parsed")[c].alias(c) for c in cols],
+        F.col("value").alias(_CORRUPT_COL),
+    )
+    quarantine = parsed.where(F.col(_CORRUPT_COL).isNotNull()).unionByName(
+        null_struct
+    )
     return good, quarantine
