@@ -192,10 +192,14 @@ def main() -> None:
         ).count(),
         "curate_pipeline": lambda: entry._pipeline_manifest(spark, SF_DIR).count(),
         # corpus quality profile: one narrow projection + one hash agg
-        # to #strata rows — the daily "know your data" monitor pass
+        # to #strata rows — the daily "know your data" monitor pass.
+        # collect(), NOT count(): count() of an Aggregate lets Catalyst
+        # prune the unused metric expressions, so round 6's 0.47 s
+        # measured only the group-count shuffle, not the per-doc
+        # feature computation (the actual cost; round-7 scale sweep)
         "corpus_profile": lambda: TA.corpus_profile(
             spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-        ).count(),
+        ).collect(),
     }
     # product-quantization serving: zero-shuffle ADC scan over the STORED
     # 8-entry codes + exact rerank (the 32x-memory-shrink scan path).

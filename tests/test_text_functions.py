@@ -263,8 +263,11 @@ def test_crlf_and_case_scrub_hardening(spark, duck):
 def test_corpus_profile_parity_and_plan(spark, duck):
     """corpus_profile: per-(lang, source) volumes/quality/PII/lang-id
     agreement — DuckDB parity via the int-scaled quality sum (double
-    sums would diverge by merge order), and a plan with exactly one
-    aggregation exchange and no joins."""
+    sums would diverge by merge order), and the deliberate TWO-pass
+    plan shape: one aggregation exchange per pass (lambda features and
+    the complex-regex PII probe in separate loops — PERFORMANCE.md
+    item 51), merged by union + re-sum with NO joins (a join would
+    drop NULL-stratum groups)."""
     from wpvectordb_spark.operators import text_analysis as TA
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -281,4 +284,4 @@ def test_corpus_profile_parity_and_plan(spark, duck):
         .split("Initial Plan")[0]
     )
     assert "Join" not in plan
-    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange") == 2, plan

@@ -37,27 +37,48 @@ def _sql_stopword_ratio(toks: str, words: tuple[str, ...]) -> str:
     )
 
 
+def _bind1(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and feed it to ``fn`` as a bound
+    lambda variable.  Interpreted-mode expression trees re-evaluate a
+    repeated sub-expression PER REFERENCE (no common-subexpression
+    elimination outside whole-stage codegen, and these HOF trees don't
+    codegen), so e.g. an argmax CASE chain over k unprojected scores
+    costs O(k^2) score evaluations, each re-running the token split.
+    Wrapping the shared input in a one-element array and computing
+    inside a ``transform`` lambda materializes it once; the body's
+    references read the bound value.  Same arithmetic, same values —
+    plan shape only (the collapse-proof cousin of PERFORMANCE.md item
+    34's FINISH-lambda trick)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def language_id(text_col: Column | str = "text") -> Column:
     """Heuristic language id: argmax stopword-hit ratio over STOPWORDS,
     'und' (undetermined) when no list scores > 0.  Deterministic
-    first-wins tie-break in STOPWORDS order."""
-    toks = X.tokens(text_col)
-    scores = {lang: _stopword_ratio(toks, words) for lang, words in STOPWORDS.items()}
+    first-wins tie-break in STOPWORDS order.
+
+    Evaluated via two one-element lambda binds (the token array, then
+    the score vector — ``_bind1``): the round-6 pairwise CASE chain
+    re-evaluated every unprojected score per comparison, costing
+    O(|langs|^2) token splits PER ROW (the corpus_profile scale-sweep's
+    dominant term).  ``array_position`` of the max is the same
+    semantics — language i wins iff its score is positive, >= every
+    later language's and > every earlier language's, i.e. the FIRST
+    index attaining a positive maximum."""
     langs = list(STOPWORDS)
-    best = None
-    for lang in langs:
-        cond = scores[lang] > 0
-        for other in langs:
-            if other == lang:
-                continue
-            op = (
-                scores[lang] >= scores[other]
-                if langs.index(other) > langs.index(lang)
-                else scores[lang] > scores[other]
-            )
-            cond = cond & op
-        best = F.when(cond, lang) if best is None else best.when(cond, lang)
-    return best.otherwise("und")
+    langs_lit = F.array(*[F.lit(lang) for lang in langs])
+
+    def scores_of(tk: Column) -> Column:
+        return F.array(*[_stopword_ratio(tk, STOPWORDS[lang]) for lang in langs])
+
+    def pick(sc: Column) -> Column:
+        mx = F.array_max(sc)  # re-reads of the bound 5-element array are cheap
+        return F.when(
+            mx > 0,
+            F.element_at(langs_lit, F.array_position(sc, mx).cast("int")),
+        ).otherwise("und")
+
+    return _bind1(_bind1(X.tokens(text_col), scores_of), pick)
 
 
 def sql_language_id(text: str) -> str:
@@ -76,6 +97,27 @@ def sql_language_id(text: str) -> str:
     return "CASE " + " ".join(cases) + " ELSE 'und' END"
 
 
+#: every character the punctuation ratio does NOT count: alnum plus the
+#: explicit whitespace set (space/tab/newline/CR — newlines/tabs are
+#: document structure, not punctuation).  Explicit set, not \s — Java's
+#: \s includes \x0B, RE2's does not, and the oracle must match
+#: byte-for-byte.  Known ASCII-centric limit: non-ASCII letters still
+#: count as punctuation (in BOTH engines' forms).
+_ALNUM_SP = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 \t\n\r"
+)
+
+
+def _punct_count(t: Column) -> Column:
+    """Characters outside ``_ALNUM_SP`` — ``length(translate(t, allowed,
+    ''))`` deletes the allowed set with a plain char-map lookup.  Value-
+    identical to the mirror's ``length(x) - length(regexp_replace(x,
+    '[^a-zA-Z0-9 \\t\\n\\r]', '', 'g'))`` but regex-free: the replace
+    form BUILDS a stripped copy of every document just to take its
+    length (~70% of quality_score's cost in the round-7 scale sweep)."""
+    return F.length(F.translate(t, _ALNUM_SP, ""))
+
+
 def quality_features(text_col: Column | str = "text") -> dict[str, Column]:
     """Cheap quality signals: token count, mean token length, punctuation
     ratio, stopword ratio (en), uppercase-start ratio."""
@@ -83,19 +125,13 @@ def quality_features(text_col: Column | str = "text") -> dict[str, Column]:
     toks = X.tokens(text_col)
     n_tok = F.size(toks)
     n_char = F.length(t)
-    # keep whitespace (space/tab/newline/CR, not just ' ') out of the
-    # punctuation count: newlines/tabs are document structure, not
-    # punctuation.  Explicit class, not \s — Java's \s includes \x0B,
-    # RE2's does not, and the oracle must match byte-for-byte.  Known
-    # ASCII-centric limit: non-ASCII letters still count as punctuation.
-    alnum_sp = F.length(F.regexp_replace(t, "[^a-zA-Z0-9 \t\n\r]", ""))
     mean_tok = F.when(
         n_tok > 0,
         F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).cast("double")
         / n_tok.cast("double"),
     ).otherwise(F.lit(0.0))
     punct = F.when(
-        n_char > 0, (n_char - alnum_sp).cast("double") / n_char.cast("double")
+        n_char > 0, _punct_count(t).cast("double") / n_char.cast("double")
     ).otherwise(F.lit(0.0))
     stop_en = _stopword_ratio(toks, STOPWORDS["en"])
     return {
@@ -132,14 +168,39 @@ def sql_quality_features(text: str) -> dict[str, str]:
 
 def quality_score(text_col: Column | str = "text") -> Column:
     """Composite quality score in [0, 1]: rewards stopword presence and
-    moderate token lengths, penalizes punctuation density."""
-    f = quality_features(text_col)
-    raw = (
-        F.least(f["stopword_ratio"] * 2.0, F.lit(1.0)) * 0.4
-        + F.when((f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 10), 1.0).otherwise(0.3) * 0.3
-        + (1.0 - F.least(f["punct_ratio"] * 5.0, F.lit(1.0))) * 0.3
-    )
-    return F.round(raw, 9)
+    moderate token lengths, penalizes punctuation density.
+
+    Same formula as composing ``quality_features`` (each feature
+    rounded to 9 dp first, identical arithmetic order), but the token
+    array is lambda-bound once (``_bind1``) instead of re-split per
+    feature reference — the interpreted tree otherwise runs the token
+    regex 3x per row."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_char = F.length(t)
+    punct = F.when(
+        n_char > 0, _punct_count(t).cast("double") / n_char.cast("double")
+    ).otherwise(F.lit(0.0))
+    punct_r = F.round(punct, 9)
+
+    def compose(tk: Column) -> Column:
+        n_tok = F.size(tk)
+        mean_tok = F.when(
+            n_tok > 0,
+            F.aggregate(
+                tk, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ).cast("double")
+            / n_tok.cast("double"),
+        ).otherwise(F.lit(0.0))
+        mean_r = F.round(mean_tok, 9)
+        stop_r = F.round(_stopword_ratio(tk, STOPWORDS["en"]), 9)
+        raw = (
+            F.least(stop_r * 2.0, F.lit(1.0)) * 0.4
+            + F.when((mean_r >= 3) & (mean_r <= 10), 1.0).otherwise(0.3) * 0.3
+            + (1.0 - F.least(punct_r * 5.0, F.lit(1.0))) * 0.3
+        )
+        return F.round(raw, 9)
+
+    return _bind1(X.tokens(text_col), compose)
 
 
 def sql_quality_score(text: str) -> str:
@@ -242,6 +303,30 @@ def scrub_features(text_col: Column | str = "text") -> dict[str, Column]:
     out["clean_len"] = F.length(clean).cast("long")
     out["clean_fingerprint"] = X.string_hash(clean)
     return out
+
+
+def pii_present(text_col: Column | str = "text") -> Column:
+    """Boolean PII flag — true iff any of the first three PII_RULES
+    (urls, emails, ips) matches.  Value-identical to
+    ``(n_urls + n_emails + n_ips) > 0`` over ``scrub_features``'s
+    STAGED counts — the corpus_profile mirror keeps that count form —
+    by this argument: if rule *i* only matches inside a span an earlier
+    rule redacted, that earlier rule already fired the flag; and if no
+    earlier rule matched, the staged input IS the raw text
+    (``regexp_replace`` with zero matches returns its input unchanged).
+    So existence-on-raw-text ≡ existence-on-staged-inputs, and the flag
+    needs NO replacement passes: three ``rlike`` probes on the raw
+    column, zero string building, no lambda binds.
+
+    The three patterns are fused into ONE alternation probed with a
+    single ``rlike`` — and ``_profile_sums`` evaluates it in its OWN
+    aggregate pass: a complex regex sharing one projection loop with
+    lambda-HOF siblings runs ~10x slower than either alone, whichever
+    regex form is used (round-7 scale sweep, PERFORMANCE.md item 51)."""
+    assert [r[0] for r in PII_RULES[:3]] == ["urls", "emails", "ips"]
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    combined = "|".join(f"(?:{pat})" for _, pat, _repl in PII_RULES[:3])
+    return t.rlike(combined)
 
 
 def _sql_quote(pat: str) -> str:
@@ -354,30 +439,61 @@ def _profile_sums(
     lang_col: str = "lang",
 ) -> DataFrame:
     """The mergeable half of ``corpus_profile``: per-stratum INTEGER sums
-    (PROFILE_SUM_COLS) from one narrow projection + one hash agg."""
-    scrub = scrub_features(text_col)
-    pii = (scrub["n_urls"] + scrub["n_emails"] + scrub["n_ips"]) > 0
-    base = docs.select(
+    (PROFILE_SUM_COLS) from two narrow aggregation passes whose partial
+    sums merge exactly (the same integer-sum property the streaming
+    profile rests on).
+
+    Two passes, not one, deliberately: the PII flag is a complex-regex
+    probe, and a complex regex evaluated in the same projection loop as
+    lambda-HOF siblings (the quality/langid features) runs ~10x slower
+    than either does alone — additive in separate aggregates, 7x
+    non-additive in one, whichever regex form was used (rlike, split,
+    nested replaces, lambda-bound stages; mechanism consistent with
+    JIT profile pollution of the shared interpreted-eval loop —
+    measured in the round-7 scale sweep, PERFORMANCE.md item 51).  The
+    merge is a second groupBy over <= 2x#strata rows: zero-padded
+    union + re-sum, which unlike a join also keeps NULL-stratum groups
+    (join equality would drop them)."""
+    zero = F.lit(0).cast("long")
+    lam = docs.select(
         *stratum_cols,
         F.length(text_col).cast("long").alias("_chars"),
         F.size(X.bpe_pretokens(text_col)).cast("long").alias("_bpe"),
         F.floor(quality_score(text_col) * F.lit(1000000.0))
         .cast("long")
         .alias("_q"),
-        F.when(pii, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("_pii"),
         F.when(language_id(text_col) == F.col(lang_col), F.lit(1))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("_agree"),
-    )
-    return base.groupBy(*stratum_cols).agg(
+    ).groupBy(*stratum_cols).agg(
         F.count("*").alias("n_docs"),
         F.sum("_chars").alias("total_chars"),
         F.sum("_bpe").alias("total_tokens"),
         F.count("_q").alias("_nq"),
         F.sum("_q").alias("_qsum"),
-        F.sum("_pii").alias("n_pii_docs"),
+        zero.alias("n_pii_docs"),
         F.sum("_agree").alias("n_langid_agree"),
+    )
+    rex = docs.select(
+        *stratum_cols,
+        F.when(pii_present(text_col), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_pii"),
+    ).groupBy(*stratum_cols).agg(
+        zero.alias("n_docs"),
+        zero.alias("total_chars"),
+        zero.alias("total_tokens"),
+        zero.alias("_nq"),
+        zero.alias("_qsum"),
+        F.sum("_pii").alias("n_pii_docs"),
+        zero.alias("n_langid_agree"),
+    )
+    return (
+        lam.unionByName(rex)
+        .groupBy(*stratum_cols)
+        .agg(*[F.sum(c).alias(c) for c in PROFILE_SUM_COLS])
     )
 
 
