@@ -1210,16 +1210,16 @@ FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
 def _q_events_funnel_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-step conversion funnel ('conv') + the N-step ordered
-    ``sequence_funnel`` ('seq' arm, FUNNEL_STEPS) as a tagged union.
-    Column reuse on the seq arm: the completed prefix is POS-EXPLODED —
-    ``first_t`` carries the step's completion time, ``converted`` the
-    0-based step index; ``then_t`` is NULL.  Users completing ZERO
-    steps keep one all-NULL row (``posexplode_outer``), so the
-    every-user row count is preserved and the mirror's zero-branch is
-    non-vacuous."""
-    ev = load_events(spark, sf_dir)
-    conv = E.conversion_funnel(ev).select(
+    """Two-step conversion funnel ('conv' — the un-merged
+    ``_q_events_conversion_funnel``, kept single-sourced) + the N-step
+    ordered ``sequence_funnel`` ('seq' arm, FUNNEL_STEPS) as a tagged
+    union.  Column reuse on the seq arm: the completed prefix is
+    POS-EXPLODED — ``first_t`` carries the step's completion time,
+    ``converted`` the 0-based step index; ``then_t`` is NULL.  Users
+    completing ZERO steps keep one all-NULL row (``posexplode_outer``),
+    so the every-user row count is preserved and the mirror's
+    zero-branch is non-vacuous."""
+    conv = _q_events_conversion_funnel(spark, sf_dir).select(
         F.lit("conv").alias("kind"),
         "user_id",
         "first_t",
@@ -1227,7 +1227,7 @@ def _q_events_funnel_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("converted").cast("int").alias("converted"),
     )
     seq = (
-        E.sequence_funnel(ev, FUNNEL_STEPS)
+        E.sequence_funnel(load_events(spark, sf_dir), FUNNEL_STEPS)
         .select("user_id", F.posexplode_outer("step_ts").alias("pos", "t"))
         .select(
             F.lit("seq").alias("kind"),
@@ -1974,9 +1974,9 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       inside the driver's ONE collect of the returned union —
       independent subtrees scheduled concurrently — instead of the
       round-6 shape's ~10 sequential bounded collects (measured 34 s
-      -> see PERFORMANCE.md round-7 item).  Stream-serve batches still
-      RUN eagerly (they write versioned state); only the state READ is
-      lazy.
+      -> see PERFORMANCE.md item 50).  Stream-serve batches still RUN
+      eagerly (they write versioned state), and the state read-back is
+      an eager bounded job too (_read_state_stable localCheckpoints).
     * PQ codebooks are collected ONCE and the encoded codes
       checkpointed ONCE, shared by the ``pq`` and ``pqmany`` arms
       (the codebook is deterministic, so the shared artifacts equal
@@ -2208,8 +2208,10 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     many = _tag_many(
         SIM.ivf_topk_many(spark, qs, path=ivf_path, k=10, n_probe=4), "many"
     )
-    # stream-serve results: the batches ran in the build chains above;
-    # the reads are lazy over the session-lifetime state dirs
+    # stream-serve results: the batches ran in the build chains above.
+    # _read_state_stable materializes EAGERLY (localCheckpoint) — two
+    # bounded jobs of <= queries x k rows here, not part of the union's
+    # single collect
     sann = _tag_many(
         ST._read_state_stable(spark, serve_dir, ST._ANN_RESULTS_SCHEMA), "sann"
     )

@@ -163,18 +163,22 @@ def ingest_documents(
         .select(F.col("value"), parse.alias("_parsed"))
     )
     cols = [f.split()[0] for f in schema.split(",")]
-    parsed = lines.where(F.col("_parsed").isNotNull()).select("_parsed.*")
-    good = parsed.where(F.col(_CORRUPT_COL).isNull()).select(*cols)
     # A NON-blank line whose parse yields a NULL struct with no corrupt
     # record (e.g. the bare JSON literal ``null``) is still a line the
     # caller handed us: the invariant is every non-blank input line lands
-    # in exactly one frame, so these go to quarantine with the raw line —
-    # getField on the NULL struct gives correctly-typed NULL columns.
-    null_struct = lines.where(F.col("_parsed").isNull()).select(
+    # in exactly one frame, so its raw text becomes the corrupt record —
+    # folded into ONE corrupt expression (not a filter+union of the two
+    # corrupt classes: each union branch would re-scan and re-parse the
+    # whole drop, doubling the quarantine frame's cost).  getField on
+    # the NULL struct gives correctly-typed NULL data columns.
+    corrupt = F.when(
+        F.col("_parsed").isNotNull(), F.col("_parsed")[_CORRUPT_COL]
+    ).otherwise(F.col("value"))
+    good = lines.where(
+        F.col("_parsed").isNotNull() & F.col("_parsed")[_CORRUPT_COL].isNull()
+    ).select(*[F.col("_parsed")[c].alias(c) for c in cols])
+    quarantine = lines.where(corrupt.isNotNull()).select(
         *[F.col("_parsed")[c].alias(c) for c in cols],
-        F.col("value").alias(_CORRUPT_COL),
-    )
-    quarantine = parsed.where(F.col(_CORRUPT_COL).isNotNull()).unionByName(
-        null_struct
+        corrupt.alias(_CORRUPT_COL),
     )
     return good, quarantine
