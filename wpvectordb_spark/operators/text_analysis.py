@@ -118,27 +118,41 @@ def _punct_count(t: Column) -> Column:
     return F.length(F.translate(t, _ALNUM_SP, ""))
 
 
-def quality_features(text_col: Column | str = "text") -> dict[str, Column]:
-    """Cheap quality signals: token count, mean token length, punctuation
-    ratio, stopword ratio (en), uppercase-start ratio."""
-    t = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = X.tokens(text_col)
-    n_tok = F.size(toks)
-    n_char = F.length(t)
-    mean_tok = F.when(
+def _mean_token_len(tk: Column) -> Column:
+    """Mean token length over a (bound) token array — the shared body of
+    quality_features and quality_score."""
+    n_tok = F.size(tk)
+    return F.when(
         n_tok > 0,
-        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).cast("double")
+        F.aggregate(tk, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).cast(
+            "double"
+        )
         / n_tok.cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def quality_features(text_col: Column | str = "text") -> dict[str, Column]:
+    """Cheap quality signals: token count, mean token length, punctuation
+    ratio, stopword ratio (en).  Each token-derived column lambda-binds
+    its token array (``_bind1``): the mean/stopword expressions
+    reference the array 3x each, and an unbound reference re-runs the
+    split regex per reference in interpreted evaluation."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_char = F.length(t)
     punct = F.when(
         n_char > 0, _punct_count(t).cast("double") / n_char.cast("double")
     ).otherwise(F.lit(0.0))
-    stop_en = _stopword_ratio(toks, STOPWORDS["en"])
     return {
-        "n_tokens": n_tok.cast("long"),
-        "mean_token_len": F.round(mean_tok, 9),
+        "n_tokens": F.size(X.tokens(text_col)).cast("long"),
+        "mean_token_len": F.round(_bind1(X.tokens(text_col), _mean_token_len), 9),
         "punct_ratio": F.round(punct, 9),
-        "stopword_ratio": F.round(stop_en, 9),
+        "stopword_ratio": F.round(
+            _bind1(
+                X.tokens(text_col),
+                lambda tk: _stopword_ratio(tk, STOPWORDS["en"]),
+            ),
+            9,
+        ),
     }
 
 
@@ -183,15 +197,7 @@ def quality_score(text_col: Column | str = "text") -> Column:
     punct_r = F.round(punct, 9)
 
     def compose(tk: Column) -> Column:
-        n_tok = F.size(tk)
-        mean_tok = F.when(
-            n_tok > 0,
-            F.aggregate(
-                tk, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-            ).cast("double")
-            / n_tok.cast("double"),
-        ).otherwise(F.lit(0.0))
-        mean_r = F.round(mean_tok, 9)
+        mean_r = F.round(_mean_token_len(tk), 9)
         stop_r = F.round(_stopword_ratio(tk, STOPWORDS["en"]), 9)
         raw = (
             F.least(stop_r * 2.0, F.lit(1.0)) * 0.4
@@ -347,16 +353,60 @@ def sql_scrub_features(text: str) -> dict[str, str]:
 
 
 def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Full per-document analysis projection: one narrow pass."""
-    feats = quality_features(text_col)
-    toks = X.tokens(text_col)
+    """Full per-document analysis projection: one narrow pass.
+
+    The five token-derived outputs (count, mean length, stopword ratio,
+    distinct count, and the composite quality — same arithmetic as
+    ``quality_score``, which rounds each 9-dp feature before composing)
+    share ONE lambda-bound token split via a struct computed inside a
+    single ``_bind1`` and extracted by field — a two-level select whose
+    multi-referenced non-cheap struct alias CollapseProject leaves
+    alone, so the split regex runs once per row instead of five times
+    (measured 3.98 -> ~2.1 s per 320k rows; PERFORMANCE.md item 51
+    family).  Values are identical to deriving each column separately
+    (the text_analyze doc arm hash-checks them)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_char = F.length(t)
+    punct_r = F.round(
+        F.when(
+            n_char > 0, _punct_count(t).cast("double") / n_char.cast("double")
+        ).otherwise(F.lit(0.0)),
+        9,
+    )
+
+    def tok_feats(tk: Column) -> Column:
+        mean_r = F.round(_mean_token_len(tk), 9)
+        stop_r = F.round(_stopword_ratio(tk, STOPWORDS["en"]), 9)
+        quality = F.round(
+            F.least(stop_r * 2.0, F.lit(1.0)) * 0.4
+            + F.when((mean_r >= 3) & (mean_r <= 10), 1.0).otherwise(0.3) * 0.3
+            + (1.0 - F.least(punct_r * 5.0, F.lit(1.0))) * 0.3,
+            9,
+        )
+        return F.struct(
+            F.size(tk).cast("long").alias("n_tokens"),
+            mean_r.alias("mean_token_len"),
+            stop_r.alias("stopword_ratio"),
+            F.size(F.array_distinct(tk)).cast("long").alias("n_unique_tokens"),
+            quality.alias("quality"),
+        )
+
     return docs.select(
         F.col(id_col),
         language_id(text_col).alias("lang_pred"),
-        *[c.alias(n) for n, c in feats.items()],
-        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
-        quality_score(text_col).alias("quality"),
+        _bind1(X.tokens(text_col), tok_feats).alias("_tf"),
+        punct_r.alias("punct_ratio"),
         X.string_hash(text_col).alias("fingerprint"),
+    ).select(
+        id_col,
+        "lang_pred",
+        F.col("_tf.n_tokens").alias("n_tokens"),
+        F.col("_tf.mean_token_len").alias("mean_token_len"),
+        "punct_ratio",
+        F.col("_tf.stopword_ratio").alias("stopword_ratio"),
+        F.col("_tf.n_unique_tokens").alias("n_unique_tokens"),
+        F.col("_tf.quality").alias("quality"),
+        "fingerprint",
     )
 
 
@@ -396,10 +446,11 @@ def corpus_profile(
     and token volumes, mean quality, PII incidence, and agreement
     between the heuristic language id and the label.
 
-    Scale shape: ONE narrow projection (the per-doc features ride the
-    scan) feeding ONE map-side-combinable hash aggregation keyed on the
-    strata — output is #strata rows, never data-sized, and the corpus
-    text never shuffles.
+    Scale shape: TWO narrow aggregation passes (lambda features and the
+    complex-regex PII probe in separate loops — see ``_profile_sums``),
+    each a map-side-combinable hash aggregation keyed on the strata,
+    merged by a union + re-sum over <= 2x#strata rows — output is
+    #strata rows, never data-sized, and the corpus text never shuffles.
 
     Float discipline: mean quality goes through an INT-SCALED sum
     (floor(quality * 1e6) summed as BIGINT, divided back once) — a
