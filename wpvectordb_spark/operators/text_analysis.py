@@ -415,7 +415,16 @@ def analyze_full(
 ) -> DataFrame:
     """``analyze`` plus token-count variants (whitespace + BPE-ish),
     repetition signals, and PII-scrub audit columns — still ONE narrow
-    projection, no join/shuffle."""
+    projection, no join/shuffle.
+
+    Cost note: mixing the scrub chain's complex regexes with the lambda
+    features in one projection loop pays the ~4x shared-eval penalty of
+    PERFORMANCE.md item 51d (measured 38.9 s vs ~9 s of additive parts
+    per 320k rows; regexp_count/bound-stage variants measured WORSE).
+    This is the convenience superset for audits; a cost-sensitive
+    pipeline runs ``analyze`` and ``scrub_features``/
+    ``repetition_features`` as separate passes — each is additive alone
+    and the corpus scan is cheap relative to either feature set."""
     feats = quality_features(text_col)
     rep = repetition_features(text_col)
     scrub = scrub_features(text_col)
