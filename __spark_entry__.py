@@ -768,21 +768,30 @@ def _stream_ingest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash/LSH near-dup pairs PLUS their transitive closure PLUS the
-    incremental form PLUS the streaming-ingest accumulation, tagged:
-    ``pair`` rows from the full pipeline, ``component`` rows from
-    ``connected_components`` (large-star/small-star, SoCC'14 — the "keep
-    one per cluster" step), ``incr`` rows treating the +10000 copies as a
-    new crawl batch deduped against the original corpus via the
-    cross-side band join (corpus never self-joins), and ``stream`` rows
-    from driving the streaming ingest kernel over a 3-way micro-batch
-    split (telescoping guarantee: must equal the ``pair`` set — see
-    _stream_ingest_pairs).  The shingle-set index is computed ONCE and
-    shared by the three batch stages — the persisted-index reuse path at
-    production scale."""
-    sh_all = D.shingle_sets(_corpus_with_dups(spark, sf_dir)).persist()
+    """MinHash/LSH near-dup pairs PLUS their transitive closure PLUS
+    survivor resolution PLUS the incremental form PLUS the
+    streaming-ingest accumulation, tagged: ``pair`` rows from the full
+    pipeline, ``component`` rows from ``connected_components``
+    (large-star/small-star, SoCC'14 — the "keep one per cluster" step),
+    ``resolve`` rows from ``resolve_duplicates`` (quality-argmax
+    survivor per cluster, smallest-id tie-break — RefinedWeb practice;
+    id_b carries the survivor id, jaccard the kept flag as 0.0/1.0),
+    ``incr`` rows treating the +10000 copies as a new crawl batch
+    deduped against the original corpus via the cross-side band join
+    (corpus never self-joins), and ``stream`` rows from driving the
+    streaming ingest kernel over a 3-way micro-batch split (telescoping
+    guarantee: must equal the ``pair`` set — see _stream_ingest_pairs).
+    The shingle-set index is computed ONCE and shared by the batch
+    stages, and the CC output feeds both the component and resolve arms
+    — the persisted-index reuse path at production scale."""
+    corpus = _corpus_with_dups(spark, sf_dir)
+    sh_all = D.shingle_sets(corpus).persist()
     pairs = D.minhash_lsh_dedup_pairs(sh_all, threshold=0.5).persist()
     comp = D.connected_components(pairs)
+    resolved = D.resolve_duplicates(
+        comp,
+        corpus.select("doc_id", TA.quality_score("text").alias("score")),
+    )
     incr = D.incremental_dedup_pairs(
         sh_all.where(F.col("doc_id") < 10000),
         sh_all.where(F.col("doc_id") >= 10000),
@@ -795,11 +804,17 @@ def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component_id").alias("id_b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
+    r = resolved.select(
+        F.lit("resolve").alias("kind"),
+        F.col("doc_id").alias("id_a"),
+        F.col("survivor_id").alias("id_b"),
+        F.col("kept").cast("double").alias("jaccard"),
+    )
     i = incr.select(F.lit("incr").alias("kind"), "id_a", "id_b", "jaccard")
     s = _stream_ingest_pairs(spark, sf_dir).select(
         F.lit("stream").alias("kind"), "id_a", "id_b", "jaccard"
     )
-    return p.unionByName(c).unionByName(i).unionByName(s)
+    return p.unionByName(c).unionByName(r).unionByName(i).unionByName(s)
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,6 +1020,15 @@ def _lined_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: gopher arm thresholds, tuned on the synthetic corpus distribution so
+#: keep AND drop both fire (n_tokens p10=21/p50=56, stopword p10=0.013,
+#: dup_token_ratio p50=0.54 — the canonical Gopher defaults would be
+#: vacuous here); change in lockstep with the SQL mirror's call
+GOPHER_ARM_PARAMS = dict(
+    min_tokens=30, min_stopword_ratio=0.02, max_dup_token_ratio=0.6
+)
+
+
 def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus hygiene, tagged: ``decon`` rows flag the corpus
     (doc_id >= 20) against the holdout/eval slice (doc_id < 20) by
@@ -1014,7 +1038,11 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``c4`` rows run the C4 line/page cleaning rules (terminal
     punctuation, min words, page gates) over the synthetic lined
     corpus (_lined_corpus), column reuse: n_shingles carries n_lines,
-    n_matched n_kept, contaminated the page_kept flag."""
+    n_matched n_kept, contaminated the page_kept flag; ``gopher`` rows
+    run the Gopher document quality rules over plain documents
+    (thresholds tuned so keep and drop both fire on this corpus —
+    GOPHER_ARM_PARAMS), column reuse: n_shingles carries n_tokens,
+    n_matched the failed-rule count, contaminated the kept flag."""
     docs = _docs(spark, sf_dir)
     decon = CU.decontaminate(
         docs.where(F.col("doc_id") >= 20),
@@ -1052,7 +1080,16 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         null_l.alias("n_removed"),
     )
-    return d.unionByName(b).unionByName(c4)
+    gopher = CU.gopher_quality_filter(docs, **GOPHER_ARM_PARAMS).select(
+        F.lit("gopher").alias("kind"),
+        "doc_id",
+        F.col("n_tokens").alias("n_shingles"),
+        F.col("n_rules_failed").alias("n_matched"),
+        F.col("kept").alias("contaminated"),
+        F.lit(None).cast("string").alias("text"),
+        null_l.alias("n_removed"),
+    )
+    return d.unionByName(b).unionByName(c4).unionByName(gopher)
 
 
 def _q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2413,26 +2450,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both persisted indexes to base+append (+ the plain-IVF
         # 'ivfapp' arm over append_to_ivf_index + optimize_index, sann
         # to 2 batches with compact_every=1); events_conversion_funnel
-        # gains the N-step 'seq' arm (sequence_funnel); k7_json_codec's
-        # ingest fixture pins the bare-`null` quarantine line ---
+        # gains the N-step 'seq' arm (sequence_funnel);
+        # dedup_minhash_lsh the 'resolve' arm (quality-argmax survivor
+        # per cluster); curate_decontaminate the 'gopher' document
+        # rules arm; k7_json_codec's ingest fixture pins the
+        # bare-`null` quarantine line ---
         "ann_lsh_ivf": _q_ann_lsh_ivf,
         "events_conversion_funnel": _q_events_funnel_merged,
+        "dedup_minhash_lsh": _q_dedup_minhash_components,
+        "curate_decontaminate": _q_curate_decontaminate,
         "k7_json_codec": _q_k7_json_codec,
         # --- changed in round 6: text_analyze gained the corpus-profile
         # + streaming-monitor + drift-tseries arms; curate_sample_pack
         # the temperature-mixing 'temp' arm; index_build the
         # training-shard 'sink' roundtrip; queue_enqueue the
-        # ingest-stream 'stream' arm; curate_decontaminate the C4
-        # line/page rules ---
+        # ingest-stream 'stream' arm ---
         "text_analyze": _q_text_analyze_merged,
         "curate_sample_pack": _q_curate_sample_pack,
         "index_build": _q_index_build_merged,
         "queue_enqueue": _q_queue_enqueue,
-        "curate_decontaminate": _q_curate_decontaminate,
-        # --- changed in round 5: streaming-ingest
-        # 'stream' arm under the telescoping oracle; pipeline arm now
-        # exercises its DSIR stage ---
-        "dedup_minhash_lsh": _q_dedup_minhash_components,
         # --- changed in round 3: non-vacuous anti-join
         # arms, C10/C11/J11 scalar+DDL arms, persisted-IVF ivf_idx arm,
         # ExactSubstr duplicate-span arm ---
@@ -2644,6 +2680,9 @@ def oracle_sql() -> dict[str, str]:
     """
     # pairs + transitive closure (connected components as a recursive CTE:
     # every node's min reachable id == the cluster's canonical survivor)
+    # + survivor resolution (quality-argmax per cluster, smallest-id
+    # tie-break — every exact-dup cluster's copies score identically, so
+    # the tie-break fires there)
     lsh_comp_cte = f"""
         WITH RECURSIVE pairs AS ({lsh_cte}),
         sym AS (
@@ -2656,12 +2695,29 @@ def oracle_sql() -> dict[str, str]:
           UNION
           SELECT sym.t, reach.root FROM reach JOIN sym ON sym.s = reach.node
         ),
-        comp AS (SELECT node, min(root) AS component_id FROM reach GROUP BY node)
+        comp AS (SELECT node, min(root) AS component_id FROM reach GROUP BY node),
+        rq AS (
+          SELECT doc_id, {TA.sql_quality_score('text')} AS s FROM ({corpus})
+        ),
+        rranked AS (
+          SELECT c.node, c.component_id,
+                 row_number() OVER (PARTITION BY c.component_id
+                                    ORDER BY rq.s DESC, c.node ASC) AS rn
+          FROM comp c JOIN rq ON rq.doc_id = c.node
+        ),
+        rsurv AS (
+          SELECT component_id, node AS survivor FROM rranked WHERE rn = 1
+        )
         SELECT 'pair' AS kind, id_a, id_b, jaccard FROM pairs
         UNION ALL
         SELECT 'component' AS kind, node AS id_a, component_id AS id_b,
                CAST(NULL AS DOUBLE) AS jaccard
         FROM comp
+        UNION ALL
+        SELECT 'resolve' AS kind, c.node AS id_a, rsurv.survivor AS id_b,
+               CAST(CASE WHEN c.node = rsurv.survivor THEN 1 ELSE 0 END
+                    AS DOUBLE) AS jaccard
+        FROM comp c JOIN rsurv ON c.component_id = rsurv.component_id
         UNION ALL
         SELECT 'incr' AS kind, id_a, id_b, jaccard FROM ({incr_cte})
         UNION ALL
@@ -3791,6 +3847,17 @@ def oracle_sql() -> dict[str, str]:
                     FROM (SELECT doc_id, string_split(text, ' ') AS toks
                           FROM documents) c4t0'''
             )})
+            UNION ALL
+            -- Gopher document rules over plain documents (thresholds =
+            -- GOPHER_ARM_PARAMS, in lockstep with the Spark arm) —
+            -- column reuse: n_shingles carries n_tokens, n_matched the
+            -- failed-rule count, contaminated the kept flag
+            SELECT 'gopher' AS kind, doc_id,
+                   n_tokens AS n_shingles, n_rules_failed AS n_matched,
+                   kept AS contaminated,
+                   CAST(NULL AS VARCHAR) AS text,
+                   CAST(NULL AS BIGINT) AS n_removed
+            FROM ({CU.sql_gopher_quality_filter(**GOPHER_ARM_PARAMS)})
         """,
         "ann_lsh_ivf": f"""
             SELECT 'lsh' AS method, vec_id, CAST(NULL AS BIGINT) AS cluster_id,

@@ -628,3 +628,66 @@ def test_temperature_budgets_null_and_zero_strata(spark):
         [(1, None, "xx")], "doc_id long, text string, lang string"
     )
     assert CU.temperature_budgets(all_null, total_budget=1000) == {}
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each Gopher rule fires independently; NULL text fails the NULL
+    comparisons; the failure count is auditable per document."""
+    rows = [
+        # good: 6 tokens of mean length in range, has stopwords, no dups
+        (1, "the quick brown foxes jumped over distant fences today"),
+        # too few tokens
+        (2, "the tiny one"),
+        # mean token length too long
+        (3, "extraordinarily incomprehensible characteristically "
+            "overwhelmingly sophisticated multidimensional the"),
+        # no stopwords at all
+        (4, "zebra yak xylophone walrus vulture unicorn tiger snake"),
+        # duplicate-token spam
+        (5, "the spam spam spam spam spam spam spam spam spam"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in CU.gopher_quality_filter(
+            df, min_tokens=5, min_stopword_ratio=0.05,
+            max_dup_token_ratio=0.5,
+        ).collect()
+    }
+    assert got[1]["kept"] == 1 and got[1]["n_rules_failed"] == 0
+    assert got[2]["kept"] == 0 and got[2]["n_rules_failed"] == 1
+    assert got[3]["kept"] == 0  # mean token length rule
+    assert got[4]["kept"] == 0 and got[4]["n_rules_failed"] == 1  # stopwords
+    assert got[5]["kept"] == 0  # dup-token rule (stopword ratio passes: 1/10)
+    # NULL text: token features NULL -> every NULL comparison fails
+    assert got[6]["n_tokens"] is None and got[6]["kept"] == 0
+    assert got[6]["n_rules_failed"] >= 3
+
+
+def test_gopher_quality_filter_cross_engine_parity(spark, duck):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s = sorted(
+        map(
+            tuple,
+            CU.gopher_quality_filter(
+                docs, min_tokens=30, min_stopword_ratio=0.02,
+                max_dup_token_ratio=0.6,
+            ).collect(),
+        ),
+        key=repr,
+    )
+    d = sorted(
+        duck.sql(
+            CU.sql_gopher_quality_filter(
+                f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')",
+                min_tokens=30, min_stopword_ratio=0.02,
+                max_dup_token_ratio=0.6,
+            )
+        ).fetchall(),
+        key=repr,
+    )
+    assert s == d
+    # both outcomes fire on this corpus (non-vacuous thresholds)
+    kept = {r[3] for r in s}
+    assert kept == {0, 1}

@@ -79,11 +79,15 @@ EXPECTED_ARMS = {
         },
     ),
     # round 6: + the C4 line/page rules over the synthetic lined corpus
-    "curate_decontaminate": ("kind", {"boiler", "decon", "c4"}),
+    # round 7: + 'gopher' (document quality rules, GOPHER_ARM_PARAMS)
+    "curate_decontaminate": ("kind", {"boiler", "decon", "c4", "gopher"}),
     "events_windows": ("kind", {"cohort", "slide", "tumble"}),
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup"}),
     "dedup_exact": ("kind", {"cut", "exact", "span"}),
-    "dedup_minhash_lsh": ("kind", {"component", "incr", "pair", "stream"}),
+    # round 7: + 'resolve' (quality-argmax survivor per CC cluster)
+    "dedup_minhash_lsh": (
+        "kind", {"component", "incr", "pair", "resolve", "stream"}
+    ),
     # round 7: both persisted indexes are base+append (every serving
     # arm's full-rebuild mirror doubles as an append proof), 'ivfapp'
     # pins the plain-IVF append + OPTIMIZE path all-probe, and sann

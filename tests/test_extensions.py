@@ -1262,3 +1262,56 @@ def test_lsh_multiprobe_recall_monotone(spark):
 
     qk = SIM.band_keys_py(_pack_code(qv, 32), 32, 8, dims=64)
     assert len(SIM._multiprobe_keys(qk, 8, 1)) == len(qk) * 9
+
+
+def test_resolve_duplicates_quality_argmax_and_ties(spark):
+    """Survivor = highest score per component, ties and NULL scores
+    broken by smallest id; scores=None degrades to the CC canonical."""
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)],
+        "doc_id long, component_id long",
+    )
+    scores = spark.createDataFrame(
+        # comp 1: 2 wins on score; comp 10: tie -> smallest id 10;
+        # comp 20: 21 unscored (NULL) -> 20 wins even with a low score
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.7), (11, 0.7), (20, 0.1)],
+        "doc_id long, score double",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in D.resolve_duplicates(comp, scores).collect()
+    }
+    assert [got[i]["survivor_id"] for i in (1, 2, 3)] == [2, 2, 2]
+    assert got[2]["kept"] == 1 and got[1]["kept"] == 0 and got[3]["kept"] == 0
+    assert got[10]["survivor_id"] == 10 and got[11]["kept"] == 0
+    assert got[20]["survivor_id"] == 20 and got[21]["kept"] == 0
+    # every component keeps exactly one survivor
+    from collections import Counter
+
+    per_comp = Counter(
+        (r["component_id"]) for r in got.values() if r["kept"] == 1
+    )
+    assert set(per_comp.values()) == {1}
+    # scores=None: the component id (smallest reachable id) is the survivor
+    got0 = {r["doc_id"]: r for r in D.resolve_duplicates(comp).collect()}
+    assert got0[3]["survivor_id"] == 1 and got0[1]["kept"] == 1
+
+
+def test_resolve_duplicates_exact_copies_pick_one(corpus_with_dups):
+    """End-to-end over the LSH pipeline: exact copies score identically,
+    so the smallest-id tie-break keeps exactly one per cluster."""
+    pairs = D.minhash_lsh_dedup_pairs(corpus_with_dups, threshold=0.5)
+    comp = D.connected_components(pairs)
+    scores = corpus_with_dups.select(
+        "doc_id", TA.quality_score("text").alias("score")
+    )
+    out = D.resolve_duplicates(comp, scores)
+    rows = out.collect()
+    assert len(rows) == comp.count()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for cid, members in by_comp.items():
+        kept = [r for r in members if r["kept"] == 1]
+        assert len(kept) == 1
+        assert all(r["survivor_id"] == kept[0]["doc_id"] for r in members)

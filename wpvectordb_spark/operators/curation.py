@@ -1209,3 +1209,121 @@ def sql_c4_page_filter(
                COALESCE(array_to_string(kept, chr(10)), '') AS text
         FROM c4_l
     """
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    mean_len_min: float = 3.0,
+    mean_len_max: float = 10.0,
+    min_stopword_ratio: float = 0.0,
+    max_dup_line_ratio: float = 0.3,
+    max_dup_token_ratio: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al., "Scaling
+    Language Models: Methods, Analysis & Insights from Training
+    Gopher", 2021, §A1.1 — the subset expressible over the implemented
+    features): token count within [min_tokens, max_tokens], mean token
+    length within [mean_len_min, mean_len_max], stopword ratio >=
+    min_stopword_ratio, and duplicate-line / duplicate-token ratios <=
+    their maxima.  Returns EVERY input document as
+    (id, n_tokens, n_rules_failed, kept) — filter ``kept = 1`` for the
+    cleaned corpus; the per-document failure count makes threshold
+    tuning auditable (``c4_page_filter``'s page-flag contract, one
+    altitude up: document rules instead of line rules).
+
+    Feature values are the 9-dp-rounded ``quality_features`` /
+    ``repetition_features`` definitions, so threshold comparisons
+    resolve identically in both engines; NULL text yields NULL token
+    counts and a NULL comparison counts as a rule failure in both
+    engines' CASE forms.  Scale shape: a pure per-row projection over
+    ONE lambda-bound token split plus one line split — zero shuffle,
+    rides the scan (the corpus-frequency complements are
+    ``remove_boilerplate_lines`` / ``decontaminate``).
+    """
+    from wpvectordb_spark.operators import text_analysis as TA
+
+    def tok_feats(tk: Column) -> Column:
+        n_tok = F.size(tk)
+        dup_tok = F.when(
+            n_tok > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(tk)).cast("double") / n_tok.cast("double"),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            n_tok.cast("long").alias("n_tokens"),
+            F.round(TA._mean_token_len(tk), 9).alias("mean_len"),
+            F.round(
+                TA._stopword_ratio(tk, TA.STOPWORDS["en"]), 9
+            ).alias("stop"),
+            F.round(dup_tok, 9).alias("dup_tok"),
+        )
+
+    staged = docs.select(
+        F.col(id_col),
+        TA._bind1(X.tokens(text_col), tok_feats).alias("_g"),
+        TA.repetition_features(text_col)["dup_line_ratio"].alias("_dl"),
+    )
+
+    def fail(ok: Column) -> Column:
+        # NULL comparison -> otherwise -> counts as failed (both engines)
+        return F.when(ok, F.lit(0)).otherwise(F.lit(1))
+
+    n_tok = F.col("_g.n_tokens")
+    fails = (
+        fail((n_tok >= int(min_tokens)) & (n_tok <= int(max_tokens)))
+        + fail(
+            (F.col("_g.mean_len") >= float(mean_len_min))
+            & (F.col("_g.mean_len") <= float(mean_len_max))
+        )
+        + fail(F.col("_g.stop") >= float(min_stopword_ratio))
+        + fail(F.col("_dl") <= float(max_dup_line_ratio))
+        + fail(F.col("_g.dup_tok") <= float(max_dup_token_ratio))
+    )
+    return staged.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        fails.cast("long").alias("n_rules_failed"),
+        (fails == 0).cast("int").alias("kept"),
+    )
+
+
+def sql_gopher_quality_filter(
+    corpus_sql: str = "SELECT doc_id, text FROM documents",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    mean_len_min: float = 3.0,
+    mean_len_max: float = 10.0,
+    min_stopword_ratio: float = 0.0,
+    max_dup_line_ratio: float = 0.3,
+    max_dup_token_ratio: float = 0.2,
+) -> str:
+    """DuckDB mirror of ``gopher_quality_filter`` (same 9-dp feature
+    fragments, same NULL-fails-the-rule CASE shape; threshold literals
+    CAST to DOUBLE — DuckDB float literals are DECIMAL)."""
+    from wpvectordb_spark.operators.text_analysis import (
+        sql_quality_features,
+        sql_repetition_features,
+    )
+
+    qf = sql_quality_features("text")
+    rep = sql_repetition_features("text")
+    oks = [
+        f"({qf['n_tokens']}) >= {int(min_tokens)}"
+        f" AND ({qf['n_tokens']}) <= {int(max_tokens)}",
+        f"({qf['mean_token_len']}) >= CAST({float(mean_len_min)!r} AS DOUBLE)"
+        f" AND ({qf['mean_token_len']}) <= CAST({float(mean_len_max)!r} AS DOUBLE)",
+        f"({qf['stopword_ratio']}) >= CAST({float(min_stopword_ratio)!r} AS DOUBLE)",
+        f"({rep['dup_line_ratio']}) <= CAST({float(max_dup_line_ratio)!r} AS DOUBLE)",
+        f"({rep['dup_token_ratio']}) <= CAST({float(max_dup_token_ratio)!r} AS DOUBLE)",
+    ]
+    fails = " + ".join(f"(CASE WHEN {ok} THEN 0 ELSE 1 END)" for ok in oks)
+    return f"""
+        SELECT doc_id,
+               CAST({qf['n_tokens']} AS BIGINT) AS n_tokens,
+               CAST({fails} AS BIGINT) AS n_rules_failed,
+               CAST(CASE WHEN ({fails}) = 0 THEN 1 ELSE 0 END AS INT) AS kept
+        FROM ({corpus_sql})
+    """

@@ -1199,3 +1199,64 @@ def sql_remove_duplicate_spans(
                COALESCE(r.text, '') AS text
         FROM cut_w w LEFT JOIN cut_reasm r USING (doc_id)
     """
+
+def resolve_duplicates(
+    components: DataFrame,
+    scores: DataFrame | None = None,
+    id_col: str = "doc_id",
+    component_col: str = "component_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Survivor selection over near-duplicate clusters — the step after
+    ``connected_components`` that turns "these documents are the same"
+    into "keep THIS one": per component, the member with the highest
+    ``score`` wins (quality score in practice — RefinedWeb/Gopher keep
+    the best-quality copy, not an arbitrary one), ties and missing
+    scores broken by smallest id (identical copies score identically,
+    so the tie-break fires on every exact-dup cluster).  With
+    ``scores=None`` the smallest id wins — the ``component_id`` itself,
+    the CC canonical.
+
+    Returns every component member as (id, component_id, survivor_id,
+    kept 1/0): anti-join ``kept = 0`` ids against the corpus to drop
+    the losers, or keep the full frame as the dedup audit map
+    (who-was-merged-into-whom — the lineage record a training-data
+    card wants).
+
+    Scale shape: one left join of the component list against the
+    (id, score) projection on the id key, one ``row_number`` window
+    keyed on the component, one broadcast-or-shuffle join of the
+    <= #components survivor list back.  Nothing is data-sized beyond
+    the component list itself (pairs-participating docs only — at real
+    dup rates a few percent of the corpus); the window's skew bound is
+    the largest cluster, the same bound ``connected_components``
+    already carries.  Reference: the reference engine has no dedup at
+    all (SURVEY.md §7.3 extension); survivor policy follows RefinedWeb
+    (Penedo et al., 2023) practice."""
+    from pyspark.sql import Window
+
+    if scores is None:
+        out = components.withColumn("survivor_id", F.col(component_col))
+    else:
+        joined = components.join(
+            scores.select(
+                F.col(id_col), F.col(score_col).alias("_score")
+            ),
+            id_col,
+            "left",
+        )
+        w = Window.partitionBy(component_col).orderBy(
+            F.col("_score").desc_nulls_last(), F.col(id_col).asc()
+        )
+        surv = (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col(component_col), F.col(id_col).alias("survivor_id"))
+        )
+        out = components.join(surv, component_col)
+    return out.select(
+        F.col(id_col),
+        F.col(component_col),
+        "survivor_id",
+        (F.col(id_col) == F.col("survivor_id")).cast("int").alias("kept"),
+    )
