@@ -788,9 +788,14 @@ def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_all = D.shingle_sets(corpus).persist()
     pairs = D.minhash_lsh_dedup_pairs(sh_all, threshold=0.5).persist()
     comp = D.connected_components(pairs)
+    # score ONLY the component members (left-semi before the expensive
+    # quality projection — Catalyst won't push the join below it, and
+    # non-member scores can't affect the per-component window)
     resolved = D.resolve_duplicates(
         comp,
-        corpus.select("doc_id", TA.quality_score("text").alias("score")),
+        corpus.join(comp.select("doc_id"), "doc_id", "semi").select(
+            "doc_id", TA.quality_score("text").alias("score")
+        ),
     )
     incr = D.incremental_dedup_pairs(
         sh_all.where(F.col("doc_id") < 10000),

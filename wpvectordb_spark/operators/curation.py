@@ -1261,10 +1261,30 @@ def gopher_quality_filter(
             F.round(dup_tok, 9).alias("dup_tok"),
         )
 
+    # dup_line over a BOUND line array (the repetition_features form
+    # references its array 3x — per-reference re-splits, the _bind1
+    # rationale); same formula and 9-dp round, value-identical
+    t = F.col(text_col) if isinstance(text_col, str) else F.col(text_col)
+    lines = F.filter(
+        F.split(t, "\\r?\\n"), lambda line: F.length(F.trim(line)) > 0
+    )
+
+    def dup_line_of(ls: Column) -> Column:
+        n_lines = F.size(ls)
+        return F.round(
+            F.when(
+                n_lines > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct(ls)).cast("double")
+                / n_lines.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        )
+
     staged = docs.select(
         F.col(id_col),
         TA._bind1(X.tokens(text_col), tok_feats).alias("_g"),
-        TA.repetition_features(text_col)["dup_line_ratio"].alias("_dl"),
+        TA._bind1(lines, dup_line_of).alias("_dl"),
     )
 
     def fail(ok: Column) -> Column:

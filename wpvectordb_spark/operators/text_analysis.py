@@ -118,6 +118,21 @@ def _punct_count(t: Column) -> Column:
     return F.length(F.translate(t, _ALNUM_SP, ""))
 
 
+def _compose_quality(tk: Column, punct_r: Column) -> Column:
+    """The composite quality formula over a (bound) token array and the
+    9-dp punctuation ratio — the SINGLE definition shared by
+    ``quality_score`` and ``analyze``'s token struct (a second inline
+    copy would drift silently from ``sql_quality_score``)."""
+    mean_r = F.round(_mean_token_len(tk), 9)
+    stop_r = F.round(_stopword_ratio(tk, STOPWORDS["en"]), 9)
+    raw = (
+        F.least(stop_r * 2.0, F.lit(1.0)) * 0.4
+        + F.when((mean_r >= 3) & (mean_r <= 10), 1.0).otherwise(0.3) * 0.3
+        + (1.0 - F.least(punct_r * 5.0, F.lit(1.0))) * 0.3
+    )
+    return F.round(raw, 9)
+
+
 def _mean_token_len(tk: Column) -> Column:
     """Mean token length over a (bound) token array — the shared body of
     quality_features and quality_score."""
@@ -196,17 +211,7 @@ def quality_score(text_col: Column | str = "text") -> Column:
     ).otherwise(F.lit(0.0))
     punct_r = F.round(punct, 9)
 
-    def compose(tk: Column) -> Column:
-        mean_r = F.round(_mean_token_len(tk), 9)
-        stop_r = F.round(_stopword_ratio(tk, STOPWORDS["en"]), 9)
-        raw = (
-            F.least(stop_r * 2.0, F.lit(1.0)) * 0.4
-            + F.when((mean_r >= 3) & (mean_r <= 10), 1.0).otherwise(0.3) * 0.3
-            + (1.0 - F.least(punct_r * 5.0, F.lit(1.0))) * 0.3
-        )
-        return F.round(raw, 9)
-
-    return _bind1(X.tokens(text_col), compose)
+    return _bind1(X.tokens(text_col), lambda tk: _compose_quality(tk, punct_r))
 
 
 def sql_quality_score(text: str) -> str:
@@ -375,20 +380,14 @@ def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
     def tok_feats(tk: Column) -> Column:
-        mean_r = F.round(_mean_token_len(tk), 9)
-        stop_r = F.round(_stopword_ratio(tk, STOPWORDS["en"]), 9)
-        quality = F.round(
-            F.least(stop_r * 2.0, F.lit(1.0)) * 0.4
-            + F.when((mean_r >= 3) & (mean_r <= 10), 1.0).otherwise(0.3) * 0.3
-            + (1.0 - F.least(punct_r * 5.0, F.lit(1.0))) * 0.3,
-            9,
-        )
         return F.struct(
             F.size(tk).cast("long").alias("n_tokens"),
-            mean_r.alias("mean_token_len"),
-            stop_r.alias("stopword_ratio"),
+            F.round(_mean_token_len(tk), 9).alias("mean_token_len"),
+            F.round(_stopword_ratio(tk, STOPWORDS["en"]), 9).alias(
+                "stopword_ratio"
+            ),
             F.size(F.array_distinct(tk)).cast("long").alias("n_unique_tokens"),
-            quality.alias("quality"),
+            _compose_quality(tk, punct_r).alias("quality"),
         )
 
     return docs.select(
