@@ -85,3 +85,30 @@ def test_search_and_text_on_empty_inputs(spark, empty_docs):
     assert TA.analyze_full(empty_docs).count() == 0
     assert TA.unigram_logprob_scores(empty_docs).count() == 0
     assert R.bm25_topk(empty_docs, ["term"], n=5).count() == 0
+
+
+def test_round7_operators_on_empty_inputs(spark, empty_docs):
+    """gopher filter and survivor resolution degrade to empty outputs
+    (never a crash, never a phantom row) on empty frames."""
+    assert CU.gopher_quality_filter(empty_docs).count() == 0
+    empty_comp = spark.createDataFrame([], "doc_id long, component_id long")
+    assert D.resolve_duplicates(empty_comp).count() == 0
+    assert (
+        D.resolve_duplicates(
+            empty_comp,
+            spark.createDataFrame([], "doc_id long, score double"),
+        ).count()
+        == 0
+    )
+    # components present but the scores frame empty: every member gets
+    # a NULL score, so the smallest id wins per component
+    comp = spark.createDataFrame(
+        [(5, 5), (7, 5)], "doc_id long, component_id long"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in D.resolve_duplicates(
+            comp, spark.createDataFrame([], "doc_id long, score double")
+        ).collect()
+    }
+    assert got[5]["kept"] == 1 and got[7]["kept"] == 0
