@@ -1037,7 +1037,9 @@ GOPHER_ARM_PARAMS = dict(
 def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus hygiene, tagged: ``decon`` rows flag the corpus
     (doc_id >= 20) against the holdout/eval slice (doc_id < 20) by
-    shared-shingle count; ``boiler`` rows are C4-style line-level dedup —
+    shared-shingle count; ``sdecon`` rows re-run the same contract
+    through the big-holdout shuffle-join path
+    (broadcast_holdout=False) — identical oracle CTE; ``boiler`` rows are C4-style line-level dedup —
     12-token chunks occurring in >= 2 distinct documents of the
     duplicated corpus are stripped and the text reassembled in order;
     ``c4`` rows run the C4 line/page cleaning rules (terminal
@@ -1054,12 +1056,29 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") < 20),
         threshold=5,
     )
+    # the big-holdout shuffle-join path (broadcast_holdout=False) is
+    # content-identical by contract — same oracle CTE, kind 'sdecon'
+    sdecon = CU.decontaminate(
+        docs.where(F.col("doc_id") >= 20),
+        docs.where(F.col("doc_id") < 20),
+        threshold=5,
+        broadcast_holdout=False,
+    )
     boiler = CU.remove_boilerplate_lines(
         lines=_boiler_lines(spark, sf_dir), min_docs=2
     )
     null_l = F.lit(None).cast("long")
     d = decon.select(
         F.lit("decon").alias("kind"),
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        "contaminated",
+        F.lit(None).cast("string").alias("text"),
+        null_l.alias("n_removed"),
+    )
+    sd = sdecon.select(
+        F.lit("sdecon").alias("kind"),
         "doc_id",
         "n_shingles",
         "n_matched",
@@ -1094,7 +1113,9 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         null_l.alias("n_removed"),
     )
-    return d.unionByName(b).unionByName(c4).unionByName(gopher)
+    return (
+        d.unionByName(sd).unionByName(b).unionByName(c4).unionByName(gopher)
+    )
 
 
 def _q_text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1728,6 +1749,10 @@ CURATE_BUDGETS = {"en": 5000, "es": 2000, "zh": 1500}
 # that per-stratum floor() budgets stay below every stratum's own total)
 TEMP_BUDGET = 10000
 TEMP_ALPHA = 0.3
+#: waterfill arm: token budget sized so the sf0.01 corpus splits
+#: non-vacuously (zh saturates at its ~4.1k-token capacity, the other
+#: four langs share the remainder proportionally to the hash weights)
+WF_BUDGET = 10000
 
 
 def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1736,10 +1761,12 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain mixing, per-language quality-quantile filtering, overlapping
     token-window chunking (RAG passage splitting), the Gopher/C4
     per-domain document cap (domcap arm: lang column carries the source
-    domain, shard carries the hash rank), and DSIR importance-resampling
+    domain, shard carries the hash rank), DSIR importance-resampling
     selection toward the English subset (dsir arm: n_tokens carries the
     hashed-n-gram feature count, quality the mean log-likelihood
-    ratio)."""
+    ratio), and cap-aware waterfilling mixture budgets (wf arm: n_tokens
+    carries the per-lang capacity, shard the allocation, pos the
+    portable-hash weight, seq_start the saturated flag)."""
     null_l = F.lit(None).cast("long")
     null_d = F.lit(None).cast("double")
     sample = _q_curate_stratified_sample(spark, sf_dir).select(
@@ -1866,6 +1893,34 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("pos"),
         F.col("ratio").alias("quality"),
     )
+    # cap-aware waterfilling over per-lang token capacities with
+    # portable-hash weights (tagged-union column reuse: n_tokens carries
+    # the capacity, shard the allocation, pos the weight, seq_start the
+    # saturated flag)
+    wf_strata = (
+        _docs(spark, sf_dir)
+        .where(F.col("lang").isNotNull())
+        .select(
+            F.col("lang").alias("stratum"),
+            F.size(X.bpe_pretokens("text")).cast("long").alias("_n"),
+        )
+        .groupBy("stratum")
+        .agg(F.sum("_n").alias("capacity"))
+        .withColumn(
+            "weight", F.lit(1).cast("long") + X.string_hash(F.col("stratum")) % 997
+        )
+    )
+    wf = CU.waterfill_budgets_frame(wf_strata, WF_BUDGET).select(
+        F.lit("wf").alias("kind"),
+        null_l.alias("doc_id"),
+        F.col("stratum").alias("lang"),
+        F.col("capacity").alias("n_tokens"),
+        F.col("saturated").cast("long").alias("seq_start"),
+        null_l.alias("seq_end"),
+        F.col("allocated").alias("shard"),
+        F.col("weight").alias("pos"),
+        null_d.alias("quality"),
+    )
     return (
         sample.unionByName(pack)
         .unionByName(shard)
@@ -1875,6 +1930,7 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(domcap)
         .unionByName(dsir)
         .unionByName(temp)
+        .unionByName(wf)
         .unionByName(pipeline)
     )
 
@@ -2458,20 +2514,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gains the N-step 'seq' arm (sequence_funnel);
         # dedup_minhash_lsh the 'resolve' arm (quality-argmax survivor
         # per cluster); curate_decontaminate the 'gopher' document
-        # rules arm; k7_json_codec's ingest fixture pins the
-        # bare-`null` quarantine line ---
+        # rules arm + the 'sdecon' shuffle-join decontamination path;
+        # curate_sample_pack the 'wf' cap-aware waterfilling budgets
+        # arm; k7_json_codec's ingest fixture pins the bare-`null`
+        # quarantine line ---
         "ann_lsh_ivf": _q_ann_lsh_ivf,
         "events_conversion_funnel": _q_events_funnel_merged,
         "dedup_minhash_lsh": _q_dedup_minhash_components,
         "curate_decontaminate": _q_curate_decontaminate,
+        "curate_sample_pack": _q_curate_sample_pack,
         "k7_json_codec": _q_k7_json_codec,
         # --- changed in round 6: text_analyze gained the corpus-profile
-        # + streaming-monitor + drift-tseries arms; curate_sample_pack
-        # the temperature-mixing 'temp' arm; index_build the
+        # + streaming-monitor + drift-tseries arms; index_build the
         # training-shard 'sink' roundtrip; queue_enqueue the
         # ingest-stream 'stream' arm ---
         "text_analyze": _q_text_analyze_merged,
-        "curate_sample_pack": _q_curate_sample_pack,
         "index_build": _q_index_build_merged,
         "queue_enqueue": _q_queue_enqueue,
         # --- changed in round 3: non-vacuous anti-join
@@ -3814,10 +3871,35 @@ def oracle_sql() -> dict[str, str]:
                    budget AS shard, CAST(NULL AS BIGINT) AS pos,
                    ratio AS quality
             FROM ({CU.sql_temperature_budgets(TEMP_BUDGET, alpha=TEMP_ALPHA)})
+            UNION ALL
+            -- cap-aware waterfilling budgets: n_tokens carries the
+            -- per-lang token capacity, shard the allocation, pos the
+            -- portable-hash weight, seq_start the saturated flag
+            SELECT 'wf' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+                   stratum AS lang, capacity AS n_tokens,
+                   CAST(saturated AS BIGINT) AS seq_start,
+                   CAST(NULL AS BIGINT) AS seq_end,
+                   allocated AS shard, weight AS pos,
+                   CAST(NULL AS DOUBLE) AS quality
+            FROM ({CU.sql_waterfill_budgets(
+                f'''SELECT lang AS stratum,
+                           1 + ({X.sql_string_hash('lang')}) % 997 AS weight,
+                           CAST(SUM(len({X.sql_bpe_pretokens('text')}))
+                                AS BIGINT) AS capacity
+                    FROM documents WHERE lang IS NOT NULL
+                    GROUP BY lang''',
+                WF_BUDGET,
+            )})
         """,
         "text_fingerprint": winnow_cte,
         "curate_decontaminate": f"""
             SELECT 'decon' AS kind, doc_id, n_shingles, n_matched, contaminated,
+                   CAST(NULL AS VARCHAR) AS text, CAST(NULL AS BIGINT) AS n_removed
+            FROM ({CU.sql_decontaminate(threshold=5)})
+            UNION ALL
+            -- the shuffle-join (broadcast_holdout=False) path serves the
+            -- SAME contract — identical CTE, tagged 'sdecon'
+            SELECT 'sdecon' AS kind, doc_id, n_shingles, n_matched, contaminated,
                    CAST(NULL AS VARCHAR) AS text, CAST(NULL AS BIGINT) AS n_removed
             FROM ({CU.sql_decontaminate(threshold=5)})
             UNION ALL

@@ -287,6 +287,138 @@ def test_temperature_budgets_frame_matches_dict(docs):
         assert r["total_tokens"] > 0
 
 
+WF_SCHEMA = "stratum string, weight long, capacity long"
+WF_STRATA = [("a", 1, 10), ("b", 1, 100), ("c", 2, 100)]
+
+
+def _wf_spark(spark, rows, budget):
+    df = spark.createDataFrame(rows, WF_SCHEMA)
+    out = CU.waterfill_budgets_frame(df, budget).collect()
+    return {r["stratum"]: (r["allocated"], r["saturated"]) for r in out}
+
+
+def test_waterfill_known_answer(spark):
+    """Hand-derived: r = cap/w gives a=10, c=50, b=100; at B=120 only a
+    saturates (frontier predicate 10*3 <= 110*1), the remaining 110
+    spreads over weights {b:1, c:2}."""
+    got = _wf_spark(spark, WF_STRATA, 120)
+    assert got == {"a": (10, 1), "b": (36, 0), "c": (73, 0)}
+    assert sum(v[0] for v in got.values()) <= 120
+
+
+def test_waterfill_boundary_and_extremes(spark):
+    # B exactly at a's saturation boundary (equality in the predicate)
+    assert _wf_spark(spark, WF_STRATA, 40) == {
+        "a": (10, 1), "b": (10, 0), "c": (20, 0)
+    }
+    # nothing saturates: pure proportional floor split
+    assert _wf_spark(spark, WF_STRATA, 30) == {
+        "a": (7, 0), "b": (7, 0), "c": (15, 0)
+    }
+    # budget >= total capacity: everyone gets their capacity
+    assert _wf_spark(spark, WF_STRATA, 10**9) == {
+        "a": (10, 1), "b": (100, 1), "c": (100, 1)
+    }
+    # zero budget: zero allocations, nothing saturated
+    assert _wf_spark(spark, WF_STRATA, 0) == {
+        "a": (0, 0), "b": (0, 0), "c": (0, 0)
+    }
+
+
+def test_waterfill_excludes_degenerate_rows_and_rejects_negative(spark):
+    rows = WF_STRATA + [("z", 0, 50), ("y", 3, 0), ("x", -1, 50)]
+    got = _wf_spark(spark, rows, 120)
+    assert set(got) == {"a", "b", "c"}
+    with pytest.raises(ValueError, match="negative"):
+        CU.waterfill_budgets_frame(
+            spark.createDataFrame(WF_STRATA, WF_SCHEMA), -1
+        )
+    # empty strata frame: empty result, no error
+    empty = spark.createDataFrame([], WF_SCHEMA)
+    assert CU.waterfill_budgets_frame(empty, 100).collect() == []
+
+
+def test_waterfill_dict_matches_frame(spark):
+    df = spark.createDataFrame(WF_STRATA, WF_SCHEMA)
+    assert CU.waterfill_budgets(df, 120) == {"a": 10, "b": 36, "c": 73}
+
+
+def test_waterfill_duckdb_parity(spark, duck):
+    """Cross-engine parity including a cap/weight RATIO TIE (d and e):
+    the tie breaks on the stratum key identically in both engines, and
+    the all-integer frontier predicate leaves no room for float drift."""
+    rows = WF_STRATA + [("d", 2, 40), ("e", 1, 20), ("f", 5, 9)]
+    for budget in (0, 9, 40, 77, 120, 500):
+        sdf = CU.waterfill_budgets_frame(
+            spark.createDataFrame(rows, WF_SCHEMA), budget
+        )
+        vals = ", ".join(f"('{s}', {w}, {c})" for s, w, c in rows)
+        rel = duck.sql(
+            CU.sql_waterfill_budgets(
+                f"SELECT * FROM (VALUES {vals}) t(stratum, weight, capacity)",
+                budget,
+            )
+        )
+        from tests.conftest import assert_parity
+
+        assert_parity(sdf, rel)
+
+
+def test_waterfill_invariants_against_reference_impl(spark):
+    """Property check vs a transparent O(n^2) Python waterfill on a
+    pseudorandom strata set: allocations agree exactly."""
+    import hashlib
+
+    rows = []
+    for i in range(23):
+        h = hashlib.sha256(f"wf{i}".encode()).digest()
+        rows.append((f"s{i:02d}", 1 + h[0] % 7, 5 + h[1] * 3))
+    budget = 900
+
+    def ref_waterfill(rows, b):
+        # rank by cap/w ascending, ties by key; grow the saturated
+        # prefix while the frontier predicate holds
+        srt = sorted(rows, key=lambda r: (r[2] / r[1], r[0]))
+        tw = sum(r[1] for r in srt)
+        ccap = cw = jcap = jw = 0
+        jstar = 0
+        for j, (_, w, cap) in enumerate(srt, 1):
+            ccap, cw = ccap + cap, cw + w
+            if cap * (tw - cw) <= (b - ccap) * w:
+                jstar, jcap, jw = j, ccap, cw
+        out = {}
+        for j, (k, w, cap) in enumerate(srt, 1):
+            if j <= jstar:
+                out[k] = cap
+            else:
+                out[k] = min(cap, (b - jcap) * w // max(tw - jw, 1))
+        return out
+
+    got = {k: v[0] for k, v in _wf_spark(spark, rows, budget).items()}
+    assert got == ref_waterfill(rows, budget)
+    assert sum(got.values()) <= budget
+
+
+def test_waterfill_arm_non_vacuous_at_oracle_scale(spark):
+    """The registry's wf arm must exercise BOTH branches (a saturated
+    stratum and proportionally-filled ones) at the oracle scale, else
+    the hash match verifies only one code path — the same corpus-tuned
+    guard as the gopher thresholds.  seq_start carries the saturated
+    flag, shard the allocation (tagged-union column reuse)."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR as sf
+
+    rows = (
+        E.queries()["curate_sample_pack"](spark, sf)
+        .where(F.col("kind") == "wf")
+        .collect()
+    )
+    assert {r["seq_start"] for r in rows} == {0, 1}
+    assert sum(r["shard"] for r in rows) <= E.WF_BUDGET
+    for r in rows:
+        assert 0 <= r["shard"] <= r["n_tokens"]
+
+
 def test_budget_sample_full_budget_keeps_everything(docs):
     huge = CU.budget_sample(docs, {"en": 10**9})
     n_en = docs.where(F.col("lang") == 'en').count()

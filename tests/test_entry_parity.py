@@ -63,6 +63,7 @@ EXPECTED_ARMS = {
     ),
     "dsl_variants": ("kind", {"dt", "neg", "taut"}),
     "crud_get_delete": ("kind", {"get", "scan"}),
+    # round 7: + 'wf' (cap-aware waterfilling mixture budgets)
     "curate_sample_pack": (
         "kind",
         {
@@ -76,11 +77,15 @@ EXPECTED_ARMS = {
             "sample",
             "shard",
             "temp",
+            "wf",
         },
     ),
     # round 6: + the C4 line/page rules over the synthetic lined corpus
     # round 7: + 'gopher' (document quality rules, GOPHER_ARM_PARAMS)
-    "curate_decontaminate": ("kind", {"boiler", "decon", "c4", "gopher"}),
+    #          + 'sdecon' (the broadcast_holdout=False shuffle-join path)
+    "curate_decontaminate": (
+        "kind", {"boiler", "decon", "sdecon", "c4", "gopher"}
+    ),
     "events_windows": ("kind", {"cohort", "slide", "tumble"}),
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup"}),
     "dedup_exact": ("kind", {"cut", "exact", "span"}),

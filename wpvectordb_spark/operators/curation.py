@@ -372,6 +372,184 @@ def sql_temperature_budgets(
     """
 
 
+def waterfill_budgets_frame(
+    strata: DataFrame,
+    total_budget: int,
+    stratum_col: str = "stratum",
+    weight_col: str = "weight",
+    cap_col: str = "capacity",
+) -> DataFrame:
+    """Cap-aware mixture allocation (waterfilling): split an integer
+    token budget across strata proportionally to integer weights, except
+    that no stratum can receive more than its capacity — budget that
+    would over-fill a stratum is redistributed over the unsaturated rest
+    at the same relative weights.  ``temperature_budgets`` gives the
+    TARGET ratios of a training mix; the corpus rarely has enough tokens
+    in every stratum to honor them — this allocator computes the budgets
+    a data card actually ships (the redistribution step in published
+    training-mix recipes, e.g. the up-weighted low-resource domains of
+    GPT-3/LLaMA-style mixes hitting their single-epoch caps).
+
+    Closed form, no iteration: sort strata by capacity/weight ascending
+    (the order in which they saturate as the water level λ rises).  With
+    INCLUSIVE cumulative sums over that order, stratum j saturates iff
+    ``cap_j * (W - cumw_j) <= (B - cumcap_j) * w_j`` — an all-integer
+    predicate, so the saturation frontier ``j*`` (its max satisfying row)
+    is exact in any engine, no float drift.  Saturated strata get their
+    capacity; each unsaturated stratum i gets
+    ``floor((B - cumcap_{j*}) * w_i / (W - cumw_{j*}))`` — again pure
+    integer math (floor-div of non-negative longs; a `least(cap, …)`
+    clamp guards the boundary).  Total allocated lands within #strata
+    tokens of ``min(budget, total capacity)`` (floor loss).
+
+    Scale shape: the strata frame is #strata rows (thousands at most),
+    so the single-partition window and the two single-row broadcast
+    cross joins are free — the corpus itself is never touched.  Overflow
+    contract: ``budget * max_weight`` and ``capacity * total_weight``
+    must fit in signed 64-bit (scale weights down if needed); Spark ANSI
+    mode fails loudly on breach.  Rows with ``weight <= 0`` or
+    ``capacity <= 0`` are excluded (a zero-capacity stratum can only
+    receive 0; zero/negative weight is an input error, mirroring
+    ``temperature_budgets_frame``'s empty-stratum filter).
+
+    Returns (stratum, weight, capacity, allocated, saturated 0/1).
+    """
+    from pyspark.sql import Window
+
+    b = int(total_budget)
+    if b < 0:
+        raise ValueError(f"waterfill_budgets_frame: budget={b} negative")
+    s = strata.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(weight_col).cast("long").alias("weight"),
+        F.col(cap_col).cast("long").alias("capacity"),
+    ).where((F.col("weight") > 0) & (F.col("capacity") > 0))
+    # saturation order: capacity/weight ascending.  One IEEE division —
+    # both engines produce the identical double, ties break on stratum.
+    r = F.col("capacity").cast("double") / F.col("weight")
+    order = Window.orderBy(r.asc(), F.col("stratum").asc())
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = s.select(
+        "stratum",
+        "weight",
+        "capacity",
+        F.row_number().over(order).alias("_rn"),
+        F.sum("capacity").over(run).alias("_ccap"),
+        F.sum("weight").over(run).alias("_cw"),
+    )
+    tot = s.agg(F.sum("weight").cast("long").alias("_tw"))
+    flagged = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "_sat",
+        F.col("capacity") * (F.col("_tw") - F.col("_cw"))
+        <= (F.lit(b) - F.col("_ccap")) * F.col("weight"),
+    )
+    # the frontier row j*: max flagged rank and its inclusive cums (the
+    # flagged set's max determines the saturated prefix; rows <= j* take
+    # their capacity even where their own flag is false)
+    jrow = (
+        flagged.where(F.col("_sat"))
+        .agg(
+            F.max("_rn").alias("_jstar"),
+            F.max_by("_ccap", "_rn").alias("_jcap"),
+            F.max_by("_cw", "_rn").alias("_jw"),
+        )
+        .select(
+            F.coalesce("_jstar", F.lit(0)).alias("_jstar"),
+            F.coalesce("_jcap", F.lit(0)).cast("long").alias("_jcap"),
+            F.coalesce("_jw", F.lit(0)).cast("long").alias("_jw"),
+        )
+    )
+    # greatest(…, 1): _jw == _tw only when every stratum saturated, and
+    # then every row takes the capacity branch — the guard only keeps the
+    # never-taken else branch evaluable under vectorized evaluation
+    out = (
+        flagged.crossJoin(F.broadcast(jrow))
+        .withColumn("_num", (F.lit(b) - F.col("_jcap")) * F.col("weight"))
+        .withColumn("_den", F.greatest(F.col("_tw") - F.col("_jw"), F.lit(1)))
+    )
+    return out.select(
+        "stratum",
+        "weight",
+        "capacity",
+        F.when(F.col("_rn") <= F.col("_jstar"), F.col("capacity"))
+        .otherwise(F.least(F.col("capacity"), F.expr("_num DIV _den")))
+        .cast("long")
+        .alias("allocated"),
+        (F.col("_rn") <= F.col("_jstar")).cast("int").alias("saturated"),
+    )
+
+
+def waterfill_budgets(
+    strata: DataFrame,
+    total_budget: int,
+    stratum_col: str = "stratum",
+    weight_col: str = "weight",
+    cap_col: str = "capacity",
+) -> dict[str, int]:
+    """Dict convenience form of :func:`waterfill_budgets_frame` —
+    ``{stratum: allocated}``.  The collect is bounded by #strata (the
+    same contract as ``temperature_budgets``)."""
+    rows = waterfill_budgets_frame(
+        strata, total_budget, stratum_col, weight_col, cap_col
+    ).collect()
+    return {r["stratum"]: r["allocated"] for r in rows}
+
+
+def sql_waterfill_budgets(
+    strata_sql: str,
+    total_budget: int,
+    stratum_col: str = "stratum",
+    weight_col: str = "weight",
+    cap_col: str = "capacity",
+) -> str:
+    """DuckDB mirror of ``waterfill_budgets_frame`` (same saturation
+    order, same all-integer frontier predicate, same floor-div
+    allocation).  ``strata_sql`` is a query producing the strata frame."""
+    b = int(total_budget)
+    if b < 0:
+        raise ValueError(f"sql_waterfill_budgets: budget={b} negative")
+    return f"""
+        WITH wf_s AS (
+          SELECT {stratum_col} AS stratum,
+                 CAST({weight_col} AS BIGINT) AS weight,
+                 CAST({cap_col} AS BIGINT) AS capacity
+          FROM ({strata_sql})
+          WHERE {weight_col} > 0 AND {cap_col} > 0
+        ),
+        wf_r AS (
+          SELECT stratum, weight, capacity,
+                 ROW_NUMBER() OVER wo AS rn,
+                 CAST(SUM(capacity) OVER wr AS BIGINT) AS ccap,
+                 CAST(SUM(weight) OVER wr AS BIGINT) AS cw
+          FROM wf_s
+          WINDOW wo AS (ORDER BY CAST(capacity AS DOUBLE)/weight, stratum),
+                 wr AS (ORDER BY CAST(capacity AS DOUBLE)/weight, stratum
+                        ROWS UNBOUNDED PRECEDING)
+        ),
+        wf_tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM wf_s),
+        wf_f AS (
+          SELECT r.*, t.tw,
+                 (r.capacity * (t.tw - r.cw) <= ({b} - r.ccap) * r.weight)
+                   AS sat
+          FROM wf_r r, wf_tot t
+        ),
+        wf_j AS (
+          SELECT COALESCE(MAX(rn), 0) AS jstar,
+                 CAST(COALESCE(arg_max(ccap, rn), 0) AS BIGINT) AS jcap,
+                 CAST(COALESCE(arg_max(cw, rn), 0) AS BIGINT) AS jw
+          FROM wf_f WHERE sat
+        )
+        SELECT f.stratum, f.weight, f.capacity,
+               CAST(CASE WHEN f.rn <= j.jstar THEN f.capacity
+                    ELSE least(f.capacity,
+                               (({b} - j.jcap) * f.weight)
+                                 // greatest(f.tw - j.jw, 1))
+                    END AS BIGINT) AS allocated,
+               CAST(f.rn <= j.jstar AS INTEGER) AS saturated
+        FROM wf_f f, wf_j j
+    """
+
+
 def sql_budget_sample(
     budgets: dict[str, int],
     stratum_col: str = "lang",
