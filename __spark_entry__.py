@@ -1033,13 +1033,20 @@ GOPHER_ARM_PARAMS = dict(
     min_tokens=30, min_stopword_ratio=0.02, max_dup_token_ratio=0.6
 )
 
+#: rdecon arm threshold — 3 splits the sf0.01 holdout 8 leaked /
+#: 12 clean (5 would leave a single leaked row; 2 a single clean one)
+RDECON_THRESHOLD = 3
+
 
 def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus hygiene, tagged: ``decon`` rows flag the corpus
     (doc_id >= 20) against the holdout/eval slice (doc_id < 20) by
     shared-shingle count; ``sdecon`` rows re-run the same contract
     through the big-holdout shuffle-join path
-    (broadcast_holdout=False) — identical oracle CTE; ``boiler`` rows are C4-style line-level dedup —
+    (broadcast_holdout=False) — identical oracle CTE; ``rdecon`` rows
+    report leakage per HOLDOUT document (n_matched carries
+    n_matched_docs, contaminated the leaked flag, n_removed the worst
+    single-document overlap); ``boiler`` rows are C4-style line-level dedup —
     12-token chunks occurring in >= 2 distinct documents of the
     duplicated corpus are stripped and the text reassembled in order;
     ``c4`` rows run the C4 line/page cleaning rules (terminal
@@ -1064,6 +1071,15 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=5,
         broadcast_holdout=False,
     )
+    # per-HOLDOUT-doc leakage report (threshold 3 splits the sf0.01
+    # holdout 8 leaked / 12 clean — both branches fire); column reuse:
+    # n_matched carries n_matched_docs, contaminated the leaked flag,
+    # n_removed the worst single-document overlap
+    rdecon = CU.contamination_report(
+        docs.where(F.col("doc_id") >= 20),
+        docs.where(F.col("doc_id") < 20),
+        threshold=RDECON_THRESHOLD,
+    )
     boiler = CU.remove_boilerplate_lines(
         lines=_boiler_lines(spark, sf_dir), min_docs=2
     )
@@ -1085,6 +1101,15 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contaminated",
         F.lit(None).cast("string").alias("text"),
         null_l.alias("n_removed"),
+    )
+    rd = rdecon.select(
+        F.lit("rdecon").alias("kind"),
+        F.col("holdout_id").alias("doc_id"),
+        "n_shingles",
+        F.col("n_matched_docs").alias("n_matched"),
+        F.col("leaked").alias("contaminated"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("worst_overlap").alias("n_removed"),
     )
     b = boiler.select(
         F.lit("boiler").alias("kind"),
@@ -1114,7 +1139,11 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("n_removed"),
     )
     return (
-        d.unionByName(sd).unionByName(b).unionByName(c4).unionByName(gopher)
+        d.unionByName(sd)
+        .unionByName(rd)
+        .unionByName(b)
+        .unionByName(c4)
+        .unionByName(gopher)
     )
 
 
@@ -3902,6 +3931,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'sdecon' AS kind, doc_id, n_shingles, n_matched, contaminated,
                    CAST(NULL AS VARCHAR) AS text, CAST(NULL AS BIGINT) AS n_removed
             FROM ({CU.sql_decontaminate(threshold=5)})
+            UNION ALL
+            -- per-HOLDOUT-doc leakage report: n_matched carries
+            -- n_matched_docs, contaminated the leaked flag, n_removed
+            -- the worst single-document overlap
+            SELECT 'rdecon' AS kind, holdout_id AS doc_id, n_shingles,
+                   n_matched_docs AS n_matched, leaked AS contaminated,
+                   CAST(NULL AS VARCHAR) AS text,
+                   worst_overlap AS n_removed
+            FROM ({CU.sql_contamination_report(threshold=RDECON_THRESHOLD)})
             UNION ALL
             SELECT 'boiler' AS kind, doc_id,
                    CAST(NULL AS BIGINT) AS n_shingles,

@@ -419,6 +419,104 @@ def test_waterfill_arm_non_vacuous_at_oracle_scale(spark):
         assert 0 <= r["shard"] <= r["n_tokens"]
 
 
+def test_contamination_report_golden(spark):
+    """Hand-built corpus: holdout doc h1's 6-token run appears verbatim
+    in two corpus documents (4 shared 3-shingles each), h2 shares
+    nothing, h3 is a verbatim copy of one corpus doc."""
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [
+            (101, "alpha beta gamma delta epsilon zeta unrelated tail"),
+            (102, "prefix words alpha beta gamma delta epsilon zeta"),
+            (103, "completely different content here nothing shared"),
+            (104, "the quick brown fox jumps over the lazy dog"),
+        ],
+        schema,
+    )
+    holdout = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "no overlap with anything in that corpus at all"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+        ],
+        schema,
+    )
+    rows = {
+        r["holdout_id"]: r
+        for r in CU.contamination_report(corpus, holdout, threshold=3).collect()
+    }
+    # h1: 4 distinct 3-shingles, all present in corpus docs 101 and 102
+    assert rows[1]["n_shingles"] == 4
+    assert rows[1]["n_matched_docs"] == 2
+    assert rows[1]["worst_overlap"] == 4
+    assert rows[1]["leaked"] == 1
+    # h2: present in output, zero-filled
+    assert rows[2]["n_matched_docs"] == 0
+    assert rows[2]["worst_overlap"] == 0
+    assert rows[2]["leaked"] == 0
+    # h3: verbatim copy of 104 — worst_overlap = its full shingle count
+    assert rows[3]["worst_overlap"] == rows[3]["n_shingles"]
+    assert rows[3]["n_matched_docs"] == 1
+
+
+def test_contamination_report_shingle_df_cap(spark):
+    """A boilerplate shingle present in many corpus docs is dropped by
+    max_shingle_df BEFORE the join: overlaps that rode only on the
+    boilerplate disappear, genuine overlaps survive."""
+    schema = "doc_id long, text string"
+    boiler = "click here to subscribe"
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i} content. {boiler}") for i in range(100, 120)]
+        + [(200, "genuine rare overlap marker phrase body")],
+        schema,
+    )
+    holdout = spark.createDataFrame(
+        [
+            (1, f"an eval question. {boiler}"),
+            (2, "genuine rare overlap marker phrase body"),
+        ],
+        schema,
+    )
+    uncapped = {
+        r["holdout_id"]: r["n_matched_docs"]
+        for r in CU.contamination_report(corpus, holdout, threshold=2).collect()
+    }
+    capped = {
+        r["holdout_id"]: r["n_matched_docs"]
+        for r in CU.contamination_report(
+            corpus, holdout, threshold=2, max_shingle_df=5
+        ).collect()
+    }
+    assert uncapped[1] > 0  # boilerplate alone fakes leakage
+    assert capped[1] == 0  # the cap removes the hot shingle
+    assert capped[2] == 1  # the genuine overlap survives (df=1)
+
+
+def test_contamination_report_duckdb_parity(spark, duck, docs):
+    from tests.conftest import assert_parity
+
+    sdf = CU.contamination_report(
+        docs.where(F.col("doc_id") >= 20),
+        docs.where(F.col("doc_id") < 20),
+        threshold=3,
+    )
+    assert_parity(sdf, duck.sql(CU.sql_contamination_report(threshold=3)))
+
+
+def test_contamination_report_empty_inputs(spark):
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    some = spark.createDataFrame([(1, "a b c d e")], schema)
+    # empty holdout -> empty report; empty corpus -> zero-filled holdout
+    assert CU.contamination_report(some, empty).collect() == []
+    rows = CU.contamination_report(empty, some).collect()
+    assert len(rows) == 1 and rows[0]["n_matched_docs"] == 0
+    # NULL text rides through with NULL n_shingles, zero matches
+    nulls = spark.createDataFrame([(9, None)], schema)
+    r = CU.contamination_report(some, nulls).collect()[0]
+    assert r["n_shingles"] is None and r["leaked"] == 0
+
+
 def test_budget_sample_full_budget_keeps_everything(docs):
     huge = CU.budget_sample(docs, {"en": 10**9})
     n_en = docs.where(F.col("lang") == 'en').count()

@@ -83,8 +83,9 @@ EXPECTED_ARMS = {
     # round 6: + the C4 line/page rules over the synthetic lined corpus
     # round 7: + 'gopher' (document quality rules, GOPHER_ARM_PARAMS)
     #          + 'sdecon' (the broadcast_holdout=False shuffle-join path)
+    #          + 'rdecon' (per-holdout leakage report, RDECON_THRESHOLD)
     "curate_decontaminate": (
-        "kind", {"boiler", "decon", "sdecon", "c4", "gopher"}
+        "kind", {"boiler", "decon", "sdecon", "rdecon", "c4", "gopher"}
     ),
     "events_windows": ("kind", {"cohort", "slide", "tumble"}),
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup"}),

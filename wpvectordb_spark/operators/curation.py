@@ -908,6 +908,133 @@ def sql_decontaminate(
     """
 
 
+def contamination_report(
+    docs: DataFrame,
+    holdout: DataFrame,
+    threshold: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Per-HOLDOUT-document leakage report — the other direction of
+    :func:`decontaminate`.  ``decontaminate`` flags which CORPUS
+    documents to drop; this reports, for each eval/benchmark document,
+    how many corpus documents share >= ``threshold`` hashed k-token
+    shingles with it and the worst single-document overlap — the table
+    a benchmark owner publishes next to a training run's data card
+    ("GSM8K problem 17 appears in 212 crawl pages").
+
+    Scale shape: both sides reduce to (id, shingle-hash) pairs — the
+    join shuffles 16 B/row keyed on the 8-byte hash, never text; the
+    per-(holdout, corpus) overlap count aggregates only co-occurring
+    pairs, and the final rollup is one agg to #holdout rows.  The skew
+    hazard is a BOILERPLATE shingle present in a large fraction of the
+    corpus (its hash key fans out |holdout_h| x |corpus_h| pairs):
+    ``max_shingle_df`` drops shingles whose corpus document frequency
+    exceeds the cap before the join — a shingle in half the corpus
+    carries no contamination signal, and this bounds any hash key's
+    fan-out by (cap x holdout-side df).  Default off so small-corpus
+    reports are exact.
+
+    Returns (holdout_id, n_shingles, n_matched_docs, worst_overlap,
+    leaked 0/1) for every holdout document; zero-filled when nothing
+    matches.
+    """
+    hold_sh = holdout.select(
+        F.col(id_col).alias("holdout_id"),
+        X.shingle_hashes(text_col, shingle_k).alias("sh"),
+    )
+    hold_ex = hold_sh.select("holdout_id", F.explode("sh").alias("h"))
+    corpus_ex = docs.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(X.shingle_hashes(text_col, shingle_k)).alias("h"),
+    )
+    if max_shingle_df is not None:
+        rare = (
+            corpus_ex.groupBy("h")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= int(max_shingle_df))
+            .select("h")
+        )
+        corpus_ex = corpus_ex.join(rare, "h")
+    overlap = (
+        hold_ex.join(corpus_ex, "h")
+        .groupBy("holdout_id", "corpus_id")
+        .agg(F.count("*").alias("_shared"))
+    )
+    per_holdout = overlap.groupBy("holdout_id").agg(
+        F.sum(
+            F.when(F.col("_shared") >= threshold, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_matched_docs"),
+        F.max("_shared").alias("worst_overlap"),
+    )
+    return (
+        hold_sh.select(
+            "holdout_id", F.size("sh").cast("long").alias("n_shingles")
+        )
+        .join(per_holdout, "holdout_id", "left")
+        .select(
+            "holdout_id",
+            "n_shingles",
+            F.coalesce(F.col("n_matched_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_matched_docs"),
+            F.coalesce(F.col("worst_overlap"), F.lit(0))
+            .cast("long")
+            .alias("worst_overlap"),
+            (F.coalesce(F.col("n_matched_docs"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("leaked"),
+        )
+    )
+
+
+def sql_contamination_report(
+    threshold: int = 5,
+    shingle_k: int = 3,
+    corpus_pred: str = "doc_id >= 20",
+    holdout_pred: str = "doc_id < 20",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``contamination_report`` (``max_shingle_df``
+    off — the cap is a scale guard, not a semantics change, and the
+    capped path is pinned by its own golden test)."""
+    tokh = X.sql_token_hashes("text")
+    shh = X.sql_shingle_hashes("th", shingle_k)
+    return f"""
+        WITH cr_hold AS (
+          SELECT doc_id AS holdout_id, {shh} AS sh
+          FROM (SELECT doc_id, {tokh} AS th FROM {table} WHERE {holdout_pred})
+        ),
+        cr_corpus AS (
+          SELECT doc_id AS corpus_id, unnest({shh}) AS h
+          FROM (SELECT doc_id, {tokh} AS th FROM {table} WHERE {corpus_pred})
+        ),
+        cr_overlap AS (
+          SELECT holdout_id, corpus_id, COUNT(*) AS shared
+          FROM (SELECT holdout_id, unnest(sh) AS h FROM cr_hold) he
+          JOIN cr_corpus USING (h)
+          GROUP BY holdout_id, corpus_id
+        ),
+        cr_per AS (
+          SELECT holdout_id,
+                 SUM(CASE WHEN shared >= {threshold} THEN 1 ELSE 0 END)
+                   AS n_matched_docs,
+                 MAX(shared) AS worst_overlap
+          FROM cr_overlap GROUP BY holdout_id
+        )
+        SELECT h.holdout_id, CAST(len(h.sh) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(p.n_matched_docs, 0) AS BIGINT)
+                 AS n_matched_docs,
+               CAST(COALESCE(p.worst_overlap, 0) AS BIGINT)
+                 AS worst_overlap,
+               CAST(CASE WHEN COALESCE(p.n_matched_docs, 0) > 0
+                    THEN 1 ELSE 0 END AS INT) AS leaked
+        FROM cr_hold h LEFT JOIN cr_per p USING (holdout_id)
+    """
+
+
 def sql_pack_sequences(
     seq_len: int = 2048,
     stratum_col: str = "lang",
