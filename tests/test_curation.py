@@ -364,6 +364,28 @@ def test_waterfill_duckdb_parity(spark, duck):
         assert_parity(sdf, rel)
 
 
+def test_waterfill_fractional_inputs_cross_engine(spark, duck):
+    """Out-of-contract DOUBLE weights/capacities must still agree across
+    engines: both truncate-then-filter (a bare DuckDB CAST would ROUND
+    0.6 -> 1 while Spark's cast truncates — review finding, round 7)."""
+    from tests.conftest import assert_parity
+
+    rows = [("a", 0.6, 0.4), ("b", 1.9, 10.2), ("c", 2.0, 7.999)]
+    sdf = CU.waterfill_budgets_frame(
+        spark.createDataFrame(rows, "stratum string, weight double, capacity double"),
+        9,
+    )
+    vals = ", ".join(f"('{s}', {w}, {c})" for s, w, c in rows)
+    rel = duck.sql(
+        CU.sql_waterfill_budgets(
+            f"SELECT * FROM (VALUES {vals}) t(stratum, weight, capacity)", 9
+        )
+    )
+    assert_parity(sdf, rel)
+    # row 'a' truncates to (0, 0) and must be excluded in BOTH engines
+    assert {r["stratum"] for r in sdf.collect()} == {"b", "c"}
+
+
 def test_waterfill_invariants_against_reference_impl(spark):
     """Property check vs a transparent O(n^2) Python waterfill on a
     pseudorandom strata set: allocations agree exactly."""
@@ -501,6 +523,27 @@ def test_contamination_report_duckdb_parity(spark, duck, docs):
         threshold=3,
     )
     assert_parity(sdf, duck.sql(CU.sql_contamination_report(threshold=3)))
+
+
+def test_contamination_report_df_cap_single_corpus_pass(spark):
+    """The DF cap must NOT re-run the corpus shingle fold: the capped
+    plan scans the documents source exactly as often as the uncapped
+    one (a groupBy+self-join formulation doubles the dominant fold
+    cost — review finding, round 7)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus, holdout = docs.where("doc_id >= 20"), docs.where("doc_id < 20")
+
+    def n_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("FileScan parquet")
+
+    uncapped = n_scans(CU.contamination_report(corpus, holdout, threshold=3))
+    capped = n_scans(
+        CU.contamination_report(corpus, holdout, threshold=3, max_shingle_df=50)
+    )
+    # corpus once; the HOLDOUT side is read twice by design (explode +
+    # the zero-fill base join) — it is eval-sized, the cheap side
+    assert capped == uncapped == 3
 
 
 def test_contamination_report_empty_inputs(spark):

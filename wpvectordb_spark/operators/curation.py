@@ -510,11 +510,17 @@ def sql_waterfill_budgets(
         raise ValueError(f"sql_waterfill_budgets: budget={b} negative")
     return f"""
         WITH wf_s AS (
-          SELECT {stratum_col} AS stratum,
-                 CAST({weight_col} AS BIGINT) AS weight,
-                 CAST({cap_col} AS BIGINT) AS capacity
-          FROM ({strata_sql})
-          WHERE {weight_col} > 0 AND {cap_col} > 0
+          -- trunc-then-cast, filter POST-cast: Spark's double->long cast
+          -- truncates while a bare DuckDB CAST rounds, and the frame
+          -- form filters after its casts — both must agree even on
+          -- out-of-contract fractional inputs
+          SELECT stratum, weight, capacity FROM (
+            SELECT {stratum_col} AS stratum,
+                   CAST(trunc({weight_col}) AS BIGINT) AS weight,
+                   CAST(trunc({cap_col}) AS BIGINT) AS capacity
+            FROM ({strata_sql})
+          ) wf_cast
+          WHERE weight > 0 AND capacity > 0
         ),
         wf_r AS (
           SELECT stratum, weight, capacity,
@@ -951,13 +957,21 @@ def contamination_report(
         F.explode(X.shingle_hashes(text_col, shingle_k)).alias("h"),
     )
     if max_shingle_df is not None:
-        rare = (
-            corpus_ex.groupBy("h")
-            .agg(F.count("*").alias("_df"))
+        # count-over-window on the hash key, NOT a groupBy + self-join:
+        # a second reference to corpus_ex would re-run the whole
+        # token/shingle fold over the corpus (lazy plans re-evaluate per
+        # subtree), doubling the operator's dominant cost; the window
+        # shares the single fold pass and its h-partitioning feeds the
+        # equi-join below without a second exchange
+        from pyspark.sql import Window
+
+        corpus_ex = (
+            corpus_ex.withColumn(
+                "_df", F.count("*").over(Window.partitionBy("h"))
+            )
             .where(F.col("_df") <= int(max_shingle_df))
-            .select("h")
+            .drop("_df")
         )
-        corpus_ex = corpus_ex.join(rare, "h")
     overlap = (
         hold_ex.join(corpus_ex, "h")
         .groupBy("holdout_id", "corpus_id")
