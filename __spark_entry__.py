@@ -689,7 +689,11 @@ def _q_dedup_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dup_count`` is the group size (exact) / duplicated window count
     (span) / kept-token count (cut); ``n_windows`` is span windows (span)
     / token count (cut); ``dup_tokens`` is merged coverage (span) /
-    removed tokens (cut); ``cut_text`` is cut-only."""
+    removed tokens (cut); ``cut_text`` is cut-only (cut) / the diff
+    status (diff).  ``diff`` rows are corpus_diff between two %7-split
+    snapshot views of plain documents (ids %7==1 added, %7==2 removed,
+    %7==3 text-appended = changed, rest unchanged — all four statuses
+    fire at sf0.01): fingerprint carries new_fp, dup_count old_fp."""
     corpus = _corpus_with_dups(spark, sf_dir)
     null_s = F.lit(None).cast("string")
     exact = D.exact_dedup(corpus).select(
@@ -721,7 +725,28 @@ def _q_dedup_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") - F.col("n_kept")).cast("long").alias("dup_tokens"),
         F.col("text").alias("cut_text"),
     )
-    return exact.unionByName(span).unionByName(cut)
+    docs_plain = _docs(spark, sf_dir)
+    diff = D.corpus_diff(
+        docs_plain.where(F.col("doc_id") % 7 != 1).select("doc_id", "text"),
+        docs_plain.where(F.col("doc_id") % 7 != 2).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 3,
+                F.concat(F.col("text"), F.lit(" v2")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        ),
+    ).select(
+        F.lit("diff").alias("kind"),
+        "doc_id",
+        F.col("new_fp").alias("fingerprint"),
+        F.col("old_fp").alias("dup_count"),
+        F.lit(None).cast("long").alias("n_windows"),
+        F.lit(None).cast("long").alias("dup_tokens"),
+        F.col("status").alias("cut_text"),
+    )
+    return exact.unionByName(span).unionByName(cut).unionByName(diff)
 
 
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2552,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_components,
         "curate_decontaminate": _q_curate_decontaminate,
         "curate_sample_pack": _q_curate_sample_pack,
+        "dedup_exact": _q_dedup_exact_merged,  # + 'diff' snapshot audit
         "k7_json_codec": _q_k7_json_codec,
         # --- changed in round 6: text_analyze gained the corpus-profile
         # + streaming-monitor + drift-tseries arms; index_build the
@@ -2563,7 +2589,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed in round 3: non-vacuous anti-join
         # arms, C10/C11/J11 scalar+DDL arms, persisted-IVF ivf_idx arm,
         # ExactSubstr duplicate-span arm ---
-        "dedup_exact": _q_dedup_exact_merged,
         "rel_membership": _q_rel_membership,
         "crud_composite_get": _q_crud_composite_get,
         "queue_stats": _q_queue_stats,
@@ -3767,6 +3792,19 @@ def oracle_sql() -> dict[str, str]:
                    n_tokens - n_kept AS dup_tokens, text AS cut_text
             FROM ({D.sql_remove_duplicate_spans(
                 "SELECT doc_id, text FROM documents", k=8, min_docs=2
+            )})
+            UNION ALL
+            -- snapshot diff over the %7-split views (fingerprint carries
+            -- new_fp, dup_count old_fp, cut_text the status)
+            SELECT 'diff' AS kind, doc_id, new_fp AS fingerprint,
+                   old_fp AS dup_count,
+                   CAST(NULL AS BIGINT) AS n_windows,
+                   CAST(NULL AS BIGINT) AS dup_tokens,
+                   status AS cut_text
+            FROM ({D.sql_corpus_diff(
+                "SELECT doc_id, text FROM documents WHERE doc_id % 7 != 1",
+                "SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN text || ' v2' "
+                "ELSE text END AS text FROM documents WHERE doc_id % 7 != 2",
             )})
         """,
         "dedup_minhash_lsh": lsh_comp_cte,

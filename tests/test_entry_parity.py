@@ -89,7 +89,9 @@ EXPECTED_ARMS = {
     ),
     "events_windows": ("kind", {"cohort", "slide", "tumble"}),
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup"}),
-    "dedup_exact": ("kind", {"cut", "exact", "span"}),
+    # round 7: + 'diff' (corpus_diff snapshot audit over %7-split views;
+    # its test additionally pins all four statuses non-vacuous)
+    "dedup_exact": ("kind", {"cut", "diff", "exact", "span"}),
     # round 7: + 'resolve' (quality-argmax survivor per CC cluster)
     "dedup_minhash_lsh": (
         "kind", {"component", "incr", "pair", "resolve", "stream"}

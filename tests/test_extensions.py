@@ -282,6 +282,55 @@ def test_ngram_jaccard_refuses_unbounded():
         D.ngram_jaccard_pairs(None, threshold=0.5)
 
 
+def test_corpus_diff_golden(spark):
+    schema = "doc_id long, text string"
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed"),
+         (5, None)],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (4, "brand new"),
+         (5, None)],
+        schema,
+    )
+    rows = {r["doc_id"]: r for r in D.corpus_diff(old, new).collect()}
+    assert {k: r["status"] for k, r in rows.items()} == {
+        1: "unchanged", 2: "changed", 3: "removed", 4: "added",
+        5: "unchanged",  # NULL fp == NULL fp (null-safe compare)
+    }
+    assert rows[3]["new_fp"] is None and rows[4]["old_fp"] is None
+    assert rows[5]["old_fp"] is None and rows[5]["new_fp"] is None
+    assert rows[1]["old_fp"] == rows[1]["new_fp"]
+
+
+def test_corpus_diff_duckdb_parity_and_all_statuses(spark, duck, docs):
+    """The registry arm's %7 construction must fire all FOUR statuses
+    at oracle scale, and both engines must agree row-for-row."""
+    from tests.conftest import assert_parity
+
+    old = docs.where(F.col("doc_id") % 7 != 1).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 7 != 2).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sdf = D.corpus_diff(old, new)
+    statuses = {r["status"] for r in sdf.select("status").distinct().collect()}
+    assert statuses == {"added", "removed", "changed", "unchanged"}
+    rel = duck.sql(
+        D.sql_corpus_diff(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 7 != 1",
+            "SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN text || ' v2' "
+            "ELSE text END AS text FROM documents WHERE doc_id % 7 != 2",
+        )
+    )
+    assert_parity(sdf, rel)
+
+
 def test_embedding_near_dup(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     # 0.3 yields a non-empty result on the near-random driver embeddings

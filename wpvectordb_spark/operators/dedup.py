@@ -1260,3 +1260,66 @@ def resolve_duplicates(
         "survivor_id",
         (F.col(id_col) == F.col("survivor_id")).cast("int").alias("kept"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff by content fingerprint — the reproducibility audit
+    between two versions of a corpus ("what changed since the crawl we
+    trained on?"): every id present in either snapshot is classified
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    fingerprint differs) or ``unchanged``.
+
+    Scale shape: each side reduces to (id, 8-byte fingerprint60) before
+    ONE full-outer id-keyed join — text never shuffles, and two parquet
+    snapshot roots bucketed on the id co-partition the join away.  The
+    fingerprint comparison is null-safe (a NULL-text document equals
+    another NULL-text document), so NULL rows classify like any other.
+
+    Returns (doc_id, status, old_fp, new_fp).
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        X.fingerprint60(text_col).alias("old_fp"),
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        X.fingerprint60(text_col).alias("new_fp"),
+        F.lit(1).alias("_in_new"),
+    )
+    return o.join(n, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+        "old_fp",
+        "new_fp",
+    )
+
+
+def sql_corpus_diff(old_sql: str, new_sql: str, text: str = "text") -> str:
+    """DuckDB mirror of ``corpus_diff`` over two snapshot queries (each
+    must produce ``doc_id`` and the text column)."""
+    fp = X.sql_fingerprint60(text)
+    return f"""
+        WITH cd_old AS (
+          SELECT doc_id, {fp} AS old_fp, 1 AS in_old FROM ({old_sql})
+        ),
+        cd_new AS (
+          SELECT doc_id, {fp} AS new_fp, 1 AS in_new FROM ({new_sql})
+        )
+        SELECT doc_id,
+               CASE WHEN in_old IS NULL THEN 'added'
+                    WHEN in_new IS NULL THEN 'removed'
+                    WHEN old_fp IS NOT DISTINCT FROM new_fp THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               old_fp, new_fp
+        FROM cd_old FULL JOIN cd_new USING (doc_id)
+    """
