@@ -386,9 +386,65 @@ def test_waterfill_fractional_inputs_cross_engine(spark, duck):
     assert {r["stratum"] for r in sdf.collect()} == {"b", "c"}
 
 
+def _ref_waterfill(rows, b):
+    """Transparent O(n^2)-ish Python waterfill: rank by cap/w ascending
+    (ties by key), grow the saturated prefix while the integer frontier
+    predicate holds, floor-div the remainder."""
+    srt = sorted(rows, key=lambda r: (r[2] / r[1], r[0]))
+    tw = sum(r[1] for r in srt)
+    ccap = cw = jcap = jw = 0
+    jstar = 0
+    for j, (_, w, cap) in enumerate(srt, 1):
+        ccap, cw = ccap + cap, cw + w
+        if cap * (tw - cw) <= (b - ccap) * w:
+            jstar, jcap, jw = j, ccap, cw
+    out = {}
+    for j, (k, w, cap) in enumerate(srt, 1):
+        if j <= jstar:
+            out[k] = cap
+        else:
+            out[k] = min(cap, (b - jcap) * w // max(tw - jw, 1))
+    return out
+
+
+def test_waterfill_hypothesis_matches_reference(spark):
+    """Property sweep: random strata sets and budgets, Spark allocation
+    must equal the Python reference exactly, plus the structural
+    invariants (alloc <= cap; saturated <=> alloc == cap at frontier;
+    total within #strata of min(B, sum cap))."""
+    from hypothesis import given, settings, strategies as st
+
+    strata_sets = st.lists(
+        st.tuples(st.integers(1, 50), st.integers(1, 1000)),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(strata_sets, st.integers(0, 4000))
+    def prop(pairs, budget):
+        rows = [(f"s{i:02d}", w, c) for i, (w, c) in enumerate(pairs)]
+        got = _wf_spark(spark, rows, budget)
+        ref = _ref_waterfill(rows, budget)
+        assert {k: v[0] for k, v in got.items()} == ref
+        total_cap = sum(c for _, _, c in rows)
+        allocated = sum(v[0] for v in got.values())
+        assert allocated <= min(budget, total_cap)
+        # floor loss: < 1 token per unsaturated stratum
+        assert min(budget, total_cap) - allocated < max(len(rows), 1)
+        for (k, w, c) in rows:
+            alloc, sat = got[k]
+            assert 0 <= alloc <= c
+            if sat:
+                assert alloc == c
+
+    prop()
+
+
 def test_waterfill_invariants_against_reference_impl(spark):
-    """Property check vs a transparent O(n^2) Python waterfill on a
-    pseudorandom strata set: allocations agree exactly."""
+    """Fixed pseudorandom strata set vs the reference impl (the
+    hypothesis sweep above covers random shapes; this pins one larger
+    23-stratum case deterministically)."""
     import hashlib
 
     rows = []
@@ -396,28 +452,8 @@ def test_waterfill_invariants_against_reference_impl(spark):
         h = hashlib.sha256(f"wf{i}".encode()).digest()
         rows.append((f"s{i:02d}", 1 + h[0] % 7, 5 + h[1] * 3))
     budget = 900
-
-    def ref_waterfill(rows, b):
-        # rank by cap/w ascending, ties by key; grow the saturated
-        # prefix while the frontier predicate holds
-        srt = sorted(rows, key=lambda r: (r[2] / r[1], r[0]))
-        tw = sum(r[1] for r in srt)
-        ccap = cw = jcap = jw = 0
-        jstar = 0
-        for j, (_, w, cap) in enumerate(srt, 1):
-            ccap, cw = ccap + cap, cw + w
-            if cap * (tw - cw) <= (b - ccap) * w:
-                jstar, jcap, jw = j, ccap, cw
-        out = {}
-        for j, (k, w, cap) in enumerate(srt, 1):
-            if j <= jstar:
-                out[k] = cap
-            else:
-                out[k] = min(cap, (b - jcap) * w // max(tw - jw, 1))
-        return out
-
     got = {k: v[0] for k, v in _wf_spark(spark, rows, budget).items()}
-    assert got == ref_waterfill(rows, budget)
+    assert got == _ref_waterfill(rows, budget)
     assert sum(got.values()) <= budget
 
 
