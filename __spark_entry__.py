@@ -805,10 +805,13 @@ def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped against the original corpus via the cross-side band join
     (corpus never self-joins), and ``stream`` rows from driving the
     streaming ingest kernel over a 3-way micro-batch split (telescoping
-    guarantee: must equal the ``pair`` set — see _stream_ingest_pairs).
+    guarantee: must equal the ``pair`` set — see _stream_ingest_pairs),
+    and ``split`` rows from ``leakage_safe_split`` over the same
+    components (id_b carries the group id, jaccard the in_val flag —
+    whole clusters land on one side of the train/val split).
     The shingle-set index is computed ONCE and shared by the batch
-    stages, and the CC output feeds both the component and resolve arms
-    — the persisted-index reuse path at production scale."""
+    stages, and the CC output feeds the component, resolve AND split
+    arms — the persisted-index reuse path at production scale."""
     corpus = _corpus_with_dups(spark, sf_dir)
     sh_all = D.shingle_sets(corpus).persist()
     pairs = D.minhash_lsh_dedup_pairs(sh_all, threshold=0.5).persist()
@@ -844,7 +847,21 @@ def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _stream_ingest_pairs(spark, sf_dir).select(
         F.lit("stream").alias("kind"), "id_a", "id_b", "jaccard"
     )
-    return p.unionByName(c).unionByName(r).unionByName(i).unionByName(s)
+    # leakage-safe split over the SAME components (id_b carries the
+    # group id, jaccard the in_val flag as 0.0/1.0)
+    sp = D.leakage_safe_split(corpus, comp, val_fraction=0.25, seed=7).select(
+        F.lit("split").alias("kind"),
+        F.col("doc_id").alias("id_a"),
+        F.col("group_id").alias("id_b"),
+        F.col("in_val").cast("double").alias("jaccard"),
+    )
+    return (
+        p.unionByName(c)
+        .unionByName(r)
+        .unionByName(i)
+        .unionByName(s)
+        .unionByName(sp)
+    )
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2841,6 +2858,17 @@ def oracle_sql() -> dict[str, str]:
         -- the whole-corpus pair set (telescoping guarantee), so its oracle
         -- IS the pairs CTE re-tagged
         SELECT 'stream' AS kind, id_a, id_b, jaccard FROM pairs
+        UNION ALL
+        -- leakage-safe split over the same components: id_b = group id
+        -- (component, or own id for singletons), jaccard = in_val
+        SELECT 'split' AS kind, doc_id AS id_a, group_id AS id_b,
+               CAST(in_val AS DOUBLE) AS jaccard
+        FROM ({D.sql_leakage_safe_split(
+            f"SELECT doc_id FROM ({corpus})",
+            "SELECT node AS doc_id, component_id FROM comp",
+            val_fraction=0.25,
+            seed=7,
+        )})
     """
     simhash_expr = X.sql_srp_simhash(X.sql_token_hashes("text"))
     # block-permutation candidates (Manku WWW'07) over the 60-bit SRP

@@ -93,8 +93,9 @@ EXPECTED_ARMS = {
     # its test additionally pins all four statuses non-vacuous)
     "dedup_exact": ("kind", {"cut", "diff", "exact", "span"}),
     # round 7: + 'resolve' (quality-argmax survivor per CC cluster)
+    #          + 'split' (leakage-safe train/val split over the same CCs)
     "dedup_minhash_lsh": (
-        "kind", {"component", "incr", "pair", "resolve", "stream"}
+        "kind", {"component", "incr", "pair", "resolve", "split", "stream"}
     ),
     # round 7: both persisted indexes are base+append (every serving
     # arm's full-rebuild mirror doubles as an append proof), 'ivfapp'

@@ -331,6 +331,58 @@ def test_corpus_diff_duckdb_parity_and_all_statuses(spark, duck, docs):
     assert_parity(sdf, rel)
 
 
+def test_leakage_safe_split_groups_stay_together(docs, corpus_with_dups):
+    """Every near-dup cluster must land wholly on one side; singletons
+    (docs outside any component) get their own group."""
+    pairs = D.minhash_lsh_dedup_pairs(corpus_with_dups, threshold=0.5)
+    comp = D.connected_components(pairs)
+    out = D.leakage_safe_split(
+        corpus_with_dups, comp, val_fraction=0.3, seed=7
+    ).collect()
+    assert len(out) == corpus_with_dups.count()
+    by_group: dict[int, set] = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], set()).add(r["in_val"])
+    # no group straddles the split
+    assert all(len(sides) == 1 for sides in by_group.values())
+    # both sides non-empty at 30% over ~500 groups
+    sides = {r["in_val"] for r in out}
+    assert sides == {0, 1}
+    # the +10000 exact copies share their original's side
+    originals = {r["doc_id"]: r["in_val"] for r in out if r["doc_id"] < 50}
+    copies = {r["doc_id"] - 10000: r["in_val"] for r in out if r["doc_id"] >= 10000}
+    assert copies == {k: v for k, v in originals.items() if k in copies}
+
+
+def test_leakage_safe_split_stability_and_validation(docs):
+    # singleton mode (components=None): group_id == doc_id
+    a = D.leakage_safe_split(docs, None, val_fraction=0.2).collect()
+    assert all(r["group_id"] == r["doc_id"] for r in a)
+    frac = sum(r["in_val"] for r in a) / len(a)
+    assert 0.1 < frac < 0.3
+    # deterministic across calls; seed changes the assignment
+    b = D.leakage_safe_split(docs, None, val_fraction=0.2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = D.leakage_safe_split(docs, None, val_fraction=0.2, seed=99).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    with pytest.raises(ValueError, match="val_fraction"):
+        D.leakage_safe_split(docs, None, val_fraction=1.5)
+    with pytest.raises(ValueError, match="val_fraction"):
+        D.sql_leakage_safe_split("SELECT 1", None, val_fraction=-0.1)
+
+
+def test_leakage_safe_split_duckdb_parity(spark, duck, docs, corpus_with_dups):
+    from tests.conftest import assert_parity
+
+    sdf = D.leakage_safe_split(docs, None, val_fraction=0.25, seed=3)
+    rel = duck.sql(
+        D.sql_leakage_safe_split(
+            "SELECT doc_id FROM documents", None, val_fraction=0.25, seed=3
+        )
+    )
+    assert_parity(sdf, rel)
+
+
 def test_embedding_near_dup(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     # 0.3 yields a non-empty result on the near-random driver embeddings

@@ -1323,3 +1323,92 @@ def sql_corpus_diff(old_sql: str, new_sql: str, text: str = "text") -> str:
                old_fp, new_fp
         FROM cd_old FULL JOIN cd_new USING (doc_id)
     """
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame | None = None,
+    val_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    component_col: str = "component_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Group-aware train/validation split: every near-duplicate CLUSTER
+    lands wholly on one side, so validation rows never have near-copies
+    in training — the leakage bug a uniform random split commits on any
+    deduplicated-but-not-fully corpus (Lee et al., ACL'22 measure the
+    resulting eval inflation).  ``components`` is
+    :func:`connected_components` output (or any (id, group) mapping,
+    e.g. a domain key); documents absent from it are singleton groups
+    keyed by their own id.
+
+    Assignment is a deterministic hash threshold on the GROUP id
+    (``curation.id_hash``, salted by ``seed``): reproducible across
+    runs, zero coordination, and append-stable — a new crawl member of
+    an existing cluster inherits the cluster's side, so the validation
+    set never silently leaks as the corpus grows.  The val fraction is
+    exact in expectation over groups (law of large numbers at corpus
+    scale, same contract as ``stratified_sample``).
+
+    Scale shape: one id-keyed left join of the corpus id projection
+    against the component list (pairs-participating docs only — a few
+    percent of the corpus at real dup rates), then a pure per-row hash
+    filter.  Returns (doc_id, group_id, in_val 0/1).
+    """
+    from wpvectordb_spark.operators import curation as CU
+
+    if not 0.0 <= float(val_fraction) <= 1.0:
+        raise ValueError(
+            f"leakage_safe_split: val_fraction={val_fraction} outside [0, 1]"
+        )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    if components is None:
+        grouped = ids.withColumn("group_id", F.col("doc_id"))
+    else:
+        comp = components.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(component_col).alias("_gid"),
+        )
+        grouped = ids.join(comp, "doc_id", "left").select(
+            "doc_id", F.coalesce(F.col("_gid"), F.col("doc_id")).alias("group_id")
+        )
+    thr = int(float(val_fraction) * CU.HASH_RANGE)
+    return grouped.select(
+        "doc_id",
+        "group_id",
+        (CU.id_hash(F.col("group_id") + F.lit(int(seed))) < thr)
+        .cast("int")
+        .alias("in_val"),
+    )
+
+
+def sql_leakage_safe_split(
+    docs_sql: str,
+    components_sql: str | None = None,
+    val_fraction: float = 0.1,
+    seed: int = 0,
+) -> str:
+    """DuckDB mirror of ``leakage_safe_split`` (same Wang-hash rounds,
+    same group-id salt).  ``docs_sql`` must produce ``doc_id``;
+    ``components_sql`` (optional) ``doc_id, component_id``."""
+    from wpvectordb_spark.operators.curation import HASH_RANGE, sql_id_hash
+
+    if not 0.0 <= float(val_fraction) <= 1.0:
+        raise ValueError(
+            f"sql_leakage_safe_split: val_fraction={val_fraction} outside [0, 1]"
+        )
+    thr = int(float(val_fraction) * HASH_RANGE)
+    if components_sql is None:
+        grouped = f"SELECT doc_id, doc_id AS group_id FROM ({docs_sql})"
+    else:
+        grouped = f"""
+          SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS group_id
+          FROM ({docs_sql}) d
+          LEFT JOIN ({components_sql}) c USING (doc_id)
+        """
+    return f"""
+        SELECT doc_id, group_id,
+               CAST(CASE WHEN {sql_id_hash(f"(group_id + {int(seed)})")} < {thr}
+                    THEN 1 ELSE 0 END AS INT) AS in_val
+        FROM ({grouped})
+    """
