@@ -1078,6 +1078,10 @@ GOPHER_ARM_PARAMS = dict(
 #: rdecon arm threshold — 3 splits the sf0.01 holdout 8 leaked /
 #: 12 clean (5 would leave a single leaked row; 2 a single clean one)
 RDECON_THRESHOLD = 3
+# span-redaction window width for the spancut arm: 4 keeps the arm
+# non-vacuous on the synthetic corpus (cross-split 4-token runs exist;
+# redacted and untouched documents both present)
+SPANCUT_K = 4
 
 
 def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1098,7 +1102,12 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     run the Gopher document quality rules over plain documents
     (thresholds tuned so keep and drop both fire on this corpus —
     GOPHER_ARM_PARAMS), column reuse: n_shingles carries n_tokens,
-    n_matched the failed-rule count, contaminated the kept flag."""
+    n_matched the failed-rule count, contaminated the kept flag;
+    ``spancut`` rows REDACT holdout-overlapping >= 4-token spans
+    (GPT-3-style span decontamination) instead of dropping documents —
+    column reuse: n_shingles carries n_tokens, n_matched n_kept,
+    contaminated the was-redacted flag, n_removed the cut token
+    count."""
     docs = _docs(spark, sf_dir)
     decon = CU.decontaminate(
         docs.where(F.col("doc_id") >= 20),
@@ -1180,12 +1189,29 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         null_l.alias("n_removed"),
     )
+    # span-level decontamination (redact, don't drop): n_shingles
+    # carries n_tokens, n_matched n_kept, contaminated the was-redacted
+    # flag, n_removed the number of tokens cut
+    spancut = CU.decontaminate_spans(
+        docs.where(F.col("doc_id") >= 20),
+        docs.where(F.col("doc_id") < 20),
+        k=SPANCUT_K,
+    ).select(
+        F.lit("spancut").alias("kind"),
+        "doc_id",
+        F.col("n_tokens").alias("n_shingles"),
+        F.col("n_kept").alias("n_matched"),
+        (F.col("n_kept") < F.col("n_tokens")).cast("int").alias("contaminated"),
+        "text",
+        (F.col("n_tokens") - F.col("n_kept")).cast("long").alias("n_removed"),
+    )
     return (
         d.unionByName(sd)
         .unionByName(rd)
         .unionByName(b)
         .unionByName(c4)
         .unionByName(gopher)
+        .unionByName(spancut)
     )
 
 
@@ -1824,6 +1850,13 @@ TEMP_ALPHA = 0.3
 #: non-vacuously (zh saturates at its ~4.1k-token capacity, the other
 #: four langs share the remainder proportionally to the hash weights)
 WF_BUDGET = 10000
+#: domain-gate arm: the sf0.01 per-source quality averages span
+#: ~0.642-0.660, so 0.65 convicts some sources and keeps others
+DOMQ_MIN_AVG = 0.65
+#: epoch-expansion arm: en (218 docs) gets 2 full epochs + 64 extras,
+#: de (70) 2 + 35, zh (75) a sub-epoch 30; fr/es absent — every branch
+#: of the repeat-count arithmetic fires
+EPOCH_BUDGETS = {"en": 500, "de": 175, "zh": 30}
 
 
 def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1835,9 +1868,13 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, shard carries the hash rank), DSIR importance-resampling
     selection toward the English subset (dsir arm: n_tokens carries the
     hashed-n-gram feature count, quality the mean log-likelihood
-    ratio), and cap-aware waterfilling mixture budgets (wf arm: n_tokens
+    ratio), cap-aware waterfilling mixture budgets (wf arm: n_tokens
     carries the per-lang capacity, shard the allocation, pos the
-    portable-hash weight, seq_start the saturated flag)."""
+    portable-hash weight, seq_start the saturated flag), the
+    domain-level quality gate (domq arm: lang carries the source
+    domain, n_tokens the domain doc count, shard the kept flag, quality
+    the rounded domain average), and epoch expansion (epoch arm: pos
+    carries the epoch index; per-lang row count == EPOCH_BUDGETS)."""
     null_l = F.lit(None).cast("long")
     null_d = F.lit(None).cast("double")
     sample = _q_curate_stratified_sample(spark, sf_dir).select(
@@ -1992,6 +2029,41 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight").alias("pos"),
         null_d.alias("quality"),
     )
+    # domain-level quality gate (column reuse: lang carries the source
+    # domain, n_tokens the domain doc count, shard the kept flag,
+    # quality the 9-dp rounded domain average)
+    domq = CU.domain_quality_filter(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            F.col("source").alias("domain"),
+            TA.quality_score("text").alias("quality"),
+        ),
+        min_avg_quality=DOMQ_MIN_AVG,
+    ).select(
+        F.lit("domq").alias("kind"),
+        "doc_id",
+        F.col("domain").alias("lang"),
+        F.col("n_docs_in_domain").alias("n_tokens"),
+        null_l.alias("seq_start"),
+        null_l.alias("seq_end"),
+        F.col("kept").cast("long").alias("shard"),
+        null_l.alias("pos"),
+        F.col("domain_avg_quality").alias("quality"),
+    )
+    # epoch expansion: per-stratum budgets materialized as exact repeat
+    # counts (column reuse: pos carries the epoch index); row count per
+    # lang == EPOCH_BUDGETS[lang]
+    epoch = CU.expand_budgets(_docs(spark, sf_dir), EPOCH_BUDGETS).select(
+        F.lit("epoch").alias("kind"),
+        "doc_id",
+        F.col("stratum").alias("lang"),
+        null_l.alias("n_tokens"),
+        null_l.alias("seq_start"),
+        null_l.alias("seq_end"),
+        null_l.alias("shard"),
+        F.col("epoch").alias("pos"),
+        null_d.alias("quality"),
+    )
     return (
         sample.unionByName(pack)
         .unionByName(shard)
@@ -2002,6 +2074,8 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dsir)
         .unionByName(temp)
         .unionByName(wf)
+        .unionByName(domq)
+        .unionByName(epoch)
         .unionByName(pipeline)
     )
 
@@ -2585,10 +2659,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gains the N-step 'seq' arm (sequence_funnel);
         # dedup_minhash_lsh the 'resolve' arm (quality-argmax survivor
         # per cluster); curate_decontaminate the 'gopher' document
-        # rules arm + the 'sdecon' shuffle-join decontamination path;
+        # rules arm + the 'sdecon' shuffle-join decontamination path +
+        # the 'spancut' span-redaction arm (decontaminate_spans);
         # curate_sample_pack the 'wf' cap-aware waterfilling budgets
-        # arm; k7_json_codec's ingest fixture pins the bare-`null`
-        # quarantine line ---
+        # arm + 'domq' (domain-level quality gate) + 'epoch' (epoch
+        # expansion); k7_json_codec's ingest fixture pins the
+        # bare-`null` quarantine line ---
         "ann_lsh_ivf": _q_ann_lsh_ivf,
         "events_conversion_funnel": _q_events_funnel_merged,
         "dedup_minhash_lsh": _q_dedup_minhash_components,
@@ -3985,6 +4061,34 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY lang''',
                 WF_BUDGET,
             )})
+            UNION ALL
+            -- domain-level quality gate: lang carries the source
+            -- domain, n_tokens the domain doc count, shard the kept
+            -- flag, quality the 9-dp rounded domain average
+            SELECT 'domq' AS kind, doc_id, domain AS lang,
+                   n_docs_in_domain AS n_tokens,
+                   CAST(NULL AS BIGINT) AS seq_start,
+                   CAST(NULL AS BIGINT) AS seq_end,
+                   CAST(kept AS BIGINT) AS shard,
+                   CAST(NULL AS BIGINT) AS pos,
+                   domain_avg_quality AS quality
+            FROM ({CU.sql_domain_quality_filter(
+                "SELECT doc_id, source AS domain, "
+                + TA.sql_quality_score("text")
+                + " AS quality FROM documents",
+                min_avg_quality=DOMQ_MIN_AVG,
+            )})
+            UNION ALL
+            -- epoch expansion: pos carries the epoch index; row count
+            -- per lang == EPOCH_BUDGETS[lang]
+            SELECT 'epoch' AS kind, doc_id, stratum AS lang,
+                   CAST(NULL AS BIGINT) AS n_tokens,
+                   CAST(NULL AS BIGINT) AS seq_start,
+                   CAST(NULL AS BIGINT) AS seq_end,
+                   CAST(NULL AS BIGINT) AS shard,
+                   epoch AS pos,
+                   CAST(NULL AS DOUBLE) AS quality
+            FROM ({CU.sql_expand_budgets(EPOCH_BUDGETS)})
         """,
         "text_fingerprint": winnow_cte,
         "curate_decontaminate": f"""
@@ -4049,6 +4153,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS text,
                    CAST(NULL AS BIGINT) AS n_removed
             FROM ({CU.sql_gopher_quality_filter(**GOPHER_ARM_PARAMS)})
+            UNION ALL
+            -- span-level decontamination (redact holdout-overlapping
+            -- >= k-token runs, keep the rest): n_shingles carries
+            -- n_tokens, n_matched n_kept, contaminated the was-redacted
+            -- flag, n_removed the cut token count
+            SELECT 'spancut' AS kind, doc_id,
+                   n_tokens AS n_shingles, n_kept AS n_matched,
+                   CAST(CASE WHEN n_kept < n_tokens THEN 1 ELSE 0 END
+                        AS INTEGER) AS contaminated,
+                   text, CAST(n_tokens - n_kept AS BIGINT) AS n_removed
+            FROM ({CU.sql_decontaminate_spans(
+                "SELECT doc_id, text FROM documents WHERE doc_id >= 20",
+                "SELECT doc_id, text FROM documents WHERE doc_id < 20",
+                k=SPANCUT_K,
+            )})
         """,
         "ann_lsh_ivf": f"""
             SELECT 'lsh' AS method, vec_id, CAST(NULL AS BIGINT) AS cluster_id,

@@ -112,3 +112,25 @@ def test_round7_operators_on_empty_inputs(spark, empty_docs):
         ).collect()
     }
     assert got[5]["kept"] == 1 and got[7]["kept"] == 0
+
+
+def test_round7_session3_operators_on_empty_inputs(spark, empty_docs):
+    """Span decontamination, domain gating, and epoch expansion degrade
+    to empty/roundtrip outputs on empty frames."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    # empty corpus -> empty output; empty holdout -> untouched roundtrip
+    assert CU.decontaminate_spans(empty_docs, docs, k=3).count() == 0
+    rt = CU.decontaminate_spans(docs, empty_docs, k=3).collect()
+    assert len(rt) == 1 and rt[0]["n_kept"] == rt[0]["n_tokens"] == 5
+    # empty scored frame -> empty gate output
+    empty_scored = spark.createDataFrame(
+        [], "doc_id long, domain string, quality double"
+    )
+    assert CU.domain_quality_filter(empty_scored, 0.5).count() == 0
+    # empty docs or empty budgets -> no expansion rows
+    assert CU.expand_budgets(empty_docs.selectExpr("doc_id", "'en' AS lang"),
+                             {"en": 10}).count() == 0
+    assert CU.expand_budgets(docs.selectExpr("doc_id", "'en' AS lang"),
+                             {}).count() == 0

@@ -64,13 +64,19 @@ EXPECTED_ARMS = {
     "dsl_variants": ("kind", {"dt", "neg", "taut"}),
     "crud_get_delete": ("kind", {"get", "scan"}),
     # round 7: + 'wf' (cap-aware waterfilling mixture budgets)
+    #          + 'domq' (domain-level quality gate, DOMQ_MIN_AVG; its
+    #            test additionally pins both kept outcomes present)
+    #          + 'epoch' (epoch expansion: per-lang row count ==
+    #            EPOCH_BUDGETS[lang], pinned by its test)
     "curate_sample_pack": (
         "kind",
         {
             "budget",
             "chunk",
             "domcap",
+            "domq",
             "dsir",
+            "epoch",
             "pack",
             "pipeline",
             "qfilter",
@@ -84,8 +90,11 @@ EXPECTED_ARMS = {
     # round 7: + 'gopher' (document quality rules, GOPHER_ARM_PARAMS)
     #          + 'sdecon' (the broadcast_holdout=False shuffle-join path)
     #          + 'rdecon' (per-holdout leakage report, RDECON_THRESHOLD)
+    #          + 'spancut' (span-level decontamination: redact
+    #            holdout-overlapping >= SPANCUT_K-token runs; its test
+    #            additionally pins redacted and untouched docs present)
     "curate_decontaminate": (
-        "kind", {"boiler", "decon", "sdecon", "rdecon", "c4", "gopher"}
+        "kind", {"boiler", "decon", "sdecon", "rdecon", "c4", "gopher", "spancut"}
     ),
     "events_windows": ("kind", {"cohort", "slide", "tumble"}),
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup"}),

@@ -585,6 +585,153 @@ def sql_budget_sample(
     """
 
 
+def expand_budgets(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize per-stratum sampling budgets as EXACT repeat counts —
+    the epoch-expansion step of a training mix.  Where
+    :func:`temperature_budgets` / :func:`waterfill_budgets_frame` decide
+    HOW MANY examples each stratum contributes and :func:`budget_sample`
+    selects a subset when the budget is UNDER the stratum size, this
+    handles the over-budget side too: a budget of 2.3x a stratum's size
+    means every document appears twice and a deterministic 30% appear a
+    third time (the "epochs" column of the Llama / GPT-3 data-mix
+    tables — Touvron et al. 2023 table 1, Brown et al. 2020 table 2.2).
+
+    Every document in stratum ``s`` gets ``budgets[s] // n_s`` copies;
+    the ``budgets[s] % n_s`` documents FIRST in seeded-hash order (tie:
+    smallest id) get one extra — so the emitted row count per stratum
+    EQUALS the budget exactly, and re-runs/backfills repeat the same
+    documents.  Strata absent from ``budgets`` emit nothing.  Returns
+    ``(id, stratum, epoch)`` with ``epoch`` in ``0..n_copies-1``.
+
+    Scale shape: one narrow count aggregation (#strata rows, broadcast
+    back); the remainder set is chosen WITHOUT sorting whole strata —
+    ``cap_per_domain``'s Chernoff hash-threshold prefilter bounds the
+    rank window's input to ~remainder + margin rows per stratum, so a
+    mega-stratum never sorts its full document set in one task; the
+    expansion itself is a narrow ``explode(sequence(...))`` that rides
+    the scan.  Output rows carry 3 small columns — the corpus text
+    never moves (join the manifest back to the corpus by id at write
+    time, or feed it to ``shuffle_shard``).
+    """
+    import math
+
+    for s, b in budgets.items():
+        if int(b) < 0:
+            raise ValueError(f"expand_budgets: negative budget for {s!r}: {b}")
+    t = docs.select(F.col(id_col), F.col(stratum_col))
+    counts = t.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    budget = None
+    for s, b in sorted(budgets.items()):
+        w = F.when(F.col(stratum_col) == s, F.lit(int(b)))
+        budget = w if budget is None else budget.when(
+            F.col(stratum_col) == s, F.lit(int(b))
+        )
+    budget = budget.otherwise(F.lit(0)) if budget is not None else F.lit(0)
+    max_rem = max((int(b) for b in budgets.values()), default=0)
+    margin = 6 * math.isqrt(max_rem) + 20
+    key = id_hash(F.col(id_col) + F.lit(seed) * F.lit(2654435761))
+    hashed = (
+        t.join(F.broadcast(counts).withColumnRenamed(stratum_col, "_s"),
+               F.col(stratum_col).eqNullSafe(F.col("_s")))
+        .drop("_s")
+        .select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.col("_n"),
+            budget.alias("_b"),
+            key.alias("_k"),
+        )
+        .withColumn("_base", F.expr("_b div _n"))
+        .withColumn("_rem", F.expr("_b % _n"))
+    )
+    from pyspark.sql import Window
+
+    # remainder winners: exact top-(rem) per stratum in hash order,
+    # ranked only among hash-threshold survivors (integer arithmetic,
+    # portable; threshold >= hash range when rem+margin >= n)
+    thr = F.expr(f"(_rem + {margin}) * {HASH_RANGE} div _n")
+    rank_w = Window.partitionBy(stratum_col).orderBy(
+        F.col("_k").asc(), F.col(id_col).asc()
+    )
+    extras = (
+        hashed.where((F.col("_rem") > 0) & (F.col("_k") < thr))
+        .withColumn("_rk", F.row_number().over(rank_w))
+        .where(F.col("_rk") <= F.col("_rem"))
+        .select(F.col(id_col), F.lit(1).alias("_extra"))
+    )
+    return (
+        hashed.join(extras, id_col, "left")
+        .withColumn(
+            "_copies", F.col("_base") + F.coalesce(F.col("_extra"), F.lit(0))
+        )
+        .where(F.col("_copies") > 0)
+        .select(
+            F.col(id_col),
+            F.col(stratum_col).alias("stratum"),
+            F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)).alias("_e"),
+        )
+        .select(id_col, "stratum", F.col("_e").cast("long").alias("epoch"))
+    )
+
+
+def sql_expand_budgets(
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``expand_budgets`` (same hash, same integer
+    threshold/rank arithmetic, same floor-div/mod split)."""
+    import math
+
+    max_rem = max((int(b) for b in budgets.values()), default=0)
+    margin = 6 * math.isqrt(max_rem) + 20
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN {int(b)}" for s, b in sorted(budgets.items())
+    )
+    budget = f"CASE {cases} ELSE 0 END" if cases else "0"
+    h = sql_id_hash(f"({id_col} + {seed} * 2654435761)")
+    return f"""
+        WITH eb_t AS (
+          SELECT {id_col}, {stratum_col}, {budget} AS b, {h} AS k
+          FROM {table}
+        ),
+        eb_counts AS (
+          SELECT {stratum_col} AS s, COUNT(*) AS n FROM eb_t
+          GROUP BY {stratum_col}
+        ),
+        eb_h AS (
+          SELECT t.{id_col}, t.{stratum_col}, c.n, t.b, t.k,
+                 t.b // c.n AS base, t.b % c.n AS rem
+          FROM eb_t t JOIN eb_counts c
+            ON t.{stratum_col} IS NOT DISTINCT FROM c.s
+        ),
+        eb_extras AS (
+          SELECT {id_col}, 1 AS extra FROM (
+            SELECT {id_col}, rem, row_number() OVER (
+              PARTITION BY {stratum_col} ORDER BY k ASC, {id_col} ASC
+            ) AS rk
+            FROM eb_h
+            WHERE rem > 0 AND k < ((rem + {margin}) * {HASH_RANGE} // n)
+          ) WHERE rk <= rem
+        )
+        SELECT h.{id_col}, h.{stratum_col} AS stratum,
+               CAST(u.e AS BIGINT) AS epoch
+        FROM (
+          SELECT eb_h.*, eb_h.base + COALESCE(e.extra, 0) AS copies
+          FROM eb_h LEFT JOIN eb_extras e USING ({id_col})
+        ) h, unnest(range(0, h.copies)) u(e)
+        WHERE h.copies > 0
+    """
+
+
 def quality_quantile_filter(
     scored: DataFrame,
     quantile: float = 0.25,
@@ -630,6 +777,86 @@ def sql_quality_quantile_filter(
         SELECT s.{id_col}, s.{stratum_col}, s.{score_col}
         FROM scored s JOIN cuts USING ({stratum_col})
         WHERE s.{score_col} >= cuts.cut
+    """
+
+
+def domain_quality_filter(
+    scored: DataFrame,
+    min_avg_quality: float,
+    min_docs: int = 1,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Domain-LEVEL quality gating (the RefinedWeb / Gopher "drop the
+    whole site" rule — Penedo et al. 2023 §3.1 filter by source, not
+    just by page): a domain whose AVERAGE document quality falls below
+    ``min_avg_quality`` is dropped wholesale — spammy sites produce the
+    occasional decent-looking page that per-document filters keep, and
+    domain aggregation is the signal that catches them.  Domains with
+    fewer than ``min_docs`` documents are kept regardless: their average
+    is too noisy to convict on.
+
+    Where :func:`quality_quantile_filter` grades every document against
+    its stratum, this grades the STRATUM itself.  Takes a pre-scored
+    frame (id, domain, score) so the scorer is the caller's choice
+    (``text_analysis.quality_score`` is the stock one).
+
+    Scale shape: ONE map-side-combinable aggregation to #domains rows,
+    broadcast back as a null-safe equi-join (a NULL domain is one more
+    domain — a plain join would silently delete every domain-less
+    document); the corpus never shuffles.  The kept flag compares the
+    9-dp-ROUNDED average so the decision is reproducible cross-engine.
+
+    Returns (id, domain, n_docs_in_domain, domain_avg_quality, kept).
+    """
+    stats = scored.groupBy(domain_col).agg(
+        F.count("*").alias("_n"),
+        F.round(F.avg(score_col), 9).alias("_avg"),
+    )
+    kept = (F.col("_n") < int(min_docs)) | (
+        F.col("_avg") >= F.lit(float(min_avg_quality))
+    )
+    return (
+        scored.join(
+            F.broadcast(stats).withColumnRenamed(domain_col, "_dom"),
+            F.col(domain_col).eqNullSafe(F.col("_dom")),
+        )
+        .select(
+            F.col(id_col),
+            F.col(domain_col).alias("domain"),
+            F.col("_n").cast("long").alias("n_docs_in_domain"),
+            F.col("_avg").alias("domain_avg_quality"),
+            kept.cast("int").alias("kept"),
+        )
+    )
+
+
+def sql_domain_quality_filter(
+    scored_cte: str,
+    min_avg_quality: float,
+    min_docs: int = 1,
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> str:
+    """DuckDB mirror of ``domain_quality_filter`` (same rounded-average
+    gate, same null-safe domain join)."""
+    return f"""
+        WITH dq_scored AS ({scored_cte}),
+        dq_stats AS (
+          SELECT {domain_col} AS dom, COUNT(*) AS n,
+                 round(AVG({score_col}), 9) AS avgq
+          FROM dq_scored GROUP BY {domain_col}
+        )
+        SELECT s.{id_col}, s.{domain_col} AS domain,
+               CAST(t.n AS BIGINT) AS n_docs_in_domain,
+               CAST(t.avgq AS DOUBLE) AS domain_avg_quality,
+               CAST(CASE WHEN t.n < {int(min_docs)}
+                         OR t.avgq >= CAST({float(min_avg_quality)} AS DOUBLE)
+                    THEN 1 ELSE 0 END AS INTEGER) AS kept
+        FROM dq_scored s JOIN dq_stats t
+          ON s.{domain_col} IS NOT DISTINCT FROM t.dom
     """
 
 
@@ -1046,6 +1273,74 @@ def sql_contamination_report(
                CAST(CASE WHEN COALESCE(p.n_matched_docs, 0) > 0
                     THEN 1 ELSE 0 END AS INT) AS leaked
         FROM cr_hold h LEFT JOIN cr_per p USING (holdout_id)
+    """
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    holdout: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_holdout: bool = True,
+) -> DataFrame:
+    """Span-level decontamination: REDACT every run of >= ``k``
+    consecutive tokens that also occurs in the holdout/eval set, instead
+    of dropping the whole document — the GPT-3 appendix-C / Llama
+    pipeline treatment (Brown et al. 2020 remove 13-gram overlaps and
+    keep the rest of the page; :func:`decontaminate` is the
+    drop-the-document variant).  A long crawl page that quotes one GSM8K
+    problem loses the quote, not its other 5,000 useful tokens.
+
+    Mechanically this is ExactSubstr span CUTTING
+    (``dedup.remove_duplicate_spans``) with the flagged-window set
+    swapped: a corpus window is cut when its ~60-bit hash appears in the
+    HOLDOUT's window-hash set, rather than in >= ``min_docs`` corpus
+    documents.  Both reuse the one detection fold and the one
+    cut/reassembly tail, so the two cut paths cannot drift.
+
+    Scale shape: the holdout side reduces to a DISTINCT window-hash set
+    (eval benchmarks — thousands of docs) and BROADCASTS into a
+    left-semi join against the corpus windows; the corpus text moves
+    only through the same bounded rewrite as the dedup cut (covered
+    positions <= k x flagged windows).  ``broadcast_holdout=False``
+    pins a shuffle-hash join on the 8-byte hashes for holdouts of
+    corpus size (cross-corpus span audits).
+
+    Returns ``(id, n_tokens, n_kept, text)`` for every corpus document;
+    untouched documents round-trip with ``n_kept == n_tokens``.
+    """
+    from wpvectordb_spark.operators.dedup import _cut_rewrite, _span_detection
+
+    base, wins, _ = _span_detection(
+        docs, k, 2, id_col, text_col, carry_tokens=True
+    )
+    # min_docs=1 makes the detection's >= min_docs distinct-doc filter a
+    # no-op: its dup_hashes output IS the holdout's distinct hash set
+    _, _, hold_h = _span_detection(
+        holdout, k, 1, id_col, text_col, carry_tokens=False
+    )
+    if broadcast_holdout:
+        hold_h = F.broadcast(hold_h)
+    else:
+        hold_h = hold_h.hint("shuffle_hash")
+    dup_wins = wins.join(hold_h, "h", "left_semi")
+    return _cut_rewrite(base, dup_wins, k, id_col, text_col)
+
+
+def sql_decontaminate_spans(
+    corpus_sql: str, holdout_sql: str, k: int = 8
+) -> str:
+    """DuckDB mirror of ``decontaminate_spans`` over two (doc_id, text)
+    relations: the corpus span CTE chain, the holdout chain at
+    ``min_docs=1`` (its dup CTE = the full holdout window-hash set), and
+    the shared cut/reassembly tail filtered on holdout membership."""
+    from wpvectordb_spark.operators.dedup import _sql_cut_tail, _sql_span_cte
+
+    return f"""
+        WITH {_sql_span_cte(corpus_sql, k, 2, "dsc")},
+        {_sql_span_cte(holdout_sql, k, 1, "dsh")},
+        {_sql_cut_tail("dsc", k, "dsh_dup")}
     """
 
 

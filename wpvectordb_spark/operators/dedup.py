@@ -1132,9 +1132,21 @@ def remove_duplicate_spans(
     base, wins, dup_hashes = _span_detection(
         docs, k, min_docs, id_col, text_col, carry_tokens=True
     )
+    dup_wins = wins.join(dup_hashes, "h", "left_semi")
+    return _cut_rewrite(base, dup_wins, k, id_col, text_col)
+
+
+def _cut_rewrite(
+    base: DataFrame, dup_wins: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """The ONE cut/reassembly tail shared by ``remove_duplicate_spans``
+    and ``curation.decontaminate_spans`` (the two differ only in WHICH
+    window hashes are flagged — corpus-internal duplicates vs holdout
+    membership).  ``base`` must carry ``_tk`` (``_span_detection`` with
+    ``carry_tokens=True``); ``dup_wins`` is the flagged subset of its
+    ``wins`` frame.  Returns ``(id, n_tokens, n_kept, text)``."""
     covered = (
-        wins.join(dup_hashes, "h", "left_semi")
-        .select(
+        dup_wins.select(
             F.col(id_col),
             F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("j"),
         )
@@ -1175,29 +1187,40 @@ def sql_remove_duplicate_spans(
     position-ordered reassembly."""
     return f"""
         WITH {_sql_span_cte(corpus_sql, k, min_docs, "cut")},
-        cut_cov AS (
+        {_sql_cut_tail("cut", k, "cut_dup")}
+    """
+
+
+def _sql_cut_tail(p: str, k: int, dup: str) -> str:
+    """The ONE DuckDB cut/reassembly tail (mirrors ``_cut_rewrite``),
+    parameterized on WHICH hash set flags a window (``{dup}``: the
+    corpus-internal ``{p}_dup`` for span dedup, the holdout hash set for
+    span decontamination).  Emits the trailing CTEs + final SELECT over
+    an already-open WITH that defined ``{p}_w`` and ``{p}_wins``."""
+    return f"""
+        {p}_cov AS (
           SELECT DISTINCT w.doc_id, w.pos + u.d AS j
-          FROM cut_wins w, unnest(range(0, {k})) u(d)
-          WHERE w.h IN (SELECT h FROM cut_dup)
+          FROM {p}_wins w, unnest(range(0, {k})) u(d)
+          WHERE w.h IN (SELECT h FROM {dup})
         ),
-        cut_toks AS (
+        {p}_toks AS (
           SELECT w.doc_id, u.i AS j, w.tk[u.i + 1] AS tok
-          FROM cut_w w, unnest(range(0, len(w.tk))) u(i)
+          FROM {p}_w w, unnest(range(0, len(w.tk))) u(i)
         ),
-        cut_kept AS (
-          SELECT t.doc_id, t.j, t.tok FROM cut_toks t
-          ANTI JOIN cut_cov c ON t.doc_id = c.doc_id AND t.j = c.j
+        {p}_kept AS (
+          SELECT t.doc_id, t.j, t.tok FROM {p}_toks t
+          ANTI JOIN {p}_cov c ON t.doc_id = c.doc_id AND t.j = c.j
         ),
-        cut_reasm AS (
+        {p}_reasm AS (
           SELECT doc_id, count(*) AS n_kept,
                  string_agg(tok, ' ' ORDER BY j) AS text
-          FROM cut_kept GROUP BY doc_id
+          FROM {p}_kept GROUP BY doc_id
         )
         SELECT w.doc_id,
                CAST(len(w.tk) AS BIGINT) AS n_tokens,
                CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
                COALESCE(r.text, '') AS text
-        FROM cut_w w LEFT JOIN cut_reasm r USING (doc_id)
+        FROM {p}_w w LEFT JOIN {p}_reasm r USING (doc_id)
     """
 
 def resolve_duplicates(
