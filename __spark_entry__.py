@@ -892,7 +892,10 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus SemDeDup-style cluster-blocked semantic dedup (deterministic
     centroids, greedy smaller-id survivor rule), tagged and unioned.
     The semdedup arm reuses the pair columns: id_a=vec_id,
-    id_b=cluster_id, cosine=keep (1.0 kept / 0.0 dropped)."""
+    id_b=cluster_id, cosine=keep (1.0 kept / 0.0 dropped); the pool arm
+    (chunk->document mean pooling, vec_id div 5 as the synthetic doc)
+    flattens each pooled vector — id_a=doc, id_b=element position,
+    cosine=the pooled cell."""
     emb = _emb(spark, sf_dir)
     catalyst = D.embedding_near_dup_pairs(
         emb, threshold=0.3, block_col="label", engine="catalyst"
@@ -908,7 +911,20 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("id_b"),
         F.col("keep").cast("double").alias("cosine"),
     )
-    return catalyst.unionByName(arrow).unionByName(sem)
+    pool = SIM.pool_embeddings(
+        emb.select(
+            (F.col("vec_id") / 5).cast("long").alias("doc_id"),
+            F.col("vec_id").alias("chunk_id"),
+            "embedding",
+        )
+    ).select(
+        F.lit("pool").alias("engine"),
+        F.col("doc_id").alias("id_a"),
+        F.posexplode("embedding").alias("_pos", "cosine"),
+    ).select(
+        "engine", "id_a", F.col("_pos").cast("long").alias("id_b"), "cosine"
+    )
+    return catalyst.unionByName(arrow).unionByName(sem).unionByName(pool)
 
 
 # --- text analysis -----------------------------------------------------------
@@ -2663,7 +2679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 'spancut' span-redaction arm (decontaminate_spans);
         # curate_sample_pack the 'wf' cap-aware waterfilling budgets
         # arm + 'domq' (domain-level quality gate) + 'epoch' (epoch
-        # expansion); k7_json_codec's ingest fixture pins the
+        # expansion); dedup_embedding the 'pool' chunk->doc mean
+        # pooling arm; k7_json_codec's ingest fixture pins the
         # bare-`null` quarantine line ---
         "ann_lsh_ivf": _q_ann_lsh_ivf,
         "events_conversion_funnel": _q_events_funnel_merged,
@@ -2671,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_decontaminate": _q_curate_decontaminate,
         "curate_sample_pack": _q_curate_sample_pack,
         "dedup_exact": _q_dedup_exact_merged,  # + 'diff' snapshot audit
+        "dedup_embedding": _q_dedup_embedding,  # + 'pool' mean pooling
         "k7_json_codec": _q_k7_json_codec,
         # --- changed in round 6: text_analyze gained the corpus-profile
         # + streaming-monitor + drift-tseries arms; index_build the
@@ -2685,7 +2703,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_membership": _q_rel_membership,
         "crud_composite_get": _q_crud_composite_get,
         "queue_stats": _q_queue_stats,
-        "dedup_embedding": _q_dedup_embedding,
         "text_terms_tfidf": _q_text_terms_tfidf,
         "events_windows": _q_events_windows,
         "queue_update_status": _q_queue_update_status,
@@ -3920,6 +3937,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'arrow' AS engine, id_a, id_b, cosine FROM ({emb_dup_cte})
             UNION ALL
             SELECT engine, id_a, id_b, cosine FROM ({semdedup_cte})
+            UNION ALL
+            -- chunk->document mean pooling (vec_id div 5 as the
+            -- synthetic doc), pooled vector flattened: id_b carries the
+            -- element position, cosine the pooled cell
+            SELECT 'pool' AS engine, p.doc_id AS id_a,
+                   CAST(u.i AS BIGINT) AS id_b,
+                   p.embedding[u.i + 1] AS cosine
+            FROM ({SIM.sql_pool_embeddings(
+                "SELECT vec_id // 5 AS doc_id, vec_id AS chunk_id,"
+                " embedding FROM embeddings"
+            )}) p, unnest(range(0, len(p.embedding))) u(i)
         """,
         "events_conversion_funnel": f"""
             WITH firsts AS (

@@ -134,3 +134,10 @@ def test_round7_session3_operators_on_empty_inputs(spark, empty_docs):
                              {"en": 10}).count() == 0
     assert CU.expand_budgets(docs.selectExpr("doc_id", "'en' AS lang"),
                              {}).count() == 0
+    # empty chunk frame -> no pooled vectors
+    from wpvectordb_spark.operators import similarity as SIM
+
+    empty_chunks = spark.createDataFrame(
+        [], "doc_id long, chunk_id long, embedding array<float>"
+    )
+    assert SIM.pool_embeddings(empty_chunks).count() == 0

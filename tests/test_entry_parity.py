@@ -97,7 +97,8 @@ EXPECTED_ARMS = {
         "kind", {"boiler", "decon", "sdecon", "rdecon", "c4", "gopher", "spancut"}
     ),
     "events_windows": ("kind", {"cohort", "slide", "tumble"}),
-    "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup"}),
+    # round 7: + 'pool' (chunk->doc mean pooling, flattened cells)
+    "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup", "pool"}),
     # round 7: + 'diff' (corpus_diff snapshot audit over %7-split views;
     # its test additionally pins all four statuses non-vacuous)
     "dedup_exact": ("kind", {"cut", "diff", "exact", "span"}),

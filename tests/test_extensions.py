@@ -1416,3 +1416,97 @@ def test_resolve_duplicates_exact_copies_pick_one(corpus_with_dups):
         kept = [r for r in members if r["kept"] == 1]
         assert len(kept) == 1
         assert all(r["survivor_id"] == kept[0]["doc_id"] for r in members)
+
+
+def test_tune_lsh_params_matches_exhaustive_and_moves_with_knobs():
+    # the returned pair is the true argmin of the same weighted-error
+    # objective, recomputed independently here with trapezoid quadrature
+    import math
+
+    def err(b, r, t, fpw, fnw, steps=2000):
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) * t / steps
+            fp += (1.0 - (1.0 - s**r) ** b) * (t / steps)
+            s = t + (i + 0.5) * (1.0 - t) / steps
+            fn += (1.0 - s**r) ** b * ((1.0 - t) / steps)
+        return fpw * fp + fnw * fn
+
+    n, t = 32, 0.5
+    b, r = D.tune_lsh_params(t, num_hashes=n)
+    assert b * r <= n
+    best = min(
+        ((err(bb, rr, t, 0.5, 0.5), bb, rr)
+         for bb in range(1, n + 1) for rr in range(1, n // bb + 1)),
+        key=lambda x: x[0],
+    )
+    assert (b, r) == (best[1], best[2])
+    # a higher threshold moves the S-curve step right: more rows per band
+    _, r_low = D.tune_lsh_params(0.2, num_hashes=128)
+    _, r_high = D.tune_lsh_params(0.9, num_hashes=128)
+    assert r_high > r_low
+    # weighting false negatives harder must not LOWER the catch
+    # probability at the threshold
+    def p_at(b, r, s):
+        return 1.0 - (1.0 - s**r) ** b
+    b0, r0 = D.tune_lsh_params(0.5, num_hashes=128, fp_weight=0.9, fn_weight=0.1)
+    b1, r1 = D.tune_lsh_params(0.5, num_hashes=128, fp_weight=0.1, fn_weight=0.9)
+    assert p_at(b1, r1, 0.5) >= p_at(b0, r0, 0.5)
+    for bad in (0.0, 1.0, -0.2):
+        with pytest.raises(ValueError):
+            D.tune_lsh_params(bad)
+    with pytest.raises(ValueError):
+        D.tune_lsh_params(0.5, num_hashes=1)
+    with pytest.raises(ValueError):
+        D.tune_lsh_params(0.5, fp_weight=0.0, fn_weight=0.0)
+
+
+def test_pool_embeddings_golden(spark):
+    from wpvectordb_spark.operators import similarity as SIM
+
+    chunks = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0, 3.0]),
+            (1, 1, [3.0, 2.0, 1.0]),
+            (2, 0, [4.0, 0.0, -2.0]),
+            (2, 1, None),  # NULL chunk dropped, not poisoning the mean
+            (3, 0, None),  # all-NULL group emits nothing
+        ],
+        "doc_id long, chunk_id long, embedding array<float>",
+    )
+    rows = {r["doc_id"]: r for r in SIM.pool_embeddings(chunks).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_chunks"] == 2
+    assert rows[1]["embedding"] == [2.0, 2.0, 2.0]
+    assert rows[2]["n_chunks"] == 1
+    assert rows[2]["embedding"] == [4.0, 0.0, -2.0]
+    # input row order must not matter (the fold sorts by chunk_id)
+    rev = {
+        r["doc_id"]: r
+        for r in SIM.pool_embeddings(
+            chunks.orderBy(F.col("chunk_id").desc())
+        ).collect()
+    }
+    assert rev[1]["embedding"] == rows[1]["embedding"]
+
+
+def test_pool_embeddings_duckdb_parity(spark, duck):
+    from tests.conftest import SF_DIR, assert_parity
+    from wpvectordb_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    chunks = emb.select(
+        (F.col("vec_id") / 5).cast("long").alias("doc_id"),
+        F.col("vec_id").alias("chunk_id"),
+        "embedding",
+    )
+    sdf = SIM.pool_embeddings(chunks)
+    rel = duck.sql(
+        SIM.sql_pool_embeddings(
+            "SELECT vec_id // 5 AS doc_id, vec_id AS chunk_id, embedding"
+            " FROM embeddings"
+        )
+    )
+    rows = sdf.collect()
+    assert_parity(sdf, rel, precollected=rows)
+    assert all(r["n_chunks"] == 5 for r in rows)

@@ -141,6 +141,55 @@ def _check_banding(num_hashes: int, bands: int, rows_per_band: int) -> None:
         )
 
 
+def tune_lsh_params(
+    threshold: float,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Closed-form LSH banding selection: the ``(bands, rows_per_band)``
+    whose S-curve ``1 - (1 - s^r)^b`` best steps at the target Jaccard
+    ``threshold`` — minimizing the weighted false-positive integral
+    (candidate-pair probability mass BELOW the threshold) plus
+    false-negative integral (missed mass ABOVE it), the standard
+    parameter rule from Leskovec/Rajaraman/Ullman, *Mining of Massive
+    Datasets* ch. 3.4 (the same search the datasketch library ships as
+    ``_optimal_param``).  Deterministic 512-point midpoint quadrature;
+    pure driver arithmetic — feed the result straight into
+    :func:`minhash_lsh_dedup_pairs`/:func:`lsh_candidate_pairs`, whose
+    verify stage then removes whatever false positives the curve lets
+    through (the FN side is the one that matters: missed candidates are
+    never recovered).
+
+    Raising ``fn_weight`` pushes the step LEFT of the threshold (catch
+    more, verify more); raising ``fp_weight`` pushes it right.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"tune_lsh_params: threshold={threshold} outside (0, 1)")
+    if num_hashes < 2:
+        raise ValueError(f"tune_lsh_params: num_hashes={num_hashes} < 2")
+    if fp_weight < 0 or fn_weight < 0 or fp_weight + fn_weight == 0:
+        raise ValueError("tune_lsh_params: weights must be >= 0 and not both 0")
+    steps = 512
+    best = None
+    for b in range(1, num_hashes + 1):
+        max_r = num_hashes // b
+        for r in range(1, max_r + 1):
+            fp = fn = 0.0
+            # midpoint rule on [0, t] and [t, 1]
+            w_lo = threshold / steps
+            w_hi = (1.0 - threshold) / steps
+            for i in range(steps):
+                s = (i + 0.5) * w_lo
+                fp += (1.0 - (1.0 - s**r) ** b) * w_lo
+                s = threshold + (i + 0.5) * w_hi
+                fn += (1.0 - (1.0 - (1.0 - s**r) ** b)) * w_hi
+            err = fp_weight * fp + fn_weight * fn
+            if best is None or err < best[0]:
+                best = (err, b, r)
+    return best[1], best[2]
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

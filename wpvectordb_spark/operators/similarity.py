@@ -219,6 +219,86 @@ def ann_recall(
     return total / len(query_vectors)
 
 
+def pool_embeddings(
+    vectors: DataFrame,
+    group_col: str = "doc_id",
+    vector_col: str = "embedding",
+    order_col: str = "chunk_id",
+) -> DataFrame:
+    """Mean-pool chunk embeddings into one vector per group — the
+    standard document-vector construction when the embedder works on
+    chunks (``curation.chunk_documents`` splits, the model embeds each
+    chunk, this pools them back so ANN indexes hold ONE entry per
+    document; also the multimodal frame->clip pooling step).  NULL
+    vectors are dropped before pooling (a group of only NULLs emits
+    nothing); ``order_col`` must be unique within a group — it fixes
+    the fold order, which is what makes the float sum reproducible.
+
+    Scale shape: ONE hash aggregation on the group key — the map-side
+    partial collects each partition's chunks, the merge concatenates;
+    per-group state is (n_chunks x dim) doubles, bounded by the
+    chunks-per-document contract (a 10k-token doc at 512-token chunks
+    is ~20 vectors).  The fold runs JVM-side over the ORDER-SORTED
+    chunk list (the dynamic-term float-sum rule: an unordered
+    ``avg`` would drift ulps across engines AND across reruns as
+    partial-agg merge order shifts), and the pooled cells round to
+    9 dp.  Returns (group, n_chunks, pooled array<double>).
+    """
+    lst = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(order_col).alias("o"), F.col(vector_col).alias("v"))
+        )
+    )
+    # left fold in order_col order: init = first chunk cast to DOUBLE,
+    # fold the rest elementwise — the exact shape DuckDB's no-init
+    # list_reduce over an ORDER BY list produces
+    pooled = (
+        "transform("
+        "  aggregate("
+        "    slice(_lst, 2, size(_lst) - 1),"
+        "    transform(_lst[0].v, x -> CAST(x AS DOUBLE)),"
+        "    (acc, s) -> zip_with(acc, s.v, (a, b) -> a + CAST(b AS DOUBLE))),"
+        "  x -> round(x / _n, 9))"
+    )
+    return (
+        vectors.where(F.col(vector_col).isNotNull())
+        .groupBy(group_col)
+        .agg(lst.alias("_lst"), F.count("*").alias("_n"))
+        .select(
+            F.col(group_col),
+            F.col("_n").cast("long").alias("n_chunks"),
+            F.expr(pooled).alias(vector_col),
+        )
+    )
+
+
+def sql_pool_embeddings(
+    chunks_sql: str,
+    group_col: str = "doc_id",
+    vector_col: str = "embedding",
+    order_col: str = "chunk_id",
+) -> str:
+    """DuckDB mirror of ``pool_embeddings`` over a (group, order, vector)
+    relation: ``list(... ORDER BY order)`` + no-init ``list_reduce`` is
+    the same left fold in the same order."""
+    return f"""
+        WITH pe_c AS ({chunks_sql}),
+        pe_lst AS (
+          SELECT {group_col}, COUNT(*) AS n,
+                 list(list_transform({vector_col}, x -> CAST(x AS DOUBLE))
+                      ORDER BY {order_col}) AS vs
+          FROM pe_c WHERE {vector_col} IS NOT NULL
+          GROUP BY {group_col}
+        )
+        SELECT {group_col}, CAST(n AS BIGINT) AS n_chunks,
+               list_transform(
+                 list_reduce(vs, (a, b) ->
+                   list_transform(list_zip(a, b), p -> p[1] + p[2])),
+                 x -> round(x / n, 9)) AS {vector_col}
+        FROM pe_lst
+    """
+
+
 def deterministic_centroids(
     vectors: DataFrame,
     n_clusters: int = 16,
