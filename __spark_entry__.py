@@ -1217,7 +1217,12 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_tokens").alias("n_shingles"),
         F.col("n_kept").alias("n_matched"),
-        (F.col("n_kept") < F.col("n_tokens")).cast("int").alias("contaminated"),
+        # when/otherwise so a NULL-text doc (NULL n_tokens) gets 0 like
+        # the mirror's CASE ... ELSE 0, not a NULL from (0 < NULL)
+        F.when(F.col("n_kept") < F.col("n_tokens"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("contaminated"),
         "text",
         (F.col("n_tokens") - F.col("n_kept")).cast("long").alias("n_removed"),
     )

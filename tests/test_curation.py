@@ -1038,7 +1038,9 @@ def test_decontaminate_spans_golden(spark):
 
 
 def test_decontaminate_spans_shuffle_mode_matches_broadcast(spark, docs):
-    corpus = docs.where(F.col("doc_id") >= 20).limit(60)
+    # sort before limit: an unordered LIMIT re-evaluates per plan and
+    # could hand the two paths different 60-doc subsets
+    corpus = docs.where(F.col("doc_id") >= 20).orderBy("doc_id").limit(60)
     hold = docs.where(F.col("doc_id") < 20)
     bcast = CU.decontaminate_spans(corpus, hold, k=4)
     shuf = CU.decontaminate_spans(corpus, hold, k=4, broadcast_holdout=False)
@@ -1111,6 +1113,29 @@ def test_expand_budgets_golden(spark):
         CU.expand_budgets(docs, {"a": -1})
 
 
+def test_expand_budgets_cross_stratum_ids_do_not_leak_extras(spark, duck):
+    """A doc_id present in TWO strata must not carry a remainder win
+    from one stratum into the other: per-stratum row counts stay exactly
+    the budgets (the id-only extras join regression)."""
+    rows = [(1, "a"), (2, "a"), (3, "a"), (1, "b"), (4, "b"), (5, "b")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    budgets = {"a": 4, "b": 3}
+    out = CU.expand_budgets(docs, budgets).collect()
+    per = {}
+    for r in out:
+        per[r["stratum"]] = per.get(r["stratum"], 0) + 1
+    assert per == budgets
+    # mirror agrees on the same frame
+    duck.execute("CREATE OR REPLACE TEMP TABLE eb_x(doc_id BIGINT, lang VARCHAR)")
+    duck.executemany("INSERT INTO eb_x VALUES (?, ?)", rows)
+    d = sorted(
+        duck.sql(CU.sql_expand_budgets(budgets, table="eb_x")).fetchall(),
+        key=repr,
+    )
+    assert sorted(map(tuple, out), key=repr) == d
+    duck.execute("DROP TABLE eb_x")
+
+
 def test_expand_budgets_duckdb_parity(spark, duck, docs):
     from tests.conftest import assert_parity
 
@@ -1139,6 +1164,8 @@ def test_domain_quality_filter_golden(spark):
             (5, None, 0.6),
             (6, None, 0.6),
             (7, "tiny", 0.05),
+            (8, "unscored", None),
+            (9, "unscored", None),
         ],
         "doc_id long, domain string, quality double",
     )
@@ -1148,12 +1175,15 @@ def test_domain_quality_filter_golden(spark):
             scored, min_avg_quality=0.5, min_docs=2
         ).collect()
     }
-    assert len(rows) == 7  # NULL-domain docs NOT silently deleted
+    assert len(rows) == 9  # NULL-domain docs NOT silently deleted
     assert rows[1]["kept"] == 0 and rows[2]["kept"] == 0
     assert rows[1]["domain_avg_quality"] == 0.2
     assert rows[3]["kept"] == 1 and rows[3]["n_docs_in_domain"] == 2
     assert rows[5]["kept"] == 1 and rows[5]["domain"] is None
     assert rows[7]["kept"] == 1  # min_docs escape hatch
+    # an all-NULL-score domain at size >= min_docs FAILS CLOSED: kept is
+    # 0 (never NULL — the flag is two-valued in both engines)
+    assert rows[8]["domain_avg_quality"] is None and rows[8]["kept"] == 0
     # with min_docs=1 the tiny domain is convicted
     strict = {
         r["doc_id"]: r

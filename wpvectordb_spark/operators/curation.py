@@ -649,6 +649,9 @@ def expand_budgets(
         )
         .withColumn("_base", F.expr("_b div _n"))
         .withColumn("_rem", F.expr("_b % _n"))
+        # fan-out barrier: hashed feeds the extras window AND the final
+        # join — unpersisted, the scan + count join + hash run twice
+        .persist()
     )
     from pyspark.sql import Window
 
@@ -659,14 +662,18 @@ def expand_budgets(
     rank_w = Window.partitionBy(stratum_col).orderBy(
         F.col("_k").asc(), F.col(id_col).asc()
     )
+    # winners keyed on (id, stratum): an id present in MORE THAN ONE
+    # stratum must not leak its extra copy across strata (an id-only
+    # join attached stratum-a wins to the same id's stratum-b row,
+    # breaking the exact per-stratum row-count contract)
     extras = (
         hashed.where((F.col("_rem") > 0) & (F.col("_k") < thr))
         .withColumn("_rk", F.row_number().over(rank_w))
         .where(F.col("_rk") <= F.col("_rem"))
-        .select(F.col(id_col), F.lit(1).alias("_extra"))
+        .select(F.col(id_col), F.col(stratum_col), F.lit(1).alias("_extra"))
     )
     return (
-        hashed.join(extras, id_col, "left")
+        hashed.join(extras, [id_col, stratum_col], "left")
         .withColumn(
             "_copies", F.col("_base") + F.coalesce(F.col("_extra"), F.lit(0))
         )
@@ -714,8 +721,10 @@ def sql_expand_budgets(
             ON t.{stratum_col} IS NOT DISTINCT FROM c.s
         ),
         eb_extras AS (
-          SELECT {id_col}, 1 AS extra FROM (
-            SELECT {id_col}, rem, row_number() OVER (
+          -- winners keyed on (id, stratum): cross-stratum ids must not
+          -- leak extras (mirrors the Spark join keys exactly)
+          SELECT {id_col}, {stratum_col}, 1 AS extra FROM (
+            SELECT {id_col}, {stratum_col}, rem, row_number() OVER (
               PARTITION BY {stratum_col} ORDER BY k ASC, {id_col} ASC
             ) AS rk
             FROM eb_h
@@ -726,7 +735,7 @@ def sql_expand_budgets(
                CAST(u.e AS BIGINT) AS epoch
         FROM (
           SELECT eb_h.*, eb_h.base + COALESCE(e.extra, 0) AS copies
-          FROM eb_h LEFT JOIN eb_extras e USING ({id_col})
+          FROM eb_h LEFT JOIN eb_extras e USING ({id_col}, {stratum_col})
         ) h, unnest(range(0, h.copies)) u(e)
         WHERE h.copies > 0
     """
@@ -814,9 +823,17 @@ def domain_quality_filter(
         F.count("*").alias("_n"),
         F.round(F.avg(score_col), 9).alias("_avg"),
     )
-    kept = (F.col("_n") < int(min_docs)) | (
-        F.col("_avg") >= F.lit(float(min_avg_quality))
-    )
+    # when/otherwise, NOT a bare boolean cast: a domain whose every
+    # score is NULL has a NULL average, and (NULL >= thr) would make
+    # kept NULL (tri-state flag, and a divergence from the mirror's
+    # CASE ... ELSE 0).  An unscorable domain FAILS CLOSED (kept=0) at
+    # any size >= min_docs — no evidence of quality is not evidence of
+    # quality.
+    kept = F.when(
+        (F.col("_n") < int(min_docs))
+        | (F.col("_avg") >= F.lit(float(min_avg_quality))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     return (
         scored.join(
             F.broadcast(stats).withColumnRenamed(domain_col, "_dom"),
@@ -1317,8 +1334,9 @@ def decontaminate_spans(
     )
     # min_docs=1 makes the detection's >= min_docs distinct-doc filter a
     # no-op: its dup_hashes output IS the holdout's distinct hash set
+    # (persist=False: the holdout base has exactly one consumer)
     _, _, hold_h = _span_detection(
-        holdout, k, 1, id_col, text_col, carry_tokens=False
+        holdout, k, 1, id_col, text_col, carry_tokens=False, persist=False
     )
     if broadcast_holdout:
         hold_h = F.broadcast(hold_h)

@@ -176,14 +176,15 @@ def tune_lsh_params(
         max_r = num_hashes // b
         for r in range(1, max_r + 1):
             fp = fn = 0.0
-            # midpoint rule on [0, t] and [t, 1]
+            # midpoint rule on [0, t] (catch probability = FP mass) and
+            # [t, 1] (miss probability (1-s^r)^b = FN mass)
             w_lo = threshold / steps
             w_hi = (1.0 - threshold) / steps
             for i in range(steps):
                 s = (i + 0.5) * w_lo
                 fp += (1.0 - (1.0 - s**r) ** b) * w_lo
                 s = threshold + (i + 0.5) * w_hi
-                fn += (1.0 - (1.0 - (1.0 - s**r) ** b)) * w_hi
+                fn += (1.0 - s**r) ** b * w_hi
             err = fp_weight * fp + fn_weight * fn
             if best is None or err < best[0]:
                 best = (err, b, r)
@@ -1025,6 +1026,7 @@ def _span_detection(
     id_col: str,
     text_col: str,
     carry_tokens: bool,
+    persist: bool = True,
 ):
     """The ONE detection pipeline shared by ``duplicate_span_stats`` and
     ``remove_duplicate_spans`` (a fold/guard tweak changes exactly one
@@ -1033,7 +1035,10 @@ def _span_detection(
     ``(base, wins, dup_hashes)``; ``base`` is persisted (three consumers
     with differing exchange children — ReuseExchange cannot dedupe them,
     same rationale as the minhash shingle table) and carries ``_tk``
-    only when the caller needs the tokens back (the cut rewrite)."""
+    only when the caller needs the tokens back (the cut rewrite).
+    ``persist=False`` skips the cache for single-consumer uses (the
+    holdout side of span decontamination reads ``base`` exactly once —
+    caching it would only pin dead executor memory)."""
     from wpvectordb_spark.functions.text import HASH_MOD, HASH_MOD2, HASH_MUL2
 
     # ~60-bit window hash: TWO independent folds packed into one BIGINT
@@ -1071,7 +1076,9 @@ def _span_detection(
         F.when(F.size("_th") >= k, F.expr(fold))
         .otherwise(F.array().cast("array<long>"))
         .alias("_ws"),
-    ).persist()
+    )
+    if persist:
+        base = base.persist()
     wins = base.select(F.col(id_col), F.posexplode("_ws").alias("pos", "h"))
     dup_hashes = (
         wins.groupBy("h")
