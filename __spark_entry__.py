@@ -806,12 +806,14 @@ def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (corpus never self-joins), and ``stream`` rows from driving the
     streaming ingest kernel over a 3-way micro-batch split (telescoping
     guarantee: must equal the ``pair`` set — see _stream_ingest_pairs),
-    and ``split`` rows from ``leakage_safe_split`` over the same
-    components (id_b carries the group id, jaccard the in_val flag —
-    whole clusters land on one side of the train/val split).
-    The shingle-set index is computed ONCE and shared by the batch
-    stages, and the CC output feeds the component, resolve AND split
-    arms — the persisted-index reuse path at production scale."""
+    ``split`` rows from ``leakage_safe_split`` over the same components
+    (id_b carries the group id, jaccard the in_val flag — whole
+    clusters land on one side of the train/val split), and ``histo``
+    rows from ``duplicate_cluster_stats`` (cluster-size histogram:
+    id_a the size, id_b how many clusters have it).  The shingle-set
+    index is computed ONCE and shared by the batch stages, and the CC
+    output feeds the component, resolve, split AND histo arms — the
+    persisted-index reuse path at production scale."""
     corpus = _corpus_with_dups(spark, sf_dir)
     sh_all = D.shingle_sets(corpus).persist()
     pairs = D.minhash_lsh_dedup_pairs(sh_all, threshold=0.5).persist()
@@ -855,12 +857,21 @@ def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_id").alias("id_b"),
         F.col("in_val").cast("double").alias("jaccard"),
     )
+    # duplicate-cluster size histogram over the SAME components (id_a
+    # carries the cluster size, id_b how many clusters have it)
+    h = D.duplicate_cluster_stats(comp).select(
+        F.lit("histo").alias("kind"),
+        F.col("cluster_size").alias("id_a"),
+        F.col("n_clusters").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
     return (
         p.unionByName(c)
         .unionByName(r)
         .unionByName(i)
         .unionByName(s)
         .unionByName(sp)
+        .unionByName(h)
     )
 
 
@@ -1894,8 +1905,10 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable-hash weight, seq_start the saturated flag), the
     domain-level quality gate (domq arm: lang carries the source
     domain, n_tokens the domain doc count, shard the kept flag, quality
-    the rounded domain average), and epoch expansion (epoch arm: pos
-    carries the epoch index; per-lang row count == EPOCH_BUDGETS)."""
+    the rounded domain average), per-stratum percentile-rank score
+    calibration (rank arm: quality carries the calibrated rank), and
+    epoch expansion (epoch arm: pos carries the epoch index; per-lang
+    row count == EPOCH_BUDGETS)."""
     null_l = F.lit(None).cast("long")
     null_d = F.lit(None).cast("double")
     sample = _q_curate_stratified_sample(spark, sf_dir).select(
@@ -2071,6 +2084,20 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("pos"),
         F.col("domain_avg_quality").alias("quality"),
     )
+    # per-stratum percentile-rank calibration of the same scored frame
+    # the qfilter arm uses (column reuse: quality carries the CALIBRATED
+    # rank — the raw score is already oracle-checked by the qfilter arm)
+    rank = CU.rank_normalize(scored).select(
+        F.lit("rank").alias("kind"),
+        "doc_id",
+        "lang",
+        null_l.alias("n_tokens"),
+        null_l.alias("seq_start"),
+        null_l.alias("seq_end"),
+        null_l.alias("shard"),
+        null_l.alias("pos"),
+        F.col("calibrated").alias("quality"),
+    )
     # epoch expansion: per-stratum budgets materialized as exact repeat
     # counts (column reuse: pos carries the epoch index); row count per
     # lang == EPOCH_BUDGETS[lang]
@@ -2096,6 +2123,7 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(temp)
         .unionByName(wf)
         .unionByName(domq)
+        .unionByName(rank)
         .unionByName(epoch)
         .unionByName(pipeline)
     )
@@ -2966,6 +2994,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node AS doc_id, component_id FROM comp",
             val_fraction=0.25,
             seed=7,
+        )})
+        UNION ALL
+        -- duplicate-cluster size histogram over the same components:
+        -- id_a = cluster size, id_b = how many clusters have it
+        SELECT 'histo' AS kind, cluster_size AS id_a, n_clusters AS id_b,
+               CAST(NULL AS DOUBLE) AS jaccard
+        FROM ({D.sql_duplicate_cluster_stats(
+            "SELECT node AS doc_id, component_id FROM comp"
         )})
     """
     simhash_expr = X.sql_srp_simhash(X.sql_token_hashes("text"))
@@ -4110,6 +4146,21 @@ def oracle_sql() -> dict[str, str]:
                 + TA.sql_quality_score("text")
                 + " AS quality FROM documents",
                 min_avg_quality=DOMQ_MIN_AVG,
+            )})
+            UNION ALL
+            -- per-stratum percentile-rank calibration of the qfilter
+            -- arm's scored frame: quality carries the calibrated rank
+            SELECT 'rank' AS kind, doc_id, lang,
+                   CAST(NULL AS BIGINT) AS n_tokens,
+                   CAST(NULL AS BIGINT) AS seq_start,
+                   CAST(NULL AS BIGINT) AS seq_end,
+                   CAST(NULL AS BIGINT) AS shard,
+                   CAST(NULL AS BIGINT) AS pos,
+                   calibrated AS quality
+            FROM ({CU.sql_rank_normalize(
+                "SELECT doc_id, lang, "
+                + TA.sql_quality_score("text")
+                + " AS quality FROM documents"
             )})
             UNION ALL
             -- epoch expansion: pos carries the epoch index; row count

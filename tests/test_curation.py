@@ -1214,3 +1214,55 @@ def test_domain_quality_filter_duckdb_parity(spark, duck, docs):
     assert_parity(sdf, rel, precollected=rows)
     # threshold splits this corpus: kept and dropped domains both present
     assert {r["kept"] for r in rows} == {0, 1}
+
+
+def test_rank_normalize_golden(spark):
+    """Known ranks: 4-doc stratum gets 0, 1/3, 2/3, 1; ties share; a
+    1-row stratum calibrates to 0.0; NULL scores are dropped."""
+    scored = spark.createDataFrame(
+        [
+            (1, "a", 0.1),
+            (2, "a", 0.5),
+            (3, "a", 0.5),
+            (4, "a", 0.9),
+            (5, "b", 0.7),
+            (6, "a", None),
+        ],
+        "doc_id long, lang string, quality double",
+    )
+    rows = {r["doc_id"]: r for r in CU.rank_normalize(scored).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}  # NULL score dropped
+    assert rows[1]["calibrated"] == 0.0
+    assert rows[2]["calibrated"] == rows[3]["calibrated"]  # ties share
+    assert abs(rows[2]["calibrated"] - 1 / 3) < 1e-9
+    assert rows[4]["calibrated"] == 1.0
+    assert rows[5]["calibrated"] == 0.0  # singleton stratum
+
+
+def test_rank_normalize_duckdb_parity(spark, duck, docs):
+    from tests.conftest import assert_parity
+    from wpvectordb_spark.operators import text_analysis as TA
+
+    scored = docs.select(
+        "doc_id", "lang", TA.quality_score("text").alias("quality")
+    )
+    sdf = CU.rank_normalize(scored)
+    rel = duck.sql(
+        CU.sql_rank_normalize(
+            f"SELECT doc_id, lang, {TA.sql_quality_score('text')}"
+            " AS quality FROM documents"
+        )
+    )
+    rows = sdf.collect()
+    assert_parity(sdf, rel, precollected=rows)
+    # each multi-doc stratum anchors at 0.0 and spreads upward (ties at
+    # the TOP keep max below 1.0: percent_rank gives tied rows the rank
+    # of their first member)
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["calibrated"])
+    for lang, cals in by_lang.items():
+        if len(cals) > 1:
+            assert min(cals) == 0.0
+            assert 0.5 < max(cals) <= 1.0
+            assert len(set(cals)) > 1

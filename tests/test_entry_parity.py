@@ -68,6 +68,7 @@ EXPECTED_ARMS = {
     #            test additionally pins both kept outcomes present)
     #          + 'epoch' (epoch expansion: per-lang row count ==
     #            EPOCH_BUDGETS[lang], pinned by its test)
+    #          + 'rank' (per-stratum percentile-rank calibration)
     "curate_sample_pack": (
         "kind",
         {
@@ -80,6 +81,7 @@ EXPECTED_ARMS = {
             "pack",
             "pipeline",
             "qfilter",
+            "rank",
             "sample",
             "shard",
             "temp",
@@ -104,8 +106,10 @@ EXPECTED_ARMS = {
     "dedup_exact": ("kind", {"cut", "diff", "exact", "span"}),
     # round 7: + 'resolve' (quality-argmax survivor per CC cluster)
     #          + 'split' (leakage-safe train/val split over the same CCs)
+    #          + 'histo' (duplicate-cluster size histogram, same CCs)
     "dedup_minhash_lsh": (
-        "kind", {"component", "incr", "pair", "resolve", "split", "stream"}
+        "kind",
+        {"component", "histo", "incr", "pair", "resolve", "split", "stream"},
     ),
     # round 7: both persisted indexes are base+append (every serving
     # arm's full-rebuild mirror doubles as an append proof), 'ivfapp'

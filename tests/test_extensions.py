@@ -1510,3 +1510,31 @@ def test_pool_embeddings_duckdb_parity(spark, duck):
     rows = sdf.collect()
     assert_parity(sdf, rel, precollected=rows)
     assert all(r["n_chunks"] == 5 for r in rows)
+
+
+def test_duplicate_cluster_stats_golden_and_parity(spark, duck):
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 3), (6, 6), (7, 6), (8, 8)],
+        "doc_id long, component_id long",
+    )
+    rows = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in D.duplicate_cluster_stats(comp).collect()
+    }
+    assert rows == {1: 1, 2: 2, 3: 1}
+    duck.execute(
+        "CREATE OR REPLACE TEMP TABLE dcs_x(doc_id BIGINT, component_id BIGINT)"
+    )
+    duck.executemany(
+        "INSERT INTO dcs_x VALUES (?, ?)",
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 3), (6, 6), (7, 6), (8, 8)],
+    )
+    d = dict(
+        duck.sql(
+            D.sql_duplicate_cluster_stats(
+                "SELECT doc_id, component_id FROM dcs_x"
+            )
+        ).fetchall()
+    )
+    assert rows == d
+    duck.execute("DROP TABLE dcs_x")

@@ -789,6 +789,65 @@ def sql_quality_quantile_filter(
     """
 
 
+def rank_normalize(
+    scored: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Per-stratum percentile-rank calibration of a score column —
+    ``calibrated`` is the fraction of the stratum scoring strictly below
+    you (``percent_rank``: (rank-1)/(n-1), ties share, a 1-row stratum
+    gets 0.0).  The step before MIXING scores from different scorers
+    (a fasttext classifier's logit and a heuristic's [0,1] ratio aren't
+    comparable; their within-stratum ranks are), and before applying
+    one global keep-fraction across strata whose raw score scales
+    differ — the same motivation as :func:`quality_quantile_filter`,
+    generalized from one cutoff to the whole curve.
+
+    NULL scores are dropped, not ranked: the engines disagree on NULL
+    ordering (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST),
+    and a rank for "unscored" is meaningless anyway — gate those rows
+    upstream.
+
+    Scale shape: one window per stratum over narrow (id, stratum,
+    score) rows.  The exact form sorts each stratum within its
+    partition (spillable); at 100 TB, if a mega-stratum's sort is too
+    heavy, swap to the two-pass approximation — ``percentile_approx``
+    cutpoints broadcast back as bucket ranks — same plan shape as
+    ``quality_quantile_filter``'s documented lever.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(F.col(score_col).asc())
+    return (
+        scored.where(F.col(score_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(stratum_col),
+            F.col(score_col),
+            F.round(F.percent_rank().over(w), 9).alias("calibrated"),
+        )
+    )
+
+
+def sql_rank_normalize(
+    scored_cte: str,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> str:
+    """DuckDB mirror of ``rank_normalize`` (identical percent_rank
+    definition: (rank-1)/(n-1), ties share, single-row partition = 0)."""
+    return f"""
+        SELECT {id_col}, {stratum_col}, {score_col},
+               round(percent_rank() OVER (
+                 PARTITION BY {stratum_col} ORDER BY {score_col} ASC
+               ), 9) AS calibrated
+        FROM ({scored_cte}) WHERE {score_col} IS NOT NULL
+    """
+
+
 def domain_quality_filter(
     scored: DataFrame,
     min_avg_quality: float,

@@ -1341,6 +1341,52 @@ def resolve_duplicates(
     )
 
 
+def duplicate_cluster_stats(
+    components: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component_id",
+) -> DataFrame:
+    """Duplicate-cluster size histogram — the data-card row next to a
+    dedup run ("48,210 pairs, 3,120 clusters of 2, 14 clusters over
+    100"): for each cluster size, how many clusters have it.  Input is
+    the ``connected_components`` output (duplicate-cluster members
+    only); the histogram shape is what tells you whether duplication is
+    long-tail boilerplate (many small clusters) or a few mega-templates
+    (the skew that dominates removal savings and LSH bucket cost).
+
+    Scale shape: two map-side-combinable aggregations — member rows
+    collapse to #clusters rows, then to #distinct-sizes rows (bounded
+    by the largest cluster, in practice < 10^4 distinct sizes at any
+    corpus scale).  Returns (cluster_size, n_clusters), both BIGINT.
+    """
+    sizes = components.groupBy(component_col).agg(
+        F.count(id_col).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long"),
+            F.col("n_clusters").cast("long"),
+        )
+    )
+
+
+def sql_duplicate_cluster_stats(components_sql: str) -> str:
+    """DuckDB mirror of ``duplicate_cluster_stats`` over a
+    (doc_id, component_id) relation."""
+    return f"""
+        WITH dcs_c AS ({components_sql}),
+        dcs_sizes AS (
+          SELECT component_id, COUNT(doc_id) AS cluster_size
+          FROM dcs_c GROUP BY component_id
+        )
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM dcs_sizes GROUP BY cluster_size
+    """
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,
