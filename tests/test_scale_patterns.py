@@ -254,3 +254,47 @@ def test_retention_and_funnel_plan_shapes(spark):
 
     joins = len(re.findall(r"Join", plan))
     assert joins == 0, plan  # collect + in-row mins: no joins at all
+
+
+def test_round7_session3_plan_shapes(spark):
+    """Plan shapes of the session-3 operators: the domain gate and
+    epoch expansion broadcast their tiny per-stratum frames (corpus
+    never shuffle-joins); pooling is ONE aggregation exchange; span
+    decontamination's holdout membership join broadcasts by default and
+    pins the shuffle form on request (same contract as decontaminate)."""
+    import re
+
+    from wpvectordb_spark.operators import curation as CU
+    from wpvectordb_spark.operators import similarity as SIM
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    scored = docs.select(
+        "doc_id", F.col("source").alias("domain"), F.lit(0.5).alias("quality")
+    )
+    plan = _plan(CU.domain_quality_filter(scored, 0.5))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+    plan = _plan(CU.expand_budgets(docs.select("doc_id", "lang"), {"en": 10}))
+    # the counts frame broadcasts; the only sort-merge-eligible join is
+    # the extras left join on (id, stratum) — extras are remainder-sized
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    chunks = emb.select(
+        (F.col("vec_id") / 5).cast("long").alias("doc_id"),
+        F.col("vec_id").alias("chunk_id"),
+        "embedding",
+    )
+    plan = _plan(SIM.pool_embeddings(chunks))
+    assert len(re.findall(r"Exchange", plan.split("Initial Plan")[0])) == 1, plan
+    assert "Join" not in plan, plan
+
+    corpus, hold = docs.where(F.col("doc_id") >= 20), docs.where(F.col("doc_id") < 20)
+    plan = _plan(CU.decontaminate_spans(corpus, hold, k=4))
+    assert "BroadcastHashJoin" in plan, plan
+    plan = _plan(CU.decontaminate_spans(corpus, hold, k=4, broadcast_holdout=False))
+    h_joins = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert h_joins and all("Broadcast" not in ln for ln in h_joins), h_joins
