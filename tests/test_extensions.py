@@ -1538,3 +1538,40 @@ def test_duplicate_cluster_stats_golden_and_parity(spark, duck):
     )
     assert rows == d
     duck.execute("DROP TABLE dcs_x")
+
+
+def test_minhash_auto_tune_finds_copies_and_guards(corpus_with_dups):
+    pairs = D.minhash_lsh_dedup_pairs(
+        corpus_with_dups, threshold=0.5, auto_tune=True
+    ).collect()
+    # exact copies (jaccard 1.0) still surface under the tuned banding
+    assert any(r["jaccard"] == 1.0 for r in pairs)
+    with pytest.raises(ValueError):
+        D.minhash_lsh_dedup_pairs(
+            corpus_with_dups, threshold=0.5, auto_tune=True, bands=4
+        )
+
+
+def test_decontaminate_spans_null_text_roundtrips(spark):
+    """NULL-text docs pass through the span redaction unharmed (empty
+    window set, zero-filled counts) on BOTH sides."""
+    from wpvectordb_spark.operators import curation as CU
+
+    corpus = spark.createDataFrame(
+        [(1, None), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [(9, "alpha beta gamma delta"), (10, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in CU.decontaminate_spans(corpus, holdout, k=3).collect()
+    }
+    assert len(rows) == 2
+    # NULL text -> NULL token count in BOTH engines (size/len of a NULL
+    # array), zero kept, empty reassembly — never a crash or a drop
+    assert rows[1]["n_tokens"] is None and rows[1]["n_kept"] == 0
+    assert rows[1]["text"] == ""
+    assert rows[2]["n_kept"] == 0  # fully redacted (verbatim holdout copy)

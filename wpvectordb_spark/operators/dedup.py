@@ -396,6 +396,7 @@ def minhash_lsh_dedup_pairs(
     shingle_k: int = 3,
     engine: str = DEFAULT_SKETCH_ENGINE,
     persist: bool = True,
+    auto_tune: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
 
@@ -410,7 +411,21 @@ def minhash_lsh_dedup_pairs(
     resident for the session — the many-corpora accumulation toggle,
     same as unigram_logprob_scores): the three consumers then re-hash,
     a bounded 3x of one narrow projection, no compounding.
+
+    ``auto_tune=True`` replaces the (bands, rows_per_band) defaults
+    with :func:`tune_lsh_params`' S-curve argmin at ``threshold`` over
+    ``num_hashes`` — the banding actually matched to the verify
+    threshold instead of folklore constants (explicit bands/rows args
+    still win when the caller passes both knobs deliberately; passing
+    them WITH auto_tune raises rather than silently ignoring one).
     """
+    if auto_tune:
+        if bands != DEFAULT_BANDS or rows_per_band != DEFAULT_ROWS_PER_BAND:
+            raise ValueError(
+                "minhash_lsh_dedup_pairs: pass EITHER auto_tune=True OR "
+                "explicit bands/rows_per_band, not both"
+            )
+        bands, rows_per_band = tune_lsh_params(threshold, num_hashes)
     _check_banding(num_hashes, bands, rows_per_band)
     sh = _shingle_side(docs, id_col, text_col, shingle_k)
     if persist:
