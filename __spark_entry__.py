@@ -1109,6 +1109,9 @@ RDECON_THRESHOLD = 3
 # non-vacuous on the synthetic corpus (cross-split 4-token runs exist;
 # redacted and untouched documents both present)
 SPANCUT_K = 4
+# blocklist arm: phrases tuned so hit and clean pages both fire at
+# sf0.01 ('dup' hits 25 docs, 'batch scan' 41)
+BLOCKLIST_PHRASES = ("dup", "batch scan")
 
 
 def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1133,8 +1136,10 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spancut`` rows REDACT holdout-overlapping >= 4-token spans
     (GPT-3-style span decontamination) instead of dropping documents —
     column reuse: n_shingles carries n_tokens, n_matched n_kept,
-    contaminated the was-redacted flag, n_removed the cut token
-    count."""
+    contaminated the was-redacted flag, n_removed the cut token count;
+    ``blocklist`` rows run the C4 bad-words page gate
+    (BLOCKLIST_PHRASES) — column reuse: n_matched carries n_hits,
+    contaminated the kept flag."""
     docs = _docs(spark, sf_dir)
     decon = CU.decontaminate(
         docs.where(F.col("doc_id") >= 20),
@@ -1237,6 +1242,17 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         (F.col("n_tokens") - F.col("n_kept")).cast("long").alias("n_removed"),
     )
+    # C4 bad-words page gate: n_matched carries n_hits, contaminated
+    # the kept flag
+    blocklist = CU.phrase_blocklist_filter(docs, BLOCKLIST_PHRASES).select(
+        F.lit("blocklist").alias("kind"),
+        "doc_id",
+        null_l.alias("n_shingles"),
+        F.col("n_hits").alias("n_matched"),
+        F.col("kept").alias("contaminated"),
+        F.lit(None).cast("string").alias("text"),
+        null_l.alias("n_removed"),
+    )
     return (
         d.unionByName(sd)
         .unionByName(rd)
@@ -1244,6 +1260,7 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(c4)
         .unionByName(gopher)
         .unionByName(spancut)
+        .unionByName(blocklist)
     )
 
 
@@ -4252,6 +4269,15 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT doc_id, text FROM documents WHERE doc_id < 20",
                 k=SPANCUT_K,
             )})
+            UNION ALL
+            -- C4 bad-words page gate: n_matched carries n_hits,
+            -- contaminated the kept flag
+            SELECT 'blocklist' AS kind, doc_id,
+                   CAST(NULL AS BIGINT) AS n_shingles,
+                   n_hits AS n_matched, kept AS contaminated,
+                   CAST(NULL AS VARCHAR) AS text,
+                   CAST(NULL AS BIGINT) AS n_removed
+            FROM ({CU.sql_phrase_blocklist_filter(BLOCKLIST_PHRASES)})
         """,
         "ann_lsh_ivf": f"""
             SELECT 'lsh' AS method, vec_id, CAST(NULL AS BIGINT) AS cluster_id,

@@ -1266,3 +1266,42 @@ def test_rank_normalize_duckdb_parity(spark, duck, docs):
             assert min(cals) == 0.0
             assert 0.5 < max(cals) <= 1.0
             assert len(set(cals)) > 1
+
+
+def test_phrase_blocklist_filter_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "clean page about Spark shuffles"),
+            (2, "this page mentions JavaScript somewhere"),  # case-insensitive
+            (3, "lorem ipsum dolor AND javascript too"),     # two hits
+            (4, None),                                        # NULL text kept
+            (5, "javascripts embedded substring hits"),       # substring match
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in CU.phrase_blocklist_filter(
+            docs, ["javascript", "lorem ipsum"]
+        ).collect()
+    }
+    assert rows[1]["kept"] == 1 and rows[1]["n_hits"] == 0
+    assert rows[2]["kept"] == 0 and rows[2]["n_hits"] == 1
+    assert rows[3]["n_hits"] == 2
+    assert rows[4]["kept"] == 1 and rows[4]["n_hits"] == 0
+    assert rows[5]["kept"] == 0  # substring containment, like the C4 tool
+    for bad in ([], ["ok", "  "], ["o'quote"], ["x"] * 501):
+        with pytest.raises(ValueError):
+            CU.phrase_blocklist_filter(docs, bad)
+
+
+def test_phrase_blocklist_filter_duckdb_parity(spark, duck, docs):
+    from tests.conftest import assert_parity
+    import __spark_entry__ as E
+
+    sdf = CU.phrase_blocklist_filter(docs, E.BLOCKLIST_PHRASES)
+    rel = duck.sql(CU.sql_phrase_blocklist_filter(E.BLOCKLIST_PHRASES))
+    rows = sdf.collect()
+    assert_parity(sdf, rel, precollected=rows)
+    # the arm phrases split this corpus: hit and clean pages both fire
+    assert {r["kept"] for r in rows} == {0, 1}

@@ -95,8 +95,20 @@ EXPECTED_ARMS = {
     #          + 'spancut' (span-level decontamination: redact
     #            holdout-overlapping >= SPANCUT_K-token runs; its test
     #            additionally pins redacted and untouched docs present)
+    #          + 'blocklist' (C4 bad-words page gate, BLOCKLIST_PHRASES
+    #            tuned so hit and clean pages both fire)
     "curate_decontaminate": (
-        "kind", {"boiler", "decon", "sdecon", "rdecon", "c4", "gopher", "spancut"}
+        "kind",
+        {
+            "blocklist",
+            "boiler",
+            "c4",
+            "decon",
+            "gopher",
+            "rdecon",
+            "sdecon",
+            "spancut",
+        },
     ),
     "events_windows": ("kind", {"cohort", "slide", "tumble"}),
     # round 7: + 'pool' (chunk->doc mean pooling, flattened cells)

@@ -1901,6 +1901,83 @@ def sql_c4_page_filter(
         FROM c4_l
     """
 
+def phrase_blocklist_filter(
+    docs: DataFrame,
+    phrases: list[str] | tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4's "bad words" page gate (Raffel et al. 2020 §2.2: drop any
+    page containing a phrase from the blocklist) — the blunt-but-
+    universal hygiene rule every production corpus still ships, also
+    the shape of "remove pages mentioning <boilerplate/template
+    marker>" cleanup passes.  Case-insensitive SUBSTRING containment
+    (the C4 tool's behavior: "javascript" inside "javascripts" hits).
+
+    Returns (id, n_hits, kept): ``n_hits`` counts how many DISTINCT
+    blocklist phrases occur (the audit column — sorting by it surfaces
+    what the list is actually matching), ``kept`` = 1 iff zero hits.
+    NULL text has no phrases: n_hits 0, kept 1.
+
+    Scale shape: a pure per-row projection — one ``lower()`` + one
+    bounded literal contains-fold per document, zero shuffle, rides the
+    scan.  The phrase list is embedded in the expression (the constant
+    ADC-table class), which is the right shape up to a few hundred
+    phrases; a 10^5-term lexicon should switch to the token-join form
+    (explode + broadcast join, ``decontaminate``'s plan) — the guard
+    below refuses past 500 rather than compile a megabyte expression.
+    """
+    phr = [str(p).lower() for p in phrases]
+    if not phr:
+        raise ValueError("phrase_blocklist_filter: empty blocklist")
+    if len(phr) > 500:
+        raise ValueError(
+            f"phrase_blocklist_filter: {len(phr)} phrases — past the "
+            "literal-expression shape; use a token-join lexicon filter"
+        )
+    if any(not p.strip() for p in phr):
+        raise ValueError("phrase_blocklist_filter: blank phrase in blocklist")
+    if any("'" in p for p in phr):
+        # the SQL mirror interpolates phrases as literals; refuse here
+        # too so the two surfaces accept the same inputs
+        raise ValueError("phrase_blocklist_filter: quote character in phrase")
+    low = F.lower(F.col(text_col))
+    hits = None
+    for p in sorted(phr):
+        h = F.when(low.contains(F.lit(p)), F.lit(1)).otherwise(F.lit(0))
+        hits = h if hits is None else hits + h
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(hits, F.lit(0)).cast("long").alias("n_hits"),
+        F.when(F.coalesce(hits, F.lit(0)) == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("kept"),
+    )
+
+
+def sql_phrase_blocklist_filter(
+    phrases: list[str] | tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of ``phrase_blocklist_filter`` (same lowercase
+    substring containment, same per-phrase 0/1 sum)."""
+    terms = " + ".join(
+        f"CASE WHEN contains(lower({text_col}), '{str(p).lower()}')"
+        " THEN 1 ELSE 0 END"
+        for p in sorted(str(p).lower() for p in phrases)
+    )
+    return f"""
+        SELECT {id_col},
+               CAST(COALESCE({terms}, 0) AS BIGINT) AS n_hits,
+               CAST(CASE WHEN COALESCE({terms}, 0) = 0 THEN 1 ELSE 0 END
+                    AS INTEGER) AS kept
+        FROM {table}
+    """
+
+
 def gopher_quality_filter(
     docs: DataFrame,
     min_tokens: int = 50,
