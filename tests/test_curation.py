@@ -1290,7 +1290,15 @@ def test_phrase_blocklist_filter_golden(spark):
     assert rows[3]["n_hits"] == 2
     assert rows[4]["kept"] == 1 and rows[4]["n_hits"] == 0
     assert rows[5]["kept"] == 0  # substring containment, like the C4 tool
-    for bad in ([], ["ok", "  "], ["o'quote"], ["x"] * 501):
+    # 501 duplicates of one phrase dedupe to 1 and are FINE; 501
+    # distinct phrases trip the literal-expression guard
+    assert (
+        CU.phrase_blocklist_filter(docs, ["javascript"] * 501)
+        .where(F.col("doc_id") == 2)
+        .collect()[0]["n_hits"]
+        == 1
+    )
+    for bad in ([], ["ok", "  "], ["o'quote"], [f"x{i}" for i in range(501)]):
         with pytest.raises(ValueError):
             CU.phrase_blocklist_filter(docs, bad)
 
@@ -1305,3 +1313,26 @@ def test_phrase_blocklist_filter_duckdb_parity(spark, duck, docs):
     assert_parity(sdf, rel, precollected=rows)
     # the arm phrases split this corpus: hit and clean pages both fire
     assert {r["kept"] for r in rows} == {0, 1}
+
+
+def test_phrase_blocklist_dedupes_and_guards_sql_surface(spark, duck):
+    """Case-variant duplicate phrases count a single occurrence once
+    (distinct-phrase semantics), and the SQL mirror enforces the SAME
+    input guards as the DataFrame surface."""
+    docs = spark.createDataFrame(
+        [(1, "a page about javascript only")], "doc_id long, text string"
+    )
+    rows = CU.phrase_blocklist_filter(
+        docs, ["JavaScript", "javascript", "JAVASCRIPT"]
+    ).collect()
+    assert rows[0]["n_hits"] == 1
+    d = duck.sql(
+        CU.sql_phrase_blocklist_filter(
+            ["JavaScript", "javascript"],
+            table="(SELECT 1 AS doc_id, 'about javascript' AS text)",
+        )
+    ).fetchall()
+    assert d[0][1] == 1
+    for bad in ([], ["ok", "  "], ["o'quote"], [f"x{i}" for i in range(501)]):
+        with pytest.raises(ValueError):
+            CU.sql_phrase_blocklist_filter(bad)

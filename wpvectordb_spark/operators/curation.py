@@ -1901,6 +1901,7 @@ def sql_c4_page_filter(
         FROM c4_l
     """
 
+
 def phrase_blocklist_filter(
     docs: DataFrame,
     phrases: list[str] | tuple[str, ...],
@@ -1927,33 +1928,49 @@ def phrase_blocklist_filter(
     (explode + broadcast join, ``decontaminate``'s plan) — the guard
     below refuses past 500 rather than compile a megabyte expression.
     """
-    phr = [str(p).lower() for p in phrases]
+    phr = _check_blocklist(phrases)
+    low = F.lower(F.col(text_col))
+    hits = None
+    for p in phr:
+        h = F.when(low.contains(F.lit(p)), F.lit(1)).otherwise(F.lit(0))
+        hits = h if hits is None else hits + h
+    # n_hits computed ONCE, kept derived from it in an outer select —
+    # inlining the fold into both columns would double the per-row
+    # contains work at the documented 500-phrase bound
+    return (
+        docs.select(F.col(id_col), hits.cast("long").alias("n_hits"))
+        .select(
+            id_col,
+            "n_hits",
+            F.when(F.col("n_hits") == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+def _check_blocklist(phrases) -> list[str]:
+    """The ONE validation + canonicalization both blocklist surfaces
+    share: lowercase, DEDUPE (case-variant duplicates would double-count
+    a single occurrence, breaking the documented distinct-phrase
+    semantics), sorted for deterministic expression order; refuses
+    empty/blank/quoted phrases and lists past the literal-expression
+    bound identically in the DataFrame and the SQL-mirror paths."""
+    phr = sorted({str(p).lower() for p in phrases})
     if not phr:
         raise ValueError("phrase_blocklist_filter: empty blocklist")
     if len(phr) > 500:
         raise ValueError(
-            f"phrase_blocklist_filter: {len(phr)} phrases — past the "
-            "literal-expression shape; use a token-join lexicon filter"
+            f"phrase_blocklist_filter: {len(phr)} distinct phrases — past "
+            "the literal-expression shape; use a token-join lexicon filter"
         )
     if any(not p.strip() for p in phr):
         raise ValueError("phrase_blocklist_filter: blank phrase in blocklist")
     if any("'" in p for p in phr):
-        # the SQL mirror interpolates phrases as literals; refuse here
-        # too so the two surfaces accept the same inputs
+        # the SQL mirror interpolates phrases as literals
         raise ValueError("phrase_blocklist_filter: quote character in phrase")
-    low = F.lower(F.col(text_col))
-    hits = None
-    for p in sorted(phr):
-        h = F.when(low.contains(F.lit(p)), F.lit(1)).otherwise(F.lit(0))
-        hits = h if hits is None else hits + h
-    return docs.select(
-        F.col(id_col),
-        F.coalesce(hits, F.lit(0)).cast("long").alias("n_hits"),
-        F.when(F.coalesce(hits, F.lit(0)) == 0, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("int")
-        .alias("kept"),
-    )
+    return phr
 
 
 def sql_phrase_blocklist_filter(
@@ -1962,19 +1979,21 @@ def sql_phrase_blocklist_filter(
     text_col: str = "text",
     table: str = "documents",
 ) -> str:
-    """DuckDB mirror of ``phrase_blocklist_filter`` (same lowercase
-    substring containment, same per-phrase 0/1 sum)."""
+    """DuckDB mirror of ``phrase_blocklist_filter`` (same validation,
+    same deduped lowercase substring containment, same single-fold
+    n_hits with kept derived in the outer select)."""
+    phr = _check_blocklist(phrases)
     terms = " + ".join(
-        f"CASE WHEN contains(lower({text_col}), '{str(p).lower()}')"
-        " THEN 1 ELSE 0 END"
-        for p in sorted(str(p).lower() for p in phrases)
+        f"CASE WHEN contains(lower({text_col}), '{p}') THEN 1 ELSE 0 END"
+        for p in phr
     )
     return f"""
-        SELECT {id_col},
-               CAST(COALESCE({terms}, 0) AS BIGINT) AS n_hits,
-               CAST(CASE WHEN COALESCE({terms}, 0) = 0 THEN 1 ELSE 0 END
-                    AS INTEGER) AS kept
-        FROM {table}
+        SELECT {id_col}, n_hits,
+               CAST(CASE WHEN n_hits = 0 THEN 1 ELSE 0 END AS INTEGER)
+                 AS kept
+        FROM (
+          SELECT {id_col}, CAST({terms} AS BIGINT) AS n_hits FROM {table}
+        )
     """
 
 

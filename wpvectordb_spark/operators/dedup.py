@@ -391,8 +391,8 @@ def minhash_lsh_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
-    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
     shingle_k: int = 3,
     engine: str = DEFAULT_SKETCH_ENGINE,
     persist: bool = True,
@@ -412,20 +412,25 @@ def minhash_lsh_dedup_pairs(
     same as unigram_logprob_scores): the three consumers then re-hash,
     a bounded 3x of one narrow projection, no compounding.
 
-    ``auto_tune=True`` replaces the (bands, rows_per_band) defaults
-    with :func:`tune_lsh_params`' S-curve argmin at ``threshold`` over
-    ``num_hashes`` — the banding actually matched to the verify
-    threshold instead of folklore constants (explicit bands/rows args
-    still win when the caller passes both knobs deliberately; passing
-    them WITH auto_tune raises rather than silently ignoring one).
+    ``bands``/``rows_per_band`` default to None = the module constants
+    (DEFAULT_BANDS x DEFAULT_ROWS_PER_BAND).  ``auto_tune=True`` derives
+    them from :func:`tune_lsh_params`' S-curve argmin at ``threshold``
+    over ``num_hashes`` instead — the banding actually matched to the
+    verify threshold.  Passing EITHER knob explicitly together with
+    auto_tune raises rather than silently ignoring one (the None
+    sentinel is what distinguishes "not passed" from "passed the
+    default value" — comparing against the constants would auto-tune
+    over a deliberately pinned 8x4).
     """
     if auto_tune:
-        if bands != DEFAULT_BANDS or rows_per_band != DEFAULT_ROWS_PER_BAND:
+        if bands is not None or rows_per_band is not None:
             raise ValueError(
                 "minhash_lsh_dedup_pairs: pass EITHER auto_tune=True OR "
                 "explicit bands/rows_per_band, not both"
             )
         bands, rows_per_band = tune_lsh_params(threshold, num_hashes)
+    bands = DEFAULT_BANDS if bands is None else bands
+    rows_per_band = DEFAULT_ROWS_PER_BAND if rows_per_band is None else rows_per_band
     _check_banding(num_hashes, bands, rows_per_band)
     sh = _shingle_side(docs, id_col, text_col, shingle_k)
     if persist:
