@@ -114,6 +114,29 @@ def main() -> None:
     _D.simhash_near_dup_pairs(_tiny, max_hamming=3).count()
     spark.catalog.clearCache()
 
+    def canary() -> float:
+        """Fixed pure-CPU reference job (shuffle + agg over generated
+        rows, no IO, no Python): its wall time depends ONLY on host
+        conditions, so the pre/post pair quantifies contention the
+        loadavg gate cannot see — one session measured identical code at
+        24.6 and 41.2 s total with BOTH pre-launch averages < 1
+        (PERFORMANCE.md items 58-59); roaming host co-tenancy was
+        visible only as per-key spread.  Compare canary_sec across
+        BENCH_rN files before comparing totals: drifting canaries mean
+        the windows are not comparable, whatever the loadavg says."""
+        t0 = time.monotonic()
+        (
+            spark.range(0, 50_000_000, 1, 32)
+            .selectExpr("id % 97 AS k", "id * 2654435761 % 1000003 AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .write.format("noop").mode("overwrite").save()
+        )
+        return round(time.monotonic() - t0, 3)
+
+    canary()  # warm the canary's own plan once
+    canary_pre = canary()
+
     def force(df) -> None:
         """Materialize EVERY output column JVM-side (noop datasource).
         count() is NOT a benchmark: Catalyst prunes computed columns and
@@ -390,6 +413,7 @@ def main() -> None:
         ).stdout.strip() or None
     except Exception:
         git_sha = None
+    canary_post = canary()
     print(
         json.dumps(
             {
@@ -404,6 +428,7 @@ def main() -> None:
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "loadavg_prelaunch": loadavg_prelaunch,
                 "window": window,
+                "canary_sec": [canary_pre, canary_post],
                 "cpus": os.cpu_count(),
                 "codegen_mode": spark.conf.get("spark.sql.codegen.factoryMode"),
                 "forcing": "noop_write",
