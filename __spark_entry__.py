@@ -879,15 +879,40 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(_corpus_with_dups(spark, sf_dir), max_hamming=3)
 
 
+#: containment arm: larger-direction threshold (non-empty at sf0.01,
+#: where the LSH candidates are all high-containment near-dups so no
+#: sub-1.0 threshold prunes; the asymmetric semantics — quote-inside-
+#: page, direction readout — are pinned by the operator's golden test)
+NGRAM_CONT_THRESHOLD = 0.2
+
+
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard as the VERIFY stage over LSH candidate pairs — the
-    scale-safe composition (standalone low-cardinality blocking was
-    O(n^2/|langs|) within a block; the candidates route's pair space is
-    the LSH bucket output)."""
+    """n-gram verify stages over ONE shared LSH candidate set, tagged:
+    ``jac`` rows are the symmetric Jaccard verify (threshold 0.05 —
+    the scale-safe composition; standalone low-cardinality blocking was
+    O(n^2/|langs|) within a block), ``cont`` rows the ASYMMETRIC
+    containment verify (``ngram_containment_pairs``, threshold
+    NGRAM_CONT_THRESHOLD on the larger direction; jaccard column reuse:
+    jaccard carries containment_a, containment carries
+    containment_b)."""
     docs = _docs(spark, sf_dir)
     sigs = D.minhash_signatures(docs)
     cands = D.lsh_candidate_pairs(sigs)
-    return D.ngram_jaccard_pairs(docs, threshold=0.05, candidates=cands)
+    null_d = F.lit(None).cast("double")
+    jac = D.ngram_jaccard_pairs(docs, threshold=0.05, candidates=cands).select(
+        F.lit("jac").alias("kind"), "id_a", "id_b", "jaccard",
+        null_d.alias("containment"),
+    )
+    cont = D.ngram_containment_pairs(
+        docs, threshold=NGRAM_CONT_THRESHOLD, candidates=cands
+    ).select(
+        F.lit("cont").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("containment_a").alias("jaccard"),
+        F.col("containment_b").alias("containment"),
+    )
+    return jac.unionByName(cont)
 
 
 def _q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2739,6 +2764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_sample_pack": _q_curate_sample_pack,
         "dedup_exact": _q_dedup_exact_merged,  # + 'diff' snapshot audit
         "dedup_embedding": _q_dedup_embedding,  # + 'pool' mean pooling
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,  # + 'cont' arm
         "k7_json_codec": _q_k7_json_codec,
         # --- changed in round 6: text_analyze gained the corpus-profile
         # + streaming-monitor + drift-tseries arms; index_build the
@@ -2770,7 +2796,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_profile": _q_events_user_profile,
         "events_percentiles": _q_events_percentiles,
         "k3_k4_sign_code_hex": _q_k3_k4_sign_code_hex,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "queue_cleanup": _q_queue_cleanup,
         "dsl_variants": _q_dsl_variants,
@@ -3061,13 +3086,32 @@ def oracle_sql() -> dict[str, str]:
           FROM banded a JOIN banded bb
             ON a.band_id = bb.band_id AND a.band_key = bb.band_key
            AND a.doc_id < bb.doc_id
-        )
-        SELECT id_a, id_b, jaccard FROM (
-          SELECT id_a, id_b, round({jac}, 9) AS jaccard
+        ),
+        ng_sides AS (
+          SELECT id_a, id_b,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
+                 CAST(len(sa.sh) AS DOUBLE) AS la,
+                 CAST(len(sb.sh) AS DOUBLE) AS lb
           FROM cands
           JOIN shs sa ON cands.id_a = sa.doc_id
           JOIN shs sb ON cands.id_b = sb.doc_id
+        )
+        SELECT 'jac' AS kind, id_a, id_b, jaccard,
+               CAST(NULL AS DOUBLE) AS containment
+        FROM (
+          SELECT id_a, id_b,
+                 round(inter / (la + lb - inter), 9) AS jaccard
+          FROM ng_sides
         ) WHERE jaccard >= 0.05
+        UNION ALL
+        -- asymmetric containment verify over the SAME candidates:
+        -- jaccard carries containment_a, containment containment_b
+        SELECT 'cont' AS kind, id_a, id_b,
+               round(inter / la, 9) AS jaccard,
+               round(inter / lb, 9) AS containment
+        FROM ng_sides
+        WHERE greatest(round(inter / la, 9), round(inter / lb, 9))
+              >= {NGRAM_CONT_THRESHOLD}
     """
     emb_cos = K.sql_cosine(
         "a.embedding", "b.embedding",

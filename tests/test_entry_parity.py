@@ -113,6 +113,9 @@ EXPECTED_ARMS = {
     "events_windows": ("kind", {"cohort", "slide", "tumble"}),
     # round 7: + 'pool' (chunk->doc mean pooling, flattened cells)
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup", "pool"}),
+    # round 7: jac = the original symmetric verify; cont = asymmetric
+    # containment over the SAME candidates (NGRAM_CONT_THRESHOLD)
+    "dedup_ngram_jaccard": ("kind", {"jac", "cont"}),
     # round 7: + 'diff' (corpus_diff snapshot audit over %7-split views;
     # its test additionally pins all four statuses non-vacuous)
     "dedup_exact": ("kind", {"cut", "diff", "exact", "span"}),

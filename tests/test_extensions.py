@@ -1575,3 +1575,34 @@ def test_decontaminate_spans_null_text_roundtrips(spark):
     assert rows[1]["n_tokens"] is None and rows[1]["n_kept"] == 0
     assert rows[1]["text"] == ""
     assert rows[2]["n_kept"] == 0  # fully redacted (verbatim holdout copy)
+
+
+def test_ngram_containment_asymmetric_golden(spark, duck):
+    """A short doc fully quoted inside a long page: containment of the
+    short side is 1.0 while symmetric Jaccard is diluted; direction is
+    readable from which column is larger."""
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote}"), (3, "unrelated text body here")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    rows = {
+        (r["id_a"], r["id_b"]): r
+        for r in D.ngram_containment_pairs(
+            docs, threshold=0.5, candidates=cands
+        ).collect()
+    }
+    assert (1, 2) in rows and (1, 3) not in rows
+    r = rows[(1, 2)]
+    assert r["containment_a"] == 1.0  # doc 1 fully inside doc 2
+    assert r["containment_b"] < 0.1
+    # symmetric Jaccard on the same pair would be far below 0.5
+    jac = D.ngram_jaccard_pairs(
+        docs, threshold=0.0001, candidates=cands
+    ).collect()
+    jac_12 = [x["jaccard"] for x in jac if (x["id_a"], x["id_b"]) == (1, 2)][0]
+    assert jac_12 < 0.1
+    with pytest.raises(ValueError):
+        D.ngram_containment_pairs(docs, threshold=0.5)

@@ -350,6 +350,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC shingle-containment verify — the near-dup measure
+    symmetric Jaccard dilutes away: a 100-shingle document quoted whole
+    inside a 10,000-shingle page has Jaccard ~0.01 but containment 1.0
+    (Broder's resemblance-vs-containment distinction, "On the
+    resemblance and containment of documents", 1997; the check behind
+    "this page is an expansion of that one" dedup decisions and
+    subset-document pruning).
+
+    Emits ``(id_a, id_b, containment_a, containment_b)`` — the fraction
+    of EACH side's shingles present in the other — for candidate pairs
+    where the larger direction clears ``threshold``.  Which side is the
+    contained one is read off directly (``containment_a`` ~ 1.0 means A
+    is inside B).
+
+    Candidates-route ONLY (normally ``lsh_candidate_pairs``): an
+    all-pairs or blocked form would inherit the same quadratic hazards
+    as the Jaccard verify, and LSH banding already recalls
+    high-containment pairs when the contained side dominates a band.
+    NOTE the standard caveat: LSH recall is driven by Jaccard, so a
+    tiny-doc-in-huge-page pair (high containment, low Jaccard) may not
+    surface as a candidate — for those, feed candidates from the
+    winnowing/span index instead.
+    """
+    if candidates is None:
+        raise ValueError(
+            "ngram_containment_pairs needs candidates= (the bounded pair "
+            "space — lsh_candidate_pairs output or a winnowing index join)"
+        )
+    sh = _spread(docs).select(
+        F.col(id_col), X.shingle_hashes(text_col, shingle_k).alias("sh")
+    )
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    ca = inter.cast("double") / F.size(F.col("sa.sh")).cast("double")
+    cb = inter.cast("double") / F.size(F.col("sb.sh")).cast("double")
+    return (
+        candidates.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ca, 9).alias("containment_a"),
+            F.round(cb, 9).alias("containment_b"),
+        )
+        .where(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= F.lit(float(threshold))
+        )
+    )
+
+
 def _shingle_side(
     df: DataFrame, id_col: str, text_col: str, shingle_k: int
 ) -> DataFrame:
