@@ -897,7 +897,10 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment_b)."""
     docs = _docs(spark, sf_dir)
     sigs = D.minhash_signatures(docs)
-    cands = D.lsh_candidate_pairs(sigs)
+    # candidate generation (signatures + band explode + self-join) feeds
+    # BOTH verify arms — persisted so it runs once, not once per arm
+    # (the sh_all/pairs convention of _q_dedup_minhash_components)
+    cands = D.lsh_candidate_pairs(sigs).persist()
     null_d = F.lit(None).cast("double")
     jac = D.ngram_jaccard_pairs(docs, threshold=0.05, candidates=cands).select(
         F.lit("jac").alias("kind"), "id_a", "id_b", "jaccard",

@@ -1151,6 +1151,54 @@ def test_expand_budgets_duckdb_parity(spark, duck, docs):
     assert per == budgets
 
 
+def test_expand_budgets_quoted_stratum_key_parity(spark, duck):
+    """A stratum key containing a single quote must survive BOTH
+    surfaces: the Spark path builds F.lit predicates, and the SQL
+    mirror doubles quotes (_sql_str) instead of emitting broken or
+    injectable literals."""
+    rows = [(1, "it's"), (2, "it's"), (3, "plain")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    budgets = {"it's": 3, "plain": 1}
+    out = CU.expand_budgets(docs, budgets).collect()
+    per = {}
+    for r in out:
+        per[r["stratum"]] = per.get(r["stratum"], 0) + 1
+    assert per == budgets
+    duck.execute("CREATE OR REPLACE TEMP TABLE eb_q(doc_id BIGINT, lang VARCHAR)")
+    duck.executemany("INSERT INTO eb_q VALUES (?, ?)", rows)
+    d = sorted(
+        duck.sql(CU.sql_expand_budgets(budgets, table="eb_q")).fetchall(),
+        key=repr,
+    )
+    assert sorted(map(tuple, out), key=repr) == d
+    duck.execute("DROP TABLE eb_q")
+    # control characters are rejected on the mirror surface outright
+    import pytest
+
+    with pytest.raises(ValueError):
+        CU.sql_expand_budgets({"bad\nkey": 1})
+
+
+def test_expand_budgets_threshold_is_overflow_safe():
+    """The remainder prefilter threshold must stay in int64 for any
+    stratum size — the divide-first form (2^32 div n + 1) * min(rem +
+    margin, n) is a superset of the naive (rem+margin)*2^32/n fraction
+    and never exceeds 2^32 + n (the naive product wraps negative past
+    ~2^31 docs/stratum, silently emitting zero remainder winners)."""
+    import math
+
+    R = CU.HASH_RANGE
+    for n in (1, 2, 1000, 2**31 + 7, 2**33, 2**40):
+        for rem in (0, 1, n // 2, n - 1):
+            margin = 6 * math.isqrt(max(rem, 0)) + 20
+            safe = (R // n + 1) * min(rem + margin, n)
+            true_frac = (rem + margin) * R // n  # exact in Python ints
+            assert safe >= min(true_frac, R) or safe >= R
+            assert safe <= R + n  # int64-safe for any feasible n
+            if rem + margin >= n:
+                assert safe >= R  # admit-everything regime preserved
+
+
 def test_domain_quality_filter_golden(spark):
     """spamland avg 0.2 -> dropped; goodsite avg 0.8 -> kept; NULL
     domain is its own (kept) group; a 1-doc domain under min_docs is

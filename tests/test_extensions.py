@@ -1552,6 +1552,35 @@ def test_minhash_auto_tune_finds_copies_and_guards(corpus_with_dups):
         )
 
 
+def test_minhash_auto_tune_shrinks_signature_without_changing_output(
+    corpus_with_dups,
+):
+    """auto_tune computes only bands*rows_per_band hash elements; the
+    per-index hash functions make the kept prefix identical, so the
+    pair set must equal BOTH explicit runs — at the shrunk and at the
+    original num_hashes (the unread tail never mattered)."""
+    b, r = D.tune_lsh_params(0.5, 16)
+    assert b * r <= 16
+    tuned = sorted(
+        map(tuple, D.minhash_lsh_dedup_pairs(
+            corpus_with_dups, threshold=0.5, num_hashes=16, auto_tune=True
+        ).collect())
+    )
+    explicit_shrunk = sorted(
+        map(tuple, D.minhash_lsh_dedup_pairs(
+            corpus_with_dups, threshold=0.5, num_hashes=b * r,
+            bands=b, rows_per_band=r,
+        ).collect())
+    )
+    explicit_full = sorted(
+        map(tuple, D.minhash_lsh_dedup_pairs(
+            corpus_with_dups, threshold=0.5, num_hashes=16,
+            bands=b, rows_per_band=r,
+        ).collect())
+    )
+    assert tuned == explicit_shrunk == explicit_full
+
+
 def test_decontaminate_spans_null_text_roundtrips(spark):
     """NULL-text docs pass through the span redaction unharmed (empty
     window set, zero-filled counts) on BOTH sides."""

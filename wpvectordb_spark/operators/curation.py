@@ -51,6 +51,19 @@ def sql_id_hash(id_col: str) -> str:
     return f"xor({h} // 65536, {h})"
 
 
+def _sql_str(s: str) -> str:
+    """Quote an arbitrary stratum key as a SQL string literal for the
+    DuckDB mirrors — single quotes doubled per the SQL standard, so a
+    key like ``it's`` produces valid (and non-injectable) SQL instead of
+    a silent Spark/oracle divergence.  The Spark paths build predicates
+    with ``F.lit`` and never see SQL text, so escaping (not rejecting)
+    keeps the two surfaces handling the SAME key set."""
+    s = str(s)
+    if any(ord(c) < 0x20 for c in s):
+        raise ValueError(f"stratum key contains control characters: {s!r}")
+    return "'" + s.replace("'", "''") + "'"
+
+
 def stratified_sample(
     docs: DataFrame,
     fractions: dict[str, float],
@@ -83,7 +96,7 @@ def sql_stratified_sample_pred(
 ) -> str:
     """DuckDB predicate mirroring ``stratified_sample``'s filter."""
     cases = " ".join(
-        f"WHEN {stratum_col} = '{s}' THEN {int(f * HASH_RANGE)}"
+        f"WHEN {stratum_col} = {_sql_str(s)} THEN {int(f * HASH_RANGE)}"
         for s, f in sorted(fractions.items())
     )
     thr = f"CASE {cases} ELSE {int(default_fraction * HASH_RANGE)} END"
@@ -565,7 +578,8 @@ def sql_budget_sample(
     """DuckDB mirror of ``budget_sample``."""
     bpe = X.sql_bpe_pretokens("text")
     cases = " ".join(
-        f"WHEN {stratum_col} = '{s}' THEN {int(b)}" for s, b in sorted(budgets.items())
+        f"WHEN {stratum_col} = {_sql_str(s)} THEN {int(b)}"
+        for s, b in sorted(budgets.items())
     )
     budget = f"CASE {cases} ELSE 0 END"
     return f"""
@@ -657,8 +671,19 @@ def expand_budgets(
 
     # remainder winners: exact top-(rem) per stratum in hash order,
     # ranked only among hash-threshold survivors (integer arithmetic,
-    # portable; threshold >= hash range when rem+margin >= n)
-    thr = F.expr(f"(_rem + {margin}) * {HASH_RANGE} div _n")
+    # portable; threshold >= hash range when rem+margin >= n).  The
+    # naive (_rem+margin)*2^32 product overflows int64 once a stratum
+    # passes ~2^31 docs (Spark wraps silently to a negative threshold →
+    # zero winners; DuckDB errors), so the division is applied FIRST:
+    # (2^32 div n + 1) * min(rem+margin, n) is always >= the true
+    # fraction-threshold (superset prefilter, exactness unchanged) and
+    # bounded by 2^32 + n.  The +1 round-up over-admits by a factor of
+    # at most (1 + n/2^32) — only material past 4e9 docs/stratum, where
+    # the 32-bit hash saturates anyway and the window input is still
+    # ~(rem+margin)*n/2^32, not n.
+    thr = F.expr(
+        f"({HASH_RANGE} div _n + 1) * least(_rem + {margin}, _n)"
+    )
     rank_w = Window.partitionBy(stratum_col).orderBy(
         F.col("_k").asc(), F.col(id_col).asc()
     )
@@ -701,7 +726,8 @@ def sql_expand_budgets(
     max_rem = max((int(b) for b in budgets.values()), default=0)
     margin = 6 * math.isqrt(max_rem) + 20
     cases = " ".join(
-        f"WHEN {stratum_col} = '{s}' THEN {int(b)}" for s, b in sorted(budgets.items())
+        f"WHEN {stratum_col} = {_sql_str(s)} THEN {int(b)}"
+        for s, b in sorted(budgets.items())
     )
     budget = f"CASE {cases} ELSE 0 END" if cases else "0"
     h = sql_id_hash(f"({id_col} + {seed} * 2654435761)")
@@ -728,7 +754,10 @@ def sql_expand_budgets(
               PARTITION BY {stratum_col} ORDER BY k ASC, {id_col} ASC
             ) AS rk
             FROM eb_h
-            WHERE rem > 0 AND k < ((rem + {margin}) * {HASH_RANGE} // n)
+            -- divide-first threshold: mirrors the Spark side's
+            -- overflow-safe superset form exactly
+            WHERE rem > 0
+              AND k < (({HASH_RANGE} // n + 1) * least(rem + {margin}, n))
           ) WHERE rk <= rem
         )
         SELECT h.{id_col}, h.{stratum_col} AS stratum,

@@ -474,7 +474,11 @@ def minhash_lsh_dedup_pairs(
     (DEFAULT_BANDS x DEFAULT_ROWS_PER_BAND).  ``auto_tune=True`` derives
     them from :func:`tune_lsh_params`' S-curve argmin at ``threshold``
     over ``num_hashes`` instead — the banding actually matched to the
-    verify threshold.  Passing EITHER knob explicitly together with
+    verify threshold — and shrinks the computed signature to exactly
+    ``bands * rows_per_band`` elements (the tuner may pick b*r <
+    num_hashes; the per-index hash functions make the kept prefix
+    identical, so the output is unchanged and the unread tail is
+    never computed).  Passing EITHER knob explicitly together with
     auto_tune raises rather than silently ignoring one (the None
     sentinel is what distinguishes "not passed" from "passed the
     default value" — comparing against the constants would auto-tune
@@ -487,6 +491,12 @@ def minhash_lsh_dedup_pairs(
                 "explicit bands/rows_per_band, not both"
             )
         bands, rows_per_band = tune_lsh_params(threshold, num_hashes)
+        # the tuner searches r over 1..num_hashes//b, so b*r may be
+        # strictly under num_hashes — shrink the signature to exactly
+        # the b*r elements banding will read (per-index hash functions,
+        # so elements 0..b*r-1 are identical either way; the tail would
+        # be computed and never used)
+        num_hashes = bands * rows_per_band
     bands = DEFAULT_BANDS if bands is None else bands
     rows_per_band = DEFAULT_ROWS_PER_BAND if rows_per_band is None else rows_per_band
     _check_banding(num_hashes, bands, rows_per_band)
