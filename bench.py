@@ -8,12 +8,24 @@ column forced — count() lets Catalyst prune computed columns and is
 not a benchmark; "forcing": "noop_write" in the JSON marks the round-7
 semantics change) so the measured time covers the whole plan execution.
 
-Per-query numbers are MEDIANS of $SPARK_GRAFT_BENCH_RUNS runs (default
-3) and the total is the sum of medians: identical-plan queries on this
-host vary by several seconds run-to-run (PERFORMANCE.md documents 1.7 ->
-5.9 s on one plan), and round 2 spent a manual re-run adjudicating six
-phantom "regressions" that were all host noise.  Set
-SPARK_GRAFT_BENCH_RUNS=1 for the old single-shot behavior.
+Per-query numbers within one pass are MEDIANS of $SPARK_GRAFT_BENCH_RUNS
+runs (default 3): identical-plan queries on this host vary by several
+seconds run-to-run (PERFORMANCE.md documents 1.7 -> 5.9 s on one plan),
+and round 2 spent a manual re-run adjudicating six phantom "regressions"
+that were all host noise.
+
+The artifact is SELF-CORRECTING, not merely self-flagging (round 8): a
+fixed pure-CPU canary runs before and after every full key-set pass; if
+the pair drifts more than CANARY_DRIFT_MAX (15%) — the signature of
+roaming host co-tenancy the loadavg gate cannot see (PERFORMANCE.md
+items 58-59) — the ENTIRE key set re-runs, up to
+$SPARK_GRAFT_BENCH_ATTEMPTS passes (default 3).  The headline
+"queries"/"extras" are per-key MINIMA across passes (items 58-59
+measured per-key minima as the statistic that is stable across noisy
+windows while one-shot totals swung 24.6 -> 41.2 s on identical code);
+every raw pass ships under "attempts" so nothing is hidden.  "window"
+is quiet only when the pre-launch 1-min loadavg was < 1 AND some pass
+held a stable canary.
 """
 
 from __future__ import annotations
@@ -28,6 +40,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+ATTEMPTS_MAX = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
+CANARY_DRIFT_MAX = 0.15
+# retry budget: don't START another pass if one wouldn't fit — a bench
+# that outlives its caller's timeout records nothing at all
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500"))
 
 
 def main() -> None:
@@ -43,8 +60,7 @@ def main() -> None:
     # artifacts ~50% above quiet-window truth because the recorded
     # number couldn't prove contamination (PERFORMANCE.md items 47/49).
     loadavg_prelaunch = [round(x, 2) for x in os.getloadavg()]
-    window = "quiet" if loadavg_prelaunch[0] < 1.0 else "contaminated"
-    if window == "contaminated":
+    if loadavg_prelaunch[0] >= 1.0:
         print(
             f"# WARNING: pre-launch 1-min loadavg {loadavg_prelaunch[0]} >= 1 — "
             "this run's numbers are not comparable across rounds",
@@ -121,9 +137,8 @@ def main() -> None:
         loadavg gate cannot see — one session measured identical code at
         24.6 and 41.2 s total with BOTH pre-launch averages < 1
         (PERFORMANCE.md items 58-59); roaming host co-tenancy was
-        visible only as per-key spread.  Compare canary_sec across
-        BENCH_rN files before comparing totals: drifting canaries mean
-        the windows are not comparable, whatever the loadavg says."""
+        visible only as per-key spread.  A drifting pair now RE-RUNS
+        the key set instead of just flagging the artifact."""
         t0 = time.monotonic()
         (
             spark.range(0, 50_000_000, 1, 32)
@@ -135,7 +150,6 @@ def main() -> None:
         return round(time.monotonic() - t0, 3)
 
     canary()  # warm the canary's own plan once
-    canary_pre = canary()
 
     def force(df) -> None:
         """Materialize EVERY output column JVM-side (noop datasource).
@@ -158,13 +172,21 @@ def main() -> None:
             samples.append(time.monotonic() - t0)
         return round(statistics.median(samples), 3)
 
-    timings: dict[str, float] = {}
-    for name in headline:
-        timings[name] = timed(lambda: force(qmap[name](spark, SF_DIR)))
-        print(f"# {name}: {timings[name]}s (median of {RUNS})", file=sys.stderr)
+    # ---- shared (attempt-invariant) setup: query frames, persisted
+    # indexes, codebooks, the ingest drop.  Build cost is excluded from
+    # every serving key by design, so sharing across passes is sound. ---
+    from wpvectordb_spark.operators import curation as CU
+    from wpvectordb_spark.operators import dedup as D
+    from wpvectordb_spark.operators import events as EV
+    from wpvectordb_spark.operators import maintenance as MA
+    from wpvectordb_spark.operators import multimodal as MM
+    from wpvectordb_spark.operators import similarity as SIM
+    from wpvectordb_spark.operators import text_analysis as TA
+    from wpvectordb_spark.sources.loaders import ingest_documents, load_events
 
-    # batch search: 50 query vectors against the whole table in one plan —
-    # the Spark-native generalization (not in queries(): no single-query oracle)
+    import shutil
+    import tempfile
+
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     vectors = emb.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
@@ -172,70 +194,12 @@ def main() -> None:
     qs = emb.where(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
     )
-    timings["search_batch_50"] = timed(
-        lambda: force(S.search_many(vectors, qs, n=5, code_col=None, mag_col=None))
-    )
-    print(f"# search_batch_50: {timings['search_batch_50']}s", file=sys.stderr)
-
-    # Arrow/numpy cosine fast path vs the Catalyst expression form
-    from wpvectordb_spark.operators import similarity as SIM
-
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    timings["search_brute_force_arrow"] = timed(
-        lambda: force(SIM.brute_force_topk_arrow(emb, qv, n=10))
-    )
-    print(f"# search_brute_force_arrow: {timings['search_brute_force_arrow']}s", file=sys.stderr)
-
-    # --- extras: round-3/4 operators, PRINTED but NOT part of the frozen
-    # headline total (BENCH_rN "value"/"queries" diff cleanly across
-    # rounds; extras give the newer operators bench visibility) ---------
-    from wpvectordb_spark.operators import curation as CU
-    from wpvectordb_spark.operators import dedup as D
-    from wpvectordb_spark.operators import events as EV
-    from wpvectordb_spark.operators import multimodal as MM
-    from wpvectordb_spark.operators import text_analysis as TA
-    from wpvectordb_spark.sources.loaders import load_events
-
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
         "doc_id", "text", "lang"
     )
     events = load_events(spark, SF_DIR)
-    extra_map = {
-        "dedup_span_cut": lambda: force(D.remove_duplicate_spans(
-            docs.select("doc_id", "text"), k=8, min_docs=2
-        )),
-        # persist=False: dsir's internal feature cache would otherwise be
-        # CacheManager-deduped across the median runs — runs 2..N would
-        # measure warm-cache scans, not the operator
-        "curate_dsir": lambda: force(CU.dsir_topk(
-            docs.select("doc_id", "text"),
-            docs.where(F.col("lang") == "en").select("doc_id", "text"),
-            k=100,
-            persist=False,
-        )),
-        "events_retention_cohorts": lambda: force(EV.retention_cohorts(events)),
-        "events_sequence_funnel": lambda: force(EV.sequence_funnel(
-            events, ["view", "click", "purchase"]
-        )),
-        "multimodal_resize": lambda: force(MM.resize_media(
-            MM.media_from_documents(
-                spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-            ),
-            64,
-            64,
-            resizer=MM.fake_resizer,
-        )),
-        "curate_pipeline": lambda: force(entry._pipeline_manifest(spark, SF_DIR)),
-        # corpus quality profile: two narrow aggregation passes to
-        # #strata rows — the daily "know your data" monitor pass.
-        # force(), NOT count(): count() of an Aggregate lets Catalyst
-        # prune the unused metric expressions, so round 6's 0.47 s
-        # measured only the group-count shuffle, not the per-doc
-        # feature computation (the actual cost; round-7 scale sweep)
-        "corpus_profile": lambda: force(TA.corpus_profile(
-            spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-        )),
-    }
+
     # product-quantization serving: zero-shuffle ADC scan over the STORED
     # 8-entry codes + exact rerank (the 32x-memory-shrink scan path).
     # Codebook + encode are index-build-time costs, excluded like the IVF
@@ -247,123 +211,25 @@ def main() -> None:
     pq_codes = SIM._pq_encode_from_cb(
         emb, pq_cb, entry.PQ_DIM, entry.PQ_M, "vec_id", "embedding"
     ).localCheckpoint()
-    extra_map["ann_pq_serve"] = lambda: force(SIM.pq_topk(
-        emb,
-        qv,
-        dim=entry.PQ_DIM,
-        m=entry.PQ_M,
-        n_codes=entry.PQ_CODES,
-        n=10,
-        codebooks=pq_cb,
-        encoded=pq_codes,
-    ))
-    # batched PQ serving: the same 50-query frame as ann_ivf_batch_50
-    # through ONE zero-shuffle ADC plan over the stored codes
-    extra_map["ann_pq_batch_50"] = lambda: force(SIM.pq_topk_many(
-        emb,
-        qs,
-        dim=entry.PQ_DIM,
-        m=entry.PQ_M,
-        n_codes=entry.PQ_CODES,
-        n=10,
-        codebooks=pq_cb,
-        encoded=pq_codes,
-    ))
-    # batched IVF serving: 50 queries through ONE partition-pruned plan
-    # against a persisted index (build cost excluded — it's the serving
-    # path being measured; index_build covers construction)
-    import shutil
-    import tempfile
-
     ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
     SIM.build_ivf_index(emb, ivf_dir, n_clusters=16)
-    extra_map["ann_ivf_batch_50"] = lambda: force(SIM.ivf_topk_many(
-        spark, qs, path=ivf_dir, k=10, n_probe=4
-    ))
-    # IVFPQ serving: probe-pruned partitions + code-ADC + exact rerank
-    # against the combined persisted index (build excluded, as above)
     ivfpq_dir = tempfile.mkdtemp(prefix="bench_ivfpq_")
     SIM.build_ivfpq_index(
         emb, ivfpq_dir, dim=entry.PQ_DIM,
         n_clusters=16, m=entry.PQ_M, n_codes=entry.PQ_CODES,
     )
-    extra_map["ann_ivfpq"] = lambda: force(SIM.ivfpq_topk(
-        spark, ivfpq_dir, qv, dim=entry.PQ_DIM, m=entry.PQ_M, k=10, n_probe=4
-    ))
-    # batched IVFPQ serving: the same 50-query frame through ONE
-    # probe-pruned constant-table ADC plan against the persisted index
-    extra_map["ann_ivfpq_batch_50"] = lambda: force(SIM.ivfpq_topk_many(
-        spark, ivfpq_dir, qs, dim=entry.PQ_DIM, m=entry.PQ_M, k=10, n_probe=4
-    ))
-    # residual IVFPQ serving (codes over v - centroid, per-probed-cluster
-    # query tables); build excluded like the other index extras
     ivfpqres_dir = tempfile.mkdtemp(prefix="bench_ivfpqres_")
     SIM.build_ivfpq_index(
         emb, ivfpqres_dir, dim=entry.PQ_DIM,
         n_clusters=16, m=entry.PQ_M, n_codes=entry.PQ_CODES, residual=True,
     )
-    extra_map["ann_ivfpq_res"] = lambda: force(SIM.ivfpq_topk(
-        spark, ivfpqres_dir, qv, dim=entry.PQ_DIM, m=entry.PQ_M, k=10, n_probe=4
-    ))
-
-    # table maintenance: the OPTIMIZE rewrite itself — a deliberately
-    # fragmented events copy (32 writer files, shuffled order) bin-packed
-    # and Z-order clustered on (user_id, value).  One pre-written
-    # fragmented input per run so the timer sees only the rewrite (the
-    # clustered read-side payoff is test-asserted via footer stats, not
-    # timed here).
-    from wpvectordb_spark.operators import maintenance as MA
-
-    maint_root = tempfile.mkdtemp(prefix="bench_maint_")
-    _maint_dirs = []
-    for i in range(RUNS):
-        d = os.path.join(maint_root, f"t{i}")
-        (
-            spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-            .orderBy(F.xxhash64("event_id"))
-            .repartition(32)
-            .write.parquet(d)
-        )
-        _maint_dirs.append(d)
-    _maint_iter = iter(_maint_dirs)
-    extra_map["maint_compact_zorder"] = lambda: MA.compact_table(
-        spark,
-        next(_maint_iter),
-        target_file_bytes=1 << 19,
-        zorder_by=["user_id", "value"],
-    )["after"]["n_files"]
-
     # raw-corpus ingestion: the JSONL drop is pre-written once (setup
     # excluded, like the index builds); timed = splittable text scan +
     # full-schema from_json parse + quarantine split, both frames forced
-    from wpvectordb_spark.sources.loaders import ingest_documents
-
     ingest_root = tempfile.mkdtemp(prefix="bench_ingest_")
     spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).write.mode(
         "overwrite"
     ).json(os.path.join(ingest_root, "drop"))
-
-    def _ingest() -> None:
-        good, quar = ingest_documents(
-            spark, os.path.join(ingest_root, "drop"), format="jsonl"
-        )
-        force(good)
-        force(quar)
-
-    extra_map["ingest_jsonl"] = _ingest
-    # C4 line/page cleaning rules: pure per-row projection, zero shuffle
-    extra_map["c4_page_filter"] = lambda: force(
-        CU.c4_page_filter(
-            spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-        )
-    )
-    # span-level decontamination: the ExactSubstr fold over the corpus
-    # side + broadcast holdout hash set + the bounded cut rewrite
-    extra_map["decontaminate_spans"] = lambda: force(CU.decontaminate_spans(
-        docs.where(F.col("doc_id") >= 20).select("doc_id", "text"),
-        docs.where(F.col("doc_id") < 20).select("doc_id", "text"),
-        k=4,
-    ))
     # epoch expansion: ~2.6x budgets over per-lang counts (computed once
     # outside the timed region — the budgets are the operator's INPUT)
     _eb_counts = {
@@ -372,29 +238,237 @@ def main() -> None:
         .groupBy("lang").agg(F.count("*").alias("cnt")).collect()
     }
     _eb_budgets = {k: int(v * 2.6) for k, v in _eb_counts.items()}
-    extra_map["epoch_expand"] = lambda: force(
-        CU.expand_budgets(docs.select("doc_id", "lang"), _eb_budgets)
-    )
-    # chunk->document mean pooling (vec_id div 5 as the synthetic doc)
-    extra_map["pool_embeddings"] = lambda: force(SIM.pool_embeddings(
-        emb.select(
-            (F.col("vec_id") / 5).cast("long").alias("doc_id"),
-            F.col("vec_id").alias("chunk_id"),
-            "embedding",
-        )
-    ))
+    maint_root = tempfile.mkdtemp(prefix="bench_maint_")
 
-    extras: dict[str, float] = {}
-    try:
+    def _ingest() -> None:
+        good, quar = ingest_documents(
+            spark, os.path.join(ingest_root, "drop"), format="jsonl"
+        )
+        force(good)
+        force(quar)
+
+    def run_pass(attempt: int) -> tuple[dict[str, float], dict[str, float]]:
+        """One full key-set pass: headline keys, then extras, all as
+        RUNS-medians.  Per-attempt setup (the fragmented OPTIMIZE inputs
+        each rewrite run consumes) happens here, OUTSIDE the timers."""
+        timings: dict[str, float] = {}
+        for name in headline:
+            timings[name] = timed(lambda: force(qmap[name](spark, SF_DIR)))
+            print(
+                f"# [{attempt}] {name}: {timings[name]}s (median of {RUNS})",
+                file=sys.stderr,
+            )
+
+        # batch search: 50 query vectors against the whole table in one
+        # plan — the Spark-native generalization (not in queries(): no
+        # single-query oracle)
+        timings["search_batch_50"] = timed(
+            lambda: force(S.search_many(vectors, qs, n=5, code_col=None, mag_col=None))
+        )
+        # Arrow/numpy cosine fast path vs the Catalyst expression form
+        timings["search_brute_force_arrow"] = timed(
+            lambda: force(SIM.brute_force_topk_arrow(emb, qv, n=10))
+        )
+
+        # table maintenance: the OPTIMIZE rewrite itself — a deliberately
+        # fragmented events copy (32 writer files, shuffled order)
+        # bin-packed and Z-order clustered on (user_id, value).  One
+        # pre-written fragmented input per run so the timer sees only the
+        # rewrite (the clustered read-side payoff is test-asserted via
+        # footer stats, not timed here).
+        _maint_dirs = []
+        for i in range(RUNS):
+            d = os.path.join(maint_root, f"a{attempt}_t{i}")
+            (
+                spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+                .orderBy(F.xxhash64("event_id"))
+                .repartition(32)
+                .write.mode("overwrite").parquet(d)
+            )
+            _maint_dirs.append(d)
+        _maint_iter = iter(_maint_dirs)
+
+        # --- extras: round-3+ operators, PRINTED but NOT part of the
+        # frozen headline total (BENCH_rN "value"/"queries" diff cleanly
+        # across rounds; extras give newer operators bench visibility) ---
+        extra_map = {
+            "dedup_span_cut": lambda: force(D.remove_duplicate_spans(
+                docs.select("doc_id", "text"), k=8, min_docs=2
+            )),
+            # persist=False: dsir's internal feature cache would otherwise
+            # be CacheManager-deduped across the median runs — runs 2..N
+            # would measure warm-cache scans, not the operator
+            "curate_dsir": lambda: force(CU.dsir_topk(
+                docs.select("doc_id", "text"),
+                docs.where(F.col("lang") == "en").select("doc_id", "text"),
+                k=100,
+                persist=False,
+            )),
+            "events_retention_cohorts": lambda: force(EV.retention_cohorts(events)),
+            "events_sequence_funnel": lambda: force(EV.sequence_funnel(
+                events, ["view", "click", "purchase"]
+            )),
+            "multimodal_resize": lambda: force(MM.resize_media(
+                MM.media_from_documents(
+                    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+                ),
+                64,
+                64,
+                resizer=MM.fake_resizer,
+            )),
+            "curate_pipeline": lambda: force(entry._pipeline_manifest(spark, SF_DIR)),
+            # corpus quality profile: two narrow aggregation passes to
+            # #strata rows — the daily "know your data" monitor pass.
+            # force(), NOT count(): count() of an Aggregate lets Catalyst
+            # prune the unused metric expressions, so round 6's 0.47 s
+            # measured only the group-count shuffle, not the per-doc
+            # feature computation (the actual cost; round-7 scale sweep)
+            "corpus_profile": lambda: force(TA.corpus_profile(
+                spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            )),
+            "ann_pq_serve": lambda: force(SIM.pq_topk(
+                emb, qv, dim=entry.PQ_DIM, m=entry.PQ_M, n_codes=entry.PQ_CODES,
+                n=10, codebooks=pq_cb, encoded=pq_codes,
+            )),
+            # batched PQ serving: the same 50-query frame as
+            # ann_ivf_batch_50 through ONE zero-shuffle ADC plan
+            "ann_pq_batch_50": lambda: force(SIM.pq_topk_many(
+                emb, qs, dim=entry.PQ_DIM, m=entry.PQ_M, n_codes=entry.PQ_CODES,
+                n=10, codebooks=pq_cb, encoded=pq_codes,
+            )),
+            # batched IVF serving: 50 queries through ONE partition-pruned
+            # plan against a persisted index (build cost excluded — it's
+            # the serving path being measured; index_build covers
+            # construction)
+            "ann_ivf_batch_50": lambda: force(SIM.ivf_topk_many(
+                spark, qs, path=ivf_dir, k=10, n_probe=4
+            )),
+            # IVFPQ serving: probe-pruned partitions + code-ADC + exact
+            # rerank against the combined persisted index
+            "ann_ivfpq": lambda: force(SIM.ivfpq_topk(
+                spark, ivfpq_dir, qv, dim=entry.PQ_DIM, m=entry.PQ_M,
+                k=10, n_probe=4
+            )),
+            "ann_ivfpq_batch_50": lambda: force(SIM.ivfpq_topk_many(
+                spark, ivfpq_dir, qs, dim=entry.PQ_DIM, m=entry.PQ_M,
+                k=10, n_probe=4
+            )),
+            # residual IVFPQ serving (codes over v - centroid,
+            # per-probed-cluster query tables)
+            "ann_ivfpq_res": lambda: force(SIM.ivfpq_topk(
+                spark, ivfpqres_dir, qv, dim=entry.PQ_DIM, m=entry.PQ_M,
+                k=10, n_probe=4
+            )),
+            "maint_compact_zorder": lambda: MA.compact_table(
+                spark,
+                next(_maint_iter),
+                target_file_bytes=1 << 19,
+                zorder_by=["user_id", "value"],
+            )["after"]["n_files"],
+            "ingest_jsonl": _ingest,
+            # C4 line/page cleaning rules: pure per-row projection
+            "c4_page_filter": lambda: force(CU.c4_page_filter(
+                spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            )),
+            # span-level decontamination: the ExactSubstr fold over the
+            # corpus side + broadcast holdout hash set + the cut rewrite
+            "decontaminate_spans": lambda: force(CU.decontaminate_spans(
+                docs.where(F.col("doc_id") >= 20).select("doc_id", "text"),
+                docs.where(F.col("doc_id") < 20).select("doc_id", "text"),
+                k=4,
+            )),
+            "epoch_expand": lambda: force(
+                CU.expand_budgets(docs.select("doc_id", "lang"), _eb_budgets)
+            ),
+            # chunk->document mean pooling (vec_id div 5 = synthetic doc)
+            "pool_embeddings": lambda: force(SIM.pool_embeddings(
+                emb.select(
+                    (F.col("vec_id") / 5).cast("long").alias("doc_id"),
+                    F.col("vec_id").alias("chunk_id"),
+                    "embedding",
+                )
+            )),
+        }
+        extras: dict[str, float] = {}
         for name, fn in extra_map.items():
             extras[name] = timed(fn)
-            print(f"# extra {name}: {extras[name]}s (median of {RUNS})", file=sys.stderr)
+            print(
+                f"# [{attempt}] extra {name}: {extras[name]}s (median of {RUNS})",
+                file=sys.stderr,
+            )
+        return timings, extras
+
+    # ---- canary-gated passes: re-run the whole key set while the
+    # canary pair drifts (roaming co-tenancy), up to ATTEMPTS_MAX ------
+    attempts: list[dict] = []
+    t_start = time.monotonic()
+    try:
+        for a in range(ATTEMPTS_MAX):
+            if attempts and (
+                time.monotonic() - t_start + 1.2 * attempts[-1]["wall_sec"]
+                > BUDGET_SEC
+            ):
+                print(
+                    f"# retry budget exhausted — keeping {len(attempts)} "
+                    "pass(es)",
+                    file=sys.stderr,
+                )
+                break
+            load_pre = [round(x, 2) for x in os.getloadavg()]
+            t_pass = time.monotonic()
+            c_pre = canary()
+            timings, extras = run_pass(a)
+            c_post = canary()
+            drift = round(abs(c_post - c_pre) / max(min(c_pre, c_post), 1e-9), 3)
+            stable = drift <= CANARY_DRIFT_MAX
+            attempts.append(
+                {
+                    "queries": timings,
+                    "extras": extras,
+                    "canary_sec": [c_pre, c_post],
+                    "canary_drift": drift,
+                    "stable": stable,
+                    "loadavg_at_start": load_pre,
+                    "wall_sec": round(time.monotonic() - t_pass, 3),
+                }
+            )
+            print(
+                f"# attempt {a}: canary {c_pre} -> {c_post} "
+                f"(drift {drift:.1%}, {'stable' if stable else 'DRIFTING'})",
+                file=sys.stderr,
+            )
+            if stable:
+                break
+            if a + 1 < ATTEMPTS_MAX:
+                print(
+                    "# canary pair drifted past "
+                    f"{CANARY_DRIFT_MAX:.0%} — re-running the full key set",
+                    file=sys.stderr,
+                )
     finally:
         shutil.rmtree(ivf_dir, ignore_errors=True)
         shutil.rmtree(ivfpq_dir, ignore_errors=True)
         shutil.rmtree(ivfpqres_dir, ignore_errors=True)
         shutil.rmtree(maint_root, ignore_errors=True)
         shutil.rmtree(ingest_root, ignore_errors=True)
+
+    # headline statistic: per-key MINIMA across passes — items 58-59's
+    # five-window sweep showed minima sit on the per-key floors while
+    # medians/totals absorb whichever keys the co-tenant happened to
+    # land on.  One stable pass short-circuits, so on a quiet host this
+    # IS that pass's medians.
+    timings = {
+        k: min(att["queries"][k] for att in attempts)
+        for k in attempts[0]["queries"]
+    }
+    extras = {
+        k: min(att["extras"][k] for att in attempts)
+        for k in attempts[0]["extras"]
+    }
+    any_stable = any(att["stable"] for att in attempts)
+    window = (
+        "quiet" if loadavg_prelaunch[0] < 1.0 and any_stable else "contaminated"
+    )
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     total = round(sum(timings.values()), 3)
@@ -413,7 +487,6 @@ def main() -> None:
         ).stdout.strip() or None
     except Exception:
         git_sha = None
-    canary_post = canary()
     print(
         json.dumps(
             {
@@ -425,10 +498,16 @@ def main() -> None:
                 "extras_total_sec": round(sum(extras.values()), 3),
                 "sf": float(sf),
                 "median_of": RUNS,
+                "n_attempts": len(attempts),
+                "aggregation": "min_across_attempts_of_per_key_medians",
+                "attempts": attempts,
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "loadavg_prelaunch": loadavg_prelaunch,
                 "window": window,
-                "canary_sec": [canary_pre, canary_post],
+                "canary_sec": attempts[-1]["canary_sec"],
+                "canary_best": min(
+                    c for att in attempts for c in att["canary_sec"]
+                ),
                 "cpus": os.cpu_count(),
                 "codegen_mode": spark.conf.get("spark.sql.codegen.factoryMode"),
                 "forcing": "noop_write",
