@@ -285,3 +285,36 @@ def test_corpus_profile_parity_and_plan(spark, duck):
     )
     assert "Join" not in plan
     assert plan.count("Exchange") == 2, plan
+
+
+def test_analyze_full_merged_equals_fused(spark):
+    """The default two-pass doc-keyed merge of analyze_full must be
+    value-identical, column-for-column, to the fused single-projection
+    form — including NULL/empty/CRLF texts (the lambda and regex
+    families were only SEPARATED, never changed; PERFORMANCE.md
+    item 60)."""
+    from wpvectordb_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog run to the park"),
+            (2, None),
+            (3, ""),
+            (4, "visit https://example.com or mail a@b.co\r\nline2\r\nline2"),
+            (5, "der die das und ist ich"),
+        ],
+        "doc_id long, text string",
+    )
+    merged = TA.analyze_full(docs)
+    fused = TA.analyze_full(docs, fused=True)
+    assert [f.name for f in merged.schema.fields] == [
+        f.name for f in fused.schema.fields
+    ]
+    m = sorted(map(tuple, merged.collect()), key=repr)
+    f = sorted(map(tuple, fused.collect()), key=repr)
+    assert m == f and len(m) == 5
+    # the merged plan's join moves only the narrow feature columns
+    plan = merged._jdf.queryExecution().executedPlan().toString().split(
+        "Initial Plan"
+    )[0]
+    assert "Join" in plan

@@ -409,37 +409,128 @@ def analyze(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     )
 
 
-def analyze_full(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """``analyze`` plus token-count variants (whitespace + BPE-ish),
-    repetition signals, and PII-scrub audit columns — still ONE narrow
-    projection, no join/shuffle.
+def _analyze_wide(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The non-regex half of ``analyze_full``: everything ``analyze``
+    emits plus whitespace/BPE token counts and the Gopher repetition
+    signals, with ONE struct-shared token split and ONE lines split
+    (the same ``_bind1`` discipline as ``analyze`` — an unbound token
+    reference re-runs the split regex per reference in interpreted
+    evaluation)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_char = F.length(t)
+    punct_r = F.round(
+        F.when(
+            n_char > 0, _punct_count(t).cast("double") / n_char.cast("double")
+        ).otherwise(F.lit(0.0)),
+        9,
+    )
 
-    Cost note: mixing the scrub chain's complex regexes with the lambda
-    features in one projection loop pays the ~4x shared-eval penalty of
-    PERFORMANCE.md item 51d (measured 38.9 s vs ~9 s of additive parts
-    per 320k rows; regexp_count/bound-stage variants measured WORSE).
-    This is the convenience superset for audits; a cost-sensitive
-    pipeline runs ``analyze`` and ``scrub_features``/
-    ``repetition_features`` as separate passes — each is additive alone
-    and the corpus scan is cheap relative to either feature set."""
-    feats = quality_features(text_col)
-    rep = repetition_features(text_col)
-    scrub = scrub_features(text_col)
-    toks = X.tokens(text_col)
+    def tok_feats(tk: Column) -> Column:
+        n_tok = F.size(tk)
+        dup = F.when(
+            n_tok > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(tk)).cast("double") / n_tok.cast("double"),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            n_tok.cast("long").alias("n_tokens"),
+            F.round(_mean_token_len(tk), 9).alias("mean_token_len"),
+            F.round(_stopword_ratio(tk, STOPWORDS["en"]), 9).alias(
+                "stopword_ratio"
+            ),
+            F.size(F.array_distinct(tk)).cast("long").alias("n_unique_tokens"),
+            _compose_quality(tk, punct_r).alias("quality"),
+            F.round(dup, 9).alias("dup_token_ratio"),
+        )
+
+    lines = F.filter(F.split(t, "\\r?\\n"), lambda l: F.length(F.trim(l)) > 0)
+
+    def line_feats(ln: Column) -> Column:
+        n_l = F.size(ln)
+        dupl = F.when(
+            n_l > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(ln)).cast("double") / n_l.cast("double"),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            n_l.cast("long").alias("n_lines"),
+            F.round(dupl, 9).alias("dup_line_ratio"),
+        )
+
     return docs.select(
         F.col(id_col),
         language_id(text_col).alias("lang_pred"),
-        *[c.alias(n) for n, c in feats.items()],
-        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
-        quality_score(text_col).alias("quality"),
+        _bind1(X.tokens(text_col), tok_feats).alias("_tf"),
+        punct_r.alias("punct_ratio"),
         X.string_hash(text_col).alias("fingerprint"),
         X.ws_token_count(text_col).alias("ws_tokens"),
         F.size(X.bpe_pretokens(text_col)).cast("long").alias("bpe_tokens"),
-        *[c.alias(n) for n, c in rep.items()],
-        *[c.alias(n) for n, c in scrub.items()],
+        _bind1(lines, line_feats).alias("_lf"),
+    ).select(
+        id_col,
+        "lang_pred",
+        F.col("_tf.n_tokens").alias("n_tokens"),
+        F.col("_tf.mean_token_len").alias("mean_token_len"),
+        "punct_ratio",
+        F.col("_tf.stopword_ratio").alias("stopword_ratio"),
+        F.col("_tf.n_unique_tokens").alias("n_unique_tokens"),
+        F.col("_tf.quality").alias("quality"),
+        "fingerprint",
+        "ws_tokens",
+        "bpe_tokens",
+        F.col("_lf.n_lines").alias("n_lines"),
+        F.col("_lf.dup_line_ratio").alias("dup_line_ratio"),
+        F.col("_tf.dup_token_ratio").alias("dup_token_ratio"),
     )
+
+
+def analyze_full(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fused: bool = False,
+) -> DataFrame:
+    """``analyze`` plus token-count variants (whitespace + BPE-ish),
+    repetition signals, and PII-scrub audit columns.
+
+    Default shape: TWO projections merged by an ``id_col`` equi-join —
+    the lambda-HOF family (one struct-shared token split) and the
+    PII-scrub regex chain each get their OWN evaluation loop, because a
+    complex regex sharing one projection loop with lambda siblings JIT-
+    poisons the shared evaluator ~4x (PERFORMANCE.md item 51d/53).  The
+    join moves only ~20 narrow feature columns, never the text: measured
+    at 80k docs — fused 36.9 s, lambda family alone 15.8, scrub alone
+    12.7, two-pass join 28.3 s (the join shuffle is ~free; item 60).
+    Values are identical column-for-column (the text_analyze doc arm
+    hash-checks them).
+
+    Contract: the join form requires UNIQUE, NON-NULL ``id_col`` values
+    (a document primary key — the reference's posts.id,
+    ``class-vectordb.php:31``).  For inputs with duplicate or NULL ids
+    pass ``fused=True`` to keep the single-projection form (same
+    values, the documented ~4x shared-loop penalty)."""
+    scrub = scrub_features(text_col)
+    if fused:
+        feats = quality_features(text_col)
+        rep = repetition_features(text_col)
+        toks = X.tokens(text_col)
+        return docs.select(
+            F.col(id_col),
+            language_id(text_col).alias("lang_pred"),
+            *[c.alias(n) for n, c in feats.items()],
+            F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+            quality_score(text_col).alias("quality"),
+            X.string_hash(text_col).alias("fingerprint"),
+            X.ws_token_count(text_col).alias("ws_tokens"),
+            F.size(X.bpe_pretokens(text_col)).cast("long").alias("bpe_tokens"),
+            *[c.alias(n) for n, c in rep.items()],
+            *[c.alias(n) for n, c in scrub.items()],
+        )
+    wide = _analyze_wide(docs, id_col, text_col)
+    scrubbed = docs.select(
+        F.col(id_col), *[c.alias(n) for n, c in scrub.items()]
+    )
+    return wide.join(scrubbed, id_col)
 
 
 def corpus_profile(
