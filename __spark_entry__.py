@@ -429,16 +429,23 @@ def _q_crud_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C7/C11 write-path derivation; binary_code projected through the K4
-    hex codec so the harness canonicalizer can hash it (raw array<long>
-    breaks pandas sort_values)."""
+def _index_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine-native derived index (vector + normalized_vector +
+    packed code + magnitude) — shared by the projected bench form and
+    the wire-format export arm."""
     chunks = _emb(spark, sf_dir).select(
         F.col("vec_id").alias("post_id"),
         F.lit(0).cast("int").alias("sequence_no"),
         F.col("embedding").alias("vector"),
     )
-    idx = TO.derive(chunks)
+    return TO.derive(chunks)
+
+
+def _q_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7/C11 write-path derivation; binary_code projected through the K4
+    hex codec so the harness canonicalizer can hash it (raw array<long>
+    breaks pandas sort_values)."""
+    idx = _index_native(spark, sf_dir)
     return idx.select(
         "post_id",
         "sequence_no",
@@ -460,13 +467,25 @@ def _q_index_build_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit shard count via repartitionByRange on the sort key, sorted
     files, per-file row cap enforced by the writer) and read back via
     ``read_corpus`` — the curation → training-loop handoff path under
-    the same content-preservation proof.  The rewrite is the 100 TB
-    small-file/clustering maintenance job (SCALE.md 'Table
-    maintenance'); the oracle'd claim for both arms is that the write
-    path changes LAYOUT only, never rows."""
+    the same content-preservation proof; (c) round-tripped through the
+    REFERENCE WIRE FORMAT (``sources.export``: JSON-text vectors +
+    4-bit/char hex codes, the dump of a WPVectorDb MySQL table —
+    VectorTable.php:482-487,537-547) and re-imported — the migration
+    path in either direction under the hard oracle.  The rewrite is the
+    100 TB small-file/clustering maintenance job (SCALE.md 'Table
+    maintenance'); the oracle'd claim for all three sink arms is that
+    the write path changes LAYOUT (or ENCODING) only, never rows.  The
+    export arm's one real transform: ``normalized_vector`` is native
+    DOUBLE but imports as the engine's array<float>, so its norm_sum is
+    the FLOAT-rounded sum (the oracle mirrors with an explicit
+    CAST-to-FLOAT transform; JSON shortest-round-trip text makes
+    double -> text -> float equal IEEE round-to-nearest-float of the
+    double).  magnitude (double) and binary_code (hex) round-trip
+    exactly."""
     import shutil
 
     from wpvectordb_spark.operators import maintenance as MA
+    from wpvectordb_spark.sources import export as EX
     from wpvectordb_spark.sources import sinks as SK
 
     cols = ["post_id", "sequence_no", "magnitude", "binary_code", "norm_sum"]
@@ -474,6 +493,7 @@ def _q_index_build_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="compact_arm_")
     path = os.path.join(root, "idx")
     sink_path = os.path.join(root, "shards")
+    exp_path = os.path.join(root, "refdump")
     try:
         base.repartition(16).write.parquet(path)
         MA.compact_table(spark, path, target_file_bytes=1 << 40, sort_by=["post_id"])
@@ -489,12 +509,30 @@ def _q_index_build_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_records_per_file=100,
         )
         sink = SK.read_corpus(spark, sink_path).localCheckpoint()
+        EX.export_reference_json(_index_native(spark, sf_dir), exp_path)
+        exported = (
+            EX.import_reference_json(spark, exp_path)
+            .select(
+                "post_id",
+                "sequence_no",
+                F.round("magnitude", 9).alias("magnitude"),
+                K.code_to_hex("binary_code").alias("binary_code"),
+                F.round(
+                    F.aggregate(
+                        "normalized_vector", F.lit(0.0), lambda a, x: a + x
+                    ),
+                    9,
+                ).alias("norm_sum"),
+            )
+            .localCheckpoint()
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return (
         base.select(F.lit("derive").alias("kind"), *cols)
         .unionByName(back.select(F.lit("compacted").alias("kind"), *cols))
         .unionByName(sink.select(F.lit("sink").alias("kind"), *cols))
+        .unionByName(exported.select(F.lit("export").alias("kind"), *cols))
     )
 
 
@@ -2746,7 +2784,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Keys whose results changed this round are ordered FIRST in case the
     window is time-bounded rather than count-bounded."""
     return {
-        # --- changed in round 7 (front of window): ann_lsh_ivf moves
+        # --- changed in round 8 (front of window): index_build gains
+        # the 'export' reference-wire-format roundtrip arm (JSON-text
+        # vectors + hex codes out via sources.export, re-imported, vs
+        # the derive CTE with a FLOAT-cast norm_sum); text_analyze's
+        # doc arm now runs analyze_full's two-pass doc-keyed merge
+        # (values unchanged — hash-identical by construction) ---
+        "index_build": _q_index_build_merged,
+        "text_analyze": _q_text_analyze_merged,
+        # --- changed in round 7: ann_lsh_ivf moves
         # both persisted indexes to base+append (+ the plain-IVF
         # 'ivfapp' arm over append_to_ivf_index + optimize_index, sann
         # to 2 batches with compact_every=1); events_conversion_funnel
@@ -2769,12 +2815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,  # + 'pool' mean pooling
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,  # + 'cont' arm
         "k7_json_codec": _q_k7_json_codec,
-        # --- changed in round 6: text_analyze gained the corpus-profile
-        # + streaming-monitor + drift-tseries arms; index_build the
-        # training-shard 'sink' roundtrip; queue_enqueue the
+        # --- changed in round 6: queue_enqueue gained the
         # ingest-stream 'stream' arm ---
-        "text_analyze": _q_text_analyze_merged,
-        "index_build": _q_index_build_merged,
         "queue_enqueue": _q_queue_enqueue,
         # --- changed in round 3: non-vacuous anti-join
         # arms, C10/C11/J11 scalar+DDL arms, persisted-IVF ivf_idx arm,
@@ -4908,6 +4950,22 @@ def oracle_sql() -> dict[str, str]:
             -- training-shard sink roundtrip (write_corpus/read_corpus):
             -- layout-only, rows preserved exactly
             SELECT 'sink' AS kind, * FROM derived
+            UNION ALL
+            -- reference wire-format roundtrip (JSON + hex dump, then
+            -- re-import): identical except norm_sum, whose native
+            -- DOUBLE elements come back through the engine's
+            -- array<float> — shortest-round-trip JSON text makes
+            -- double -> text -> float the same value as a direct
+            -- round-to-nearest FLOAT cast, mirrored here
+            SELECT 'export' AS kind, vec_id AS post_id,
+                   CAST(0 AS INT) AS sequence_no,
+                   round({mag}, 9) AS magnitude,
+                   {hexx} AS binary_code,
+                   round(list_reduce(
+                     list_transform({norm},
+                                    fy -> CAST(CAST(fy AS FLOAT) AS DOUBLE)),
+                     (a, b) -> a + b), 9) AS norm_sum
+            FROM embeddings
         """,
         "upsert_latest_wins": upsert_cte,
         # --- queue ---

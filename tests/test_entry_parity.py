@@ -45,7 +45,7 @@ EXPECTED_ARMS = {
     "rel_pricing_summary": ("kind", {"plain", "salted", "udaf"}),
     "rel_grouping_sets": ("kind", {"cube", "rollup"}),
     "rel_membership": ("kind", {"seg_0", "seg_1", "set_both", "set_orders_only"}),
-    "index_build": ("kind", {"derive", "compacted", "sink"}),
+    "index_build": ("kind", {"derive", "compacted", "sink", "export"}),
     "crud_composite_get": (
         "kind",
         {"all", "cap", "get", "count"}
