@@ -627,6 +627,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     engine: str = DEFAULT_SKETCH_ENGINE,
     bits: int = SIMHASH_BITS,
+    eager_signatures: bool = True,
 ) -> DataFrame:
     """SimHash near-dup: ALL pairs within ``max_hamming`` bits of each
     other — recall 1.0, guaranteed.
@@ -651,9 +652,19 @@ def simhash_near_dup_pairs(
     Self-join (not collect_list + in-array): a HOT block bucket's pair work
     distributes across tasks via AQE skew-join splitting — the in-array
     form runs a B^2 loop inside ONE task (measured 5x slower on
-    boilerplate-heavy corpora).  The signature recompute per join side is
-    cheaper than a persist barrier (single fold).
-    """
+    boilerplate-heavy corpora).
+
+    ``eager_signatures=True`` (default) localCheckpoints the 16-byte/row
+    (id, simhash) frame before banding, so the signature kernel runs
+    ONCE instead of once per join side: 8.4 -> 1.35 s at 5k docs with
+    the Arrow engine — the double Arrow round-trip, not the join, was
+    the floor (PERFORMANCE.md item 63; this REVISES the earlier
+    "recompute is cheaper than a barrier" claim, which held only for
+    the Catalyst single-fold engine at small sizes).  At 80k docs the
+    two forms tie within host noise — the barrier never loses, and the
+    checkpointed frame is signatures only, never text.  Pass False to
+    keep the plan fully lazy (composition into a bigger DAG where the
+    pairs may never execute)."""
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
     sim = (
@@ -668,6 +679,8 @@ def simhash_near_dup_pairs(
         F.col(id_col),
         sim.alias("simhash"),
     )
+    if eager_signatures:
+        sh = sh.localCheckpoint()
     # block values via integer div + mod (not bit ops): ports exactly to
     # any oracle engine's `//` and `%`.  Block 0 is the HIGH bits; the last
     # block absorbs the remainder when 32 % n_blocks != 0.
