@@ -1180,6 +1180,47 @@ SPANCUT_K = 4
 BLOCKLIST_PHRASES = ("dup", "batch scan")
 
 
+def _stream_decon_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination under the HARD oracle: drive the
+    micro-batch kernel (``streams._decon_ingest_apply``) over a fixed
+    3-way split of the corpus side (doc_id % 3 as batch ids 0/1/2)
+    against the frozen holdout hash set, ``compact_every=2`` forcing a
+    snapshot fold mid-run (the _stream_ingest_pairs pattern).  Each
+    document's verdict depends only on itself and the hash set, so the
+    accumulated results equal the batch ``decontaminate`` for ANY split
+    — the oracle is the SAME decon CTE re-tagged."""
+    import shutil
+
+    from wpvectordb_spark.functions import text as X
+    from wpvectordb_spark.streaming import streams as ST
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") >= 20)
+    hold_hashes = (
+        docs.where(F.col("doc_id") < 20)
+        .select(F.explode(X.shingle_hashes("text", 3)).alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    root = tempfile.mkdtemp(prefix="decon_arm_")
+    results_d = os.path.join(root, "results")
+    os.makedirs(results_d)
+    try:
+        for bid in range(3):
+            ST._decon_ingest_apply(
+                spark,
+                results_d,
+                hold_hashes,
+                5,
+                corpus.where(F.pmod(F.col("doc_id"), F.lit(3)) == bid),
+                bid,
+                compact_every=2,
+            )
+        return ST._read_state_stable(spark, results_d, ST._DECON_RESULTS_SCHEMA)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus hygiene, tagged: ``decon`` rows flag the corpus
     (doc_id >= 20) against the holdout/eval slice (doc_id < 20) by
@@ -1319,6 +1360,17 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         null_l.alias("n_removed"),
     )
+    # streaming decontamination ingest: the micro-batch kernel driven
+    # over a 3-way split must accumulate to the batch decon verdicts
+    stream = _stream_decon_results(spark, sf_dir).select(
+        F.lit("stream").alias("kind"),
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        "contaminated",
+        F.lit(None).cast("string").alias("text"),
+        null_l.alias("n_removed"),
+    )
     return (
         d.unionByName(sd)
         .unionByName(rd)
@@ -1327,6 +1379,7 @@ def _q_curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(gopher)
         .unionByName(spancut)
         .unionByName(blocklist)
+        .unionByName(stream)
     )
 
 
@@ -2789,9 +2842,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vectors + hex codes out via sources.export, re-imported, vs
         # the derive CTE with a FLOAT-cast norm_sum); text_analyze's
         # doc arm now runs analyze_full's two-pass doc-keyed merge
-        # (values unchanged — hash-identical by construction) ---
+        # (values unchanged — hash-identical by construction);
+        # curate_decontaminate gains the 'stream' micro-batched ingest
+        # arm (streams._decon_ingest_apply over a 3-way split vs the
+        # batch decon CTE — per-doc verdicts telescope) ---
         "index_build": _q_index_build_merged,
         "text_analyze": _q_text_analyze_merged,
+        "curate_decontaminate": _q_curate_decontaminate,
         # --- changed in round 7: ann_lsh_ivf moves
         # both persisted indexes to base+append (+ the plain-IVF
         # 'ivfapp' arm over append_to_ivf_index + optimize_index, sann
@@ -2809,7 +2866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_ivf": _q_ann_lsh_ivf,
         "events_conversion_funnel": _q_events_funnel_merged,
         "dedup_minhash_lsh": _q_dedup_minhash_components,
-        "curate_decontaminate": _q_curate_decontaminate,
         "curate_sample_pack": _q_curate_sample_pack,
         "dedup_exact": _q_dedup_exact_merged,  # + 'diff' snapshot audit
         "dedup_embedding": _q_dedup_embedding,  # + 'pool' mean pooling
@@ -4289,6 +4345,13 @@ def oracle_sql() -> dict[str, str]:
             -- the shuffle-join (broadcast_holdout=False) path serves the
             -- SAME contract — identical CTE, tagged 'sdecon'
             SELECT 'sdecon' AS kind, doc_id, n_shingles, n_matched, contaminated,
+                   CAST(NULL AS VARCHAR) AS text, CAST(NULL AS BIGINT) AS n_removed
+            FROM ({CU.sql_decontaminate(threshold=5)})
+            UNION ALL
+            -- streaming ingest (micro-batched against the frozen holdout
+            -- hash set): per-document verdicts are batch-independent, so
+            -- the accumulated state telescopes to the SAME decon CTE
+            SELECT 'stream' AS kind, doc_id, n_shingles, n_matched, contaminated,
                    CAST(NULL AS VARCHAR) AS text, CAST(NULL AS BIGINT) AS n_removed
             FROM ({CU.sql_decontaminate(threshold=5)})
             UNION ALL

@@ -108,6 +108,9 @@ EXPECTED_ARMS = {
             "rdecon",
             "sdecon",
             "spancut",
+            # round 8: streaming decontamination ingest (micro-batched
+            # kernel accumulates to the batch decon verdicts)
+            "stream",
         },
     ),
     "events_windows": ("kind", {"cohort", "slide", "tumble"}),

@@ -1001,3 +1001,91 @@ def test_stream_corpus_profile_empty_state_reads_empty(spark, tmp_path):
         assert get_timeseries().collect() == []
     finally:
         query.stop()
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming decontamination through arbitrary micro-batches
+    accumulates EXACTLY the batch decontaminate verdicts — each
+    document's row depends only on itself and the frozen holdout hash
+    set, so any batch split telescopes."""
+    from wpvectordb_spark.operators import curation as CU
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    corpus = docs.where(F.col("doc_id") >= 20)
+    holdout = docs.where(F.col("doc_id") < 20)
+    src = str(tmp_path / "decon_src")
+    corpus.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    get_results, query = ST.stream_decontaminate_ingest(
+        spark, stream, holdout, threshold=5
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    streamed = sorted(map(tuple, get_results().collect()))
+    batch = sorted(
+        map(tuple, CU.decontaminate(corpus, holdout, threshold=5).collect())
+    )
+    assert streamed == batch
+    # non-vacuous: both verdicts fire on this corpus
+    flags = {r[3] for r in streamed}
+    assert flags == {0, 1}
+
+
+def test_decon_ingest_replay_exactly_once_and_restart_refused(
+    spark, tmp_path
+):
+    """A replayed batch lands on its own previous attempt (identical
+    state); a batch id BELOW already-committed deltas — the fresh-
+    checkpoint-over-adopted-state restart — is refused loudly."""
+    import os
+
+    import pytest
+    from wpvectordb_spark.functions import text as X
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    hold = (
+        docs.where(F.col("doc_id") < 10)
+        .select(F.explode(X.shingle_hashes("text", 3)).alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    results_d = str(tmp_path / "results")
+    os.makedirs(results_d)
+    b0 = docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 30))
+    b1 = docs.where(F.col("doc_id") >= 30)
+    ST._decon_ingest_apply(spark, results_d, hold, 5, b0, 0)
+    ST._decon_ingest_apply(spark, results_d, hold, 5, b1, 1)
+    once = sorted(
+        map(
+            tuple,
+            ST._read_state(spark, results_d, ST._DECON_RESULTS_SCHEMA).collect(),
+        )
+    )
+    assert len(once) == 50
+    # replay of the LATEST batch: legitimate, idempotent
+    ST._decon_ingest_apply(spark, results_d, hold, 5, b1, 1)
+    replayed = sorted(
+        map(
+            tuple,
+            ST._read_state(spark, results_d, ST._DECON_RESULTS_SCHEMA).collect(),
+        )
+    )
+    assert replayed == once
+    # batch id 0 arriving AFTER batch 1 committed = restarted id
+    # sequence over adopted state -> refuse
+    with pytest.raises(RuntimeError, match="already holds batch"):
+        ST._decon_ingest_apply(spark, results_d, hold, 5, b0, 0)

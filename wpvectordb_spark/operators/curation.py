@@ -1179,20 +1179,47 @@ def decontaminate(
     Returns (id, n_shingles, n_matched, contaminated 0/1) for every
     corpus document.
     """
-    sh = docs.select(
-        F.col(id_col), X.shingle_hashes(text_col, shingle_k).alias("sh")
-    )
     hold = (
         holdout.select(F.explode(X.shingle_hashes(text_col, shingle_k)).alias("h"))
         .distinct()
     )
+    return decontaminate_against_hashes(
+        docs,
+        hold,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        broadcast_holdout=broadcast_holdout,
+    )
+
+
+def decontaminate_against_hashes(
+    docs: DataFrame,
+    hold_hashes: DataFrame,
+    threshold: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    broadcast_holdout: bool = True,
+) -> DataFrame:
+    """:func:`decontaminate` against a PRECOMPUTED distinct shingle-hash
+    set (one ``h`` column) — the streaming-ingest form: the holdout side
+    reduces ONCE at stream start instead of once per micro-batch, and a
+    frozen (localCheckpointed) hash frame broadcasts into every batch.
+    Same output contract as ``decontaminate``; the per-document decision
+    reads only the document and the hash set, which is what makes the
+    micro-batched union telescope to the batch run."""
+    sh = docs.select(
+        F.col(id_col), X.shingle_hashes(text_col, shingle_k).alias("sh")
+    )
     if broadcast_holdout:
-        hold = F.broadcast(hold)
+        hold = F.broadcast(hold_hashes)
     else:
         # a broadcast would be planned anyway under the 10 MB default
         # threshold at test scale — pin the shuffle form with a join
         # hint so the big-holdout path is the one actually exercised
-        hold = hold.hint("shuffle_hash")
+        hold = hold_hashes.hint("shuffle_hash")
     matched = (
         sh.select(F.col(id_col), F.explode("sh").alias("h"))
         .join(hold, "h")

@@ -996,3 +996,110 @@ def stream_corpus_profile(
         )
 
     return get_profile, get_timeseries, query
+
+
+# --- streaming decontamination -------------------------------------------------
+
+_DECON_RESULTS_SCHEMA = (
+    "doc_id long, n_shingles long, n_matched long, contaminated int"
+)
+
+
+def _decon_ingest_apply(
+    spark: SparkSession,
+    results_dir: str,
+    hold_hashes: DataFrame,
+    threshold: int,
+    batch_df: DataFrame,
+    batch_id: int,
+    compact_every: int = 16,
+) -> None:
+    """One micro-batch of streaming decontamination — module-level so the
+    exactly-once replay and restart-refusal contracts are directly
+    testable.  The per-document decision reads only the document and the
+    frozen holdout hash set, so there is no cross-batch state to merge:
+    the batch's delta IS its result rows, written exactly-once to the
+    deterministic ``b<batch_id>`` subdir.  The pre-state read is purely
+    the REFUSAL GUARD (same rule as the dedup ingest): a delta from a
+    later batch id means the id sequence restarted over adopted state —
+    a start() reusing state_path with a fresh checkpoint — and silently
+    proceeding would overwrite one stream's verdicts with another's."""
+    from wpvectordb_spark.operators import curation as CU
+
+    bid = int(batch_id)
+    _read_state(spark, results_dir, _DECON_RESULTS_SCHEMA, before_batch=bid)
+    out = CU.decontaminate_against_hashes(
+        batch_df.select("doc_id", "text"), hold_hashes, threshold=threshold
+    )
+    out.write.mode("overwrite").parquet(os.path.join(results_dir, f"b{bid}"))
+    _compact_state(
+        spark,
+        results_dir,
+        _DECON_RESULTS_SCHEMA,
+        before_batch=bid,
+        compact_every=compact_every,
+    )
+
+
+def stream_decontaminate_ingest(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    holdout: DataFrame,
+    threshold: int = 5,
+    shingle_k: int = 3,
+    state_path: str | None = None,
+    checkpoint_path: str | None = None,
+    compact_every: int = 16,
+):
+    """Streaming decontamination ingest — production crawls arrive
+    incrementally, and every page should be checked against the frozen
+    holdout/eval suite AS IT ARRIVES, not in a nightly batch over the
+    accumulated corpus.  The holdout reduces to its distinct shingle-hash
+    set ONCE at stream start (localCheckpoint freezes it — eval
+    benchmarks don't change mid-stream) and broadcasts into each
+    micro-batch's join, which then telescopes trivially: the accumulated
+    results equal ``curation.decontaminate`` over the whole corpus for
+    ANY batch split, because each document's verdict depends only on
+    itself and the hash set (oracle-checked as the ``stream`` arm of
+    ``curate_decontaminate``).
+
+    Same state discipline as ``stream_dedup_ingest``: exactly-once
+    per-batch overwrite subdirs, ``compact_every`` snapshot folding, and
+    the restart-refusal guard against reusing a ``state_path`` with a
+    fresh checkpoint.  Returns ``(get_results, query)``."""
+    from wpvectordb_spark.functions import text as X
+
+    root = _state_root(state_path, "stream_decon_state_")
+    results_dir = os.path.join(root, "results")
+    os.makedirs(results_dir, exist_ok=True)
+    hold_hashes = (
+        holdout.select(
+            F.explode(X.shingle_hashes("text", shingle_k)).alias("h")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _decon_ingest_apply(
+            spark,
+            results_dir,
+            hold_hashes,
+            threshold,
+            batch_df,
+            batch_id,
+            compact_every=compact_every,
+        )
+
+    ckpt = checkpoint_path or os.path.join(
+        tempfile.gettempdir(), f"ckpt_dc_{uuid.uuid4().hex[:8]}"
+    )
+    query = (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    return (
+        lambda: _read_state_stable(spark, results_dir, _DECON_RESULTS_SCHEMA),
+        query,
+    )
