@@ -441,11 +441,9 @@ def _index_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TO.derive(chunks)
 
 
-def _q_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C7/C11 write-path derivation; binary_code projected through the K4
-    hex codec so the harness canonicalizer can hash it (raw array<long>
-    breaks pandas sort_values)."""
-    idx = _index_native(spark, sf_dir)
+def _project_index(idx: DataFrame) -> DataFrame:
+    """Canonical hashable projection of a derived index frame (hex code,
+    9-dp rounds) — raw array<long> breaks pandas sort_values."""
     return idx.select(
         "post_id",
         "sequence_no",
@@ -455,6 +453,13 @@ def _q_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("normalized_vector", F.lit(0.0), lambda a, x: a + x), 9
         ).alias("norm_sum"),
     )
+
+
+def _q_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7/C11 write-path derivation; binary_code projected through the K4
+    hex codec so the harness canonicalizer can hash it (raw array<long>
+    breaks pandas sort_values)."""
+    return _project_index(_index_native(spark, sf_dir))
 
 
 def _q_index_build_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,7 +494,12 @@ def _q_index_build_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wpvectordb_spark.sources import sinks as SK
 
     cols = ["post_id", "sequence_no", "magnitude", "binary_code", "norm_sum"]
-    base = _q_index_build(spark, sf_dir)
+    # the derive kernel runs ONCE: the checkpointed native frame feeds
+    # the projected base (3 consumers: derive arm, compacted write,
+    # sink write) AND the wire-format export — unbarriered, the four
+    # consumers would each re-run normalize + sign-code + magnitude
+    native = _index_native(spark, sf_dir).localCheckpoint()
+    base = _project_index(native)
     root = tempfile.mkdtemp(prefix="compact_arm_")
     path = os.path.join(root, "idx")
     sink_path = os.path.join(root, "shards")
@@ -509,7 +519,7 @@ def _q_index_build_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_records_per_file=100,
         )
         sink = SK.read_corpus(spark, sink_path).localCheckpoint()
-        EX.export_reference_json(_index_native(spark, sf_dir), exp_path)
+        EX.export_reference_json(native, exp_path)
         exported = (
             EX.import_reference_json(spark, exp_path)
             .select(

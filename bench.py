@@ -48,6 +48,10 @@ BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500"))
 
 
 def main() -> None:
+    # budget clock starts at process start — the shared setup (JVM
+    # launch, warmups, index builds) counts against the caller's
+    # timeout just like the passes do
+    t_start = time.monotonic()
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry
@@ -401,7 +405,6 @@ def main() -> None:
     # ---- canary-gated passes: re-run the whole key set while the
     # canary pair drifts (roaming co-tenancy), up to ATTEMPTS_MAX ------
     attempts: list[dict] = []
-    t_start = time.monotonic()
     try:
         for a in range(ATTEMPTS_MAX):
             if attempts and (

@@ -1154,7 +1154,7 @@ def test_expand_budgets_duckdb_parity(spark, duck, docs):
 def test_expand_budgets_quoted_stratum_key_parity(spark, duck):
     """A stratum key containing a single quote must survive BOTH
     surfaces: the Spark path builds F.lit predicates, and the SQL
-    mirror doubles quotes (_sql_str) instead of emitting broken or
+    mirror doubles quotes (_sql_str_lit) instead of emitting broken or
     injectable literals."""
     rows = [(1, "it's"), (2, "it's"), (3, "plain")]
     docs = spark.createDataFrame(rows, "doc_id long, lang string")

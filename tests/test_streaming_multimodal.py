@@ -1089,3 +1089,47 @@ def test_decon_ingest_replay_exactly_once_and_restart_refused(
     # sequence over adopted state -> refuse
     with pytest.raises(RuntimeError, match="already holds batch"):
         ST._decon_ingest_apply(spark, results_d, hold, 5, b0, 0)
+
+
+def test_decon_ingest_threads_shingle_k(spark, tmp_path):
+    """shingle_k must reach BOTH sides: holdout hashes at k=4 joined
+    against k=3 corpus shingles would match nothing and silently clear
+    every document (the round-8 review catch)."""
+    import os
+
+    from wpvectordb_spark.functions import text as X
+    from wpvectordb_spark.operators import curation as CU
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    holdout = docs.where(F.col("doc_id") < 10)
+    # corpus includes verbatim holdout copies so k=4 overlaps exist —
+    # the non-vacuity half of the check
+    corpus = docs.where(F.col("doc_id") >= 10).unionByName(
+        holdout.withColumn("doc_id", F.col("doc_id") + 1000)
+    )
+    hold4 = (
+        holdout.select(F.explode(X.shingle_hashes("text", 4)).alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    results_d = str(tmp_path / "res4")
+    os.makedirs(results_d)
+    ST._decon_ingest_apply(spark, results_d, hold4, 5, corpus, 0, shingle_k=4)
+    streamed = sorted(
+        map(
+            tuple,
+            ST._read_state(spark, results_d, ST._DECON_RESULTS_SCHEMA).collect(),
+        )
+    )
+    batch = sorted(
+        map(
+            tuple,
+            CU.decontaminate(corpus, holdout, threshold=5, shingle_k=4).collect(),
+        )
+    )
+    assert streamed == batch
+    assert any(r[2] > 0 for r in streamed)  # k=4 overlaps actually matched

@@ -51,7 +51,7 @@ def sql_id_hash(id_col: str) -> str:
     return f"xor({h} // 65536, {h})"
 
 
-def _sql_str(s: str) -> str:
+def _sql_str_lit(s: str) -> str:
     """Quote an arbitrary stratum key as a SQL string literal for the
     DuckDB mirrors — single quotes doubled per the SQL standard, so a
     key like ``it's`` produces valid (and non-injectable) SQL instead of
@@ -96,7 +96,7 @@ def sql_stratified_sample_pred(
 ) -> str:
     """DuckDB predicate mirroring ``stratified_sample``'s filter."""
     cases = " ".join(
-        f"WHEN {stratum_col} = {_sql_str(s)} THEN {int(f * HASH_RANGE)}"
+        f"WHEN {stratum_col} = {_sql_str_lit(s)} THEN {int(f * HASH_RANGE)}"
         for s, f in sorted(fractions.items())
     )
     thr = f"CASE {cases} ELSE {int(default_fraction * HASH_RANGE)} END"
@@ -578,7 +578,7 @@ def sql_budget_sample(
     """DuckDB mirror of ``budget_sample``."""
     bpe = X.sql_bpe_pretokens("text")
     cases = " ".join(
-        f"WHEN {stratum_col} = {_sql_str(s)} THEN {int(b)}"
+        f"WHEN {stratum_col} = {_sql_str_lit(s)} THEN {int(b)}"
         for s, b in sorted(budgets.items())
     )
     budget = f"CASE {cases} ELSE 0 END"
@@ -726,7 +726,7 @@ def sql_expand_budgets(
     max_rem = max((int(b) for b in budgets.values()), default=0)
     margin = 6 * math.isqrt(max_rem) + 20
     cases = " ".join(
-        f"WHEN {stratum_col} = {_sql_str(s)} THEN {int(b)}"
+        f"WHEN {stratum_col} = {_sql_str_lit(s)} THEN {int(b)}"
         for s, b in sorted(budgets.items())
     )
     budget = f"CASE {cases} ELSE 0 END" if cases else "0"

@@ -506,9 +506,12 @@ def analyze_full(
 
     Contract: the join form requires UNIQUE, NON-NULL ``id_col`` values
     (a document primary key — the reference's posts.id,
-    ``class-vectordb.php:31``).  For inputs with duplicate or NULL ids
-    pass ``fused=True`` to keep the single-projection form (same
-    values, the documented ~4x shared-loop penalty)."""
+    ``class-vectordb.php:31``).  The merge is a LEFT join so a
+    contract-violating NULL id degrades VISIBLY (its row survives with
+    NULL scrub columns) instead of silently vanishing; duplicate ids
+    still multiply (n x m rows per id).  For such inputs pass
+    ``fused=True`` to keep the single-projection form (same values, the
+    documented ~4x shared-loop penalty)."""
     scrub = scrub_features(text_col)
     if fused:
         feats = quality_features(text_col)
@@ -530,7 +533,7 @@ def analyze_full(
     scrubbed = docs.select(
         F.col(id_col), *[c.alias(n) for n, c in scrub.items()]
     )
-    return wide.join(scrubbed, id_col)
+    return wide.join(scrubbed, id_col, "left")
 
 
 def corpus_profile(

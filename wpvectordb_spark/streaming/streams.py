@@ -1013,6 +1013,7 @@ def _decon_ingest_apply(
     batch_df: DataFrame,
     batch_id: int,
     compact_every: int = 16,
+    shingle_k: int = 3,
 ) -> None:
     """One micro-batch of streaming decontamination — module-level so the
     exactly-once replay and restart-refusal contracts are directly
@@ -1028,8 +1029,14 @@ def _decon_ingest_apply(
 
     bid = int(batch_id)
     _read_state(spark, results_dir, _DECON_RESULTS_SCHEMA, before_batch=bid)
+    # shingle_k MUST match the k the holdout hashes were built with — a
+    # mismatch joins k-shingles against k'-shingles and silently clears
+    # every document, so the caller threads ONE k through both sides
     out = CU.decontaminate_against_hashes(
-        batch_df.select("doc_id", "text"), hold_hashes, threshold=threshold
+        batch_df.select("doc_id", "text"),
+        hold_hashes,
+        threshold=threshold,
+        shingle_k=shingle_k,
     )
     out.write.mode("overwrite").parquet(os.path.join(results_dir, f"b{bid}"))
     _compact_state(
@@ -1089,6 +1096,7 @@ def stream_decontaminate_ingest(
             batch_df,
             batch_id,
             compact_every=compact_every,
+            shingle_k=shingle_k,
         )
 
     ckpt = checkpoint_path or os.path.join(
