@@ -913,6 +913,15 @@ def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_clusters").alias("id_b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
+    # soft dedup over the SAME components with corpus completion:
+    # 1/cluster-size sampling weights, singletons at 1.0 (id_b carries
+    # the cluster size, jaccard the weight)
+    w = D.soft_dedup_weights(comp, corpus).select(
+        F.lit("weight").alias("kind"),
+        F.col("doc_id").alias("id_a"),
+        F.col("cluster_size").alias("id_b"),
+        F.col("weight").alias("jaccard"),
+    )
     return (
         p.unionByName(c)
         .unionByName(r)
@@ -920,6 +929,7 @@ def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s)
         .unionByName(sp)
         .unionByName(h)
+        .unionByName(w)
     )
 
 
@@ -2855,7 +2865,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (values unchanged — hash-identical by construction);
         # curate_decontaminate gains the 'stream' micro-batched ingest
         # arm (streams._decon_ingest_apply over a 3-way split vs the
-        # batch decon CTE — per-doc verdicts telescope) ---
+        # batch decon CTE — per-doc verdicts telescope);
+        # dedup_minhash_lsh gains the 'weight' soft-dedup arm
+        # (1/cluster-size sampling weights over the shared components,
+        # corpus completion at 1.0) ---
         "index_build": _q_index_build_merged,
         "text_analyze": _q_text_analyze_merged,
         "curate_decontaminate": _q_curate_decontaminate,
@@ -3155,6 +3168,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS DOUBLE) AS jaccard
         FROM ({D.sql_duplicate_cluster_stats(
             "SELECT node AS doc_id, component_id FROM comp"
+        )})
+        UNION ALL
+        -- soft dedup with corpus completion: id_b = cluster size,
+        -- jaccard = the 1/size sampling weight (singletons at 1.0)
+        SELECT 'weight' AS kind, doc_id AS id_a, cluster_size AS id_b,
+               weight AS jaccard
+        FROM ({D.sql_soft_dedup_weights(
+            "SELECT node AS doc_id, component_id FROM comp",
+            f"SELECT doc_id FROM ({corpus})",
         )})
     """
     simhash_expr = X.sql_srp_simhash(X.sql_token_hashes("text"))

@@ -127,7 +127,18 @@ EXPECTED_ARMS = {
     #          + 'histo' (duplicate-cluster size histogram, same CCs)
     "dedup_minhash_lsh": (
         "kind",
-        {"component", "histo", "incr", "pair", "resolve", "split", "stream"},
+        # round 8: + 'weight' (soft dedup: 1/cluster-size sampling
+        # weights with corpus completion)
+        {
+            "component",
+            "histo",
+            "incr",
+            "pair",
+            "resolve",
+            "split",
+            "stream",
+            "weight",
+        },
     ),
     # round 7: both persisted indexes are base+append (every serving
     # arm's full-rebuild mirror doubles as an append proof), 'ivfapp'

@@ -1540,6 +1540,42 @@ def test_duplicate_cluster_stats_golden_and_parity(spark, duck):
     duck.execute("DROP TABLE dcs_x")
 
 
+def test_soft_dedup_weights_golden_and_parity(spark, duck):
+    """Cluster of 3 -> weight 1/3 each, cluster of 2 -> 0.5 each;
+    corpus completion appends never-paired docs at weight 1.0; each
+    cluster's mass sums to ~1.0.  DuckDB mirror agrees (the DOUBLE-cast
+    division — a bare 1.0 is DECIMAL there)."""
+    comp_rows = [(1, 1), (2, 1), (3, 3), (4, 3), (5, 3)]
+    comp = spark.createDataFrame(comp_rows, "doc_id long, component_id long")
+    corpus = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 9, 10)], "doc_id long"
+    )
+    out = {r["doc_id"]: r for r in D.soft_dedup_weights(comp, corpus).collect()}
+    assert len(out) == 7
+    assert out[1]["cluster_size"] == 2 and out[1]["weight"] == 0.5
+    assert out[3]["cluster_size"] == 3 and out[3]["weight"] == round(1 / 3, 9)
+    assert out[9]["cluster_size"] == 1 and out[9]["weight"] == 1.0
+    # per-cluster mass ~1.0 (rounding at 9 dp)
+    assert abs(sum(out[i]["weight"] for i in (3, 4, 5)) - 1.0) < 1e-8
+    # members-only form (no corpus) emits just the 5 cluster members
+    assert D.soft_dedup_weights(comp).count() == 5
+    duck.execute(
+        "CREATE OR REPLACE TEMP TABLE sdw_x(doc_id BIGINT, component_id BIGINT)"
+    )
+    duck.executemany("INSERT INTO sdw_x VALUES (?, ?)", comp_rows)
+    d = sorted(
+        duck.sql(
+            D.sql_soft_dedup_weights(
+                "SELECT doc_id, component_id FROM sdw_x",
+                "SELECT unnest([1, 2, 3, 4, 5, 9, 10]) AS doc_id",
+            )
+        ).fetchall()
+    )
+    s = sorted((r["doc_id"], r["cluster_size"], r["weight"]) for r in out.values())
+    assert s == d
+    duck.execute("DROP TABLE sdw_x")
+
+
 def test_minhash_auto_tune_finds_copies_and_guards(corpus_with_dups):
     pairs = D.minhash_lsh_dedup_pairs(
         corpus_with_dups, threshold=0.5, auto_tune=True

@@ -1488,6 +1488,95 @@ def sql_duplicate_cluster_stats(components_sql: str) -> str:
     """
 
 
+def soft_dedup_weights(
+    components: DataFrame,
+    corpus: DataFrame | None = None,
+    id_col: str = "doc_id",
+    component_col: str = "component_id",
+    round_to: int = 9,
+) -> DataFrame:
+    """Soft dedup: DOWN-WEIGHT near-duplicates instead of dropping them
+    — every member of a duplicate cluster gets sampling weight
+    ``1/|cluster|``, so the cluster contributes one document's worth of
+    probability mass to the training mix while keeping its intra-cluster
+    variation (paraphrases, format variants) available to the sampler.
+    The soft alternative to :func:`resolve_duplicates`' hard survivor
+    rule; the diminishing-returns-of-repeated-data argument is
+    Muennighoff et al. 2023 ("Scaling Data-Constrained Language
+    Models"), and frequency-proportional down-weighting is the natural
+    continuous relaxation of the RefinedWeb keep-one policy.
+
+    Input is the :func:`connected_components` output.  With ``corpus``
+    supplied, documents in no cluster (never met a candidate pair) are
+    appended at weight 1.0, making the output a COMPLETE per-document
+    weight column to feed ``budget_sample``-style samplers or a
+    weighted loss.  Weights are rounded to ``round_to`` dp (engine-
+    portable division).
+
+    Returns ``(id, cluster_size, weight)``.  Scale shape: one count
+    aggregation over the component list (#clusters rows, AQE
+    broadcast-or-shuffle joined back to members) plus, with ``corpus``,
+    one anti-join on the id key — the component list holds only
+    pair-participating docs, a few percent of the corpus at real dup
+    rates, and the corpus side moves only its id column.
+    """
+    sizes = components.groupBy(component_col).agg(
+        F.count(id_col).alias("cluster_size")
+    )
+    member = components.join(sizes, component_col).select(
+        F.col(id_col),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.round(F.lit(1.0) / F.col("cluster_size"), round_to).alias("weight"),
+    )
+    if corpus is None:
+        return member
+    singles = (
+        corpus.select(F.col(id_col))
+        .join(components.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    return member.unionByName(singles)
+
+
+def sql_soft_dedup_weights(
+    components_sql: str, corpus_sql: str | None = None
+) -> str:
+    """DuckDB mirror of ``soft_dedup_weights`` over a
+    (doc_id, component_id) relation (and optionally a corpus relation
+    with a doc_id column for the weight-1.0 completion)."""
+    base = f"""
+        WITH sdw_c AS ({components_sql}),
+        sdw_sizes AS (
+          SELECT component_id, COUNT(doc_id) AS cluster_size
+          FROM sdw_c GROUP BY component_id
+        ),
+        sdw_m AS (
+          -- CAST: a bare 1.0 is DECIMAL in DuckDB and the division
+          -- would be decimal arithmetic, not Spark's DOUBLE
+          SELECT c.doc_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
+                 round(CAST(1.0 AS DOUBLE) / s.cluster_size, 9) AS weight
+          FROM sdw_c c JOIN sdw_sizes s USING (component_id)
+        )
+        SELECT * FROM sdw_m
+    """
+    if corpus_sql is None:
+        return base
+    return (
+        base
+        + f"""
+        UNION ALL
+        SELECT k.doc_id, CAST(1 AS BIGINT) AS cluster_size,
+               CAST(1.0 AS DOUBLE) AS weight
+        FROM ({corpus_sql}) k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM sdw_m)
+    """
+    )
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,
