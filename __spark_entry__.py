@@ -1668,7 +1668,11 @@ def _q_multimodal_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame
     deterministic fake codec/extractor), tagged.  Frame rows reuse the
     feature columns: byte_len carries frame_bytes (text media has one
     frame = the first min(16, 2*len) wrapped payload bytes) and
-    first_byte carries frame_no (always 0 for single-frame text)."""
+    first_byte carries frame_no (always 0 for single-frame text).
+    ``dedup`` rows run media_exact_dedup over the DUPLICATED corpus
+    (+10000 payload copies) — media_id is the min-id winner, first_byte
+    carries dup_count (2 for the copied payloads), checksum the payload
+    checksum."""
     from wpvectordb_spark.operators import multimodal as M
 
     docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
@@ -1685,7 +1689,19 @@ def _q_multimodal_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("frame_no").alias("first_byte"),
         F.col("frame_checksum").alias("checksum"),
     )
-    return feat.unionByName(frames)
+    dup_media = M.media_from_documents(
+        _corpus_with_dups(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    dedup = M.media_exact_dedup(dup_media).select(
+        F.lit("dedup").alias("kind"),
+        "media_id",
+        "byte_len",
+        F.col("dup_count").alias("first_byte"),
+        "checksum",
+    )
+    return feat.unionByName(frames).unionByName(dedup)
 
 
 # --- relational (OLAP surface at scale) ---------------------------------------
@@ -2868,10 +2884,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch decon CTE — per-doc verdicts telescope);
         # dedup_minhash_lsh gains the 'weight' soft-dedup arm
         # (1/cluster-size sampling weights over the shared components,
-        # corpus completion at 1.0) ---
+        # corpus completion at 1.0); multimodal_features the 'dedup'
+        # exact-payload arm (byte-feature-triple groupBy over the
+        # duplicated corpus) ---
         "index_build": _q_index_build_merged,
         "text_analyze": _q_text_analyze_merged,
         "curate_decontaminate": _q_curate_decontaminate,
+        "multimodal_features": _q_multimodal_features_merged,
         # --- changed in round 7: ann_lsh_ivf moves
         # both persisted indexes to base+append (+ the plain-IVF
         # 'ivfapp' arm over append_to_ivf_index + optimize_index, sann
@@ -2908,7 +2927,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "queue_update_status": _q_queue_update_status,
         # --- changed in round 2 ---------------------------------------------
         "stream_windows": _q_stream_windows,
-        "multimodal_features": _q_multimodal_features_merged,
         "rel_pricing_summary": _q_rel_pricing_summary_merged,
         "rel_top_customers": _q_rel_top_customers,
         "rel_revenue_by_nation": _q_rel_revenue_by_nation,
@@ -4783,6 +4801,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS first_byte,
                    {X.sql_string_hash("left(repeat(text, 2), 16)")} AS checksum
             FROM documents
+            UNION ALL
+            -- exact payload dedup over the DUPLICATED corpus: group by
+            -- the byte-feature triple, min-id winner; first_byte column
+            -- carries dup_count
+            SELECT 'dedup' AS kind, min(doc_id) AS media_id, byte_len,
+                   CAST(COUNT(*) AS BIGINT) AS first_byte, checksum
+            FROM (
+              SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                     CAST(CASE WHEN length(text) > 0 THEN ascii(text[1])
+                          ELSE -1 END AS BIGINT) AS fb,
+                     {fp} AS checksum
+              FROM ({corpus})
+            )
+            GROUP BY byte_len, fb, checksum
         """,
         "rel_pricing_summary": """
             WITH plainagg AS (

@@ -1133,3 +1133,30 @@ def test_decon_ingest_threads_shingle_k(spark, tmp_path):
     )
     assert streamed == batch
     assert any(r[2] > 0 for r in streamed)  # k=4 overlaps actually matched
+
+
+def test_media_exact_dedup_golden(spark):
+    """Byte-identical payloads collapse to the min-id winner with the
+    right dup_count; distinct payloads stay singletons; the checksum
+    matches the surviving copy's feature row."""
+    from wpvectordb_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same payload", "a"),
+            (7, "same payload", "a"),
+            (3, "same payload", "b"),
+            (5, "different", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    media = M.media_from_documents(docs)
+    rows = {r["media_id"]: r for r in M.media_exact_dedup(media).collect()}
+    assert set(rows) == {1, 5}
+    assert rows[1]["dup_count"] == 3 and rows[5]["dup_count"] == 1
+    feats = {
+        r["media_id"]: r["checksum"]
+        for r in M.media_features(media).collect()
+    }
+    assert rows[1]["checksum"] == feats[1] == feats[7]
+    assert rows[5]["checksum"] == feats[5]

@@ -188,6 +188,37 @@ def media_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
 
 
+def media_exact_dedup(media: DataFrame) -> DataFrame:
+    """Exact dedup of OPAQUE media payloads — the binary-column analog of
+    ``dedup.exact_dedup``: group by the byte-level feature triple
+    (byte_len, first_byte, checksum), keep the smallest ``media_id`` as
+    the canonical copy, report the group size.  An image/audio corpus
+    carries byte-identical duplicates exactly like a text crawl does
+    (mirrored CDNs, re-uploads), and payload bytes never need to leave
+    the feature stage to find them.
+
+    Returns ``(media_id, byte_len, first_byte, checksum, dup_count)`` —
+    one row per DISTINCT payload.  Anti-join losers against the corpus
+    to drop them, or use dup_count for soft weighting.
+
+    Scale shape: the Arrow feature pass (one vectorized checksum per
+    batch) followed by ONE map-side-combinable hash aggregation on the
+    16-byte feature key — payloads themselves never shuffle.  The
+    rolling-hash checksum is ~37 bits; byte_len + first_byte in the key
+    push random-collision odds below 2^-50 per pair — acceptable for
+    dedup (a collision merges two UNRELATED payloads; verify by byte
+    compare within groups if the corpus is adversarial)."""
+    feats = media_features(media)
+    return (
+        feats.groupBy("byte_len", "first_byte", "checksum")
+        .agg(
+            F.min("media_id").alias("media_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+        .select("media_id", "byte_len", "first_byte", "checksum", "dup_count")
+    )
+
+
 def decode_media(
     media: DataFrame,
     codec: Callable[[str, bytes], dict] | None = None,
