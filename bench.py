@@ -53,8 +53,10 @@ ATTEMPTS_MIN = max(
 )
 CANARY_DRIFT_MAX = 0.15
 # retry budget: don't START another pass if one wouldn't fit — a bench
-# that outlives its caller's timeout records nothing at all
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500"))
+# that outlives its caller's timeout records nothing at all.  900 s
+# fits setup + two sf0.1 passes (~9 min measured) with headroom under
+# any plausible caller timeout; raise it for deliberate long sweeps.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
 
 
 def main() -> None:
