@@ -298,3 +298,42 @@ def test_round7_session3_plan_shapes(spark):
     plan = _plan(CU.decontaminate_spans(corpus, hold, k=4, broadcast_holdout=False))
     h_joins = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
     assert h_joins and all("Broadcast" not in ln for ln in h_joins), h_joins
+
+
+def test_round8_plan_shapes(spark):
+    """Round-8 operators: soft dedup's size frame broadcasts back to the
+    component list (the corpus side of the completion moves only ids,
+    anti-joined); media exact dedup is the Arrow feature pass + ONE hash
+    aggregation — payloads never reach an exchange; the decontaminate
+    hash form broadcasts its precomputed holdout set."""
+    import re
+
+    from wpvectordb_spark.functions import text as X
+    from wpvectordb_spark.operators import curation as CU
+    from wpvectordb_spark.operators import dedup as D
+    from wpvectordb_spark.operators import multimodal as M
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    comp = docs.select(
+        "doc_id", (F.col("doc_id") % 7).alias("component_id")
+    )
+    plan = _plan(D.soft_dedup_weights(comp, docs.select("doc_id")))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    plan = _plan(M.media_exact_dedup(M.media_from_documents(docs)))
+    final = plan.split("Initial Plan")[0]
+    # one aggregation exchange over the 16-byte feature key; the payload
+    # column exists only below the mapInPandas stage
+    assert len(re.findall(r"Exchange", final)) == 1, plan
+    assert "Join" not in plan, plan
+
+    hold = (
+        docs.where(F.col("doc_id") < 20)
+        .select(F.explode(X.shingle_hashes("text", 3)).alias("h"))
+        .distinct()
+    )
+    plan = _plan(
+        CU.decontaminate_against_hashes(docs.where(F.col("doc_id") >= 20), hold)
+    )
+    assert "BroadcastHashJoin" in plan, plan
