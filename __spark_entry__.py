@@ -1663,6 +1663,12 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_features(media)
 
 
+#: seg arm chunk size: small enough that ~300-byte synthetic docs split
+#: into ~5 chunks (multi-chunk path non-vacuous), composite ids stay
+#: under media_id*1024 (docs < 64 KiB)
+SEG_CHUNK_BYTES = 64
+
+
 def _q_multimodal_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Features plus uniform frame sampling (1-to-N mapInPandas with the
     deterministic fake codec/extractor), tagged.  Frame rows reuse the
@@ -1672,7 +1678,10 @@ def _q_multimodal_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame
     ``dedup`` rows run media_exact_dedup over the DUPLICATED corpus
     (+10000 payload copies) — media_id is the min-id winner, first_byte
     carries dup_count (2 for the copied payloads), checksum the payload
-    checksum."""
+    checksum.  ``seg`` rows byte-segment each payload at
+    SEG_CHUNK_BYTES and checksum every chunk through the same Arrow
+    feature pass (composite chunk id = media_id*1024 + chunk_no,
+    decomposed after; first_byte carries chunk_no)."""
     from wpvectordb_spark.operators import multimodal as M
 
     docs = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
@@ -1701,7 +1710,18 @@ def _q_multimodal_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("dup_count").alias("first_byte"),
         "checksum",
     )
-    return feat.unionByName(frames).unionByName(dedup)
+    seg_chunks = M.segment_media(media, chunk_bytes=SEG_CHUNK_BYTES).select(
+        (F.col("media_id") * 1024 + F.col("chunk_no")).alias("media_id"),
+        F.col("chunk").alias("payload"),
+    )
+    seg = M.media_features(seg_chunks).select(
+        F.lit("seg").alias("kind"),
+        F.expr("media_id div 1024").alias("media_id"),
+        "byte_len",
+        (F.col("media_id") % 1024).cast("long").alias("first_byte"),
+        "checksum",
+    )
+    return feat.unionByName(frames).unionByName(dedup).unionByName(seg)
 
 
 # --- relational (OLAP surface at scale) ---------------------------------------
@@ -4816,6 +4836,26 @@ def oracle_sql() -> dict[str, str]:
               FROM ({corpus})
             )
             GROUP BY byte_len, fb, checksum
+            UNION ALL
+            -- byte-range segmentation at {SEG_CHUNK_BYTES}: one row per
+            -- chunk, first_byte carries chunk_no; ASCII corpus makes the
+            -- char substr equal the byte slice
+            SELECT 'seg' AS kind, doc_id AS media_id,
+                   CAST(length(substr(text, i * {SEG_CHUNK_BYTES} + 1,
+                                      {SEG_CHUNK_BYTES})) AS BIGINT)
+                     AS byte_len,
+                   CAST(i AS BIGINT) AS first_byte,
+                   {X.sql_string_hash(
+                       f"substr(text, i * {SEG_CHUNK_BYTES} + 1, "
+                       f"{SEG_CHUNK_BYTES})"
+                   )} AS checksum
+            FROM (
+              SELECT doc_id, text,
+                     unnest(range(0, CAST(ceil(
+                       octet_length(encode(text)) / {float(SEG_CHUNK_BYTES)}
+                     ) AS BIGINT))) AS i
+              FROM documents
+            )
         """,
         "rel_pricing_summary": """
             WITH plainagg AS (

@@ -41,7 +41,7 @@ def test_registry_is_exactly_50_keys():
 # Tag column name -> frozen expected tag values, per query.
 EXPECTED_ARMS = {
     "stream_windows": ("kind", {"counter", "dedup", "session", "tumble"}),
-    "multimodal_features": ("kind", {"feat", "frame", "dedup"}),
+    "multimodal_features": ("kind", {"feat", "frame", "dedup", "seg"}),
     "rel_pricing_summary": ("kind", {"plain", "salted", "udaf"}),
     "rel_grouping_sets": ("kind", {"cube", "rollup"}),
     "rel_membership": ("kind", {"seg_0", "seg_1", "set_both", "set_orders_only"}),

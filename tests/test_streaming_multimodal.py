@@ -1160,3 +1160,36 @@ def test_media_exact_dedup_golden(spark):
     }
     assert rows[1]["checksum"] == feats[1] == feats[7]
     assert rows[5]["checksum"] == feats[5]
+
+
+def test_segment_media_golden(spark):
+    """Chunks tile the payload exactly (reassembly == original), the
+    last chunk carries the remainder, chunk_no/n_chunks agree, and
+    empty/NULL payloads emit nothing (and never a DESCENDING sequence)."""
+    from wpvectordb_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij", "s"),   # 10 bytes -> 3 chunks at 4
+            (2, "abcd", "s"),         # exactly one chunk
+            (3, "", "s"),             # empty -> no chunks
+            (4, None, "s"),           # NULL -> no chunks
+        ],
+        "doc_id long, text string, source string",
+    )
+    media = M.media_from_documents(docs)
+    rows = M.segment_media(media, chunk_bytes=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {1, 2}
+    ones = sorted(by_id[1], key=lambda r: r["chunk_no"])
+    assert [r["chunk_no"] for r in ones] == [0, 1, 2]
+    assert all(r["n_chunks"] == 3 for r in ones)
+    assert b"".join(bytes(r["chunk"]) for r in ones) == b"abcdefghij"
+    assert len(bytes(ones[-1]["chunk"])) == 2  # remainder chunk
+    assert by_id[2][0]["n_chunks"] == 1 and bytes(by_id[2][0]["chunk"]) == b"abcd"
+    import pytest
+
+    with pytest.raises(ValueError):
+        M.segment_media(media, chunk_bytes=0)

@@ -188,6 +188,54 @@ def media_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
 
 
+def segment_media(
+    media: DataFrame,
+    chunk_bytes: int = 1 << 20,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Byte-range segmentation of opaque payloads — the sharding step
+    that parallelizes decode/feature work over LARGE media files: a
+    500 MB video as one row pins its whole decode to one task, while
+    ``ceil(len/chunk_bytes)`` chunk rows spread it across the cluster
+    (stripe-parallel decode; reassemble by ``(id, chunk_no)``).  Pure
+    Catalyst — one explode over the chunk-index sequence plus a binary
+    ``substr`` per chunk, no shuffle, rides the scan.
+
+    Returns ``(id, media_type, chunk_no, n_chunks, chunk)`` with
+    ``chunk`` a binary slice of at most ``chunk_bytes``.  Empty and
+    NULL payloads emit no chunks (a 0-byte file has nothing to decode;
+    the guard also keeps ``sequence(0, -1)`` from emitting a DESCENDING
+    index range, Spark's surprising default for stop < start)."""
+    if chunk_bytes < 1:
+        raise ValueError(f"segment_media: chunk_bytes={chunk_bytes} < 1")
+    n_chunks = F.ceil(
+        F.length("payload").cast("double") / F.lit(float(chunk_bytes))
+    ).cast("int")
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        media.select(
+            F.col(id_col),
+            F.col("media_type"),
+            F.col("payload"),
+            n_chunks.alias("n_chunks"),
+            F.explode(idxs).alias("chunk_no"),
+        )
+        .select(
+            id_col,
+            "media_type",
+            "chunk_no",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("payload")
+            .substr(
+                F.col("chunk_no") * chunk_bytes + 1, F.lit(chunk_bytes)
+            )
+            .alias("chunk"),
+        )
+    )
+
+
 def media_exact_dedup(media: DataFrame) -> DataFrame:
     """Exact dedup of OPAQUE media payloads — the binary-column analog of
     ``dedup.exact_dedup``: group by the byte-level feature triple
