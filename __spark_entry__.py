@@ -2786,7 +2786,21 @@ def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("retention").alias("sum_value"),
         F.col("cohort_size").alias("n_users"),
     )
-    return tumble.unionByName(slide).unionByName(cohort)
+    # windowed volume anomaly monitor: sum_value carries the z-score vs
+    # the trailing-24-window baseline (NULL until 3 history windows or
+    # under zero variance); trailing_mean is implicitly verified through
+    # z and pinned by the operator's golden test
+    zscore = E.windowed_anomaly_scores(load_events(spark, sf_dir)).select(
+        F.lit("zscore").alias("kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("zscore").alias("sum_value"),
+        F.lit(None).cast("long").alias("n_users"),
+    )
+    return (
+        tumble.unionByName(slide).unionByName(cohort).unionByName(zscore)
+    )
 
 
 def _q_events_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2906,11 +2920,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (1/cluster-size sampling weights over the shared components,
         # corpus completion at 1.0); multimodal_features the 'dedup'
         # exact-payload arm (byte-feature-triple groupBy over the
-        # duplicated corpus) ---
+        # duplicated corpus) + the 'seg' byte-range segmentation arm;
+        # events_windows the 'zscore' trailing-window volume anomaly
+        # monitor arm ---
         "index_build": _q_index_build_merged,
         "text_analyze": _q_text_analyze_merged,
         "curate_decontaminate": _q_curate_decontaminate,
         "multimodal_features": _q_multimodal_features_merged,
+        "events_windows": _q_events_windows,
         # --- changed in round 7: ann_lsh_ivf moves
         # both persisted indexes to base+append (+ the plain-IVF
         # 'ivfapp' arm over append_to_ivf_index + optimize_index, sann
@@ -2943,7 +2960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crud_composite_get": _q_crud_composite_get,
         "queue_stats": _q_queue_stats,
         "text_terms_tfidf": _q_text_terms_tfidf,
-        "events_windows": _q_events_windows,
         "queue_update_status": _q_queue_update_status,
         # --- changed in round 2 ---------------------------------------------
         "stream_windows": _q_stream_windows,
@@ -4718,6 +4734,12 @@ def oracle_sql() -> dict[str, str]:
                    n_active AS n_events, retention AS sum_value,
                    cohort_size AS n_users
             FROM ({E.sql_retention_cohorts(ev, period_days=1)})
+            UNION ALL
+            -- trailing-window volume anomaly z-scores: sum_value
+            -- carries the z-score vs the last-24-window baseline
+            SELECT 'zscore' AS kind, window_start, event_type, n_events,
+                   zscore AS sum_value, CAST(NULL AS BIGINT) AS n_users
+            FROM ({E.sql_windowed_anomaly_scores(ev)})
         """,
         "events_sessionize": sessionize_sql,
         "join_asof": """

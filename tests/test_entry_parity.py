@@ -113,7 +113,7 @@ EXPECTED_ARMS = {
             "stream",
         },
     ),
-    "events_windows": ("kind", {"cohort", "slide", "tumble"}),
+    "events_windows": ("kind", {"cohort", "slide", "tumble", "zscore"}),
     # round 7: + 'pool' (chunk->doc mean pooling, flattened cells)
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup", "pool"}),
     # round 7: jac = the original symmetric verify; cont = asymmetric

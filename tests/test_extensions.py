@@ -1671,3 +1671,65 @@ def test_ngram_containment_asymmetric_golden(spark, duck):
     assert jac_12 < 0.1
     with pytest.raises(ValueError):
         D.ngram_containment_pairs(docs, threshold=0.5)
+
+
+def test_windowed_anomaly_scores_golden_and_guards(spark, duck):
+    """Hand-checkable z-scores: type 'a' has hourly counts 2,2,2,8 —
+    the first 3 windows are NULL (history < min_trailing) and the spike
+    window is ALSO NULL because its trailing 2,2,2 baseline has zero
+    variance (the guard that keeps dead-quiet types from alerting on
+    every change); type 'b' counts 1,2,3,10 gives a real z at window 4:
+    mean(1,2,3)=2, std_samp=1, z=(10-2)/1=8.  DuckDB mirror agrees."""
+    import datetime as dt
+
+    from wpvectordb_spark.operators import events as E
+
+    rows = []
+    eid = 0
+
+    def add(tp, hour, n):
+        nonlocal eid
+        for _ in range(n):
+            rows.append(
+                (eid, 1, dt.datetime(2024, 1, 1, hour), tp, 1.0)
+            )
+            eid += 1
+
+    for h, n in zip((0, 1, 2, 3), (2, 2, 2, 8)):
+        add("a", h, n)
+    for h, n in zip((0, 1, 2, 3), (1, 2, 3, 10)):
+        add("b", h, n)
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r["event_type"], r["window_start"].hour): r
+        for r in E.windowed_anomaly_scores(ev, trailing=24, min_trailing=3).collect()
+    }
+    # first 3 windows of each type: insufficient history
+    for tp in ("a", "b"):
+        for h in (0, 1, 2):
+            assert out[(tp, h)]["zscore"] is None
+    # constant baseline -> zero variance -> NULL even with history
+    assert out[("a", 3)]["zscore"] is None
+    assert out[("a", 3)]["trailing_mean"] == 2.0
+    # real deviation: mean(1,2,3)=2, std_samp=1, z=(10-2)/1=8
+    assert out[("b", 3)]["zscore"] == 8.0
+    assert out[("b", 3)]["trailing_mean"] == 2.0
+    # mirror agrees on the same frame
+    duck.execute(
+        "CREATE OR REPLACE TEMP TABLE az_ev(event_id BIGINT, user_id BIGINT,"
+        " ts TIMESTAMP, event_type VARCHAR, value DOUBLE)"
+    )
+    duck.executemany("INSERT INTO az_ev VALUES (?, ?, ?, ?, ?)", rows)
+    sql = E.sql_windowed_anomaly_scores("ts").replace("FROM events", "FROM az_ev")
+    d = sorted(duck.sql(sql).fetchall(), key=repr)
+    s = sorted(
+        map(
+            tuple,
+            E.windowed_anomaly_scores(ev, trailing=24, min_trailing=3).collect(),
+        ),
+        key=repr,
+    )
+    assert s == d
+    duck.execute("DROP TABLE az_ev")

@@ -427,3 +427,85 @@ def sql_sequence_funnel(ts_expr: str, steps: list[str]) -> str:
                list_filter({all_ts}, t -> t IS NOT NULL) AS step_ts
         FROM {prev_rel}
     """
+
+
+def windowed_anomaly_scores(
+    events: DataFrame,
+    width: str = "1 hour",
+    trailing: int = 24,
+    min_trailing: int = 3,
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-(event_type, window) volume z-scores against the trailing
+    ``trailing`` observed windows — the incident/drift monitor over an
+    event stream ("clicks this hour are 4.2 sigma over their last-24h
+    behavior").  ``zscore`` is NULL until ``min_trailing`` history
+    windows exist and whenever the trailing std is zero (a constant
+    baseline has no scale to deviate from — flagging on it would alert
+    on every change of a dead-quiet type).
+
+    Trailing means the last ``trailing`` OBSERVED windows per type —
+    zero-event windows emit no row and therefore don't enter the
+    baseline; densify with a calendar spine first if silence itself
+    should drag the mean down.
+
+    Scale shape: one map-side-combinable windowed count (window-count-
+    sized output, never event-sized), then an event_type-keyed frame
+    window over those counts — the window's partition is #windows rows
+    per type, bounded by the retention horizon, not the data.
+    """
+    counts = (
+        events.groupBy(F.window(ts_col, width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(-trailing, -1)
+    )
+    mean = F.avg("n_events").over(tw)
+    std = F.stddev_samp("n_events").over(tw)
+    hist = F.count("n_events").over(tw)
+    z = F.when(
+        (hist >= min_trailing) & (std > 0),
+        (F.col("n_events") - mean) / std,
+    )
+    return counts.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round(mean, round_to).alias("trailing_mean"),
+        F.round(z, round_to).alias("zscore"),
+    )
+
+
+def sql_windowed_anomaly_scores(
+    ts_expr: str = "CAST(ts AS TIMESTAMP)",
+    width: str = "1 hour",
+    trailing: int = 24,
+    min_trailing: int = 3,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of ``windowed_anomaly_scores`` (same trailing ROWS
+    frame, same min-history/zero-variance NULL guards)."""
+    return f"""
+        WITH az_wc AS (
+          SELECT time_bucket(INTERVAL '{width}', {ts_expr}) AS window_start,
+                 event_type, COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n_events,
+               round(avg(n_events) OVER tw, {round_to}) AS trailing_mean,
+               round(CASE WHEN count(n_events) OVER tw >= {min_trailing}
+                           AND stddev_samp(n_events) OVER tw > 0
+                     THEN (n_events - avg(n_events) OVER tw)
+                          / stddev_samp(n_events) OVER tw
+                     END, {round_to}) AS zscore
+        FROM az_wc
+        WINDOW tw AS (PARTITION BY event_type ORDER BY window_start
+                      ROWS BETWEEN {trailing} PRECEDING AND 1 PRECEDING)
+    """
