@@ -1664,9 +1664,13 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: seg arm chunk size: small enough that ~300-byte synthetic docs split
-#: into ~5 chunks (multi-chunk path non-vacuous), composite ids stay
-#: under media_id*1024 (docs < 64 KiB)
+#: into ~5 chunks (multi-chunk path non-vacuous)
 SEG_CHUNK_BYTES = 64
+#: composite chunk-id multiplier: chunk_no < 2^20 means docs up to
+#: 64 MiB at 64-byte chunks before ids collide — far past anything a
+#: testdata regeneration could produce (the old 1024 bound broke at a
+#: 64 KiB document, surfacing only as an opaque hash mismatch)
+SEG_ID_MULT = 1 << 20
 
 
 def _q_multimodal_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1680,7 +1684,7 @@ def _q_multimodal_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame
     carries dup_count (2 for the copied payloads), checksum the payload
     checksum.  ``seg`` rows byte-segment each payload at
     SEG_CHUNK_BYTES and checksum every chunk through the same Arrow
-    feature pass (composite chunk id = media_id*1024 + chunk_no,
+    feature pass (composite chunk id = media_id*SEG_ID_MULT + chunk_no,
     decomposed after; first_byte carries chunk_no)."""
     from wpvectordb_spark.operators import multimodal as M
 
@@ -1711,14 +1715,16 @@ def _q_multimodal_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame
         "checksum",
     )
     seg_chunks = M.segment_media(media, chunk_bytes=SEG_CHUNK_BYTES).select(
-        (F.col("media_id") * 1024 + F.col("chunk_no")).alias("media_id"),
+        (F.col("media_id") * SEG_ID_MULT + F.col("chunk_no")).alias(
+            "media_id"
+        ),
         F.col("chunk").alias("payload"),
     )
     seg = M.media_features(seg_chunks).select(
         F.lit("seg").alias("kind"),
-        F.expr("media_id div 1024").alias("media_id"),
+        F.expr(f"media_id div {SEG_ID_MULT}").alias("media_id"),
         "byte_len",
-        (F.col("media_id") % 1024).cast("long").alias("first_byte"),
+        (F.col("media_id") % SEG_ID_MULT).cast("long").alias("first_byte"),
         "checksum",
     )
     return feat.unionByName(frames).unionByName(dedup).unionByName(seg)

@@ -1543,11 +1543,14 @@ def soft_dedup_weights(
 
 
 def sql_soft_dedup_weights(
-    components_sql: str, corpus_sql: str | None = None
+    components_sql: str,
+    corpus_sql: str | None = None,
+    round_to: int = 9,
 ) -> str:
     """DuckDB mirror of ``soft_dedup_weights`` over a
     (doc_id, component_id) relation (and optionally a corpus relation
-    with a doc_id column for the weight-1.0 completion)."""
+    with a doc_id column for the weight-1.0 completion).  ``round_to``
+    must match the operator's."""
     base = f"""
         WITH sdw_c AS ({components_sql}),
         sdw_sizes AS (
@@ -1558,7 +1561,8 @@ def sql_soft_dedup_weights(
           -- CAST: a bare 1.0 is DECIMAL in DuckDB and the division
           -- would be decimal arithmetic, not Spark's DOUBLE
           SELECT c.doc_id, CAST(s.cluster_size AS BIGINT) AS cluster_size,
-                 round(CAST(1.0 AS DOUBLE) / s.cluster_size, 9) AS weight
+                 round(CAST(1.0 AS DOUBLE) / s.cluster_size, {round_to})
+                   AS weight
           FROM sdw_c c JOIN sdw_sizes s USING (component_id)
         )
         SELECT * FROM sdw_m
@@ -1569,10 +1573,15 @@ def sql_soft_dedup_weights(
         base
         + f"""
         UNION ALL
+        -- NOT EXISTS, not NOT IN: a NULL doc_id in either side would
+        -- make NOT IN three-valued (row silently dropped) while
+        -- Spark's left_anti keeps the NULL-keyed row
         SELECT k.doc_id, CAST(1 AS BIGINT) AS cluster_size,
                CAST(1.0 AS DOUBLE) AS weight
         FROM ({corpus_sql}) k
-        WHERE k.doc_id NOT IN (SELECT doc_id FROM sdw_m)
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sdw_m m WHERE m.doc_id = k.doc_id
+        )
     """
     )
 

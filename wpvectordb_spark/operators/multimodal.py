@@ -251,11 +251,15 @@ def media_exact_dedup(media: DataFrame) -> DataFrame:
 
     Scale shape: the Arrow feature pass (one vectorized checksum per
     batch) followed by ONE map-side-combinable hash aggregation on the
-    16-byte feature key — payloads themselves never shuffle.  The
-    rolling-hash checksum is ~37 bits; byte_len + first_byte in the key
-    push random-collision odds below 2^-50 per pair — acceptable for
-    dedup (a collision merges two UNRELATED payloads; verify by byte
-    compare within groups if the corpus is adversarial)."""
+    16-byte feature key — payloads themselves never shuffle.  Collision
+    honesty: the rolling hash is mod 1e9+7 (~30 bits), so two UNRELATED
+    payloads that already share byte_len and first_byte collide with
+    probability ~2^-30 — fine for a crawl-scale corpus of varied sizes,
+    but a corpus of millions of SAME-length fixed-format files has
+    ~10^12 same-(len, first-byte) pairs and order-1000 expected false
+    merges.  For those corpora (or any adversarial input), byte-compare
+    within groups before dropping, or swap the checksum for a 128-bit
+    digest in the feature kernel."""
     feats = media_features(media)
     return (
         feats.groupBy("byte_len", "first_byte", "checksum")
