@@ -934,7 +934,11 @@ def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_near_dup_pairs(_corpus_with_dups(spark, sf_dir), max_hamming=3)
+    # eager_signatures: this callable executes immediately (bench/driver),
+    # so the call-time localCheckpoint barrier is pure win (item 63)
+    return D.simhash_near_dup_pairs(
+        _corpus_with_dups(spark, sf_dir), max_hamming=3, eager_signatures=True
+    )
 
 
 #: containment arm: larger-direction threshold (non-empty at sf0.01,
@@ -956,9 +960,11 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sigs = D.minhash_signatures(docs)
     # candidate generation (signatures + band explode + self-join) feeds
-    # BOTH verify arms — persisted so it runs once, not once per arm
-    # (the sh_all/pairs convention of _q_dedup_minhash_components)
-    cands = D.lsh_candidate_pairs(sigs).persist()
+    # BOTH verify arms — localCheckpointed so it runs once, not once per
+    # arm.  Not .persist(): a persisted frame with no unpersist leaks a
+    # cache entry per invocation in long-running bench/driver sessions
+    # (ADVICE round 8); the checkpoint is freed when the frame is GC'd.
+    cands = D.lsh_candidate_pairs(sigs).localCheckpoint()
     null_d = F.lit(None).cast("double")
     jac = D.ngram_jaccard_pairs(docs, threshold=0.05, candidates=cands).select(
         F.lit("jac").alias("kind"), "id_a", "id_b", "jaccard",
@@ -1103,7 +1109,11 @@ def _q_text_analyze_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     versa; no column-name collisions (per-doc ``n_tokens`` vs corpus
     ``total_tokens``)."""
     docs = _docs(spark, sf_dir)
-    d = TA.analyze_full(docs).select(F.lit("doc").alias("kind"), "*")
+    # fused=False (the two-pass doc-keyed merge, item 60's 1.3x win) is
+    # safe here: doc_id is the documents table's primary key
+    d = TA.analyze_full(docs, fused=False).select(
+        F.lit("doc").alias("kind"), "*"
+    )
     p = TA.corpus_profile(docs, stratum_cols=PROFILE_STRATA).select(
         F.lit("profile").alias("kind"), "*"
     )
@@ -1714,6 +1724,18 @@ def _q_multimodal_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("dup_count").alias("first_byte"),
         "checksum",
     )
+    # byte_verify path: the blake2b channel must be INVISIBLE on the
+    # collision-free corpus — identical groups, merely confirmed.  The
+    # oracle mirrors it with the same GROUP BY as the dedup arm; any
+    # over-split (verify disagreeing on byte-identical payloads) or
+    # under-merge surfaces as a hash mismatch.
+    dedupv = M.media_exact_dedup(dup_media, byte_verify=True).select(
+        F.lit("dedupv").alias("kind"),
+        "media_id",
+        "byte_len",
+        F.col("dup_count").alias("first_byte"),
+        "checksum",
+    )
     seg_chunks = M.segment_media(media, chunk_bytes=SEG_CHUNK_BYTES).select(
         (F.col("media_id") * SEG_ID_MULT + F.col("chunk_no")).alias(
             "media_id"
@@ -1727,7 +1749,12 @@ def _q_multimodal_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("media_id") % SEG_ID_MULT).cast("long").alias("first_byte"),
         "checksum",
     )
-    return feat.unionByName(frames).unionByName(dedup).unionByName(seg)
+    return (
+        feat.unionByName(frames)
+        .unionByName(dedup)
+        .unionByName(dedupv)
+        .unionByName(seg)
+    )
 
 
 # --- relational (OLAP surface at scale) ---------------------------------------
@@ -2072,6 +2099,13 @@ def _q_curate_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # what the oracle checks
 CURATE_BUDGETS = {"en": 5000, "es": 2000, "zh": 1500}
 
+# weighted-sampler arm constants: budgets in MASS units (docs' worth of
+# probability, consuming soft_dedup_weights' 1/cluster-size column) —
+# small enough to be a real selection at sf0.01+ (en has ~218 docs
+# there), fractional to exercise the micro-mass arithmetic, and with
+# de/fr deliberately unbudgeted (dropped strata)
+WSAMPLE_BUDGETS = {"en": 60.0, "es": 20.5, "zh": 25.0}
+
 # temperature-mixing arm constants (mT5-style alpha; budget small enough
 # that per-stratum floor() budgets stay below every stratum's own total)
 TEMP_BUDGET = 10000
@@ -2296,6 +2330,33 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_l.alias("pos"),
         F.col("calibrated").alias("quality"),
     )
+    # soft-dedup weights feeding the weighted mass sampler (wsample arm):
+    # exact-fingerprint clusters over the +10000 duplicated corpus give
+    # the copied docs 1/2 weights, singletons complete at 1.0, and
+    # weighted_budget_sample fills WSAMPLE_BUDGETS (mass units; de/fr
+    # unbudgeted -> dropped).  Column reuse: quality carries the weight.
+    wcorpus = _corpus_with_dups(spark, sf_dir)
+    wfps = wcorpus.where(F.col("text").isNotNull()).select(
+        "doc_id", X.fingerprint60("text").alias("_f")
+    )
+    wcomp = wfps.join(
+        wfps.groupBy("_f").agg(F.min("doc_id").alias("component_id")), "_f"
+    ).select("doc_id", "component_id")
+    wweights = D.soft_dedup_weights(wcomp, wcorpus)
+    wsample = CU.weighted_budget_sample(
+        wweights.join(wcorpus.select("doc_id", "lang"), "doc_id"),
+        WSAMPLE_BUDGETS,
+    ).select(
+        F.lit("wsample").alias("kind"),
+        "doc_id",
+        "lang",
+        null_l.alias("n_tokens"),
+        null_l.alias("seq_start"),
+        null_l.alias("seq_end"),
+        null_l.alias("shard"),
+        null_l.alias("pos"),
+        F.col("weight").alias("quality"),
+    )
     # epoch expansion: per-stratum budgets materialized as exact repeat
     # counts (column reuse: pos carries the epoch index); row count per
     # lang == EPOCH_BUDGETS[lang]
@@ -2323,6 +2384,7 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(domq)
         .unionByName(rank)
         .unionByName(epoch)
+        .unionByName(wsample)
         .unionByName(pipeline)
     )
 
@@ -2804,8 +2866,26 @@ def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zscore").alias("sum_value"),
         F.lit(None).cast("long").alias("n_users"),
     )
+    # calendar-spine densified variant: zero-event hours inside each
+    # type's observed range emit n_events=0 rows (the synthetic corpus
+    # has ~40 such gaps per type at sf0.01, so the arm differs from
+    # 'zscore' by construction — an outage now surfaces as a large
+    # negative z instead of no row)
+    zdense = E.windowed_anomaly_scores(
+        load_events(spark, sf_dir), densify=True
+    ).select(
+        F.lit("zdense").alias("kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("zscore").alias("sum_value"),
+        F.lit(None).cast("long").alias("n_users"),
+    )
     return (
-        tumble.unionByName(slide).unionByName(cohort).unionByName(zscore)
+        tumble.unionByName(slide)
+        .unionByName(cohort)
+        .unionByName(zscore)
+        .unionByName(zdense)
     )
 
 
@@ -3100,6 +3180,32 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
     """
+    # same duplicated corpus, lang carried through (the wsample arm
+    # strata come from the original rows)
+    wcorpus_lang = """
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, lang, text FROM documents
+        WHERE doc_id < 50
+    """
+    # wsample arm: exact-fingerprint components -> soft-dedup weights
+    # (corpus-completed) -> lang joined back -> weighted mass sampler
+    wsample_comp = f"""WITH wsc AS ({wcorpus_lang}),
+        wsf AS (SELECT doc_id, {X.sql_fingerprint60('text')} AS f FROM wsc
+                WHERE text IS NOT NULL)
+        SELECT wsf.doc_id, g.component_id
+        FROM wsf JOIN (
+          SELECT f, min(doc_id) AS component_id FROM wsf GROUP BY f
+        ) g USING (f)"""
+    wsample_weighted = f"""SELECT w.doc_id, k.lang, w.weight
+        FROM ({D.sql_soft_dedup_weights(
+            wsample_comp,
+            corpus_sql=f"SELECT doc_id FROM ({wcorpus_lang})",
+        )}) w
+        JOIN ({wcorpus_lang}) k USING (doc_id)"""
+    wsample_sql = CU.sql_weighted_budget_sample(
+        wsample_weighted, WSAMPLE_BUDGETS
+    )
     # fp: the 30-bit single fold — text_analyze's fingerprint FEATURE and
     # the multimodal byte checksum (char/byte parity on the ASCII corpus).
     # fp60: the ~60-bit two-fold pack exact_dedup keys on — the dedup
@@ -4427,6 +4533,19 @@ def oracle_sql() -> dict[str, str]:
                    epoch AS pos,
                    CAST(NULL AS DOUBLE) AS quality
             FROM ({CU.sql_expand_budgets(EPOCH_BUDGETS)})
+            UNION ALL
+            -- soft-dedup weights -> weighted mass sampler: exact-
+            -- fingerprint clusters over the duplicated corpus give the
+            -- copies 1/2 weights, singletons complete at 1.0, budgets
+            -- fill in micro-mass hash order (quality carries the weight)
+            SELECT 'wsample' AS kind, doc_id, lang,
+                   CAST(NULL AS BIGINT) AS n_tokens,
+                   CAST(NULL AS BIGINT) AS seq_start,
+                   CAST(NULL AS BIGINT) AS seq_end,
+                   CAST(NULL AS BIGINT) AS shard,
+                   CAST(NULL AS BIGINT) AS pos,
+                   weight AS quality
+            FROM ({wsample_sql})
         """,
         "text_fingerprint": winnow_cte,
         "curate_decontaminate": f"""
@@ -4746,6 +4865,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'zscore' AS kind, window_start, event_type, n_events,
                    zscore AS sum_value, CAST(NULL AS BIGINT) AS n_users
             FROM ({E.sql_windowed_anomaly_scores(ev)})
+            UNION ALL
+            -- calendar-spine densified z-scores: zero-event hours inside
+            -- each type's observed range appear with n_events=0
+            SELECT 'zdense' AS kind, window_start, event_type, n_events,
+                   zscore AS sum_value, CAST(NULL AS BIGINT) AS n_users
+            FROM ({E.sql_windowed_anomaly_scores(ev, densify=True)})
         """,
         "events_sessionize": sessionize_sql,
         "join_asof": """
@@ -4854,6 +4979,22 @@ def oracle_sql() -> dict[str, str]:
             -- the byte-feature triple, min-id winner; first_byte column
             -- carries dup_count
             SELECT 'dedup' AS kind, min(doc_id) AS media_id, byte_len,
+                   CAST(COUNT(*) AS BIGINT) AS first_byte, checksum
+            FROM (
+              SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                     CAST(CASE WHEN length(text) > 0 THEN ascii(text[1])
+                          ELSE -1 END AS BIGINT) AS fb,
+                     {fp} AS checksum
+              FROM ({corpus})
+            )
+            GROUP BY byte_len, fb, checksum
+            UNION ALL
+            -- byte_verify arm: the independent blake2b channel must be
+            -- invisible on the collision-free corpus, so the mirror is
+            -- the SAME grouping (an over-split or under-merge would
+            -- hash-mismatch)
+            SELECT 'dedupv' AS kind, min(doc_id) AS media_id, byte_len,
                    CAST(COUNT(*) AS BIGINT) AS first_byte, checksum
             FROM (
               SELECT doc_id,

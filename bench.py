@@ -1,8 +1,15 @@
 #!/usr/bin/env python3
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric", "value" (total seconds), "unit",
-"queries" (per-query seconds), "sf", "median_of"}.  Each query
+The FINAL stdout line is ONE compact JSON object: {"metric", "value"
+(total seconds), "unit", "queries" (per-query seconds), "sf", "window",
+"canary_best", ...} — kept under ~1.8 KB because the driver captures
+only the last ~2,000 chars of stdout (round 8's 5.4 KB line with raw
+attempts embedded truncated the minima out of BENCH_r08.json).  Full
+per-pass detail (every raw attempt, the extras minima, canary pairs)
+is emitted as a SEPARATE earlier stdout line {"artifact":
+"bench_attempts", ...} and mirrored to a bench_attempts.json sidecar
+next to this file, so nothing is hidden.  Each query
 materializes fully through the noop datasource sink (every output
 column forced — count() lets Catalyst prune computed columns and is
 not a benchmark; "forcing": "noop_write" in the JSON marks the round-7
@@ -23,7 +30,7 @@ $SPARK_GRAFT_BENCH_ATTEMPTS passes (default 3).  The headline
 "queries"/"extras" are per-key MINIMA across passes (items 58-59
 measured per-key minima as the statistic that is stable across noisy
 windows while one-shot totals swung 24.6 -> 41.2 s on identical code);
-every raw pass ships under "attempts" so nothing is hidden; at least
+every raw pass ships under "attempts" on the detail line; at least
 $SPARK_GRAFT_BENCH_MIN_ATTEMPTS passes (default 2) run even when the
 canary holds, because contention ROAMS between keys within
 stable-canary windows and only min-across-passes removes it.  "window"
@@ -153,7 +160,7 @@ def main() -> None:
 
     _tiny = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(200)
     _D.minhash_lsh_dedup_pairs(_tiny, threshold=0.5).count()
-    _D.simhash_near_dup_pairs(_tiny, max_hamming=3).count()
+    _D.simhash_near_dup_pairs(_tiny, max_hamming=3, eager_signatures=True).count()
     spark.catalog.clearCache()
 
     def canary() -> float:
@@ -520,35 +527,54 @@ def main() -> None:
         ).stdout.strip() or None
     except Exception:
         git_sha = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extras": extras,
-                "extras_total_sec": round(sum(extras.values()), 3),
-                "sf": float(sf),
-                "median_of": RUNS,
-                "n_attempts": len(attempts),
-                "min_attempts_met": min_attempts_met,
-                "aggregation": "min_across_attempts_of_per_key_medians",
-                "attempts": attempts,
-                "loadavg": [round(x, 2) for x in os.getloadavg()],
-                "loadavg_prelaunch": loadavg_prelaunch,
-                "window": window,
-                "canary_sec": attempts[-1]["canary_sec"],
-                "canary_best": min(
-                    c for att in attempts for c in att["canary_sec"]
-                ),
-                "cpus": os.cpu_count(),
-                "codegen_mode": spark.conf.get("spark.sql.codegen.factoryMode"),
-                "forcing": "noop_write",
-                "git_sha": git_sha,
-            }
+    # The driver captures only the LAST ~2,000 chars of stdout, so the
+    # FINAL line must stay compact (round 8's 5.4 KB line with attempts
+    # embedded truncated the minima out of BENCH_r08.json — parsed:null).
+    # Full per-pass detail goes to an EARLIER stdout line plus a sidecar
+    # file; the last line carries only the headline minima + window
+    # labels (~1.3 KB for 23 keys).
+    detail = {
+        "artifact": "bench_attempts",
+        "extras": extras,
+        "attempts": attempts,
+        "median_of": RUNS,
+        "aggregation": "min_across_attempts_of_per_key_medians",
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "canary_sec": attempts[-1]["canary_sec"],
+        "codegen_mode": spark.conf.get("spark.sql.codegen.factoryMode"),
+        "forcing": "noop_write",
+    }
+    print(json.dumps(detail))
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_attempts.json"
         )
-    )
+        with open(sidecar, "w") as f:
+            json.dump(detail, f, indent=1)
+    except Exception as exc:  # sidecar is best-effort; stdout line is canonical
+        print(f"# sidecar write failed: {exc}", file=sys.stderr)
+    final = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extras_total_sec": round(sum(extras.values()), 3),
+        "sf": float(sf),
+        "n_attempts": len(attempts),
+        "min_attempts_met": min_attempts_met,
+        "loadavg_prelaunch": loadavg_prelaunch,
+        "window": window,
+        "canary_best": min(c for att in attempts for c in att["canary_sec"]),
+        "cpus": os.cpu_count(),
+        "git_sha": git_sha,
+    }
+    line = json.dumps(final)
+    if len(line) > 1800:
+        # never let the canonical line outgrow the driver's tail capture:
+        # shed the largest optional field rather than the minima
+        final.pop("extras_total_sec", None)
+        line = json.dumps(final)
+    print(line)
 
 
 if __name__ == "__main__":

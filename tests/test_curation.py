@@ -1384,3 +1384,79 @@ def test_phrase_blocklist_dedupes_and_guards_sql_surface(spark, duck):
     for bad in ([], ["ok", "  "], ["o'quote"], [f"x{i}" for i in range(501)]):
         with pytest.raises(ValueError):
             CU.sql_phrase_blocklist_filter(bad)
+
+
+def test_weighted_budget_sample_fills_mass_within_one_doc(spark, duck):
+    """The soft-dedup wiring end-to-end: cluster weights (1/|cluster|)
+    feed weighted_budget_sample, each stratum's kept MASS never exceeds
+    its budget and undershoots by less than one doc's weight; raising a
+    budget only grows the kept set; NULL weights and unbudgeted strata
+    drop; the DuckDB mirror matches row-for-row."""
+    from wpvectordb_spark.operators import dedup as D
+
+    # components: an en 4-cluster (w=0.25 each), an en pair (0.5), an es
+    # pair; singletons complete at 1.0 via the corpus arg
+    comp = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 100), (5, 200), (6, 200),
+         (30, 300), (31, 300)],
+        "doc_id long, component_id long",
+    )
+    corpus_rows = [(i, "en" if i < 30 else ("es" if i < 40 else "de"))
+                   for i in range(1, 60)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, lang string")
+    weights = D.soft_dedup_weights(comp, corpus)
+    weighted = weights.join(corpus, "doc_id")
+    budgets = {"en": 7.5, "es": 3.25}
+    kept = CU.weighted_budget_sample(weighted, budgets).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) <= {"en", "es"}  # 'de' unbudgeted -> dropped
+    all_w = {r["doc_id"]: r["weight"] for r in weighted.collect()}
+    for lang, budget in budgets.items():
+        mass = sum(r["weight"] for r in by_lang.get(lang, []))
+        stratum_mass = sum(
+            w for d, w in all_w.items()
+            if dict(corpus_rows)[d] == lang
+        )
+        assert mass <= budget + 1e-9
+        if mass < stratum_mass - 1e-9:  # budget actually binds
+            # within one doc's weight of the budget (weights <= 1.0)
+            assert budget - mass < 1.0
+    # monotone: raising en's budget only grows en's kept set
+    kept2 = CU.weighted_budget_sample(
+        weighted, {"en": 9.0, "es": 3.25}
+    ).collect()
+    assert {r["doc_id"] for r in kept} <= {r["doc_id"] for r in kept2}
+    # NULL weight drops instead of poisoning the cumulative sum
+    with_null = weighted.select("doc_id", "lang", "weight").unionByName(
+        spark.createDataFrame(
+            [(999, None, "en")], "doc_id long, weight double, lang string"
+        ).select("doc_id", "lang", "weight")
+    )
+    kept3 = CU.weighted_budget_sample(with_null, budgets).collect()
+    assert all(r["doc_id"] != 999 for r in kept3)
+    # negative budget is rejected loudly
+    with pytest.raises(ValueError):
+        CU.weighted_budget_sample(weighted, {"en": -1.0})
+    # mirror parity on the same frame
+    duck.execute(
+        "CREATE OR REPLACE TEMP TABLE wbs_in(doc_id BIGINT, lang VARCHAR,"
+        " weight DOUBLE)"
+    )
+    duck.executemany(
+        "INSERT INTO wbs_in VALUES (?, ?, ?)",
+        [(r["doc_id"], r["lang"], r["weight"])
+         for r in weighted.select("doc_id", "lang", "weight").collect()],
+    )
+    d = sorted(
+        duck.sql(
+            CU.sql_weighted_budget_sample("SELECT * FROM wbs_in", budgets)
+        ).fetchall()
+    )
+    s = sorted(
+        map(tuple, CU.weighted_budget_sample(weighted, budgets)
+            .select("doc_id", "lang", "weight").collect())
+    )
+    assert s == d
+    duck.execute("DROP TABLE wbs_in")

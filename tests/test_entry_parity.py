@@ -41,7 +41,7 @@ def test_registry_is_exactly_50_keys():
 # Tag column name -> frozen expected tag values, per query.
 EXPECTED_ARMS = {
     "stream_windows": ("kind", {"counter", "dedup", "session", "tumble"}),
-    "multimodal_features": ("kind", {"feat", "frame", "dedup", "seg"}),
+    "multimodal_features": ("kind", {"feat", "frame", "dedup", "dedupv", "seg"}),
     "rel_pricing_summary": ("kind", {"plain", "salted", "udaf"}),
     "rel_grouping_sets": ("kind", {"cube", "rollup"}),
     "rel_membership": ("kind", {"seg_0", "seg_1", "set_both", "set_orders_only"}),
@@ -86,6 +86,7 @@ EXPECTED_ARMS = {
             "shard",
             "temp",
             "wf",
+            "wsample",
         },
     ),
     # round 6: + the C4 line/page rules over the synthetic lined corpus
@@ -113,7 +114,9 @@ EXPECTED_ARMS = {
             "stream",
         },
     ),
-    "events_windows": ("kind", {"cohort", "slide", "tumble", "zscore"}),
+    "events_windows": (
+        "kind", {"cohort", "slide", "tumble", "zscore", "zdense"}
+    ),
     # round 7: + 'pool' (chunk->doc mean pooling, flattened cells)
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup", "pool"}),
     # round 7: jac = the original symmetric verify; cont = asymmetric

@@ -1733,3 +1733,88 @@ def test_windowed_anomaly_scores_golden_and_guards(spark, duck):
     )
     assert s == d
     duck.execute("DROP TABLE az_ev")
+
+
+def test_windowed_anomaly_densify_outage_golden(spark, duck):
+    """densify=True makes SILENCE visible: type 'c' runs hourly counts
+    5,5,4,6 then a full outage at hour 4 and 5 at hour 5.  Default
+    semantics emit NO row for hour 4 (the incident is invisible);
+    densified, hour 4 appears with n_events=0 and
+    z = (0 - mean(5,5,4,6)) / std_samp(5,5,4,6) = -5/sqrt(2/3)
+    = -6.123724 — the large negative z monitors exist for.  The DuckDB
+    mirror (generate_series spine) agrees row-for-row, and a '1 week'
+    width exercises the explicit epoch origin (DuckDB time_bucket
+    defaults to a 2000-01-03 origin, Spark windows to 1970-01-01)."""
+    import datetime as dt
+
+    from wpvectordb_spark.operators import events as E
+
+    rows = []
+    eid = 0
+    for h, n in zip((0, 1, 2, 3, 5), (5, 5, 4, 6, 5)):
+        for _ in range(n):
+            rows.append((eid, 1, dt.datetime(2024, 1, 1, h), "c", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    sparse = {
+        r["window_start"].hour: r
+        for r in E.windowed_anomaly_scores(ev).collect()
+    }
+    assert 4 not in sparse  # default: the outage produces no row at all
+    dense = {
+        r["window_start"].hour: r
+        for r in E.windowed_anomaly_scores(ev, densify=True).collect()
+    }
+    assert dense[4]["n_events"] == 0
+    assert dense[4]["trailing_mean"] == 5.0
+    assert dense[4]["zscore"] == -6.123724
+    # hour 5's baseline now CONTAINS the zero (5,5,4,6,0 -> mean 4.0;
+    # without densify it would be mean(5,5,4,6) = 5.0)
+    assert dense[5]["trailing_mean"] == 4.0
+    # mirror agrees on the full densified frame
+    duck.execute(
+        "CREATE OR REPLACE TEMP TABLE az_ev2(event_id BIGINT, user_id"
+        " BIGINT, ts TIMESTAMP, event_type VARCHAR, value DOUBLE)"
+    )
+    duck.executemany("INSERT INTO az_ev2 VALUES (?, ?, ?, ?, ?)", rows)
+    sql = E.sql_windowed_anomaly_scores("ts", densify=True).replace(
+        "FROM events", "FROM az_ev2"
+    )
+    d = sorted(duck.sql(sql).fetchall(), key=repr)
+    s = sorted(
+        map(tuple, E.windowed_anomaly_scores(ev, densify=True).collect()),
+        key=repr,
+    )
+    assert s == d
+    # '1 week' buckets: the explicit 1970-01-01 origin keeps the mirror
+    # aligned with Spark's epoch-aligned windows (default DuckDB origin
+    # would shift buckets by 2 days)
+    wk_rows = [
+        (100 + i, 1, dt.datetime(2024, 1, 1) + dt.timedelta(days=7 * i), "w", 1.0)
+        for i in range(6)
+    ]
+    duck.executemany("INSERT INTO az_ev2 VALUES (?, ?, ?, ?, ?)", wk_rows)
+    ev_wk = spark.createDataFrame(
+        rows + wk_rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    sql_wk = E.sql_windowed_anomaly_scores(
+        "ts", width="1 week", densify=True
+    ).replace("FROM events", "FROM az_ev2")
+    d_wk = sorted(duck.sql(sql_wk).fetchall(), key=repr)
+    s_wk = sorted(
+        map(
+            tuple,
+            E.windowed_anomaly_scores(
+                ev_wk, width="1 week", densify=True
+            ).collect(),
+        ),
+        key=repr,
+    )
+    assert s_wk == d_wk
+    duck.execute("DROP TABLE az_ev2")

@@ -1162,6 +1162,48 @@ def test_media_exact_dedup_golden(spark):
     assert rows[5]["checksum"] == feats[5]
 
 
+def test_media_exact_dedup_byte_verify_splits_checksum_collisions(spark):
+    """'zAa' and 'zBB' collide on the full feature triple by construction
+    (base-31 fold: 65*31+97 == 66*31+66 == 2112, identical under ANY
+    modulus; same length, same first byte) — the false-merge case the
+    docstring's collision math warns about.  byte_verify=False merges
+    them (documented ~30-bit trust); byte_verify=True keeps them
+    DISTINCT via the independent blake2b channel, while byte-identical
+    payloads still merge and the output schema is unchanged."""
+    from wpvectordb_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zAa", "s"),   # collides with doc 2 on (len, first, checksum)
+            (2, "zBB", "s"),
+            (4, "zAa", "s"),   # byte-identical to doc 1
+            (9, "other", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    media = M.media_from_documents(docs)
+
+    merged = {r["media_id"]: r for r in M.media_exact_dedup(media).collect()}
+    # without verify the collision falsely merges 1, 2, 4 into one group
+    assert set(merged) == {1, 9}
+    assert merged[1]["dup_count"] == 3
+
+    verified = M.media_exact_dedup(media, byte_verify=True)
+    assert verified.columns == [
+        "media_id", "byte_len", "first_byte", "checksum", "dup_count"
+    ]
+    vrows = {r["media_id"]: r for r in verified.collect()}
+    assert set(vrows) == {1, 2, 9}
+    assert vrows[1]["dup_count"] == 2  # the true duplicate pair (1, 4)
+    assert vrows[2]["dup_count"] == 1  # the collision stays distinct
+    # the split rows share the colliding triple — visible in the output
+    assert (
+        vrows[1]["byte_len"], vrows[1]["first_byte"], vrows[1]["checksum"]
+    ) == (
+        vrows[2]["byte_len"], vrows[2]["first_byte"], vrows[2]["checksum"]
+    )
+
+
 def test_segment_media_golden(spark):
     """Chunks tile the payload exactly (reassembly == original), the
     last chunk carries the remainder, chunk_no/n_chunks agree, and

@@ -118,6 +118,65 @@ def test_reference_format_roundtrip(spark, tmp_path):
         assert r["vector"] == pytest.approx(list(o["vector"]), rel=1e-6)
 
 
+def test_import_verify_derived_flags_stale_magnitude(spark, tmp_path):
+    """Real WPVectorDb dumps carry STALE magnitudes (the reference's
+    upsert never refreshes the column — VectorTable.php:360-368, SURVEY
+    §4.4.4): verify_derived=True flags such rows without fixing them.
+    A tampered magnitude and a tampered binary code each flip exactly
+    their own flag; clean rows flag ok; a NULL vector flags NULL."""
+    import json
+
+    from wpvectordb_spark.sources import export as EX
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(4)
+    table = TO.derive(
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("vec_id").alias("post_id"),
+            F.col("embedding").alias("vector"),
+        )
+    )
+    path = str(tmp_path / "staledump")
+    EX.export_reference_json(table, path)
+    # tamper the dump the way the reference's upsert bug would: row id0
+    # keeps a magnitude from some OTHER vector; row id1 gets a flipped
+    # code; one synthetic row has a NULL vector
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(path, "part-*.json")))
+    rows = []
+    for f in files:
+        with open(f) as fh:
+            rows += [json.loads(ln) for ln in fh if ln.strip()]
+    rows.sort(key=lambda r: r["id"])
+    ids = [r["id"] for r in rows]
+    rows[0]["magnitude"] = rows[0]["magnitude"] * 2 + 1.0
+    code = rows[1]["binary_code"]
+    rows[1]["binary_code"] = ("0" if code[0] != "0" else "f") + code[1:]
+    rows.append({**rows[2], "id": max(ids) + 1, "vector": None})
+    for f in files:
+        os.remove(f)
+    with open(os.path.join(path, "part-tampered.json"), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    back = {
+        r["id"]: r
+        for r in EX.import_reference_json(
+            spark, path, verify_derived=True
+        ).collect()
+    }
+    assert back[ids[0]]["magnitude_ok"] is False
+    assert back[ids[0]]["binary_code_ok"] is True
+    assert back[ids[1]]["magnitude_ok"] is True
+    assert back[ids[1]]["binary_code_ok"] is False
+    assert back[ids[2]]["magnitude_ok"] is True
+    assert back[ids[2]]["binary_code_ok"] is True
+    assert back[max(ids) + 1]["magnitude_ok"] is None
+    # flagging, never fixing: the stale value itself is preserved
+    assert back[ids[0]]["magnitude"] == rows[0]["magnitude"]
+
+
 def test_hex_to_code_handles_empty_and_rejects_short(spark):
     """Empty imports as an empty code; full 8-char words parse; a SHORT
     TAIL (dims not divisible by 32 in the reference's codec) must raise —

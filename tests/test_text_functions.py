@@ -288,11 +288,13 @@ def test_corpus_profile_parity_and_plan(spark, duck):
 
 
 def test_analyze_full_merged_equals_fused(spark):
-    """The default two-pass doc-keyed merge of analyze_full must be
-    value-identical, column-for-column, to the fused single-projection
-    form — including NULL/empty/CRLF texts (the lambda and regex
-    families were only SEPARATED, never changed; PERFORMANCE.md
-    item 60)."""
+    """The opt-in two-pass doc-keyed merge of analyze_full (fused=False)
+    must be value-identical, column-for-column, to the default fused
+    single-projection form — including NULL/empty/CRLF texts (the
+    lambda and regex families were only SEPARATED, never changed;
+    PERFORMANCE.md item 60).  The DEFAULT stays the join-free fused
+    form: duplicate ids multiply rows under the join, so the fast form
+    is opt-in (ADVICE round 8)."""
     from wpvectordb_spark.operators import text_analysis as TA
 
     docs = spark.createDataFrame(
@@ -305,8 +307,11 @@ def test_analyze_full_merged_equals_fused(spark):
         ],
         "doc_id long, text string",
     )
-    merged = TA.analyze_full(docs)
-    fused = TA.analyze_full(docs, fused=True)
+    merged = TA.analyze_full(docs, fused=False)
+    fused = TA.analyze_full(docs)
+    # default == fused: one row per input row even under duplicate ids
+    dup = docs.unionByName(docs.limit(1))
+    assert TA.analyze_full(dup).count() == 6
     assert [f.name for f in merged.schema.fields] == [
         f.name for f in fused.schema.fields
     ]

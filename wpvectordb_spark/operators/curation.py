@@ -599,6 +599,175 @@ def sql_budget_sample(
     """
 
 
+#: fixed-point scale for weighted_budget_sample: weights and budgets
+#: become integer micro-mass units so cumulative sums are EXACT integer
+#: arithmetic in both engines (a float running sum's value depends on
+#: addition order and engine ulps — the one thing a fill-to-threshold
+#: must not).  1e9 matches soft_dedup_weights' round_to=9.
+WEIGHT_SCALE = 1_000_000_000
+
+
+def weighted_budget_sample(
+    weighted: DataFrame,
+    budgets: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Fill per-stratum budgets with FRACTIONAL document mass — the
+    sampler that consumes :func:`dedup.soft_dedup_weights`' 1/|cluster|
+    weights: a budget of 40.0 means "forty documents' worth of
+    probability mass", so a 4-member duplicate cluster costs one
+    document while all four paraphrase variants stay eligible.  Docs
+    fill each stratum in deterministic ``id_hash`` order (tie: id) and
+    a doc is kept while the INCLUSIVE cumulative mass stays <= budget —
+    the kept mass never exceeds the budget and undershoots it by less
+    than one doc's weight (the first unkept doc's), the same
+    never-exceed invariant as ``temperature_budgets``' floor.
+
+    Weights and budgets are converted to integer micro-mass
+    (``round(x * 1e9)``) before summing, so the running sum is exact
+    integer arithmetic, independent of float addition order — portable
+    to the oracle engine bit-for-bit.  Rows with NULL weight or an
+    unbudgeted/NULL stratum drop.  Ids are assumed unique per stratum
+    (soft_dedup_weights' contract).
+
+    Returns kept rows as (id, stratum, weight).
+
+    Scale shape: one #strata-row mass aggregation broadcast back, then
+    a Chernoff-style hash-threshold prefilter (expand_budgets'
+    pattern) bounds the per-stratum cumsum window's input to
+    ~budget-mass worth of rows plus margin — a mega-stratum never
+    sorts its full membership in one task; the mirror applies the
+    IDENTICAL prefilter so both engines see the same (deterministic)
+    kept set.  The window input is 3 narrow columns; text never moves.
+    """
+    for s, b in budgets.items():
+        if float(b) < 0:
+            raise ValueError(
+                f"weighted_budget_sample: negative budget for {s!r}: {b}"
+            )
+    t = weighted.select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.col(weight_col),
+        F.round(F.col(weight_col) * WEIGHT_SCALE, 0)
+        .cast("long")
+        .alias("_w"),
+        id_hash(F.col(id_col)).alias("_k"),
+    ).where(F.col(weight_col).isNotNull())
+    stats = t.groupBy(stratum_col).agg(
+        F.sum("_w").alias("_m"), F.max("_w").alias("_wmax")
+    )
+    budget = None
+    for s, b in sorted(budgets.items()):
+        v = F.lit(int(round(float(b) * WEIGHT_SCALE)))
+        w = F.when(F.col(stratum_col) == s, v)
+        budget = w if budget is None else budget.when(
+            F.col(stratum_col) == s, v
+        )
+    budget = (
+        budget.otherwise(F.lit(0)) if budget is not None else F.lit(0)
+    )
+    j = t.join(F.broadcast(stats), stratum_col).select(
+        "*", budget.alias("_b")
+    )
+    # superset prefilter on the hash prefix expected to hold the budget
+    # mass: target = budget + 6*sqrt(budget*wmax) + 20*wmax micro-units
+    # (Chernoff margin for weights bounded by wmax), threshold =
+    # floor(target/total_mass * 2^32) + 1.  The double division is
+    # IEEE-identical in both engines (same int64 inputs -> same nearest
+    # doubles -> correctly-rounded /,*,floor), and the mirror computes
+    # the same expression, so the two kept sets are identical even in
+    # the (margin-bounded, ~never) case the prefix mass undershoots.
+    target = (
+        F.col("_b")
+        + F.floor(
+            F.lit(6.0)
+            * F.sqrt(F.col("_b").cast("double") * F.col("_wmax"))
+        ).cast("long")
+        + F.lit(20) * F.col("_wmax")
+    )
+    thr = F.when(F.col("_b") >= F.col("_m"), F.lit(HASH_RANGE)).otherwise(
+        F.floor(
+            target.cast("double")
+            / F.col("_m").cast("double")
+            * F.lit(float(HASH_RANGE))
+        ).cast("long")
+        + F.lit(1)
+    )
+    pre = j.where((F.col("_b") > 0) & (F.col("_k") < thr))
+    from pyspark.sql import Window
+
+    cum_w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col("_k").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pre.withColumn("_cum", F.sum("_w").over(cum_w))
+        .where(F.col("_cum") <= F.col("_b"))
+        .select(id_col, stratum_col, weight_col)
+    )
+
+
+def sql_weighted_budget_sample(
+    weighted_sql: str,
+    budgets: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+) -> str:
+    """DuckDB mirror of ``weighted_budget_sample`` over a relation with
+    (id, stratum, weight) columns — same micro-mass integers, same hash
+    order, same superset prefilter arithmetic."""
+    cases = " ".join(
+        f"WHEN {stratum_col} = {_sql_str_lit(s)}"
+        f" THEN {int(round(float(b) * WEIGHT_SCALE))}"
+        for s, b in sorted(budgets.items())
+    )
+    budget = f"CASE {cases} ELSE 0 END" if cases else "0"
+    return f"""
+        WITH wbs_t AS (
+          SELECT {id_col}, {stratum_col}, {weight_col},
+                 CAST(round({weight_col} * {WEIGHT_SCALE}, 0) AS BIGINT)
+                   AS w,
+                 {sql_id_hash(id_col)} AS k
+          FROM ({weighted_sql})
+          WHERE {weight_col} IS NOT NULL
+        ),
+        wbs_s AS (
+          SELECT {stratum_col}, sum(w) AS m, max(w) AS wmax
+          FROM wbs_t GROUP BY {stratum_col}
+        ),
+        wbs_j AS (
+          SELECT t.*, s.m, s.wmax, {budget} AS b
+          FROM wbs_t t JOIN wbs_s s USING ({stratum_col})
+        ),
+        wbs_p AS (
+          SELECT *,
+                 b + CAST(floor(6.0 * sqrt(CAST(b AS DOUBLE) * wmax))
+                          AS BIGINT) + 20 * wmax AS target
+          FROM wbs_j
+        ),
+        wbs_f AS (
+          SELECT * FROM wbs_p
+          WHERE b > 0 AND k < (CASE WHEN b >= m THEN {HASH_RANGE}
+                 ELSE CAST(floor(CAST(target AS DOUBLE)
+                                 / CAST(m AS DOUBLE)
+                                 * {float(HASH_RANGE)}) AS BIGINT) + 1
+                 END)
+        )
+        SELECT {id_col}, {stratum_col}, {weight_col} FROM (
+          SELECT {id_col}, {stratum_col}, {weight_col}, b,
+                 sum(w) OVER (PARTITION BY {stratum_col}
+                              ORDER BY k ASC, {id_col} ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM wbs_f
+        ) WHERE cum <= b
+    """
+
+
 def expand_budgets(
     docs: DataFrame,
     budgets: dict[str, int],

@@ -627,7 +627,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     engine: str = DEFAULT_SKETCH_ENGINE,
     bits: int = SIMHASH_BITS,
-    eager_signatures: bool = True,
+    eager_signatures: bool = False,
 ) -> DataFrame:
     """SimHash near-dup: ALL pairs within ``max_hamming`` bits of each
     other — recall 1.0, guaranteed.
@@ -654,17 +654,20 @@ def simhash_near_dup_pairs(
     form runs a B^2 loop inside ONE task (measured 5x slower on
     boilerplate-heavy corpora).
 
-    ``eager_signatures=True`` (default) localCheckpoints the 16-byte/row
+    ``eager_signatures=True`` localCheckpoints the 16-byte/row
     (id, simhash) frame before banding, so the signature kernel runs
     ONCE instead of once per join side: 8.4 -> 1.35 s at 5k docs with
     the Arrow engine — the double Arrow round-trip, not the join, was
     the floor (PERFORMANCE.md item 63; this REVISES the earlier
     "recompute is cheaper than a barrier" claim, which held only for
     the Catalyst single-fold engine at small sizes).  At 80k docs the
-    two forms tie within host noise — the barrier never loses, and the
-    checkpointed frame is signatures only, never text.  Pass False to
-    keep the plan fully lazy (composition into a bigger DAG where the
-    pairs may never execute)."""
+    two forms tie within host noise, and the checkpointed frame is
+    signatures only, never text.  It is OPT-IN (default False) because
+    a localCheckpoint fires a Spark job AT CALL TIME — an eager default
+    would surprise composing callers building plans they may never
+    execute — and pins the frame to executor-local storage that is
+    lost on executor decommission (ADVICE round 8); run-now call sites
+    (the entry registry, bench) pass True explicitly."""
     n_blocks = max_hamming + 1
     block_bits = bits // n_blocks
     sim = (

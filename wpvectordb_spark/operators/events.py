@@ -436,6 +436,7 @@ def windowed_anomaly_scores(
     min_trailing: int = 3,
     ts_col: str = "ts",
     round_to: int = 6,
+    densify: bool = False,
 ) -> DataFrame:
     """Per-(event_type, window) volume z-scores against the trailing
     ``trailing`` observed windows — the incident/drift monitor over an
@@ -445,15 +446,22 @@ def windowed_anomaly_scores(
     baseline has no scale to deviate from — flagging on it would alert
     on every change of a dead-quiet type).
 
-    Trailing means the last ``trailing`` OBSERVED windows per type —
-    zero-event windows emit no row and therefore don't enter the
-    baseline; densify with a calendar spine first if silence itself
-    should drag the mean down.
+    By default trailing means the last ``trailing`` OBSERVED windows
+    per type — zero-event windows emit no row and therefore don't
+    enter the baseline, and a full outage of a busy type produces NO
+    anomaly row at all.  ``densify=True`` emits zero-count windows on
+    a calendar spine between each type's first and last observed
+    window, so that outage surfaces as a row with n_events=0 and a
+    large NEGATIVE zscore — the incident case monitors exist for —
+    and silence drags the trailing mean down.
 
     Scale shape: one map-side-combinable windowed count (window-count-
     sized output, never event-sized), then an event_type-keyed frame
     window over those counts — the window's partition is #windows rows
-    per type, bounded by the retention horizon, not the data.
+    per type, bounded by the retention horizon, not the data.  The
+    spine adds one #types-row bounds agg, a sequence-explode back to
+    window-count size, and one window-count-sized left join — still
+    never event-sized.
     """
     counts = (
         events.groupBy(F.window(ts_col, width).alias("w"), "event_type")
@@ -462,6 +470,27 @@ def windowed_anomaly_scores(
             F.col("w.start").alias("window_start"), "event_type", "n_events"
         )
     )
+    if densify:
+        spine = (
+            counts.groupBy("event_type")
+            .agg(
+                F.min("window_start").alias("w0"),
+                F.max("window_start").alias("w1"),
+            )
+            .select(
+                "event_type",
+                F.explode(
+                    F.sequence("w0", "w1", F.expr(f"INTERVAL {width}"))
+                ).alias("window_start"),
+            )
+        )
+        counts = spine.join(
+            counts, ["event_type", "window_start"], "left"
+        ).select(
+            "window_start",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
     tw = (
         Window.partitionBy("event_type")
         .orderBy("window_start")
@@ -489,15 +518,43 @@ def sql_windowed_anomaly_scores(
     trailing: int = 24,
     min_trailing: int = 3,
     round_to: int = 6,
+    densify: bool = False,
 ) -> str:
     """DuckDB mirror of ``windowed_anomaly_scores`` (same trailing ROWS
-    frame, same min-history/zero-variance NULL guards)."""
-    return f"""
-        WITH az_wc AS (
-          SELECT time_bucket(INTERVAL '{width}', {ts_expr}) AS window_start,
+    frame, same min-history/zero-variance NULL guards, same calendar
+    spine under ``densify`` via generate_series).  time_bucket gets an
+    EXPLICIT epoch origin: Spark's F.window aligns buckets to
+    1970-01-01, while DuckDB's default origin is 2000-01-03 — the two
+    coincide for widths that divide the offset (e.g. '1 hour') but
+    diverge for e.g. '1 week'."""
+    base = f"""az_wc AS (
+          SELECT time_bucket(INTERVAL '{width}', {ts_expr},
+                             TIMESTAMP '1970-01-01') AS window_start,
                  event_type, COUNT(*) AS n_events
           FROM events GROUP BY 1, 2
-        )
+        )"""
+    rel = "az_wc"
+    if densify:
+        base += f""",
+        az_bounds AS (
+          SELECT event_type, min(window_start) AS w0, max(window_start) AS w1
+          FROM az_wc GROUP BY 1
+        ),
+        az_spine AS (
+          SELECT event_type,
+                 unnest(generate_series(w0, w1, INTERVAL '{width}'))
+                   AS window_start
+          FROM az_bounds
+        ),
+        az_dense AS (
+          SELECT s.window_start, s.event_type,
+                 coalesce(c.n_events, 0) AS n_events
+          FROM az_spine s
+          LEFT JOIN az_wc c USING (event_type, window_start)
+        )"""
+        rel = "az_dense"
+    return f"""
+        WITH {base}
         SELECT window_start, event_type, n_events,
                round(avg(n_events) OVER tw, {round_to}) AS trailing_mean,
                round(CASE WHEN count(n_events) OVER tw >= {min_trailing}
@@ -505,7 +562,7 @@ def sql_windowed_anomaly_scores(
                      THEN (n_events - avg(n_events) OVER tw)
                           / stddev_samp(n_events) OVER tw
                      END, {round_to}) AS zscore
-        FROM az_wc
+        FROM {rel}
         WINDOW tw AS (PARTITION BY event_type ORDER BY window_start
                       ROWS BETWEEN {trailing} PRECEDING AND 1 PRECEDING)
     """

@@ -58,6 +58,10 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+VERIFY_FEATURE_SCHEMA = T.StructType(
+    FEATURE_SCHEMA.fields + [T.StructField("verify", T.LongType())]
+)
+
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a media table from documents: UTF-8 text bytes as the
@@ -164,10 +168,28 @@ def _batch_checksums(payloads: list[bytes]) -> np.ndarray:
     return sums % HASH_MOD
 
 
-def media_features(media: DataFrame) -> DataFrame:
+def _verify_digest(data: bytes) -> int:
+    """Independent 64-bit digest (blake2b-8) as a signed int64 — the
+    verify channel for byte_verify dedup.  Statistically independent of
+    the base-31 polynomial checksum: payloads engineered (or unlucky
+    enough) to collide on the mod-1e9+7 fold have a 2^-64 chance of also
+    colliding here."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(data, digest_size=8).digest(), "big", signed=True
+    )
+
+
+def media_features(media: DataFrame, verify: bool = False) -> DataFrame:
     """Byte-level features via mapInPandas: Arrow batches in, Arrow batches
     out — the decode-stage shape without a codec dependency.  The whole
-    batch checksums in one vectorized pass (see _batch_checksums)."""
+    batch checksums in one vectorized pass (see _batch_checksums).
+
+    ``verify=True`` adds a ``verify`` column: an independent 64-bit
+    blake2b digest of the payload (C-speed per payload via hashlib),
+    computed in the SAME Arrow pass — no second scan, payloads still
+    never leave the feature stage."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -176,16 +198,22 @@ def media_features(media: DataFrame) -> DataFrame:
             firsts = np.fromiter(
                 (p[0] if p else -1 for p in payloads), dtype=np.int64, count=len(payloads)
             )
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "byte_len": lens,
-                    "first_byte": firsts,
-                    "checksum": _batch_checksums(payloads),
-                }
-            )
+            cols = {
+                "media_id": pdf["media_id"],
+                "byte_len": lens,
+                "first_byte": firsts,
+                "checksum": _batch_checksums(payloads),
+            }
+            if verify:
+                cols["verify"] = np.fromiter(
+                    (_verify_digest(p) for p in payloads),
+                    dtype=np.int64,
+                    count=len(payloads),
+                )
+            yield pd.DataFrame(cols)
 
-    return media.select("media_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
+    schema = VERIFY_FEATURE_SCHEMA if verify else FEATURE_SCHEMA
+    return media.select("media_id", "payload").mapInPandas(extract, schema)
 
 
 def segment_media(
@@ -236,7 +264,7 @@ def segment_media(
     )
 
 
-def media_exact_dedup(media: DataFrame) -> DataFrame:
+def media_exact_dedup(media: DataFrame, byte_verify: bool = False) -> DataFrame:
     """Exact dedup of OPAQUE media payloads — the binary-column analog of
     ``dedup.exact_dedup``: group by the byte-level feature triple
     (byte_len, first_byte, checksum), keep the smallest ``media_id`` as
@@ -257,9 +285,27 @@ def media_exact_dedup(media: DataFrame) -> DataFrame:
     probability ~2^-30 — fine for a crawl-scale corpus of varied sizes,
     but a corpus of millions of SAME-length fixed-format files has
     ~10^12 same-(len, first-byte) pairs and order-1000 expected false
-    merges.  For those corpora (or any adversarial input), byte-compare
-    within groups before dropping, or swap the checksum for a 128-bit
-    digest in the feature kernel."""
+    merges.  ``byte_verify=True`` closes that: the SAME Arrow pass also
+    emits an independent 64-bit blake2b digest and the grouping key
+    becomes the 4-tuple, cutting expected false merges on those 10^12
+    pairs to ~10^12 * 2^-30 * 2^-64 ~ 5e-17 — a guarantee, not advice.
+    Output columns are unchanged (the digest is dropped after grouping);
+    payloads that collide on the triple but differ in bytes surface as
+    SEPARATE rows sharing (byte_len, first_byte, checksum).  Cost: one
+    hashlib call per payload inside the existing scan plus 8 bytes on
+    the shuffle key — no extra pass, no payload shuffle."""
+    if byte_verify:
+        feats = media_features(media, verify=True)
+        return (
+            feats.groupBy("byte_len", "first_byte", "checksum", "verify")
+            .agg(
+                F.min("media_id").alias("media_id"),
+                F.count("*").cast("long").alias("dup_count"),
+            )
+            .select(
+                "media_id", "byte_len", "first_byte", "checksum", "dup_count"
+            )
+        )
     feats = media_features(media)
     return (
         feats.groupBy("byte_len", "first_byte", "checksum")

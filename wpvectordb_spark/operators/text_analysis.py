@@ -488,30 +488,31 @@ def analyze_full(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    fused: bool = False,
+    fused: bool = True,
 ) -> DataFrame:
     """``analyze`` plus token-count variants (whitespace + BPE-ish),
     repetition signals, and PII-scrub audit columns.
 
-    Default shape: TWO projections merged by an ``id_col`` equi-join —
-    the lambda-HOF family (one struct-shared token split) and the
-    PII-scrub regex chain each get their OWN evaluation loop, because a
-    complex regex sharing one projection loop with lambda siblings JIT-
-    poisons the shared evaluator ~4x (PERFORMANCE.md item 51d/53).  The
-    join moves only ~20 narrow feature columns, never the text: measured
-    at 80k docs — fused 36.9 s, lambda family alone 15.8, scrub alone
-    12.7, two-pass join 28.3 s (the join shuffle is ~free; item 60).
-    Values are identical column-for-column (the text_analyze doc arm
-    hash-checks them).
+    Default shape (``fused=True``): ONE projection — exactly one output
+    row per input row, id-agnostic, safe for any caller.  Pass
+    ``fused=False`` for the faster TWO-projection form merged by an
+    ``id_col`` equi-join: the lambda-HOF family (one struct-shared
+    token split) and the PII-scrub regex chain each get their OWN
+    evaluation loop, because a complex regex sharing one projection
+    loop with lambda siblings JIT-poisons the shared evaluator ~4x
+    (PERFORMANCE.md item 51d/53).  The join moves only ~20 narrow
+    feature columns, never the text: measured at 80k docs — fused
+    36.9 s, lambda family alone 15.8, scrub alone 12.7, two-pass join
+    28.3 s (the join shuffle is ~free; item 60).  Values are identical
+    column-for-column (the text_analyze doc arm hash-checks them).
 
-    Contract: the join form requires UNIQUE, NON-NULL ``id_col`` values
-    (a document primary key — the reference's posts.id,
-    ``class-vectordb.php:31``).  The merge is a LEFT join so a
-    contract-violating NULL id degrades VISIBLY (its row survives with
-    NULL scrub columns) instead of silently vanishing; duplicate ids
-    still multiply (n x m rows per id).  For such inputs pass
-    ``fused=True`` to keep the single-projection form (same values, the
-    documented ~4x shared-loop penalty)."""
+    Contract for ``fused=False``: UNIQUE, NON-NULL ``id_col`` values (a
+    document primary key — the reference's posts.id, the wp_posts PK
+    ``src/VectorTable.php`` builds its post_id foreign key against).
+    The merge is a LEFT join so a contract-violating NULL id degrades
+    VISIBLY (its row survives with NULL scrub columns) instead of
+    silently vanishing; duplicate ids multiply (n x m rows per id) —
+    which is why the join form is OPT-IN, not the default."""
     scrub = scrub_features(text_col)
     if fused:
         feats = quality_features(text_col)

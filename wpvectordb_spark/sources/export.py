@@ -78,10 +78,28 @@ def export_reference_json(table: DataFrame, path: str) -> None:
     to_reference_rows(table).write.mode("overwrite").json(path)
 
 
-def import_reference_json(spark: SparkSession, path: str) -> DataFrame:
-    """Read a reference-format dump back into engine-native types."""
+def import_reference_json(
+    spark: SparkSession,
+    path: str,
+    verify_derived: bool = False,
+    rel_tol: float = 1e-6,
+) -> DataFrame:
+    """Read a reference-format dump back into engine-native types.
+
+    ``verify_derived=True`` appends ``magnitude_ok`` / ``binary_code_ok``
+    boolean columns comparing the dump's derived columns against values
+    recomputed from the imported vector — FLAGGING, never silently
+    fixing.  This matters because real WPVectorDb dumps contain STALE
+    magnitudes: the reference's upsert path re-serializes the new vector
+    but never refreshes the magnitude column (VectorTable.php:360-368,
+    SURVEY.md §4.4.4), so any row updated after insert carries the OLD
+    vector's magnitude.  The magnitude check is relative (``rel_tol``,
+    float-narrowing headroom); the code check is exact (the sign of a
+    float survives the JSON round-trip).  Rows with NULL vectors flag
+    NULL — absent evidence, not a verdict.
+    """
     raw = spark.read.schema(REFERENCE_EXPORT_SCHEMA).json(path)
-    return raw.select(
+    out = raw.select(
         "id",
         "post_id",
         "sequence_no",
@@ -90,4 +108,17 @@ def import_reference_json(spark: SparkSession, path: str) -> DataFrame:
         "vector_type",
         K.hex_to_code("binary_code").alias("binary_code"),
         "magnitude",
+    )
+    if not verify_derived:
+        return out
+    rm = K.magnitude("vector")
+    return out.select(
+        "*",
+        (
+            F.abs(F.col("magnitude") - rm)
+            <= F.lit(rel_tol) * F.greatest(F.abs(rm), F.lit(1e-30))
+        ).alias("magnitude_ok"),
+        (F.col("binary_code") == K.sign_code("vector")).alias(
+            "binary_code_ok"
+        ),
     )
