@@ -141,3 +141,48 @@ def test_round7_session3_operators_on_empty_inputs(spark, empty_docs):
         [], "doc_id long, chunk_id long, embedding array<float>"
     )
     assert SIM.pool_embeddings(empty_chunks).count() == 0
+
+
+def test_round9_operators_on_empty_and_edge_inputs(spark, empty_docs, empty_events):
+    """Round-9 additions under the standing empty/edge probe: empty
+    frames, empty budgets, NULL strata, over-budget strata, single-
+    window spines, NULL payloads."""
+    from wpvectordb_spark.operators import multimodal as M
+
+    empty_w = spark.createDataFrame(
+        [], "doc_id long, lang string, weight double"
+    )
+    assert CU.weighted_budget_sample(empty_w, {"en": 5.0}).count() == 0
+    w = spark.createDataFrame(
+        [(1, "en", 1.0), (2, None, 1.0), (3, "en", 0.0)],
+        "doc_id long, lang string, weight double",
+    )
+    # empty budgets: everything drops (CASE collapses to the 0 literal)
+    assert CU.weighted_budget_sample(w, {}).count() == 0
+    # NULL stratum drops in BOTH engines (equi-join + CASE can't match);
+    # budget over stratum mass keeps the whole stratum, including the
+    # massless weight-0 row
+    kept = CU.weighted_budget_sample(w, {"en": 100.0}).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3]
+    # densify on empty events and on a single observed window
+    assert E.windowed_anomaly_scores(empty_events, densify=True).count() == 0
+    import datetime as dt
+
+    one = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1), "a", 1.0)],
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double",
+    )
+    rows = E.windowed_anomaly_scores(one, densify=True).collect()
+    assert len(rows) == 1 and rows[0]["zscore"] is None
+    # byte_verify over empty media and NULL payloads (sanitized to b"")
+    empty_media = spark.createDataFrame(
+        [], "media_id long, media_type string, payload binary"
+    )
+    assert M.media_exact_dedup(empty_media, byte_verify=True).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, "x", None), (2, "x", None)],
+        "media_id long, media_type string, payload binary",
+    )
+    r = M.media_exact_dedup(nulls, byte_verify=True).collect()
+    assert len(r) == 1 and r[0]["dup_count"] == 2  # NULLs both -> b""

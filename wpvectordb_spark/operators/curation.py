@@ -630,7 +630,10 @@ def weighted_budget_sample(
     integer arithmetic, independent of float addition order — portable
     to the oracle engine bit-for-bit.  Rows with NULL weight or an
     unbudgeted/NULL stratum drop.  Ids are assumed unique per stratum
-    (soft_dedup_weights' contract).
+    and weights NON-NEGATIVE (soft_dedup_weights' contract: (0, 1]) —
+    a negative weight makes the cumulative mass non-monotonic, so the
+    kept set is no longer a prefix (both engines still agree, but the
+    fill semantics are meaningless).
 
     Returns kept rows as (id, stratum, weight).
 
