@@ -337,3 +337,40 @@ def test_round8_plan_shapes(spark):
         CU.decontaminate_against_hashes(docs.where(F.col("doc_id") >= 20), hold)
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_round9_plan_shapes(spark):
+    """Round-9 operators: weighted_budget_sample's stats frame BROADCASTS
+    back (one stratum-agg exchange + one window exchange, never a
+    shuffled join of the doc side against #strata rows); the densified
+    anomaly monitor's spine join stays window-count-sized with no
+    cartesian; byte_verify dedup keeps the single-aggregation shape —
+    payloads still never reach an exchange."""
+    import re
+
+    from wpvectordb_spark.operators import curation as CU
+    from wpvectordb_spark.operators import events as E
+    from wpvectordb_spark.operators import multimodal as M
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    weighted = docs.select(
+        "doc_id", "lang", F.lit(1.0).alias("weight")
+    )
+    plan = _plan(CU.weighted_budget_sample(weighted, {"en": 10.0}))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    final = plan.split("Initial Plan")[0]
+    # stats agg + the cumsum window partitioning; the broadcast side is
+    # a BroadcastExchange, not a hash shuffle
+    assert len(re.findall(r"Exchange hashpartitioning", final)) <= 2, plan
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(E.windowed_anomaly_scores(ev, densify=True))
+    assert "CartesianProduct" not in plan, plan
+
+    plan = _plan(
+        M.media_exact_dedup(M.media_from_documents(docs), byte_verify=True)
+    )
+    final = plan.split("Initial Plan")[0]
+    assert len(re.findall(r"Exchange", final)) == 1, plan
+    assert "Join" not in plan, plan
