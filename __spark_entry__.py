@@ -733,8 +733,11 @@ def _q_dedup_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     token coverage); ``cut`` rows are the paper's actual output — the
     corpus rewritten with those spans removed (over plain documents so
     the whole-doc +10000 copies don't cut every document to nothing).
-    Column reuse across arms: ``fingerprint`` is exact-only;
-    ``dup_count`` is the group size (exact) / duplicated window count
+    ``norm`` rows are CCNet-normalized fuzzy-exact dedup
+    (normalized_exact_dedup over the corpus plus re-cased/re-punctuated
+    +20000 variants of ids %11==0 — byte-exact can't merge them, the
+    normalization must).  Column reuse across arms: ``fingerprint`` is
+    exact/norm; ``dup_count`` is the group size (exact) / duplicated window count
     (span) / kept-token count (cut); ``n_windows`` is span windows (span)
     / token count (cut); ``dup_tokens`` is merged coverage (span) /
     removed tokens (cut); ``cut_text`` is cut-only (cut) / the diff
@@ -746,6 +749,24 @@ def _q_dedup_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_s = F.lit(None).cast("string")
     exact = D.exact_dedup(corpus).select(
         F.lit("exact").alias("kind"),
+        "doc_id",
+        "fingerprint",
+        F.col("dup_count").cast("long").alias("dup_count"),
+        F.lit(None).cast("long").alias("n_windows"),
+        F.lit(None).cast("long").alias("dup_tokens"),
+        null_s.alias("cut_text"),
+    )
+    # CCNet-normalized fuzzy-exact dedup: re-case/re-punctuate a slice of
+    # the corpus (ids %11==0 get an uppercased, comma-appended variant at
+    # +20000) so normalization provably merges what byte-exact cannot
+    norm_corpus = corpus.select("doc_id", "text").unionByName(
+        corpus.where(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit(" ,,")).alias("text"),
+        )
+    )
+    norm = D.normalized_exact_dedup(norm_corpus).select(
+        F.lit("norm").alias("kind"),
         "doc_id",
         "fingerprint",
         F.col("dup_count").cast("long").alias("dup_count"),
@@ -794,7 +815,12 @@ def _q_dedup_exact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("dup_tokens"),
         F.col("status").alias("cut_text"),
     )
-    return exact.unionByName(span).unionByName(cut).unionByName(diff)
+    return (
+        exact.unionByName(norm)
+        .unionByName(span)
+        .unionByName(cut)
+        .unionByName(diff)
+    )
 
 
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3188,6 +3214,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id + 10000 AS doc_id, lang, text FROM documents
         WHERE doc_id < 50
     """
+    # norm arm: the dup corpus plus re-cased/re-punctuated +20000
+    # variants of ids %11==0, through the CCNet-normalized dedup mirror
+    norm_dedup_sql = D.sql_normalized_exact_dedup(
+        f"""SELECT doc_id, text FROM ({corpus})
+            UNION ALL
+            SELECT doc_id + 20000 AS doc_id, upper(text) || ' ,,' AS text
+            FROM ({corpus}) WHERE doc_id % 11 = 0"""
+    )
     # wsample arm: exact-fingerprint components -> soft-dedup weights
     # (corpus-completed) -> lang joined back -> weighted mass sampler
     wsample_comp = f"""WITH wsc AS ({wcorpus_lang}),
@@ -4303,6 +4337,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS dup_tokens,
                    CAST(NULL AS VARCHAR) AS cut_text
             FROM fps WHERE fingerprint IS NULL
+            UNION ALL
+            -- CCNet-normalized fuzzy-exact dedup over the corpus plus
+            -- re-cased/re-punctuated +20000 variants of ids %11==0
+            SELECT 'norm' AS kind, doc_id, fingerprint, dup_count,
+                   CAST(NULL AS BIGINT) AS n_windows,
+                   CAST(NULL AS BIGINT) AS dup_tokens,
+                   CAST(NULL AS VARCHAR) AS cut_text
+            FROM ({norm_dedup_sql})
             UNION ALL
             SELECT 'span' AS kind, doc_id, CAST(NULL AS BIGINT) AS fingerprint,
                    n_dup_windows AS dup_count, n_windows, dup_tokens,

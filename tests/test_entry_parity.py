@@ -124,7 +124,7 @@ EXPECTED_ARMS = {
     "dedup_ngram_jaccard": ("kind", {"jac", "cont"}),
     # round 7: + 'diff' (corpus_diff snapshot audit over %7-split views;
     # its test additionally pins all four statuses non-vacuous)
-    "dedup_exact": ("kind", {"cut", "diff", "exact", "span"}),
+    "dedup_exact": ("kind", {"cut", "diff", "exact", "norm", "span"}),
     # round 7: + 'resolve' (quality-argmax survivor per CC cluster)
     #          + 'split' (leakage-safe train/val split over the same CCs)
     #          + 'histo' (duplicate-cluster size histogram, same CCs)

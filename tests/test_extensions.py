@@ -1818,3 +1818,46 @@ def test_windowed_anomaly_densify_outage_golden(spark, duck):
     )
     assert s_wk == d_wk
     duck.execute("DROP TABLE az_ev2")
+
+
+def test_normalized_exact_dedup_golden(spark, duck):
+    """CCNet-normalized fuzzy-exact dedup merges re-cased/re-punctuated/
+    re-wrapped copies byte-exact dedup cannot; digits are KEPT distinct;
+    NULL texts stay singletons; all-punctuation docs normalize to the
+    same empty document; the DuckDB mirror agrees row-for-row."""
+    from wpvectordb_spark.operators import dedup as D
+
+    rows = [
+        (1, "Hello,  World!"),
+        (2, "hello world"),          # merges with 1 after normalization
+        (3, "hello\tworld\r\n"),     # whitespace variants merge too
+        (4, "hello world 2019"),
+        (5, "hello world 2020"),     # digits differ -> distinct
+        (6, None),
+        (7, None),                    # NULLs: one singleton row each
+        (8, "!!!"),
+        (9, "???"),                   # both normalize to "" -> merge
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # byte-exact finds NO duplicates here
+    assert D.exact_dedup(docs).count() == len(rows)
+    out = {r["doc_id"]: r for r in D.normalized_exact_dedup(docs).collect()}
+    assert set(out) == {1, 4, 5, 6, 7, 8}
+    assert out[1]["dup_count"] == 3
+    assert out[8]["dup_count"] == 2
+    assert out[4]["dup_count"] == 1 and out[5]["dup_count"] == 1
+    assert out[6]["fingerprint"] is None and out[7]["fingerprint"] is None
+    # mirror parity
+    duck.execute(
+        "CREATE OR REPLACE TEMP TABLE ned_in(doc_id BIGINT, text VARCHAR)"
+    )
+    duck.executemany("INSERT INTO ned_in VALUES (?, ?)", rows)
+    d = sorted(
+        duck.sql(
+            D.sql_normalized_exact_dedup("SELECT * FROM ned_in")
+        ).fetchall(),
+        key=repr,
+    )
+    s = sorted(map(tuple, D.normalized_exact_dedup(docs).collect()), key=repr)
+    assert s == d
+    duck.execute("DROP TABLE ned_in")

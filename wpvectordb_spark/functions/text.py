@@ -136,6 +136,29 @@ def sql_fingerprint60(s: str) -> str:
     return f"({sql_string_hash(s)}) * {HASH_MOD2} + ({sql_string_hash2(s)})"
 
 
+def normalize_for_dedup(s: Column | str) -> Column:
+    """CCNet-style text normalization for fuzzy-exact dedup (Wenzek et
+    al. 2020 §4.1 dedup paragraphs after lowercasing and stripping
+    punctuation/digits — the cheap normalization that catches the
+    re-serialized/re-cased/re-wrapped copies byte-exact dedup misses):
+    lowercase, strip every non-[a-z0-9 ] character (digits KEPT — a
+    "2019" vs "2020" article is a different document), collapse
+    whitespace runs to one space, trim.  ASCII classes only, so the
+    Java-regex and RE2 mirrors agree character-for-character; NULL
+    passes through NULL."""
+    c = F.lower(_col(s))
+    c = F.regexp_replace(c, r"[^a-z0-9 \t\n\r]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def sql_normalize_for_dedup(s: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({s}),"
+        f" '[^a-z0-9 \\t\\n\\r]', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
 def token_hashes(text: Column | str) -> Column:
     """Hash of every token of ``text`` — ``string_hash`` applied per
     element (it accepts any Column, including a lambda variable)."""

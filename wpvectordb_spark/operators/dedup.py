@@ -128,6 +128,56 @@ def exact_dedup(
 
 
 
+def normalized_exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fuzzy-exact dedup: ``exact_dedup`` over the CCNet-normalized text
+    (lowercase, punctuation stripped, whitespace collapsed — Wenzek et
+    al. 2020 §4.1), catching the re-cased/re-punctuated/re-wrapped
+    copies byte-exact dedup misses.  A crawl carries the same article
+    as ``"Hello,  World!"`` and ``"hello world"`` — different bytes,
+    same document.
+
+    Same contract and scale shape as ``exact_dedup`` (the normalization
+    is three narrow string ops fused into the same projection as the
+    fingerprint fold; the shuffle key stays an 8-byte bigint): returns
+    (id, fingerprint, dup_count) with the fingerprint computed over the
+    NORMALIZED text; NULL-text rows pass through as singletons.  A doc
+    that normalizes to "" groups with other all-punctuation docs — by
+    design (they are all the same empty document).
+    """
+    return exact_dedup(
+        docs.select(
+            F.col(id_col),
+            X.normalize_for_dedup(text_col).alias(text_col),
+        ),
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def sql_normalized_exact_dedup(
+    corpus_sql: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB mirror of ``normalized_exact_dedup`` (same normalization
+    chain, same fingerprint fold, same NULL passthrough)."""
+    fp = X.sql_fingerprint60(X.sql_normalize_for_dedup(text_col))
+    return f"""
+        WITH ned_f AS (
+          SELECT {id_col},
+                 CASE WHEN {text_col} IS NULL THEN NULL ELSE {fp} END
+                   AS fingerprint
+          FROM ({corpus_sql})
+        )
+        SELECT min({id_col}) AS {id_col}, fingerprint,
+               COUNT(*) AS dup_count
+        FROM ned_f WHERE fingerprint IS NOT NULL GROUP BY fingerprint
+        UNION ALL
+        SELECT {id_col}, fingerprint, 1 AS dup_count
+        FROM ned_f WHERE fingerprint IS NULL
+    """
+
+
 def _check_banding(num_hashes: int, bands: int, rows_per_band: int) -> None:
     """Bands that slice past the signature end all yield the SAME empty
     band key ('' — non-null, so no explode/join guard catches it),
