@@ -2850,10 +2850,13 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling + sliding window aggregations plus daily retention
-    cohorts, tagged.  Column reuse on the cohort arm: ``event_type``
-    carries the period offset (as string), ``n_events`` the active
-    count, ``sum_value`` the retention ratio, ``n_users`` the cohort
-    size."""
+    cohorts plus the volume-anomaly monitor in three forms (``zscore``
+    batch, ``zdense`` calendar-spine densified, ``zstream`` the
+    streaming kernel's accumulated counts), tagged.  Column reuse:
+    cohort rows carry the period offset in ``event_type`` (as string),
+    the active count in ``n_events``, the retention ratio in
+    ``sum_value`` and the cohort size in ``n_users``; the z arms carry
+    the z-score in ``sum_value``."""
     tumble = _q_events_tumbling(spark, sf_dir).select(
         F.lit("tumble").alias("kind"),
         "window_start",
@@ -2907,12 +2910,62 @@ def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zscore").alias("sum_value"),
         F.lit(None).cast("long").alias("n_users"),
     )
+    # streaming monitor under the hard oracle: the micro-batch kernel
+    # hand-driven over an event_id%3 split with a forced compaction —
+    # per-(window, type) counts are integer sums, so the accumulated
+    # state telescopes to the batch operator's counts for ANY split and
+    # the oracle is the zscore CTE re-tagged
+    zstream = _stream_anomaly_scores(spark, sf_dir).select(
+        F.lit("zstream").alias("kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("zscore").alias("sum_value"),
+        F.lit(None).cast("long").alias("n_users"),
+    )
     return (
         tumble.unionByName(slide)
         .unionByName(cohort)
         .unionByName(zscore)
         .unionByName(zdense)
+        .unionByName(zstream)
     )
+
+
+def _stream_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive ``streams._anomaly_ingest_apply`` over a fixed 3-way split
+    of the events table (event_id % 3 as batch ids 0/1/2,
+    compact_every=2 forcing a snapshot fold mid-run), then score the
+    merged counts — the streaming monitor's read path.  State lives in
+    a throwaway temp dir; the read localCheckpoints eagerly
+    (_read_state_stable) so the dir can be removed before the caller's
+    collect."""
+    import shutil
+
+    from wpvectordb_spark.streaming import streams as ST
+
+    ev = load_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="anomaly_arm_")
+    counts_dir = os.path.join(root, "counts")
+    os.makedirs(counts_dir)
+    try:
+        for bid in range(3):
+            ST._anomaly_ingest_apply(
+                spark,
+                counts_dir,
+                ev.where(F.pmod(F.col("event_id"), F.lit(3)) == bid),
+                bid,
+                compact_every=2,
+            )
+        raw = ST._read_state_stable(
+            spark, counts_dir, ST._ANOMALY_STATE_SCHEMA
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    merged = raw.groupBy("window_start", "event_type").agg(
+        F.sum("n_events").cast("long").alias("n_events")
+    )
+    return E._anomaly_scores_from_counts(merged)
 
 
 def _q_events_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4913,6 +4966,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'zdense' AS kind, window_start, event_type, n_events,
                    zscore AS sum_value, CAST(NULL AS BIGINT) AS n_users
             FROM ({E.sql_windowed_anomaly_scores(ev, densify=True)})
+            UNION ALL
+            -- streaming monitor: integer window counts telescope across
+            -- any batch split, so the accumulated-state scores equal the
+            -- batch operator's — the zscore CTE re-tagged IS the mirror
+            SELECT 'zstream' AS kind, window_start, event_type, n_events,
+                   zscore AS sum_value, CAST(NULL AS BIGINT) AS n_users
+            FROM ({E.sql_windowed_anomaly_scores(ev)})
         """,
         "events_sessionize": sessionize_sql,
         "join_asof": """

@@ -115,7 +115,8 @@ EXPECTED_ARMS = {
         },
     ),
     "events_windows": (
-        "kind", {"cohort", "slide", "tumble", "zscore", "zdense"}
+        "kind",
+        {"cohort", "slide", "tumble", "zscore", "zdense", "zstream"},
     ),
     # round 7: + 'pool' (chunk->doc mean pooling, flattened cells)
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup", "pool"}),

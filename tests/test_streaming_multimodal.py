@@ -1235,3 +1235,76 @@ def test_segment_media_golden(spark):
 
     with pytest.raises(ValueError):
         M.segment_media(media, chunk_bytes=0)
+
+
+def test_stream_anomaly_monitor_matches_batch(spark, tmp_path):
+    """Exact batch-equivalence for the streaming anomaly monitor: the
+    merged state after N micro-batches scores identically to
+    windowed_anomaly_scores over the whole corpus — window assignment is
+    a per-event pure function and the counts are integer sums, so they
+    telescope across any split; densify applies at read time too."""
+    from wpvectordb_spark.operators import events as E
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "ev_src")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp,"
+            " event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    get_scores, query = ST.stream_anomaly_monitor(
+        spark, stream, compact_every=2  # force a snapshot fold mid-run
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    streamed = sorted(map(tuple, get_scores().collect()), key=repr)
+    batch = sorted(
+        map(tuple, E.windowed_anomaly_scores(ev).collect()), key=repr
+    )
+    assert streamed == batch and len(streamed) > 10
+    sdense = sorted(map(tuple, get_scores(densify=True).collect()), key=repr)
+    bdense = sorted(
+        map(tuple, E.windowed_anomaly_scores(ev, densify=True).collect()),
+        key=repr,
+    )
+    assert sdense == bdense and len(sdense) > len(streamed)
+
+
+def test_stream_anomaly_replay_exactly_once_and_restart_refused(
+    spark, tmp_path
+):
+    """A replayed micro-batch overwrites its own delta (no double
+    counts); a batch-id restart over existing state refuses loudly."""
+    import os
+
+    import pytest
+
+    from wpvectordb_spark.operators import events as E
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    counts_dir = str(tmp_path / "counts")
+    os.makedirs(counts_dir)
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    b1 = ev.where(F.col("event_id") % 2 == 1)
+    ST._anomaly_ingest_apply(spark, counts_dir, b0, 0)
+    ST._anomaly_ingest_apply(spark, counts_dir, b1, 1)
+    ST._anomaly_ingest_apply(spark, counts_dir, b1, 1)  # replay of batch 1
+    raw = ST._read_state_stable(spark, counts_dir, ST._ANOMALY_STATE_SCHEMA)
+    merged = raw.groupBy("window_start", "event_type").agg(
+        F.sum("n_events").cast("long").alias("n_events")
+    )
+    got = sorted(
+        map(tuple, E._anomaly_scores_from_counts(merged).collect()), key=repr
+    )
+    want = sorted(
+        map(tuple, E.windowed_anomaly_scores(ev).collect()), key=repr
+    )
+    assert got == want
+    with pytest.raises(RuntimeError, match="batch"):
+        ST._anomaly_ingest_apply(spark, counts_dir, ev, 0)

@@ -470,6 +470,29 @@ def windowed_anomaly_scores(
             F.col("w.start").alias("window_start"), "event_type", "n_events"
         )
     )
+    return _anomaly_scores_from_counts(
+        counts,
+        width=width,
+        trailing=trailing,
+        min_trailing=min_trailing,
+        round_to=round_to,
+        densify=densify,
+    )
+
+
+def _anomaly_scores_from_counts(
+    counts: DataFrame,
+    width: str = "1 hour",
+    trailing: int = 24,
+    min_trailing: int = 3,
+    round_to: int = 6,
+    densify: bool = False,
+) -> DataFrame:
+    """The score stage of :func:`windowed_anomaly_scores` over an
+    already-aggregated (window_start, event_type, n_events) frame —
+    shared with the streaming monitor, whose accumulated per-batch
+    counts merge to exactly this frame (integer sums telescope across
+    any batch split)."""
     if densify:
         spine = (
             counts.groupBy("event_type")

@@ -998,6 +998,131 @@ def stream_corpus_profile(
     return get_profile, get_timeseries, query
 
 
+# --- streaming anomaly monitor --------------------------------------------------
+
+_ANOMALY_STATE_SCHEMA = (
+    "_batch_id long, window_start timestamp, event_type string,"
+    " n_events long"
+)
+
+
+def _anomaly_ingest_apply(
+    spark: SparkSession,
+    counts_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    width: str = "1 hour",
+    ts_col: str = "ts",
+    compact_every: int = 16,
+) -> None:
+    """One micro-batch of the anomaly monitor — module-level so the
+    exactly-once replay contract is directly testable.  The batch
+    reduces to its per-(window, type) INTEGER counts and writes them as
+    the batch's delta; nothing event-sized is ever stored.  The
+    pre-state read runs for its refusal guards only (shared state dir /
+    batch-id restart — the ingest streams' contract)."""
+    bid = int(batch_id)
+    _read_state(spark, counts_dir, _ANOMALY_STATE_SCHEMA, before_batch=bid)
+    counts = (
+        batch_df.groupBy(F.window(ts_col, width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.lit(bid).cast("long").alias("_batch_id"),
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+    counts.write.mode("overwrite").parquet(os.path.join(counts_dir, f"b{bid}"))
+    _compact_state(
+        spark,
+        counts_dir,
+        _ANOMALY_STATE_SCHEMA,
+        before_batch=bid,
+        compact_every=compact_every,
+    )
+
+
+def stream_anomaly_monitor(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    width: str = "1 hour",
+    trailing: int = 24,
+    min_trailing: int = 3,
+    ts_col: str = "ts",
+    round_to: int = 6,
+    state_path: str | None = None,
+    checkpoint_path: str | None = None,
+    compact_every: int = 16,
+):
+    """Streaming volume-anomaly monitor: the per-(event_type, window)
+    z-scores of ``events.windowed_anomaly_scores`` maintained
+    incrementally over a live event stream — the incident monitor runs
+    AS EVENTS ARRIVE instead of in an hourly batch job.
+
+    EXACT batch-equivalence (the counts analog of the profile stream's
+    integer-sum telescoping, test-asserted): window assignment is a
+    per-event pure function and the per-(window, type) counts are
+    integer SUMS, so re-summing per-batch partials equals the one-shot
+    windowed count over the union for ANY split; the trailing-window
+    score arithmetic runs at READ time over the merged counts — the
+    identical ``_anomaly_scores_from_counts`` stage the batch operator
+    uses.  (Late events are handled by ADDITIVITY, not watermarks: a
+    straggler's window count simply gains its increment on the batch it
+    arrives in, and the next read re-scores — no state is ever closed.)
+
+    State is O(#windows x #types) rows per batch — never event-sized —
+    written exactly-once to ``b<batch_id>`` overwrite subdirs and folded
+    every ``compact_every`` batches with the ingest streams' crash-safe
+    snapshot swap and restart-refusal guards.
+
+    Returns ``(get_scores, query)``: ``get_scores(densify=False)``
+    re-lists state and returns the merged score frame with the same
+    columns as the batch operator (``densify=True`` applies the
+    calendar-spine treatment to the merged counts)."""
+    from wpvectordb_spark.operators import events as E
+
+    root = _state_root(state_path, "stream_anomaly_")
+    counts_dir = os.path.join(root, "counts")
+    os.makedirs(counts_dir, exist_ok=True)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _anomaly_ingest_apply(
+            spark,
+            counts_dir,
+            batch_df,
+            batch_id,
+            width=width,
+            ts_col=ts_col,
+            compact_every=compact_every,
+        )
+
+    ckpt = checkpoint_path or os.path.join(
+        tempfile.gettempdir(), f"ckpt_anom_{uuid.uuid4().hex[:8]}"
+    )
+    query = (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def get_scores(densify: bool = False) -> DataFrame:
+        raw = _read_state_stable(spark, counts_dir, _ANOMALY_STATE_SCHEMA)
+        merged = raw.groupBy("window_start", "event_type").agg(
+            F.sum("n_events").cast("long").alias("n_events")
+        )
+        return E._anomaly_scores_from_counts(
+            merged,
+            width=width,
+            trailing=trailing,
+            min_trailing=min_trailing,
+            round_to=round_to,
+            densify=densify,
+        )
+
+    return get_scores, query
+
+
 # --- streaming decontamination -------------------------------------------------
 
 _DECON_RESULTS_SCHEMA = (
