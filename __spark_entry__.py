@@ -2517,10 +2517,12 @@ def _ann_session_dir() -> str:
 
 
 def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every ANN index shape and serving path, tagged (21 arms): LSH
+    """Every ANN index shape and serving path, tagged (23 arms): LSH
     band buckets, multi-probe LSH, in-memory IVF, persisted IVF
     (``ivf_idx``), PLAIN-IVF APPEND (``ivfapp``: base+append served
-    all-probe == full rebuild), batched IVF (``many<qid>``), int8
+    all-probe == full rebuild), batched IVF (``many<qid>``), INDEX
+    RECALL REPORT (``recall<qid>``: recall@10 of the batched serve vs
+    the exact baseline — the scheduled re-train trigger), int8
     quantized scan, PQ, batched PQ (``pqmany<qid>``), IVFPQ, FILTERED
     IVFPQ (``ivfpqfilt``: where= pre-ADC), residual IVFPQ
     (``ivfpqres``), batched IVFPQ (``ivfpqmany<qid>``),
@@ -2783,8 +2785,32 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "ivfpqmany",
     )
-    many = _tag_many(
-        SIM.ivf_topk_many(spark, qs, path=ivf_path, k=10, n_probe=4), "many"
+    many_raw = SIM.ivf_topk_many(spark, qs, path=ivf_path, k=10, n_probe=4)
+    many = _tag_many(many_raw, "many")
+    # INDEX RECALL REPORT: recall@10 of the probe-pruned batched serve
+    # vs the exact batched baseline (search_many two_phase=False — the
+    # same cosine fold and (cos desc, id) tie-break as the SQL mirror).
+    # Column reuse: vec_id carries n_hit, cluster_id n_exact,
+    # cosine_similarity the recall ratio.
+    exact_many = S.search_many(
+        emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+        ),
+        qs,
+        n=10,
+        two_phase=False,
+        code_col=None,
+        mag_col=None,
+    ).select("query_id", F.col("id").alias("vec_id"))
+    recall = SIM.recall_report(
+        many_raw.select("query_id", "vec_id"), exact_many
+    ).select(
+        F.concat(F.lit("recall"), F.col("query_id").cast("string")).alias(
+            "method"
+        ),
+        F.col("n_hit").alias("vec_id"),
+        F.col("n_exact").alias("cluster_id"),
+        F.col("recall").alias("cosine_similarity"),
     )
     # stream-serve results: the batches ran in the build chains above.
     # _read_state_stable materializes EAGERLY (localCheckpoint) — two
@@ -2840,6 +2866,7 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ivfpqres)
         .unionByName(ivfpq_many)
         .unionByName(many)
+        .unionByName(recall)
         .unionByName(sann)
         .unionByName(sannpq)
         .unionByName(quant)
@@ -3821,6 +3848,43 @@ def oracle_sql() -> dict[str, str]:
         f"vec_id < {ANN_MANY_QUERIES}\n", f"vec_id < {ANN_SANN_QUERIES}\n", 1
     )
     assert f"vec_id < {ANN_SANN_QUERIES}" in sann_sql
+    # index recall report: recall@10 of the probe-pruned batched serve
+    # (the many<qid> CTE, query_id parsed back out of the method tag)
+    # vs the exact per-query cosine top-10 — vec_id carries n_hit,
+    # cluster_id n_exact, cosine_similarity the ratio
+    recall_sql = f"""
+        WITH rc_approx AS (
+          SELECT CAST(substr(method, 5) AS BIGINT) AS query_id, vec_id
+          FROM ({ivf_many_sql})
+        ),
+        rc_exact AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY {K.sql_cosine('q.q_vec', 'e.embedding', 'q.q_mag')} DESC,
+                              e.vec_id ASC
+                   ) AS rn
+            FROM (
+              SELECT vec_id AS query_id, embedding AS q_vec, {mag} AS q_mag
+              FROM embeddings WHERE vec_id < {ANN_MANY_QUERIES}
+            ) q, embeddings e
+          ) WHERE rn <= 10
+        )
+        SELECT 'recall' || CAST(query_id AS VARCHAR) AS method,
+               CAST(coalesce(h.n_hit, 0) AS BIGINT) AS vec_id,
+               CAST(x.n_exact AS BIGINT) AS cluster_id,
+               round(coalesce(h.n_hit, 0) / CAST(x.n_exact AS DOUBLE), 6)
+                 AS cosine_similarity
+        FROM (
+          SELECT query_id, COUNT(*) AS n_exact FROM rc_exact GROUP BY 1
+        ) x
+        LEFT JOIN (
+          SELECT e.query_id, COUNT(*) AS n_hit
+          FROM rc_exact e JOIN rc_approx a USING (query_id, vec_id)
+          GROUP BY 1
+        ) h USING (query_id)
+    """
     # plain-IVF append served all-probe == full rebuild: the ivf CTE
     # with the probe limit widened to every cluster (the ivfpqapp
     # pattern applied to the plain-IVF append + OPTIMIZE path)
@@ -4804,6 +4868,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT method, vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
                    cosine_similarity
             FROM ({ivf_many_sql})
+            UNION ALL
+            -- index recall report: recall@10 of the batched serve vs
+            -- the exact baseline (vec_id = n_hit, cluster_id = n_exact,
+            -- cosine_similarity = the ratio)
+            SELECT method, vec_id, cluster_id, cosine_similarity
+            FROM ({recall_sql})
             UNION ALL
             -- streaming ANN serving: the same queries through 3 micro-
             -- batches against the frozen index; telescoping => equals

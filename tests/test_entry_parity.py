@@ -165,6 +165,8 @@ EXPECTED_ARMS = {
             "pq",
             "many0",
             "many1",
+            "recall0",
+            "recall1",
             "pqmany0",
             "pqmany1",
             "ivfpqmany0",

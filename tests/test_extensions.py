@@ -1861,3 +1861,26 @@ def test_normalized_exact_dedup_golden(spark, duck):
     s = sorted(map(tuple, D.normalized_exact_dedup(docs).collect()), key=repr)
     assert s == d
     duck.execute("DROP TABLE ned_in")
+
+
+def test_recall_report_golden(spark):
+    """Hand-checkable recall: query 0's approx list hits 2 of 4 exact
+    ids; query 1 hits all 3; query 2 got NO approx results -> recall 0.0
+    (the worst finding, not a missing row); a query only in approx is
+    dropped (no baseline); extra approx ids beyond the exact set don't
+    inflate recall."""
+    from wpvectordb_spark.operators import similarity as SIM
+
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 7), (1, 8), (1, 9), (2, 11)],
+        "query_id long, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        [(0, 2), (0, 4), (0, 99), (1, 7), (1, 8), (1, 9), (5, 1)],
+        "query_id long, vec_id long",
+    )
+    out = {r["query_id"]: r for r in SIM.recall_report(approx, exact).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0]["n_hit"], out[0]["n_exact"], out[0]["recall"]) == (2, 4, 0.5)
+    assert (out[1]["n_hit"], out[1]["n_exact"], out[1]["recall"]) == (3, 3, 1.0)
+    assert (out[2]["n_hit"], out[2]["n_exact"], out[2]["recall"]) == (0, 1, 0.0)

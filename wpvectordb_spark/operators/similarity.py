@@ -2115,3 +2115,50 @@ def ivfpq_index_stats(spark, path: str) -> DataFrame:
             "imbalance", F.round(F.col("share") * n_clusters, 6)
         )
     return stats.orderBy(F.col("n_vectors").desc(), F.col("cluster_id").asc())
+
+
+def recall_report(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-query recall of an ANN result set against its exact
+    baseline — the index-health measurement the add-after-train
+    contract runs on a schedule: serve a sampled query batch through
+    BOTH the approximate path (``ivf_topk_many`` / ``ivfpq_topk_many``)
+    and the exact one (``search_many(two_phase=False)``), and
+    ``recall = |approx ∩ exact| / |exact|`` per query decides whether
+    the index needs a re-train (drifting data shifts mass away from the
+    frozen centroids and recall decays — FAISS's own re-train trigger).
+
+    Both inputs are result lists (query, id); extra columns are
+    ignored.  Queries present only in ``exact`` report recall 0.0 (an
+    approximate path that returned NOTHING for a query is the worst
+    finding, not a missing row); queries present only in ``approx``
+    are dropped (no baseline to score against).
+
+    Returns ``(query_id, n_hit, n_exact, recall)``.
+
+    Scale shape: two result-list-sized aggregations and one semi join —
+    inputs are #queries x k rows regardless of corpus size, so the
+    report costs nothing next to the serves that produced it.
+    """
+    a = approx.select(F.col(query_col), F.col(id_col))
+    e = exact.select(F.col(query_col), F.col(id_col))
+    ex_n = e.groupBy(query_col).agg(F.count("*").alias("n_exact"))
+    hit_n = (
+        e.join(a, [query_col, id_col], "semi")
+        .groupBy(query_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return ex_n.join(hit_n, query_col, "left").select(
+        query_col,
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)) / F.col("n_exact").cast("double"),
+            round_to,
+        ).alias("recall"),
+    )
