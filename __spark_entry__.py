@@ -3099,28 +3099,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Keys whose results changed this round are ordered FIRST in case the
     window is time-bounded rather than count-bounded."""
     return {
-        # --- changed in round 8 (front of window): index_build gains
-        # the 'export' reference-wire-format roundtrip arm (JSON-text
-        # vectors + hex codes out via sources.export, re-imported, vs
-        # the derive CTE with a FLOAT-cast norm_sum); text_analyze's
-        # doc arm now runs analyze_full's two-pass doc-keyed merge
-        # (values unchanged — hash-identical by construction);
-        # curate_decontaminate gains the 'stream' micro-batched ingest
-        # arm (streams._decon_ingest_apply over a 3-way split vs the
-        # batch decon CTE — per-doc verdicts telescope);
-        # dedup_minhash_lsh gains the 'weight' soft-dedup arm
-        # (1/cluster-size sampling weights over the shared components,
-        # corpus completion at 1.0); multimodal_features the 'dedup'
-        # exact-payload arm (byte-feature-triple groupBy over the
-        # duplicated corpus) + the 'seg' byte-range segmentation arm;
-        # events_windows the 'zscore' trailing-window volume anomaly
-        # monitor arm ---
-        "index_build": _q_index_build_merged,
-        "text_analyze": _q_text_analyze_merged,
-        "curate_decontaminate": _q_curate_decontaminate,
+        # --- changed in round 9 (front of window): multimodal_features
+        # gains the 'dedupv' byte_verify arm (blake2b channel invisible
+        # on the collision-free corpus); events_windows the 'zdense'
+        # calendar-spine densified arm + the 'zstream' streaming-monitor
+        # arm (telescoping integer window counts); curate_sample_pack
+        # the 'wsample' weighted-mass sampler arm (soft-dedup weights as
+        # fractional mass, integer micro-mass cumsum); dedup_exact the
+        # 'norm' CCNet-normalized fuzzy-exact arm; ann_lsh_ivf the
+        # 'recall<qid>' index recall report; text_analyze's doc arm
+        # passes fused=False explicitly (the default reverted to the
+        # fused single projection per round-8 ADVICE) ---
         "multimodal_features": _q_multimodal_features_merged,
         "events_windows": _q_events_windows,
-        # --- changed in round 7: ann_lsh_ivf moves
+        "curate_sample_pack": _q_curate_sample_pack,
+        "dedup_exact": _q_dedup_exact_merged,  # + 'diff' snapshot audit
+        "ann_lsh_ivf": _q_ann_lsh_ivf,
+        "text_analyze": _q_text_analyze_merged,
+        # --- changed in round 8: index_build gained
+        # the 'export' reference-wire-format roundtrip arm (JSON-text
+        # vectors + hex codes out via sources.export, re-imported, vs
+        # the derive CTE with a FLOAT-cast norm_sum);
+        # curate_decontaminate gained the 'stream' micro-batched ingest
+        # arm (streams._decon_ingest_apply over a 3-way split vs the
+        # batch decon CTE — per-doc verdicts telescope);
+        # dedup_minhash_lsh the 'weight' soft-dedup arm
+        # (1/cluster-size sampling weights over the shared components,
+        # corpus completion at 1.0) ---
+        "index_build": _q_index_build_merged,
+        "curate_decontaminate": _q_curate_decontaminate,
+        # --- changed in round 7: ann_lsh_ivf moved
         # both persisted indexes to base+append (+ the plain-IVF
         # 'ivfapp' arm over append_to_ivf_index + optimize_index, sann
         # to 2 batches with compact_every=1); events_conversion_funnel
@@ -3134,11 +3142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expansion); dedup_embedding the 'pool' chunk->doc mean
         # pooling arm; k7_json_codec's ingest fixture pins the
         # bare-`null` quarantine line ---
-        "ann_lsh_ivf": _q_ann_lsh_ivf,
         "events_conversion_funnel": _q_events_funnel_merged,
         "dedup_minhash_lsh": _q_dedup_minhash_components,
-        "curate_sample_pack": _q_curate_sample_pack,
-        "dedup_exact": _q_dedup_exact_merged,  # + 'diff' snapshot audit
         "dedup_embedding": _q_dedup_embedding,  # + 'pool' mean pooling
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,  # + 'cont' arm
         "k7_json_codec": _q_k7_json_codec,
