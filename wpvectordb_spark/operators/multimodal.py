@@ -20,6 +20,7 @@ precondition) so outputs are oracle-checkable.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 from typing import Callable
 
@@ -174,8 +175,6 @@ def _verify_digest(data: bytes) -> int:
     the base-31 polynomial checksum: payloads engineered (or unlucky
     enough) to collide on the mod-1e9+7 fold have a 2^-64 chance of also
     colliding here."""
-    import hashlib
-
     return int.from_bytes(
         hashlib.blake2b(data, digest_size=8).digest(), "big", signed=True
     )
