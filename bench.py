@@ -273,6 +273,24 @@ def main() -> None:
     _eb_budgets = {k: int(v * 2.6) for k, v in _eb_counts.items()}
     maint_root = tempfile.mkdtemp(prefix="bench_maint_")
 
+    from wpvectordb_spark.functions import text as X
+
+    def _wsample_weighted():
+        """Soft-dedup weights (exact-fingerprint clusters) joined with
+        lang — the weighted sampler's input, rebuilt per timed run so
+        the whole wiring is measured (weights are part of the
+        operator's cost story, unlike the excluded index builds)."""
+        fps = docs.where(F.col("text").isNotNull()).select(
+            "doc_id", X.fingerprint60("text").alias("_f")
+        )
+        comp = fps.join(
+            fps.groupBy("_f").agg(F.min("doc_id").alias("component_id")),
+            "_f",
+        ).select("doc_id", "component_id")
+        return D.soft_dedup_weights(comp, docs).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+
     def _ingest() -> None:
         good, quar = ingest_documents(
             spark, os.path.join(ingest_root, "drop"), format="jsonl"
@@ -421,6 +439,22 @@ def main() -> None:
                     "embedding",
                 )
             )),
+            # round-9 operators: CCNet-normalized fuzzy-exact dedup
+            # (three narrow string ops fused into the fingerprint
+            # projection), the densified anomaly monitor (calendar
+            # spine + trailing frame window), and the weighted mass
+            # sampler end-to-end from exact-dup cluster weights
+            "dedup_normalized": lambda: force(D.normalized_exact_dedup(
+                docs.select("doc_id", "text")
+            )),
+            "events_anomaly_dense": lambda: force(
+                EV.windowed_anomaly_scores(events, densify=True)
+            ),
+            "curate_weighted_sample": lambda: force(
+                CU.weighted_budget_sample(
+                    _wsample_weighted(), entry.WSAMPLE_BUDGETS
+                )
+            ),
         }
         extras: dict[str, float] = {}
         for name, fn in extra_map.items():
