@@ -2362,8 +2362,14 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weighted_budget_sample fills WSAMPLE_BUDGETS (mass units; de/fr
     # unbudgeted -> dropped).  Column reuse: quality carries the weight.
     wcorpus = _corpus_with_dups(spark, sf_dir)
-    wfps = wcorpus.where(F.col("text").isNotNull()).select(
-        "doc_id", X.fingerprint60("text").alias("_f")
+    # barrier before the self-join: wfps feeds the group agg AND the
+    # member join — unbarriered, the O(doc) fingerprint fold runs once
+    # per reference (this callable executes immediately, so the
+    # call-time job is fine; the 16-byte frame is all that persists)
+    wfps = (
+        wcorpus.where(F.col("text").isNotNull())
+        .select("doc_id", X.fingerprint60("text").alias("_f"))
+        .localCheckpoint()
     )
     wcomp = wfps.join(
         wfps.groupBy("_f").agg(F.min("doc_id").alias("component_id")), "_f"

@@ -279,9 +279,15 @@ def main() -> None:
         """Soft-dedup weights (exact-fingerprint clusters) joined with
         lang — the weighted sampler's input, rebuilt per timed run so
         the whole wiring is measured (weights are part of the
-        operator's cost story, unlike the excluded index builds)."""
-        fps = docs.where(F.col("text").isNotNull()).select(
-            "doc_id", X.fingerprint60("text").alias("_f")
+        operator's cost story, unlike the excluded index builds).  The
+        fingerprint frame localCheckpoints before its self-join: fps
+        feeds the group agg AND the member join, and unbarriered the
+        O(doc) fold runs once per reference (measured 7.4 -> ~2 s at
+        sf0.1 — the round-4 fan-out lesson applied to a 16-byte frame)."""
+        fps = (
+            docs.where(F.col("text").isNotNull())
+            .select("doc_id", X.fingerprint60("text").alias("_f"))
+            .localCheckpoint()
         )
         comp = fps.join(
             fps.groupBy("_f").agg(F.min("doc_id").alias("component_id")),
