@@ -1460,3 +1460,97 @@ def test_weighted_budget_sample_fills_mass_within_one_doc(spark, duck):
     )
     assert s == d
     duck.execute("DROP TABLE wbs_in")
+
+
+def test_weighted_budget_sample_randomized_vs_python_reference(spark, duck):
+    """Seeded randomized cross-validation: Spark, DuckDB, and a pure-
+    Python reference implementing the same spec (Wang hash order,
+    integer micro-mass, superset prefilter, inclusive-cumsum fill) must
+    agree on the exact kept set — the three implementations share no
+    code, so agreement pins the arithmetic, not the implementation."""
+    import math
+    import random
+
+    def py_id_hash(i: int) -> int:
+        h = i % CU.HASH_RANGE
+        for _ in range(2):
+            h = ((h >> 16) ^ h) * CU.WANG_MUL % CU.HASH_RANGE
+        return (h >> 16) ^ h
+
+    def py_reference(rows, budgets):
+        kept = []
+        by_stratum: dict[str, list] = {}
+        for doc_id, stratum, w in rows:
+            if w is None or stratum is None:
+                continue
+            by_stratum.setdefault(stratum, []).append((doc_id, w))
+        for stratum, members in by_stratum.items():
+            if stratum not in budgets:
+                continue
+            b = int(round(budgets[stratum] * CU.WEIGHT_SCALE))
+            if b <= 0:
+                continue
+            wints = {d: int(round(w * CU.WEIGHT_SCALE)) for d, w in members}
+            m = sum(wints.values())
+            wmax = max(wints.values())
+            if b >= m:
+                thr = CU.HASH_RANGE
+            else:
+                target = b + int(
+                    math.floor(6.0 * math.sqrt(float(b) * wmax))
+                ) + 20 * wmax
+                thr = int(
+                    math.floor(float(target) / float(m) * float(CU.HASH_RANGE))
+                ) + 1
+            pre = sorted(
+                ((py_id_hash(d), d, w) for d, w in members
+                 if py_id_hash(d) < thr),
+            )
+            cum = 0
+            for _h, d, w in pre:
+                cum += wints[d]
+                if cum <= b:
+                    kept.append((d, stratum, w))
+        return sorted(kept)
+
+    rng = random.Random(20260816)
+    for trial in range(3):
+        rows = [
+            (
+                rng.randrange(1, 10_000_000),
+                rng.choice(["en", "de", "fr", None]),
+                round(1.0 / rng.randint(1, 9), 9),
+            )
+            for _ in range(200)
+        ]
+        # unique ids (the operator's contract)
+        rows = list({r[0]: r for r in rows}.values())
+        budgets = {
+            "en": round(rng.uniform(0.5, 40.0), 3),
+            "de": round(rng.uniform(0.5, 40.0), 3),
+        }
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, weight double"
+        )
+        s = sorted(
+            map(tuple, CU.weighted_budget_sample(df, budgets).collect())
+        )
+        duck.execute(
+            "CREATE OR REPLACE TEMP TABLE wbs_r(doc_id BIGINT,"
+            " lang VARCHAR, weight DOUBLE)"
+        )
+        duck.executemany("INSERT INTO wbs_r VALUES (?, ?, ?)", rows)
+        d = sorted(
+            duck.sql(
+                CU.sql_weighted_budget_sample("SELECT * FROM wbs_r", budgets)
+            ).fetchall()
+        )
+        p = py_reference(rows, budgets)
+        assert s == d == p, f"trial {trial}: spark/duck/python disagree"
+        # fill invariant: per-stratum kept mass never exceeds the budget
+        mass: dict[str, float] = {}
+        for _d, lang, w in s:
+            mass[lang] = mass.get(lang, 0.0) + w
+        for lang, b in budgets.items():
+            assert mass.get(lang, 0.0) <= b + 1e-9
+        duck.execute("DROP TABLE wbs_r")
