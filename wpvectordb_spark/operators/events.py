@@ -453,7 +453,10 @@ def windowed_anomaly_scores(
     a calendar spine between each type's first and last observed
     window, so that outage surfaces as a row with n_events=0 and a
     large NEGATIVE zscore — the incident case monitors exist for —
-    and silence drags the trailing mean down.
+    and silence drags the trailing mean down.  (Events with a NULL
+    timestamp count into a NULL-window bucket under the default but
+    have no calendar position, so ``densify`` drops that bucket — the
+    spine join keeps only real windows; both engines agree.)
 
     Scale shape: one map-side-combinable windowed count (window-count-
     sized output, never event-sized), then an event_type-keyed frame
