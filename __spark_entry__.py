@@ -1743,7 +1743,14 @@ def _q_multimodal_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame
             spark.sparkContext.defaultParallelism
         )
     )
-    dedup = M.media_exact_dedup(dup_media).select(
+    # ONE verified Arrow feature pass feeds BOTH dedup arms (the 3-key
+    # grouping ignores the digest column), barriered so the kernel runs
+    # once, not once per consumer — the narrow 5-column frame is all
+    # that persists, payloads never leave the scan
+    dup_feats = M.media_features(dup_media, verify=True).localCheckpoint()
+    dedup = M.media_exact_dedup(
+        dup_media, features=dup_feats
+    ).select(
         F.lit("dedup").alias("kind"),
         "media_id",
         "byte_len",
@@ -1755,7 +1762,9 @@ def _q_multimodal_features_merged(spark: SparkSession, sf_dir: str) -> DataFrame
     # oracle mirrors it with the same GROUP BY as the dedup arm; any
     # over-split (verify disagreeing on byte-identical payloads) or
     # under-merge surfaces as a hash mismatch.
-    dedupv = M.media_exact_dedup(dup_media, byte_verify=True).select(
+    dedupv = M.media_exact_dedup(
+        dup_media, byte_verify=True, features=dup_feats
+    ).select(
         F.lit("dedupv").alias("kind"),
         "media_id",
         "byte_len",
@@ -2362,21 +2371,10 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weighted_budget_sample fills WSAMPLE_BUDGETS (mass units; de/fr
     # unbudgeted -> dropped).  Column reuse: quality carries the weight.
     wcorpus = _corpus_with_dups(spark, sf_dir)
-    # barrier before the self-join: wfps feeds the group agg AND the
-    # member join — unbarriered, the O(doc) fingerprint fold runs once
-    # per reference (this callable executes immediately, so the
-    # call-time job is fine; the 16-byte frame is all that persists)
-    wfps = (
-        wcorpus.where(F.col("text").isNotNull())
-        .select("doc_id", X.fingerprint60("text").alias("_f"))
-        .localCheckpoint()
-    )
-    wcomp = wfps.join(
-        wfps.groupBy("_f").agg(F.min("doc_id").alias("component_id")), "_f"
-    ).select("doc_id", "component_id")
-    wweights = D.soft_dedup_weights(wcomp, wcorpus)
     wsample = CU.weighted_budget_sample(
-        wweights.join(wcorpus.select("doc_id", "lang"), "doc_id"),
+        D.exact_dup_weights(wcorpus).join(
+            wcorpus.select("doc_id", "lang"), "doc_id"
+        ),
         WSAMPLE_BUDGETS,
     ).select(
         F.lit("wsample").alias("kind"),
@@ -2791,12 +2789,20 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "ivfpqmany",
     )
-    many_raw = SIM.ivf_topk_many(spark, qs, path=ivf_path, k=10, n_probe=4)
+    # localCheckpoint: many_raw feeds BOTH the 'many' arm and the recall
+    # report — unbarriered, the union's collect evaluates the index-read
+    # + window serve subtree twice (the wfps lesson; the frame is
+    # #queries x k rows, a trivial barrier)
+    many_raw = SIM.ivf_topk_many(
+        spark, qs, path=ivf_path, k=10, n_probe=4
+    ).localCheckpoint()
     many = _tag_many(many_raw, "many")
     # INDEX RECALL REPORT: recall@10 of the probe-pruned batched serve
     # vs the exact batched baseline (search_many two_phase=False — the
-    # same cosine fold and (cos desc, id) tie-break as the SQL mirror).
-    # Column reuse: vec_id carries n_hit, cluster_id n_exact,
+    # same cosine fold and (cos desc, id) tie-break as the SQL mirror;
+    # expected_dim pins the dimension the module already knows, so no
+    # eager one-row dim-probe job fires at plan construction).  Column
+    # reuse: vec_id carries n_hit, cluster_id n_exact,
     # cosine_similarity the recall ratio.
     exact_many = S.search_many(
         emb.select(
@@ -2807,6 +2813,7 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         two_phase=False,
         code_col=None,
         mag_col=None,
+        expected_dim=PQ_DIM,
     ).select("query_id", F.col("id").alias("vec_id"))
     recall = SIM.recall_report(
         many_raw.select("query_id", "vec_id"), exact_many

@@ -1699,6 +1699,9 @@ def test_windowed_anomaly_scores_golden_and_guards(spark, duck):
         add("a", h, n)
     for h, n in zip((0, 1, 2, 3), (1, 2, 3, 10)):
         add("b", h, n)
+    # NULL-timestamp event: F.window drops it and the mirror filters it
+    # explicitly (an unfiltered time_bucket keeps a NULL-window group)
+    rows.append((eid, 1, None, "a", 1.0))
     ev = spark.createDataFrame(
         rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
     )

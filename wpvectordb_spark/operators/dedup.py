@@ -1639,6 +1639,41 @@ def sql_soft_dedup_weights(
     )
 
 
+def exact_dup_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eager_fingerprints: bool = True,
+) -> DataFrame:
+    """Soft-dedup weights from EXACT-duplicate clusters in one call:
+    fingerprint the corpus, treat each fingerprint group as a component
+    (min-id as the component id), and hand the components to
+    :func:`soft_dedup_weights` with corpus completion — byte-identical
+    copies split one document's probability mass, everything else
+    weighs 1.0.  The cheap end of the soft-dedup spectrum (no shingles,
+    no LSH) and the canonical input to
+    ``curation.weighted_budget_sample``.
+
+    NULL-text docs take no component (they complete at weight 1.0 —
+    grouping them would falsely cluster every failed extraction).
+    Returns ``(id, cluster_size, weight)`` covering every input row.
+
+    The fingerprint frame fans out to its own group aggregation AND the
+    member join, so it localCheckpoints by default — without the
+    barrier the O(doc) fold runs once per reference (measured 7.4 ->
+    ~2 s at sf0.1).  ``eager_fingerprints=False`` keeps the plan lazy
+    for composing callers, at the double-fold cost."""
+    fps = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), X.fingerprint60(text_col).alias("_f")
+    )
+    if eager_fingerprints:
+        fps = fps.localCheckpoint()
+    comp = fps.join(
+        fps.groupBy("_f").agg(F.min(id_col).alias("component_id")), "_f"
+    ).select(id_col, "component_id")
+    return soft_dedup_weights(comp, docs.select(id_col), id_col=id_col)
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

@@ -454,9 +454,10 @@ def windowed_anomaly_scores(
     window, so that outage surfaces as a row with n_events=0 and a
     large NEGATIVE zscore — the incident case monitors exist for —
     and silence drags the trailing mean down.  (Events with a NULL
-    timestamp count into a NULL-window bucket under the default but
-    have no calendar position, so ``densify`` drops that bucket — the
-    spine join keeps only real windows; both engines agree.)
+    timestamp are DROPPED: Spark's ``F.window`` emits no row for a
+    NULL input, and the SQL mirror filters NULL ``ts`` explicitly so
+    both engines agree — a DuckDB ``time_bucket`` would otherwise keep
+    a NULL-window group the operator never produces.)
 
     Scale shape: one map-side-combinable windowed count (window-count-
     sized output, never event-sized), then an event_type-keyed frame
@@ -554,10 +555,13 @@ def sql_windowed_anomaly_scores(
     coincide for widths that divide the offset (e.g. '1 hour') but
     diverge for e.g. '1 week'."""
     base = f"""az_wc AS (
+          -- NULL ts filtered explicitly: Spark's F.window DROPS
+          -- NULL-timestamp rows while time_bucket would keep a
+          -- NULL-window group the operator never produces
           SELECT time_bucket(INTERVAL '{width}', {ts_expr},
                              TIMESTAMP '1970-01-01') AS window_start,
                  event_type, COUNT(*) AS n_events
-          FROM events GROUP BY 1, 2
+          FROM events WHERE {ts_expr} IS NOT NULL GROUP BY 1, 2
         )"""
     rel = "az_wc"
     if densify:

@@ -263,7 +263,11 @@ def segment_media(
     )
 
 
-def media_exact_dedup(media: DataFrame, byte_verify: bool = False) -> DataFrame:
+def media_exact_dedup(
+    media: DataFrame,
+    byte_verify: bool = False,
+    features: DataFrame | None = None,
+) -> DataFrame:
     """Exact dedup of OPAQUE media payloads — the binary-column analog of
     ``dedup.exact_dedup``: group by the byte-level feature triple
     (byte_len, first_byte, checksum), keep the smallest ``media_id`` as
@@ -292,9 +296,19 @@ def media_exact_dedup(media: DataFrame, byte_verify: bool = False) -> DataFrame:
     payloads that collide on the triple but differ in bytes surface as
     SEPARATE rows sharing (byte_len, first_byte, checksum).  Cost: one
     hashlib call per payload inside the existing scan plus 8 bytes on
-    the shuffle key — no extra pass, no payload shuffle."""
+    the shuffle key — no extra pass, no payload shuffle.
+
+    ``features=`` takes a precomputed :func:`media_features` frame to
+    share ONE Arrow pass across calls (a ``verify=True`` frame serves
+    both modes — the 3-key grouping simply ignores the digest column);
+    callers sharing it across more than one consumer should barrier it
+    (localCheckpoint) or the kernel re-runs per reference."""
     if byte_verify:
-        feats = media_features(media, verify=True)
+        feats = (
+            features
+            if features is not None
+            else media_features(media, verify=True)
+        )
         return (
             feats.groupBy("byte_len", "first_byte", "checksum", "verify")
             .agg(
@@ -305,7 +319,7 @@ def media_exact_dedup(media: DataFrame, byte_verify: bool = False) -> DataFrame:
                 "media_id", "byte_len", "first_byte", "checksum", "dup_count"
             )
         )
-    feats = media_features(media)
+    feats = features if features is not None else media_features(media)
     return (
         feats.groupBy("byte_len", "first_byte", "checksum")
         .agg(
