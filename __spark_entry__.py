@@ -889,8 +889,16 @@ def _q_dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     output feeds the component, resolve, split AND histo arms — the
     persisted-index reuse path at production scale."""
     corpus = _corpus_with_dups(spark, sf_dir)
-    sh_all = D.shingle_sets(corpus).persist()
-    pairs = D.minhash_lsh_dedup_pairs(sh_all, threshold=0.5).persist()
+    # fan-out barriers, NOT .persist(): a persisted frame with no
+    # unpersist leaks a cache entry per invocation in long-running
+    # bench/driver sessions (the _q_dedup_ngram_jaccard rule, ADVICE
+    # round 8 / VERDICT round 9 item 2) — the checkpoint is freed when
+    # the frame is GC'd.  sh_all is already barriered, so the pair
+    # pipeline's internal shingle persist is off.
+    sh_all = D.shingle_sets(corpus).localCheckpoint()
+    pairs = D.minhash_lsh_dedup_pairs(
+        sh_all, threshold=0.5, persist=False
+    ).localCheckpoint()
     comp = D.connected_components(pairs)
     # score ONLY the component members (left-semi before the expensive
     # quality projection — Catalyst won't push the join below it, and
@@ -2372,7 +2380,11 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unbudgeted -> dropped).  Column reuse: quality carries the weight.
     wcorpus = _corpus_with_dups(spark, sf_dir)
     wsample = CU.weighted_budget_sample(
-        D.exact_dup_weights(wcorpus).join(
+        # eager_fingerprints: this callable executes immediately
+        # (bench/driver), so the call-time fingerprint barrier is pure
+        # win (the eager_signatures treatment — lazy default, fast flag
+        # at run-now sites)
+        D.exact_dup_weights(wcorpus, eager_fingerprints=True).join(
             wcorpus.select("doc_id", "lang"), "doc_id"
         ),
         WSAMPLE_BUDGETS,
@@ -3872,7 +3884,14 @@ def oracle_sql() -> dict[str, str]:
     # cluster_id n_exact, cosine_similarity the ratio
     recall_sql = f"""
         WITH rc_approx AS (
-          SELECT CAST(substr(method, 5) AS BIGINT) AS query_id, vec_id
+          -- DISTINCT: the Spark operator counts hits through a
+          -- left-semi join (duplicate-insensitive); a plain INNER JOIN
+          -- here would double-count if an ANN arm ever emitted a
+          -- duplicated (query_id, vec_id) — match the semi-join
+          -- semantics instead of relying on upstream uniqueness
+          -- (ADVICE round 9)
+          SELECT DISTINCT CAST(substr(method, 5) AS BIGINT) AS query_id,
+                 vec_id
           FROM ({ivf_many_sql})
         ),
         rc_exact AS (

@@ -280,7 +280,7 @@ def main() -> None:
         operator's cost story, unlike the excluded index builds).  The
         same dedup.exact_dup_weights call the entry arm verifies (its
         internal fingerprint barrier is the measured 7.4 -> ~2 s fix)."""
-        return D.exact_dup_weights(docs).join(
+        return D.exact_dup_weights(docs, eager_fingerprints=True).join(
             docs.select("doc_id", "lang"), "doc_id"
         )
 

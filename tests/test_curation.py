@@ -1439,6 +1439,17 @@ def test_weighted_budget_sample_fills_mass_within_one_doc(spark, duck):
     # negative budget is rejected loudly
     with pytest.raises(ValueError):
         CU.weighted_budget_sample(weighted, {"en": -1.0})
+    # negative WEIGHT is refused at execution (the stats-agg min guard:
+    # a negative weight makes the cumulative mass non-monotonic, so the
+    # kept set would no longer be a budget prefix — VERDICT round 9
+    # item 7).  No extra scan: the check rides the existing stats agg.
+    with_neg = weighted.select("doc_id", "lang", "weight").unionByName(
+        spark.createDataFrame(
+            [(998, -0.5, "en")], "doc_id long, weight double, lang string"
+        ).select("doc_id", "lang", "weight")
+    )
+    with pytest.raises(Exception, match="negative weight"):
+        CU.weighted_budget_sample(with_neg, budgets).collect()
     # mirror parity on the same frame
     duck.execute(
         "CREATE OR REPLACE TEMP TABLE wbs_in(doc_id BIGINT, lang VARCHAR,"

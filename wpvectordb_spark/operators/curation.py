@@ -621,19 +621,29 @@ def weighted_budget_sample(
     document while all four paraphrase variants stay eligible.  Docs
     fill each stratum in deterministic ``id_hash`` order (tie: id) and
     a doc is kept while the INCLUSIVE cumulative mass stays <= budget —
-    the kept mass never exceeds the budget and undershoots it by less
-    than one doc's weight (the first unkept doc's), the same
-    never-exceed invariant as ``temperature_budgets``' floor.
+    the kept mass never exceeds the budget, and undershoots it by less
+    than one doc's weight (the first unkept doc's) whenever the scanned
+    prefix holds at least budget-worth of mass.  That qualifier is the
+    hash prefilter's one probabilistic edge (ADVICE round 9): the
+    Chernoff margin makes prefix-mass-below-budget vanishingly unlikely
+    but not impossible, and in that case the fill stops at the prefix's
+    mass instead (both engines agree — the mirror applies the identical
+    prefilter — so oracle parity is unconditional; only the tightness
+    of the fill is probabilistic).
 
     Weights and budgets are converted to integer micro-mass
     (``round(x * 1e9)``) before summing, so the running sum is exact
     integer arithmetic, independent of float addition order — portable
     to the oracle engine bit-for-bit.  Rows with NULL weight or an
-    unbudgeted/NULL stratum drop.  Ids are assumed unique per stratum
-    and weights NON-NEGATIVE (soft_dedup_weights' contract: (0, 1]) —
-    a negative weight makes the cumulative mass non-monotonic, so the
-    kept set is no longer a prefix (both engines still agree, but the
-    fill semantics are meaningless).
+    unbudgeted/NULL stratum drop.  Ids are assumed unique per stratum;
+    weights must be NON-NEGATIVE (soft_dedup_weights' contract: (0, 1])
+    — a negative weight would make the cumulative mass non-monotonic,
+    so the kept set is no longer a prefix and the fill semantics are
+    meaningless.  REFUSED loudly, not computed: the per-stratum stats
+    aggregation (already in the plan — no extra scan) carries
+    ``min(weight)``, and a stratum whose minimum is negative raises at
+    execution time.  The DuckDB mirror is unchanged (it never sees the
+    out-of-contract input).
 
     Returns kept rows as (id, stratum, weight).
 
@@ -660,7 +670,9 @@ def weighted_budget_sample(
         id_hash(F.col(id_col)).alias("_k"),
     ).where(F.col(weight_col).isNotNull())
     stats = t.groupBy(stratum_col).agg(
-        F.sum("_w").alias("_m"), F.max("_w").alias("_wmax")
+        F.sum("_w").alias("_m"),
+        F.max("_w").alias("_wmax"),
+        F.min("_w").alias("_wmin"),
     )
     budget = None
     for s, b in sorted(budgets.items()):
@@ -672,8 +684,26 @@ def weighted_budget_sample(
     budget = (
         budget.otherwise(F.lit(0)) if budget is not None else F.lit(0)
     )
+    # the negative-weight refusal rides the budget column (always
+    # consumed by the prefilter, so Catalyst can't prune it): when the
+    # stratum's min micro-weight is negative the row errors instead of
+    # feeding a non-monotonic cumsum.  Zero extra scans — _wmin comes
+    # from the stats agg the prefilter already needs.
+    b_checked = F.when(
+        F.col("_wmin") >= 0, budget
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_budget_sample: negative weight in stratum "),
+                F.col(stratum_col).cast("string"),
+                F.lit(" (min micro-weight "),
+                F.col("_wmin").cast("string"),
+                F.lit(") — weights must be non-negative"),
+            )
+        ).cast("long")
+    )
     j = t.join(F.broadcast(stats), stratum_col).select(
-        "*", budget.alias("_b")
+        "*", b_checked.alias("_b")
     )
     # superset prefilter on the hash prefix expected to hold the budget
     # mass: target = budget + 6*sqrt(budget*wmax) + 20*wmax micro-units

@@ -1643,7 +1643,7 @@ def exact_dup_weights(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    eager_fingerprints: bool = True,
+    eager_fingerprints: bool = False,
 ) -> DataFrame:
     """Soft-dedup weights from EXACT-duplicate clusters in one call:
     fingerprint the corpus, treat each fingerprint group as a component
@@ -1659,10 +1659,13 @@ def exact_dup_weights(
     Returns ``(id, cluster_size, weight)`` covering every input row.
 
     The fingerprint frame fans out to its own group aggregation AND the
-    member join, so it localCheckpoints by default — without the
-    barrier the O(doc) fold runs once per reference (measured 7.4 ->
-    ~2 s at sf0.1).  ``eager_fingerprints=False`` keeps the plan lazy
-    for composing callers, at the double-fold cost."""
+    member join; ``eager_fingerprints=True`` localCheckpoints it so the
+    O(doc) fold runs once, not once per reference (measured 7.4 ->
+    ~2 s at sf0.1).  OPT-IN, not the default: a call-time barrier fires
+    a Spark job, which surprises composing callers building plans they
+    may never execute (the ``eager_signatures`` rationale, ADVICE round
+    9) — run-now call sites (entry arms, bench) pass ``True``; lazy
+    composition pays the bounded double-fold instead."""
     fps = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), X.fingerprint60(text_col).alias("_f")
     )
