@@ -2181,9 +2181,11 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain-level quality gate (domq arm: lang carries the source
     domain, n_tokens the domain doc count, shard the kept flag, quality
     the rounded domain average), per-stratum percentile-rank score
-    calibration (rank arm: quality carries the calibrated rank), and
-    epoch expansion (epoch arm: pos carries the epoch index; per-lang
-    row count == EPOCH_BUDGETS)."""
+    calibration (rank arm: quality carries the calibrated rank), epoch
+    expansion (epoch arm: pos carries the epoch index; per-lang
+    row count == EPOCH_BUDGETS), and the soft-dedup pipeline
+    composition (softpipe arm: curate_training_corpus(soft_dedup=True),
+    quality carries the manifest's weight column)."""
     null_l = F.lit(None).cast("long")
     null_d = F.lit(None).cast("double")
     sample = _q_curate_stratified_sample(spark, sf_dir).select(
@@ -2293,6 +2295,19 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         "pos",
         null_d.alias("quality"),
+    )
+    # the soft-dedup composition of the same pipeline (column reuse:
+    # quality carries the 1/|cluster| weight the manifest gains)
+    softpipe = _softpipe_manifest(spark, sf_dir).select(
+        F.lit("softpipe").alias("kind"),
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "seq_start",
+        "seq_end",
+        "shard",
+        "pos",
+        F.col("weight").alias("quality"),
     )
     # temperature mixing (tagged-union column reuse: n_tokens carries
     # the stratum token total, shard the integer budget, quality the
@@ -2428,6 +2443,7 @@ def _q_curate_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(epoch)
         .unionByName(wsample)
         .unionByName(pipeline)
+        .unionByName(softpipe)
     )
 
 
@@ -2441,6 +2457,15 @@ PIPE_DSIR_KEEP = 200  # < the 311 stage-4 survivors at sf0.01 (3146 at
 PIPE_SEQ_LEN = 2048
 PIPE_NUM_SHARDS = 8
 PIPE_SEED = 42
+
+#: soft-pipeline arm budgets — FRACTIONAL DOCUMENT MASS (docs' worth of
+#: probability), not tokens: the soft_dedup=True composition consumes
+#: soft_dedup_weights' 1/|cluster| column through
+#: weighted_budget_sample.  en binds (the DSIR stage keeps an
+#: en-heavy 200, well over 40 docs' mass); es/zh stay under their
+#: budgets at sf0.01 (keep-everything branch) — both fill paths run.
+#: de/fr unbudgeted -> dropped strata.
+SOFTPIPE_BUDGETS = {"en": 40.0, "es": 15.0, "zh": 10.5}
 
 
 def _pipe_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2486,6 +2511,39 @@ def _pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _softpipe_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SOFT-DEDUP composition of ``curate_training_corpus``
+    (``soft_dedup=True``): same seven stages and PIPE_* constants as the
+    ``pipeline`` arm, but stage 2 resolves the MinHash pairs to
+    Muennighoff down-weights (connected components ->
+    ``soft_dedup_weights``, every doc survives at 1/|cluster|) and
+    stage 6 fills ``SOFTPIPE_BUDGETS`` as fractional document mass
+    through ``weighted_budget_sample`` — the round-9 capabilities wired
+    into the production entry point.  The manifest gains the ``weight``
+    column (carried as ``quality`` in the tagged union)."""
+    from wpvectordb_spark import pipelines as PL
+
+    holdout = _docs(spark, sf_dir).where(F.col("doc_id") < 20).select("doc_id", "text")
+    dsir_target = _docs(spark, sf_dir).where(F.col("lang") == "en").select(
+        "doc_id", "text"
+    )
+    return PL.curate_training_corpus(
+        _pipe_corpus(spark, sf_dir),
+        holdout=holdout,
+        budgets=SOFTPIPE_BUDGETS,
+        quality_quantile=PIPE_QUALITY_QUANTILE,
+        near_dup_threshold=PIPE_NEAR_DUP_THRESHOLD,
+        decontam_shingles=PIPE_DECONTAM_SHINGLES,
+        dsir_target=dsir_target,
+        dsir_keep=PIPE_DSIR_KEEP,
+        seq_len=PIPE_SEQ_LEN,
+        num_shards=PIPE_NUM_SHARDS,
+        seed=PIPE_SEED,
+        soft_dedup=True,
+        persist=False,
+    )
+
+
 #: query-batch sizes for the batched serving arms.  ONE representative
 #: batch of 2 queries per family (many/pqmany/ivfpqmany) — the batch
 #: property (>= 2 queries through one plan) is what the arm pins, not
@@ -2503,6 +2561,12 @@ ANN_SANN_QUERIES = 2
 #: pre-ADC (identical text runs as the Spark where= and inside the
 #: DuckDB mirror's candidate CTE)
 ANN_FILTER_PREDICATE = "vec_id % 2 = 0"
+
+#: retrain-decision arm threshold: above the sf0.01 mean recall@10 of
+#: the 2-query batch (recall0 = 1.0, recall1 = 0.9 -> mean 0.95), so
+#: the arm pins the FLAGGING branch — the decision the recall report
+#: exists to drive (similarity.retrain_ivf_index closes the loop)
+RDECIDE_THRESHOLD = 0.97
 
 #: append-arm base half: must contain every deterministic training id
 #: (vec_id < 16 centroids and < PQ_CODES codebook rows), so the frozen
@@ -2533,12 +2597,14 @@ def _ann_session_dir() -> str:
 
 
 def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every ANN index shape and serving path, tagged (23 arms): LSH
+    """Every ANN index shape and serving path, tagged (24 arms): LSH
     band buckets, multi-probe LSH, in-memory IVF, persisted IVF
     (``ivf_idx``), PLAIN-IVF APPEND (``ivfapp``: base+append served
     all-probe == full rebuild), batched IVF (``many<qid>``), INDEX
     RECALL REPORT (``recall<qid>``: recall@10 of the batched serve vs
-    the exact baseline — the scheduled re-train trigger), int8
+    the exact baseline — the scheduled re-train trigger), RETRAIN
+    DECISION (``rdecide``: ``retrain_decision`` over the same report at
+    RDECIDE_THRESHOLD — the flagging branch fires at sf0.01), int8
     quantized scan, PQ, batched PQ (``pqmany<qid>``), IVFPQ, FILTERED
     IVFPQ (``ivfpqfilt``: where= pre-ADC), residual IVFPQ
     (``ivfpqres``), batched IVFPQ (``ivfpqmany<qid>``),
@@ -2827,15 +2893,31 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         mag_col=None,
         expected_dim=PQ_DIM,
     ).select("query_id", F.col("id").alias("vec_id"))
-    recall = SIM.recall_report(
+    # localCheckpoint: the report feeds BOTH the recall<qid> arms and
+    # the rdecide arm — unbarriered, each consumer re-runs the exact
+    # brute-force baseline scan; the frame is #queries rows
+    recall_rep = SIM.recall_report(
         many_raw.select("query_id", "vec_id"), exact_many
-    ).select(
+    ).localCheckpoint()
+    recall = recall_rep.select(
         F.concat(F.lit("recall"), F.col("query_id").cast("string")).alias(
             "method"
         ),
         F.col("n_hit").alias("vec_id"),
         F.col("n_exact").alias("cluster_id"),
         F.col("recall").alias("cosine_similarity"),
+    )
+    # RETRAIN DECISION: the action the recall report drives (round-9
+    # verdict item 3 — the report measured decay, nothing consumed it).
+    # Column reuse: vec_id carries n_queries, cluster_id the retrain
+    # flag, cosine_similarity the rounded mean recall.
+    rdecide = SIM.retrain_decision(
+        recall_rep, threshold=RDECIDE_THRESHOLD
+    ).select(
+        F.lit("rdecide").alias("method"),
+        F.col("n_queries").alias("vec_id"),
+        F.col("retrain").alias("cluster_id"),
+        F.col("mean_recall").alias("cosine_similarity"),
     )
     # stream-serve results: the batches ran in the build chains above.
     # _read_state_stable materializes EAGERLY (localCheckpoint) — two
@@ -2892,6 +2974,7 @@ def _q_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ivfpq_many)
         .unionByName(many)
         .unionByName(recall)
+        .unionByName(rdecide)
         .unionByName(sann)
         .unionByName(sannpq)
         .unionByName(quant)
@@ -4473,6 +4556,115 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, n_tokens, seq_start, seq_end, shard, pos
         FROM p_packed JOIN p_shards USING (doc_id)
     """
+    # --- soft-dedup composed pipeline (curate_training_corpus with
+    # soft_dedup=True): stages 1/3/4/5/7 are the pipeline_cte fragments
+    # over the soft survivor sets; stage 2 resolves the SAME MinHash
+    # pairs through the recursive-CTE transitive closure (the
+    # lsh_comp_cte pattern) into sql_soft_dedup_weights' 1/|cluster|
+    # column instead of dropping id_b, and stage 6 is
+    # sql_weighted_budget_sample over the surviving (doc_id, lang,
+    # weight) mass.  Constants mirror PIPE_* / SOFTPIPE_BUDGETS
+    # literally.
+    soft_qfilter = CU.sql_quality_quantile_filter(
+        "SELECT doc_id, lang, " + TA.sql_quality_score("text")
+        + " AS quality FROM spk2",
+        quantile=0.25,
+    )
+    softpipe_cte = f"""
+        WITH RECURSIVE sp_c AS ({pipe_corpus}),
+        sp_fps AS (SELECT doc_id, {fp60} AS f FROM sp_c),
+        sp_w AS (
+          SELECT min(doc_id) AS doc_id FROM sp_fps WHERE f IS NOT NULL GROUP BY f
+          UNION ALL
+          SELECT doc_id FROM sp_fps WHERE f IS NULL
+        ),
+        spk1 AS MATERIALIZED (SELECT c.* FROM sp_c c JOIN sp_w USING (doc_id)),
+        sp_tht AS (SELECT doc_id, {tokh} AS th FROM spk1),
+        sp_shs AS MATERIALIZED (SELECT doc_id, {shh} AS sh FROM sp_tht),
+        sp_sigs AS (SELECT doc_id, {sig} AS signature FROM sp_shs),
+        sp_banded AS (
+          SELECT doc_id, b.i AS band_id,
+                 array_to_string(signature[b.i*4+1 : b.i*4+4], '-') AS band_key
+          FROM sp_sigs, range(0, 8) b(i)
+          WHERE signature IS NOT NULL
+        ),
+        sp_cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+          FROM sp_banded a JOIN sp_banded bb
+            ON a.band_id = bb.band_id AND a.band_key = bb.band_key
+           AND a.doc_id < bb.doc_id
+        ),
+        sp_pairs AS MATERIALIZED (
+          SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, round({jac}, 9) AS jaccard
+            FROM sp_cands
+            JOIN sp_shs sa ON sp_cands.id_a = sa.doc_id
+            JOIN sp_shs sb ON sp_cands.id_b = sb.doc_id
+          ) WHERE jaccard >= {PIPE_NEAR_DUP_THRESHOLD}
+        ),
+        sp_sym AS (
+          SELECT id_a AS s, id_b AS t FROM sp_pairs
+          UNION
+          SELECT id_b AS s, id_a AS t FROM sp_pairs
+        ),
+        sp_reach(node, root) AS (
+          SELECT DISTINCT s, s FROM sp_sym
+          UNION
+          SELECT sp_sym.t, sp_reach.root
+          FROM sp_reach JOIN sp_sym ON sp_sym.s = sp_reach.node
+        ),
+        sp_comp AS MATERIALIZED (
+          SELECT node, min(root) AS component_id FROM sp_reach GROUP BY node
+        ),
+        spk2 AS MATERIALIZED (
+          SELECT k.*, w.weight FROM spk1 k
+          JOIN ({D.sql_soft_dedup_weights(
+            "SELECT node AS doc_id, component_id FROM sp_comp",
+            "SELECT doc_id FROM spk1",
+          )}) w USING (doc_id)
+        ),
+        spk3 AS MATERIALIZED (
+          SELECT k.* FROM spk2 k JOIN ({soft_qfilter}) q USING (doc_id)
+        ),
+        sp_hold AS (
+          SELECT DISTINCT unnest({shh}) AS h
+          FROM (SELECT {tokh} AS th FROM documents WHERE doc_id < 20)
+        ),
+        sp_matched AS (
+          SELECT doc_id, COUNT(*) AS n_matched FROM (
+            SELECT s.doc_id, unnest(s.sh) AS h
+            FROM sp_shs s JOIN spk3 USING (doc_id)
+          ) cs JOIN sp_hold USING (h)
+          GROUP BY doc_id
+        ),
+        spk4 AS MATERIALIZED (
+          SELECT k.doc_id, k.text, k.lang, k.weight
+          FROM spk3 k LEFT JOIN sp_matched m USING (doc_id)
+          WHERE COALESCE(m.n_matched, 0) < {PIPE_DECONTAM_SHINGLES}
+        ),
+        sp_dsir AS ({CU.sql_dsir_topk(
+            "SELECT doc_id, text FROM spk4",
+            "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+            k=PIPE_DSIR_KEEP,
+        )}),
+        spk5 AS MATERIALIZED (
+          SELECT k.doc_id, k.text, k.lang, k.weight FROM spk4 k
+          JOIN sp_dsir USING (doc_id)
+        ),
+        spk6 AS MATERIALIZED (
+          SELECT k.* FROM spk5 k
+          JOIN (SELECT doc_id FROM ({CU.sql_weighted_budget_sample(
+            "SELECT doc_id, lang, weight FROM spk5", SOFTPIPE_BUDGETS
+          )})) b USING (doc_id)
+        ),
+        sp_packed AS ({CU.sql_pack_sequences(seq_len=2048, table="spk6")}),
+        sp_shards AS ({CU.sql_shuffle_shard(num_shards=8, seed=42, table="spk6")})
+        SELECT pp.doc_id, pp.lang, pp.n_tokens, pp.seq_start, pp.seq_end,
+               ss.shard, ss.pos, kk.weight
+        FROM sp_packed pp
+        JOIN sp_shards ss ON pp.doc_id = ss.doc_id
+        JOIN spk6 kk ON pp.doc_id = kk.doc_id
+    """
     return {
         # --- dedup / text / events / ann / relational (extensions) ---
         "dedup_exact": f"""
@@ -4656,6 +4848,12 @@ def oracle_sql() -> dict[str, str]:
                    seq_start, seq_end, shard, pos,
                    CAST(NULL AS DOUBLE) AS quality
             FROM ({pipeline_cte})
+            UNION ALL
+            -- the soft-dedup composition (quality carries the
+            -- 1/|cluster| weight the manifest gains)
+            SELECT 'softpipe' AS kind, doc_id, lang, n_tokens,
+                   seq_start, seq_end, shard, pos, weight AS quality
+            FROM ({softpipe_cte})
             UNION ALL
             -- temperature mixing budgets: n_tokens carries the stratum
             -- token total, shard the integer budget, quality the
@@ -4911,6 +5109,18 @@ def oracle_sql() -> dict[str, str]:
             -- cosine_similarity = the ratio)
             SELECT method, vec_id, cluster_id, cosine_similarity
             FROM ({recall_sql})
+            UNION ALL
+            -- retrain decision over the same recall report (vec_id =
+            -- n_queries, cluster_id = the retrain flag,
+            -- cosine_similarity = the rounded mean recall)
+            SELECT 'rdecide' AS method,
+                   CAST(d.n_queries AS BIGINT) AS vec_id,
+                   CAST(d.retrain AS BIGINT) AS cluster_id,
+                   d.mean_recall AS cosine_similarity
+            FROM ({SIM.sql_retrain_decision(
+                f"SELECT cosine_similarity AS recall FROM ({recall_sql})",
+                threshold=RDECIDE_THRESHOLD,
+            )}) d
             UNION ALL
             -- streaming ANN serving: the same queries through 3 micro-
             -- batches against the frozen index; telescoping => equals

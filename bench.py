@@ -448,6 +448,13 @@ def main() -> None:
                     _wsample_weighted(), entry.WSAMPLE_BUDGETS
                 )
             ),
+            # round 10: the soft-dedup composition of the pipeline
+            # (weights instead of near-dup drops, mass budgets instead
+            # of token budgets) — measured next to curate_pipeline so
+            # the weight plumbing's overhead is directly readable
+            "curate_pipeline_soft": lambda: force(
+                entry._softpipe_manifest(spark, SF_DIR)
+            ),
         }
         extras: dict[str, float] = {}
         for name, fn in extra_map.items():

@@ -84,6 +84,10 @@ EXPECTED_ARMS = {
             "rank",
             "sample",
             "shard",
+            # round 10: the soft-dedup composition of the pipeline arm
+            # (curate_training_corpus(soft_dedup=True) — weights instead
+            # of near-dup drops, mass budgets instead of token budgets)
+            "softpipe",
             "temp",
             "wf",
             "wsample",
@@ -167,6 +171,9 @@ EXPECTED_ARMS = {
             "many1",
             "recall0",
             "recall1",
+            # round 10: the decision the recall report exists to drive
+            # (retrain_decision over the recall<qid> report rows)
+            "rdecide",
             "pqmany0",
             "pqmany1",
             "ivfpqmany0",

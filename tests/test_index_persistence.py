@@ -5,6 +5,7 @@ bucketed-search scale paths."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -842,3 +843,101 @@ def test_pq_geometry_width_guard(spark, emb):
             emb, "/tmp/never_written_pq_guard", dim=64, n_clusters=4,
             m=8, n_codes=8, codebooks=cb32,
         )
+
+
+def test_retrain_decision_and_sql_mirror(spark, duck):
+    """retrain_decision aggregates a recall report into the re-train
+    verdict: rounded-mean-below-threshold flags, per-query stats ride
+    along, and the DuckDB mirror matches row-for-row."""
+    rep = spark.createDataFrame(
+        [(0, 10, 10, 1.0), (1, 9, 10, 0.9), (2, 7, 10, 0.7)],
+        "query_id long, n_hit long, n_exact long, recall double",
+    )
+    row = SIM.retrain_decision(rep, threshold=0.9).collect()[0]
+    assert row["n_queries"] == 3
+    assert row["n_below"] == 1  # only the 0.7 query is under 0.9
+    assert abs(row["mean_recall"] - 0.866667) < 1e-9
+    assert row["min_recall"] == 0.7
+    assert row["retrain"] == 1
+    # healthy batch: mean above threshold -> no flag
+    ok = SIM.retrain_decision(rep, threshold=0.8).collect()[0]
+    assert ok["retrain"] == 0 and ok["n_below"] == 1
+    duck.execute(
+        "CREATE OR REPLACE TEMP TABLE rd_in(query_id BIGINT, n_hit BIGINT,"
+        " n_exact BIGINT, recall DOUBLE)"
+    )
+    duck.executemany(
+        "INSERT INTO rd_in VALUES (?, ?, ?, ?)",
+        [tuple(r) for r in rep.collect()],
+    )
+    d = duck.sql(
+        SIM.sql_retrain_decision("SELECT * FROM rd_in", threshold=0.9)
+    ).fetchall()
+    s = [tuple(r) for r in SIM.retrain_decision(rep, threshold=0.9).collect()]
+    assert s == d
+    duck.execute("DROP TABLE rd_in")
+
+
+def test_retrain_ivf_index_closes_the_loop(spark, tmp_path_factory):
+    """The add-after-train contract end to end (VERDICT round 9 item
+    3): a healthy index measures clean (no rebuild); appending a
+    drifted region the frozen centroids can't route makes recall
+    collapse for drift-region queries; retrain_ivf_index flags it,
+    re-trains on the full corpus (append folded in), swaps crash-safely,
+    and the SAME query's recall is restored."""
+    td = str(tmp_path_factory.mktemp("retrain"))
+    path = f"{td}/ivf"
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    e0, e1 = vec(1, 0, 0, 0), vec(0, 1, 0, 0)
+    drift_a = vec(0, 0.4, 1, 0)   # the new region: e2 tilted toward e1,
+    drift_b = vec(0, 0.41, 1, 0)  # so frozen centroids route it to c1
+    base = (
+        [(0, e0), (1, e1)]
+        + [(10 + i, e0) for i in range(20)]
+        + [(30 + i, e1) for i in range(20)]
+    )
+    schema = "vec_id long, embedding array<double>"
+    SIM.build_ivf_index(spark.createDataFrame(base, schema), path, n_clusters=2)
+    # the monitoring query leans slightly toward e0, so with the TIE
+    # broken it probes cluster 0 deterministically
+    q = spark.createDataFrame(
+        [(0, vec(0.05, 0, 1, 0))],
+        "query_id long, query_vector array<double>",
+    )
+    healthy = SIM.retrain_ivf_index(
+        spark, path, q, threshold=0.9, k=5, n_probe=1
+    )
+    assert healthy["mean_recall"] == 1.0
+    assert healthy["retrain"] is False and healthy["rebuilt"] is False
+    # drift arrives: ids 2/3 are the region exemplars (they become
+    # centroid seeds on re-train), 200.. the members — all assigned to
+    # cluster 1 by the FROZEN centroids while the query probes 0
+    delta = [(2, drift_a), (3, drift_b)] + [
+        (200 + i, drift_a) for i in range(10)
+    ]
+    SIM.append_to_ivf_index(spark, spark.createDataFrame(delta, schema), path)
+    out = SIM.retrain_ivf_index(
+        spark, path, q, threshold=0.9, k=5, n_probe=1, n_clusters=4
+    )
+    assert out["mean_recall"] == 0.0  # probe 0 holds none of the drifts
+    assert out["retrain"] is True and out["rebuilt"] is True
+    assert out["recall_after"] == 1.0  # drift region owns a centroid now
+    assert not os.path.isdir(path + "__retrain")
+    assert not os.path.isdir(path + "__old")
+    # the rebuilt index serves the drift region through its own cluster
+    got = SIM.ivf_topk_from_index(spark, path, vec(0.05, 0, 1, 0), k=5, n_probe=1)
+    ids = {r["vec_id"] for r in got.collect()}
+    assert ids == {2, 200, 201, 202, 203}
+    # measurement-only mode never rebuilds even when flagged
+    SIM.append_to_ivf_index(
+        spark,
+        spark.createDataFrame([(500, vec(0, 1, 0, 1))], schema),
+        path,
+    )
+    ro = SIM.retrain_ivf_index(
+        spark, path, q, threshold=1.1, k=5, n_probe=1, rebuild=False
+    )
+    assert ro["retrain"] is True and ro["rebuilt"] is False

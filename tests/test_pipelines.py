@@ -249,3 +249,130 @@ def test_curate_training_corpus_manifest_resume_mid_run(spark, tmp_path):
     assert os.path.getmtime(
         os.path.join(mdir, "stage02_near_dedup", "_SUCCESS")
     ) == mtime_before
+
+
+def test_curate_training_corpus_soft_dedup(spark):
+    """soft_dedup=True keeps near-duplicates at 1/|cluster| weight
+    instead of dropping them, fills budgets as fractional document mass,
+    and the manifest gains the weight column (VERDICT round 9 item 1 —
+    the round-9 capabilities composed into the production entry point)."""
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "lang", "text")
+    )
+    # plant a 3-member near-dup cluster: two tweaked copies of doc 3
+    # (suffix tokens keep Jaccard high without exact-dup collapse);
+    # transitive closure must see one cluster of 3 -> weight 1/3 each
+    base = docs.where(F.col("doc_id") == 3)
+    near = base.select(
+        F.lit(90001).alias("doc_id"),
+        "lang",
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    ).unionByName(
+        base.select(
+            F.lit(90002).alias("doc_id"),
+            "lang",
+            F.concat(F.col("text"), F.lit(" v3")).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(near)
+    budgets = {"en": 12.0, "de": 6.5, "fr": 6.0, "es": 6.0, "zh": 6.0}
+    out = curate_training_corpus(
+        corpus,
+        budgets=budgets,
+        quality_quantile=0.0,  # keep every doc: the cluster must survive
+        near_dup_threshold=0.5,
+        num_shards=4,
+        seq_len=256,
+        soft_dedup=True,
+    )
+    rows = out.collect()
+    assert set(out.columns) == {
+        "doc_id", "lang", "n_tokens", "seq_start", "seq_end", "shard",
+        "pos", "weight",
+    }
+    w = {r["doc_id"]: r["weight"] for r in rows}
+    # every weight in (0, 1]; the planted cluster members that survived
+    # the mass budget carry the ORIGINAL 1/3 (weights are assigned
+    # before budget mixing, so a member dropped by the sampler doesn't
+    # inflate its siblings)
+    assert all(0.0 < v <= 1.0 for v in w.values())
+    cluster = [w[d] for d in (3, 90001, 90002) if d in w]
+    assert cluster and all(abs(v - round(1 / 3, 9)) < 1e-12 for v in cluster)
+    # per-stratum kept MASS never exceeds the budget
+    mass: dict[str, float] = {}
+    for r in rows:
+        mass[r["lang"]] = mass.get(r["lang"], 0.0) + r["weight"]
+    for lang, m in mass.items():
+        assert m <= budgets[lang] + 1e-9, (lang, m)
+    # at least one stratum's budget actually binds (en: 150-doc corpus,
+    # budget 12 docs' mass)
+    assert mass["en"] > budgets["en"] - 1.0
+    # hard mode over the same corpus DROPS near-dup losers and has no
+    # weight column
+    hard = curate_training_corpus(
+        corpus,
+        quality_quantile=0.0,
+        near_dup_threshold=0.5,
+        num_shards=4,
+        seq_len=256,
+    )
+    assert "weight" not in hard.columns
+    hard_ids = {r["doc_id"] for r in hard.collect()}
+    assert not {90001, 90002} <= hard_ids  # greedy min-id survivor rule
+    # an input already carrying a weight column is refused, not shadowed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="weight"):
+        curate_training_corpus(
+            corpus.withColumn("weight", F.lit(1.0)), soft_dedup=True
+        )
+
+
+def test_curate_training_corpus_soft_dedup_manifest_mode(spark, tmp_path):
+    """Soft mode under manifest_dir: same results as in-session, the
+    stage-2 manifest lands as stage02_soft_dedup (weight column
+    included), and a rerun with soft_dedup flipped over the same
+    directory is refused — adopted manifests must never silently mix
+    drop-mode and weight-mode survivor sets."""
+    import os
+
+    import pytest as _pytest
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id", "lang", "text")
+    )
+    kwargs = dict(
+        budgets={"en": 10.0, "de": 5.0, "fr": 5.0, "es": 5.0, "zh": 5.0},
+        quality_quantile=0.25,
+        near_dup_threshold=0.5,
+        num_shards=4,
+        seq_len=256,
+        soft_dedup=True,
+    )
+    mdir = str(tmp_path / "soft_manifests")
+    out1 = {
+        tuple(r)
+        for r in curate_training_corpus(
+            docs, manifest_dir=mdir, **kwargs
+        ).collect()
+    }
+    in_session = {
+        tuple(r) for r in curate_training_corpus(docs, **kwargs).collect()
+    }
+    assert out1 == in_session
+    stages = sorted(d for d in os.listdir(mdir) if d.startswith("stage"))
+    assert stages == [
+        "stage01_exact_dedup", "stage02_soft_dedup",
+        "stage03_quality_gate", "stage04_budget_mix",
+    ]
+    stage2 = spark.read.parquet(os.path.join(mdir, "stage02_soft_dedup"))
+    assert "weight" in stage2.columns
+    # flipping soft_dedup over the same directory is refused
+    with _pytest.raises(ValueError, match="different"):
+        curate_training_corpus(
+            docs, manifest_dir=mdir, **{**kwargs, "soft_dedup": False}
+        )

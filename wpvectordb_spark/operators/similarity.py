@@ -2162,3 +2162,185 @@ def recall_report(
             round_to,
         ).alias("recall"),
     )
+
+
+def retrain_decision(
+    report: DataFrame,
+    threshold: float = 0.9,
+    recall_col: str = "recall",
+    round_to: int = 6,
+) -> DataFrame:
+    """Turn a :func:`recall_report` into the documented re-train ACTION
+    — the step round 9 left open (the report measured decay; nothing
+    consumed it): one row summarizing the serve batch with the verdict
+    the scheduler acts on.  ``retrain = 1`` when the ROUNDED mean
+    recall@k falls below ``threshold`` (the FAISS-practice trigger:
+    drifting data shifts mass away from the frozen centroids and the
+    whole batch's recall sags — a single unlucky query should not force
+    a rebuild, hence mean, with ``n_below``/``min_recall`` exposed for
+    operators who want a stricter per-query policy).
+
+    Returns ``(n_queries, n_below, mean_recall, min_recall, retrain)``.
+    The mean is rounded to ``round_to`` BEFORE the comparison so the
+    decision is engine-portable (an ulp under an exact threshold must
+    not flip the verdict across engines).
+
+    Scale shape: one aggregation over a #queries-row frame — free next
+    to the serves that produced the report.  Consume with
+    :func:`retrain_ivf_index` for the fully closed loop.
+    """
+    thr = float(threshold)
+    mean_r = F.round(F.avg(recall_col), round_to)
+    return report.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum((F.col(recall_col) < thr).cast("long"))
+        .cast("long")
+        .alias("n_below"),
+        mean_r.alias("mean_recall"),
+        F.min(recall_col).alias("min_recall"),
+        (mean_r < F.lit(thr)).cast("long").alias("retrain"),
+    )
+
+
+def sql_retrain_decision(
+    report_sql: str,
+    threshold: float = 0.9,
+    recall_col: str = "recall",
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of ``retrain_decision`` over a recall-report
+    relation (same rounded-mean-then-compare order)."""
+    thr = float(threshold)
+    return f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(COALESCE(SUM(CASE WHEN {recall_col} < {thr!r}
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_below,
+               round(AVG({recall_col}), {round_to}) AS mean_recall,
+               MIN({recall_col}) AS min_recall,
+               CAST(CASE WHEN round(AVG({recall_col}), {round_to}) < {thr!r}
+                    THEN 1 ELSE 0 END AS BIGINT) AS retrain
+        FROM ({report_sql})
+    """
+
+
+def retrain_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    threshold: float = 0.9,
+    k: int = 10,
+    n_probe: int = 4,
+    n_clusters: int | None = None,
+    rebuild: bool = True,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+    expected_dim: int | None = None,
+) -> dict:
+    """The CLOSED add-after-train loop (FAISS ``train`` -> ``add`` ->
+    monitor -> re-``train``): serve ``queries`` through the persisted
+    IVF index's probe-pruned path AND the exact brute-force baseline
+    over the SAME stored vectors, score recall@k per query
+    (:func:`recall_report`), aggregate to the verdict
+    (:func:`retrain_decision`), and — when flagged and ``rebuild`` —
+    re-train the centroids on the CURRENT corpus (base + every appended
+    delta, exactly "rebuild with the append set folded in") and swap
+    the new index in crash-safely.
+
+    The swap follows the facades' staging/rename protocol (build into
+    ``path__retrain``, move the live index aside, promote, drop the old
+    copy), so a kill mid-rebuild leaves the old or the new index, never
+    zero copies; the rebuild READS the old layout while WRITING the
+    staging one, so there is no overwrite-while-reading window at all.
+
+    Returns ``{n_queries, n_below, mean_recall, min_recall, retrain,
+    rebuilt, recall_after}`` — ``recall_after`` (the post-rebuild
+    rounded mean over the same queries, all-probe-free, same n_probe)
+    only when a rebuild ran; the caller's alerting hook.
+
+    Scale shape: the exact baseline is ONE full scan of the index
+    vectors per monitoring run (brute-force cosine top-k via
+    ``search_many``'s pre-top-k window pattern) — the price of a
+    trustworthy recall number, run on a schedule against a SAMPLED
+    query batch, never per serve.  The decision collect is one row; the
+    rebuild is the same two jobs as ``build_ivf_index``.
+    """
+    import os
+    import shutil
+
+    from wpvectordb_spark.operators import search as S
+
+    def _measure() -> DataFrame:
+        vectors = spark.read.parquet(f"{path}/vectors")
+        approx = ivf_topk_many(
+            spark,
+            queries,
+            path=path,
+            k=k,
+            n_probe=n_probe,
+            id_col=id_col,
+            vector_col=vector_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            expected_dim=expected_dim,
+        )
+        exact = S.search_many(
+            vectors.select(
+                F.col(id_col).alias("id"), F.col(vector_col).alias("vector")
+            ),
+            queries,
+            n=k,
+            two_phase=False,
+            code_col=None,
+            mag_col=None,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            expected_dim=expected_dim,
+        )
+        return recall_report(
+            approx.select(query_id_col, id_col),
+            exact.select(query_id_col, F.col("id").alias(id_col)),
+            query_col=query_id_col,
+            id_col=id_col,
+        )
+
+    dec = retrain_decision(_measure(), threshold=threshold).collect()[0]
+    out = {
+        "n_queries": dec["n_queries"],
+        "n_below": dec["n_below"],
+        "mean_recall": dec["mean_recall"],
+        "min_recall": dec["min_recall"],
+        "retrain": bool(dec["retrain"]),
+        "rebuilt": False,
+        "recall_after": None,
+    }
+    if not (rebuild and out["retrain"]):
+        return out
+    if n_clusters is None:
+        # preserve the index's geometry: re-train the SAME number of
+        # centroids on the grown corpus (bounded read — the centroid
+        # table is n_clusters rows)
+        n_clusters = spark.read.parquet(f"{path}/centroids").count()
+    staging = path + "__retrain"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # debris from a kill mid-build: the live
+        # index was never touched, so a stale staging dir is disposable
+    build_ivf_index(
+        spark.read.parquet(f"{path}/vectors").select(id_col, vector_col),
+        staging,
+        n_clusters=int(n_clusters),
+        id_col=id_col,
+        vector_col=vector_col,
+    )
+    old = path + "__old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    out["rebuilt"] = True
+    after = retrain_decision(_measure(), threshold=threshold).collect()[0]
+    out["recall_after"] = after["mean_recall"]
+    return out

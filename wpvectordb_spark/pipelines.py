@@ -88,6 +88,7 @@ def curate_training_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     stratum_col: str = "lang",
+    soft_dedup: bool = False,
     persist: bool = True,
     manifest_dir: str | None = None,
 ) -> DataFrame:
@@ -111,6 +112,27 @@ def curate_training_corpus(
 
     Returns (id, stratum, n_tokens, seq_start, seq_end, shard, pos) —
     the manifest a training loader consumes.
+
+    ``soft_dedup=True`` is the Muennighoff-style DOWN-WEIGHT variant of
+    stage 2 (Scaling Data-Constrained LMs, 2023 — repeated data has
+    diminishing returns, so a duplicate cluster should contribute one
+    document's worth of sampling mass, not zero): instead of dropping
+    near-duplicates, the SAME MinHash pair generation feeds
+    ``connected_components`` -> ``soft_dedup_weights``, every document
+    survives with a ``weight`` column (1/|cluster| for near-dup cluster
+    members, 1.0 for singletons), and the weight rides the id
+    semi-joins through the quality / decontamination / DSIR stages
+    (those stages judge each document on its own text, so a duplicate's
+    copies pass or fail together and the surviving cluster mass stays
+    <= 1 doc).  Stage 6 then fills ``budgets`` as FRACTIONAL DOCUMENT
+    MASS through ``curation.weighted_budget_sample`` (a 4-member
+    cluster costs ~one document while all four variants stay eligible)
+    instead of ``budget_sample``'s token budgets — so in soft mode the
+    ``budgets`` values are documents' worth of probability mass, not
+    token counts.  The returned manifest gains the ``weight`` column
+    (feed it to a weighted loss or a downstream sampler).  Input docs
+    must not already carry a ``weight`` column (refused — the stage
+    would silently shadow it).
 
     In-session, every stage barrier is an EAGER ``localCheckpoint``
     (see ``_stage`` for why plan truncation, not just scan dedup, is
@@ -146,6 +168,12 @@ def curate_training_corpus(
     handled by the table format.
     """
     spark = docs.sparkSession
+    if soft_dedup and "weight" in docs.columns:
+        raise ValueError(
+            "curate_training_corpus(soft_dedup=True): input already has a "
+            "'weight' column — the soft-dedup stage would shadow it; "
+            "rename or drop it first"
+        )
     stage_no = [0]
     if manifest_dir is not None:
         from wpvectordb_spark.table import _check_local_path
@@ -157,6 +185,7 @@ def curate_training_corpus(
             {
                 "quality_quantile": quality_quantile,
                 "near_dup_threshold": near_dup_threshold,
+                "soft_dedup": soft_dedup,
                 "decontam_shingles": decontam_shingles,
                 "dsir_keep": dsir_keep if dsir_target is not None else None,
                 "budgets": budgets,
@@ -208,23 +237,40 @@ def curate_training_corpus(
     # three consumers read the barrier, so one-shot mode leaves no
     # shingle cache AND never re-tokenizes — re-hashing the whole corpus
     # per consumer is real money at 100 TB).
-    def _near_dedup(k: DataFrame) -> DataFrame:
+    def _near_dup_pairs(k: DataFrame) -> DataFrame:
         # call-scoped barrier: blocks are GC'd with the frame once the
         # stage barrier (or manifest write) has consumed the pairs
         sh = D.shingle_sets(
             k.select(id_col, text_col), id_col=id_col, text_col=text_col
         ).localCheckpoint(eager=True)
-        pairs = D.minhash_lsh_dedup_pairs(
+        return D.minhash_lsh_dedup_pairs(
             sh,
             threshold=near_dup_threshold,
             id_col=id_col,
             text_col=text_col,
             persist=False,
         )
-        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+
+    def _near_dedup(k: DataFrame) -> DataFrame:
+        dropped = _near_dup_pairs(k).select(
+            F.col("id_b").alias(id_col)
+        ).distinct()
         return k.join(dropped, id_col, "left_anti")
 
-    kept = _stage("near_dedup", lambda k=kept: _near_dedup(k))
+    def _soft_dedup(k: DataFrame) -> DataFrame:
+        # the SAME pair generation, resolved to weights instead of
+        # drops: transitive closure -> 1/|cluster| per member, corpus
+        # completion puts every other doc at weight 1.0, and the inner
+        # id join (weights cover every input id exactly once) attaches
+        # the column the later stages carry through their semi-joins.
+        comp = D.connected_components(_near_dup_pairs(k))
+        weights = D.soft_dedup_weights(comp, k.select(id_col), id_col=id_col)
+        return k.join(weights.select(id_col, "weight"), id_col)
+
+    kept = _stage(
+        "soft_dedup" if soft_dedup else "near_dedup",
+        lambda k=kept: _soft_dedup(k) if soft_dedup else _near_dedup(k),
+    )
     # 3. per-stratum quality gate (the filter projects survivors' ids;
     # semi-join them back so text flows on to the later stages)
     def _quality(k: DataFrame) -> DataFrame:
@@ -260,16 +306,24 @@ def curate_training_corpus(
             return k.join(picked, id_col, "left_semi")
 
         kept = _stage("dsir_select", lambda k=kept: _dsir(k))
-    # 6. token-budget mixing
+    # 6. budget mixing: token budgets via the hash-threshold sampler, or
+    # (soft mode) fractional document-mass budgets via the weighted
+    # sampler consuming the stage-2 weights
     if budgets is not None:
         def _budget(k: DataFrame) -> DataFrame:
-            return k.join(
-                CU.budget_sample(
-                    k, budgets, stratum_col=stratum_col, id_col=id_col, text_col=text_col
-                ).select(id_col),
-                id_col,
-                "left_semi",
-            )
+            if soft_dedup:
+                picked = CU.weighted_budget_sample(
+                    k.select(id_col, stratum_col, "weight"),
+                    budgets,
+                    stratum_col=stratum_col,
+                    id_col=id_col,
+                )
+            else:
+                picked = CU.budget_sample(
+                    k, budgets, stratum_col=stratum_col, id_col=id_col,
+                    text_col=text_col,
+                )
+            return k.join(picked.select(id_col), id_col, "left_semi")
 
         kept = _stage("budget_mix", lambda k=kept: _budget(k))
     # Final survivor set: the last stage barrier already materialized
@@ -295,4 +349,11 @@ def curate_training_corpus(
         # and pack's internal cache would have no release handle here
     )
     shards = CU.shuffle_shard(kept, num_shards=num_shards, seed=seed, id_col=id_col)
-    return packed.join(shards, id_col)
+    out = packed.join(shards, id_col)
+    if soft_dedup:
+        # the training loader's weighted-loss / sampler column: joined
+        # from the final survivor set, so it reflects the ORIGINAL
+        # cluster sizes (a cluster whose other members were filtered
+        # keeps its down-weight — its mass never exceeds one doc's)
+        out = out.join(kept.select(id_col, "weight"), id_col)
+    return out
