@@ -36,6 +36,12 @@ canary holds, because contention ROAMS between keys within
 stable-canary windows and only min-across-passes removes it.  "window"
 is quiet only when BOTH the pre-launch 1-min and 5-min loadavg were
 < 1 AND some pass held a stable canary.
+
+$SPARK_GRAFT_BENCH_QUIET_WAIT=<seconds> (default 0 = off) additionally
+GATES the launch: poll up to that long for both loadavg readings to
+drop under 1 before starting, then proceed regardless with the honest
+label — gives the artifact of record the best chance of being the
+quiet one ("quiet_wait_sec" records the actual wait).
 """
 
 from __future__ import annotations
@@ -77,6 +83,30 @@ def main() -> None:
     from wpvectordb_spark.operators import search as S
     from wpvectordb_spark.session import get_spark
 
+    # Optional bounded wait-for-quiet (round-9 verdict item 6): three
+    # rounds running, every DRIVER-committed artifact launched into a
+    # contaminated window while quiet judge/builder runs existed — the
+    # bench only ever MEASURED the window it got.  With
+    # SPARK_GRAFT_BENCH_QUIET_WAIT=<seconds> set, poll until BOTH the
+    # 1-min and 5-min loadavg drop under 1 (the quiet-window rule
+    # below), then proceed; on timeout proceed anyway with the honest
+    # label.  Default 0 = off, so interactive runs never stall; the
+    # wait burns budget-clock time deliberately (a stalled-then-killed
+    # bench records nothing, so BUDGET_SEC still governs).
+    quiet_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "0"))
+    waited_for_quiet = 0.0
+    while (
+        waited_for_quiet < quiet_wait
+        and not (os.getloadavg()[0] < 1.0 and os.getloadavg()[1] < 1.0)
+    ):
+        time.sleep(5)
+        waited_for_quiet += 5
+    if waited_for_quiet:
+        print(
+            f"# waited {waited_for_quiet:.0f}s of {quiet_wait:.0f}s for a "
+            f"quiet window (loadavg now {[round(x, 2) for x in os.getloadavg()]})",
+            file=sys.stderr,
+        )
     # Capture load BEFORE the JVM launches: the end-of-run loadavg is
     # self-inflated by the benchmark itself, so it cannot adjudicate
     # whether the window was quiet.  Rounds 5 and 6 both shipped
@@ -596,6 +626,7 @@ def main() -> None:
         "sf": float(sf),
         "n_attempts": len(attempts),
         "min_attempts_met": min_attempts_met,
+        "quiet_wait_sec": round(waited_for_quiet),
         "loadavg_prelaunch": loadavg_prelaunch,
         "window": window,
         "canary_best": min(c for att in attempts for c in att["canary_sec"]),
@@ -608,7 +639,12 @@ def main() -> None:
     # comparison needs), and if it STILL doesn't fit, scream on stderr —
     # a visible warning beats a silently truncated artifact
     line = json.dumps(final)
-    for victim in ("extras_total_sec", "loadavg_prelaunch", "min_attempts_met"):
+    for victim in (
+        "extras_total_sec",
+        "quiet_wait_sec",
+        "loadavg_prelaunch",
+        "min_attempts_met",
+    ):
         if len(line) <= 1800:
             break
         final.pop(victim, None)
