@@ -2987,11 +2987,16 @@ def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling + sliding window aggregations plus daily retention
     cohorts plus the volume-anomaly monitor in three forms (``zscore``
     batch, ``zdense`` calendar-spine densified, ``zstream`` the
-    streaming kernel's accumulated counts), tagged.  Column reuse:
+    streaming kernel's accumulated counts) plus the portable-HLL
+    distinct rollup in two forms (``hll`` daily-direct, ``hllmerge``
+    hourly registers merged to daily — identical by the sketch's merge
+    property, so one mirror serves both), tagged.  Column reuse:
     cohort rows carry the period offset in ``event_type`` (as string),
     the active count in ``n_events``, the retention ratio in
     ``sum_value`` and the cohort size in ``n_users``; the z arms carry
-    the z-score in ``sum_value``."""
+    the z-score in ``sum_value``; the hll arms carry the exact distinct
+    in ``n_events``, the estimate in ``sum_value`` and the seen-register
+    count in ``n_users``."""
     tumble = _q_events_tumbling(spark, sf_dir).select(
         F.lit("tumble").alias("kind"),
         "window_start",
@@ -3058,12 +3063,68 @@ def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zscore").alias("sum_value"),
         F.lit(None).cast("long").alias("n_users"),
     )
+    # PORTABLE-HLL daily distinct-user rollup next to the exact truth
+    # (column reuse: n_events carries the EXACT per-day distinct count,
+    # sum_value the sketch estimate, n_users the seen-register count) —
+    # the oracle-checkable counterpart of approx_count_distinct, whose
+    # HLL++ sketch is implementation-defined
+    ev = load_events(spark, sf_dir)
+    day = ev.select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias(
+            "window_start"
+        ),
+        "event_type",
+        "user_id",
+    )
+    # the register frame is the persisted rollup state: ONE hourly
+    # build feeds the hllmerge arm; the hll arm re-derives daily
+    # registers directly from events — merge-vs-direct equality is the
+    # property both arms pin (max is associative), so their oracle is
+    # ONE CTE re-tagged
+    hll_est = E.approx_distinct_rollup(ev, level="day")
+    exact_day = day.groupBy("window_start", "event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    hll = hll_est.join(exact_day, ["window_start", "event_type"]).select(
+        F.lit("hll").alias("kind"),
+        "window_start",
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_events"),
+        F.col("approx_distinct").alias("sum_value"),
+        F.col("n_registers").cast("long").alias("n_users"),
+    )
+    hour = ev.select(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("_h"),
+        "event_type",
+        "user_id",
+    )
+    hregs = E.hll_registers(hour, ["_h", "event_type"])
+    dregs = E.hll_merge(
+        hregs.withColumn(
+            "window_start", F.date_trunc("day", F.col("_h"))
+        ),
+        ["window_start", "event_type"],
+    )
+    hllmerge = (
+        E.hll_estimate(dregs, ["window_start", "event_type"])
+        .join(exact_day, ["window_start", "event_type"])
+        .select(
+            F.lit("hllmerge").alias("kind"),
+            "window_start",
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_events"),
+            F.col("approx_distinct").alias("sum_value"),
+            F.col("n_registers").cast("long").alias("n_users"),
+        )
+    )
     return (
         tumble.unionByName(slide)
         .unionByName(cohort)
         .unionByName(zscore)
         .unionByName(zdense)
         .unionByName(zstream)
+        .unionByName(hll)
+        .unionByName(hllmerge)
     )
 
 
@@ -5290,6 +5351,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'zstream' AS kind, window_start, event_type, n_events,
                    zscore AS sum_value, CAST(NULL AS BIGINT) AS n_users
             FROM ({E.sql_windowed_anomaly_scores(ev)})
+            UNION ALL
+            -- portable-HLL daily distinct rollup next to the exact
+            -- truth (n_events = exact COUNT DISTINCT, sum_value = the
+            -- sketch estimate, n_users = seen registers).  The
+            -- hllmerge arm (hourly registers merged to daily by
+            -- register max) EQUALS the direct form by the sketch's
+            -- merge property — max is associative — so one CTE serves
+            -- both tags, the zstream/telescoping pattern.
+            SELECT 'hll' AS kind, h.window_start, h.event_type,
+                   x.n_exact AS n_events, h.approx_distinct AS sum_value,
+                   h.n_registers AS n_users
+            FROM ({E.sql_hll_estimate(
+                f"SELECT CAST(date_trunc('day', {ev}) AS TIMESTAMP)"
+                " AS window_start, event_type, user_id FROM events",
+                ["window_start", "event_type"],
+            )}) h
+            JOIN (
+              SELECT CAST(date_trunc('day', {ev}) AS TIMESTAMP)
+                       AS window_start,
+                     event_type,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM events GROUP BY 1, 2
+            ) x ON h.window_start = x.window_start
+               AND h.event_type = x.event_type
+            UNION ALL
+            SELECT 'hllmerge' AS kind, h.window_start, h.event_type,
+                   x.n_exact AS n_events, h.approx_distinct AS sum_value,
+                   h.n_registers AS n_users
+            FROM ({E.sql_hll_estimate(
+                f"SELECT CAST(date_trunc('day', {ev}) AS TIMESTAMP)"
+                " AS window_start, event_type, user_id FROM events",
+                ["window_start", "event_type"],
+            )}) h
+            JOIN (
+              SELECT CAST(date_trunc('day', {ev}) AS TIMESTAMP)
+                       AS window_start,
+                     event_type,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM events GROUP BY 1, 2
+            ) x ON h.window_start = x.window_start
+               AND h.event_type = x.event_type
         """,
         "events_sessionize": sessionize_sql,
         "join_asof": """

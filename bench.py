@@ -473,6 +473,12 @@ def main() -> None:
             "events_anomaly_dense": lambda: force(
                 EV.windowed_anomaly_scores(events, densify=True)
             ),
+            # round 10: portable-HLL daily distinct rollup (registers +
+            # estimate — the shuffle carries <= #groups x 1024 register
+            # rows, never events)
+            "events_hll_rollup": lambda: force(
+                EV.approx_distinct_rollup(events)
+            ),
             "curate_weighted_sample": lambda: force(
                 CU.weighted_budget_sample(
                     _wsample_weighted(), entry.WSAMPLE_BUDGETS

@@ -120,7 +120,11 @@ EXPECTED_ARMS = {
     ),
     "events_windows": (
         "kind",
-        {"cohort", "slide", "tumble", "zscore", "zdense", "zstream"},
+        # round 10: + the portable-HLL distinct rollup ('hll' daily
+        # direct, 'hllmerge' hourly-merged — equal by the merge
+        # property, one mirror serves both)
+        {"cohort", "slide", "tumble", "zscore", "zdense", "zstream",
+         "hll", "hllmerge"},
     ),
     # round 7: + 'pool' (chunk->doc mean pooling, flattened cells)
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup", "pool"}),

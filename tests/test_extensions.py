@@ -1887,3 +1887,95 @@ def test_recall_report_golden(spark):
     assert (out[0]["n_hit"], out[0]["n_exact"], out[0]["recall"]) == (2, 4, 0.5)
     assert (out[1]["n_hit"], out[1]["n_exact"], out[1]["recall"]) == (3, 3, 1.0)
     assert (out[2]["n_hit"], out[2]["n_exact"], out[2]["recall"]) == (0, 1, 0.0)
+
+
+def test_hll_registers_merge_and_accuracy(spark):
+    """The portable sketch's three contracts: (1) registers merge by
+    pointwise max EXACTLY (hourly->daily == daily-from-raw, register
+    for register — the hypertable rollup guarantee), (2) estimates land
+    within the p=10 error envelope at small/medium/large cardinality
+    (small range exercises the linear-counting branch), (3) NULL values
+    drop like COUNT DISTINCT."""
+    rows = []
+    # 3 "hours", same day; users engineered per hour with overlap
+    for h, (lo, hi) in enumerate([(0, 800), (400, 1300), (900, 2000)]):
+        rows += [
+            (dt.datetime(2024, 3, 5, h), "click", u) for u in range(lo, hi)
+        ]
+    rows.append((dt.datetime(2024, 3, 5, 0), "click", None))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, user_id long"
+    )
+    day = df.select(
+        F.date_trunc("day", "ts").alias("window_start"), "event_type", "user_id"
+    )
+    direct = E.hll_registers(day, ["window_start", "event_type"])
+    hourly = E.hll_registers(
+        df.select(
+            F.date_trunc("hour", "ts").alias("_h"), "event_type", "user_id"
+        ),
+        ["_h", "event_type"],
+    )
+    merged = E.hll_merge(
+        hourly.withColumn("window_start", F.date_trunc("day", F.col("_h"))),
+        ["window_start", "event_type"],
+    ).select("window_start", "event_type", "bucket", "rho")
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    est = E.hll_estimate(direct, ["window_start", "event_type"]).collect()[0]
+    # 2000 true distinct; p=10 standard error ~3.25% -> assert 4 sigma
+    assert abs(est["approx_distinct"] - 2000) < 2000 * 0.13
+    assert 0 < est["n_registers"] <= 1024
+    # small range: the linear-counting branch, near-exact
+    small = spark.createDataFrame(
+        [("a", u) for u in range(40)], "g string, user_id long"
+    )
+    s = E.hll_estimate(E.hll_registers(small, ["g"]), ["g"]).collect()[0]
+    assert abs(s["approx_distinct"] - 40) < 5
+    # duplicates don't move the estimate (set semantics)
+    dup = small.unionByName(small)
+    s2 = E.hll_estimate(E.hll_registers(dup, ["g"]), ["g"]).collect()[0]
+    assert s2["approx_distinct"] == s["approx_distinct"]
+
+
+def test_hll_estimate_sql_mirror_parity(spark, duck):
+    """Spark registers+estimate == the DuckDB mirror row-for-row over
+    the real events table (daily per-type grouping) — the arm's
+    contract, pinned standalone."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    day = ev.select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias(
+            "window_start"
+        ),
+        "event_type",
+        "user_id",
+    )
+    s = sorted(
+        map(
+            tuple,
+            E.hll_estimate(
+                E.hll_registers(day, ["window_start", "event_type"]),
+                ["window_start", "event_type"],
+            ).collect(),
+        ),
+        key=repr,
+    )
+    d = sorted(
+        duck.sql(
+            E.sql_hll_estimate(
+                "SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS"
+                " TIMESTAMP) AS window_start, event_type, user_id"
+                " FROM events",
+                ["window_start", "event_type"],
+            )
+        ).fetchall(),
+        key=repr,
+    )
+    assert s == d
+    # and the convenience rollup equals the two-step form
+    r = sorted(
+        map(tuple, E.approx_distinct_rollup(ev, level="day").collect()),
+        key=repr,
+    )
+    assert r == s

@@ -941,3 +941,65 @@ def test_retrain_ivf_index_closes_the_loop(spark, tmp_path_factory):
         spark, path, q, threshold=1.1, k=5, n_probe=1, rebuild=False
     )
     assert ro["retrain"] is True and ro["rebuilt"] is False
+
+
+def test_retrain_ivfpq_index_closes_the_loop(spark, tmp_path_factory):
+    """The IVFPQ form of the closed loop: same drift topology as the
+    IVF test (frozen coarse quantizer routes the drift region away from
+    the query's probe), flagged by the sidecar-geometry-aware loop,
+    rebuilt with centroids AND codebooks re-trained on the full corpus,
+    recall restored; plain-IVF layouts and the IVF entry point refuse
+    each other's indexes."""
+    td = str(tmp_path_factory.mktemp("retrain_pq"))
+    path = f"{td}/ivfpq"
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    e0, e1 = vec(1, 0, 0, 0), vec(0, 1, 0, 0)
+    drift_a, drift_b = vec(0, 0.4, 1, 0), vec(0, 0.41, 1, 0)
+    base = (
+        [(0, e0), (1, e1)]
+        + [(10 + i, e0) for i in range(20)]
+        + [(30 + i, e1) for i in range(20)]
+    )
+    schema = "vec_id long, embedding array<double>"
+    SIM.build_ivfpq_index(
+        spark.createDataFrame(base, schema), path,
+        dim=4, n_clusters=2, m=2, n_codes=4,
+    )
+    q = spark.createDataFrame(
+        [(0, vec(0.05, 0, 1, 0))],
+        "query_id long, query_vector array<double>",
+    )
+    healthy = SIM.retrain_ivfpq_index(
+        spark, path, q, threshold=0.9, k=5, n_probe=1
+    )
+    assert healthy["mean_recall"] == 1.0 and healthy["rebuilt"] is False
+    delta = [(2, drift_a), (3, drift_b)] + [
+        (200 + i, drift_a) for i in range(10)
+    ]
+    SIM.append_to_ivfpq_index(spark, spark.createDataFrame(delta, schema), path)
+    out = SIM.retrain_ivfpq_index(
+        spark, path, q, threshold=0.9, k=5, n_probe=1, n_clusters=4
+    )
+    assert out["mean_recall"] == 0.0
+    assert out["retrain"] is True and out["rebuilt"] is True
+    assert out["recall_after"] == 1.0
+    # geometry preserved through the rebuild (dim/m/n_codes/residual
+    # are index identity; n_clusters widened as requested)
+    params = SIM._read_ivfpq_params(spark, path)
+    assert (params["dim"], params["m"], params["n_codes"]) == (4, 2, 4)
+    assert params["n_clusters"] == 4
+    got = SIM.ivfpq_topk(
+        spark, path, vec(0.05, 0, 1, 0), dim=4, m=2, k=5, n_probe=1
+    )
+    assert {r["vec_id"] for r in got.collect()} == {2, 200, 201, 202, 203}
+    # cross-family refusals: the IVF entry point refuses the sidecar'd
+    # index, and the IVFPQ one refuses a plain-IVF layout
+    with pytest.raises(ValueError, match="retrain_ivfpq_index"):
+        SIM.retrain_ivf_index(spark, path, q, threshold=0.9, k=5, n_probe=1)
+    ivf_path = f"{td}/plain_ivf"
+    SIM.build_ivf_index(spark.createDataFrame(base, schema), ivf_path, n_clusters=2)
+    with pytest.raises(ValueError, match="sidecar"):
+        SIM.retrain_ivfpq_index(spark, ivf_path, q, threshold=0.9, k=5)

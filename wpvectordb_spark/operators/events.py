@@ -596,3 +596,202 @@ def sql_windowed_anomaly_scores(
         WINDOW tw AS (PARTITION BY event_type ORDER BY window_start
                       ROWS BETWEEN {trailing} PRECEDING AND 1 PRECEDING)
     """
+
+
+#: portable-HLL geometry: p=10 -> 1024 registers, ~3.25% standard error
+#: (1.04/sqrt(m)).  The 32-bit Wang hash leaves 22 rank bits, so rho <=
+#: 23 and every 2^-rho term is a multiple of 2^-23 — the register sum
+#: fits 33 mantissa bits and is EXACT in float64 regardless of addition
+#: order, which is what makes the estimate engine-portable without a
+#: sorted fold.
+HLL_P = 10
+HLL_M = 1 << HLL_P
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant for m >= 128 — computed in
+    Python once and embedded as the SAME literal in both engines."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "user_id",
+    p: int = HLL_P,
+) -> DataFrame:
+    """PORTABLE HyperLogLog registers per group — the mergeable
+    distinct-count sketch a hypertable rollup stores, built from
+    explicit integer arithmetic (Wang 32-bit hash, top ``p`` bits pick
+    the register, the rank is 1 + leading zeros of the remaining bits)
+    so the SAME registers come out of Spark, DuckDB, or any engine —
+    unlike ``approx_count_distinct``, whose HLL++ sketch is
+    implementation-defined and therefore un-oracle-able (the
+    ``tumbling_window_agg`` docstring's caveat; this operator is the
+    portable answer).
+
+    Returns ``(group..., bucket, rho)`` with one row per SEEN register
+    (<= 2^p rows per group).  The frame IS the rollup state: persist it
+    per (hour, type), and any coarser rollup is a ``max(rho)``
+    re-group (:func:`hll_merge`) — registers merge by pointwise max, so
+    hour -> day -> month never rescans events (the Theta/HLL-sketch
+    data-warehouse pattern: Flajolet et al. 2007; druid/datasketches
+    practice).  Estimate with :func:`hll_estimate`.
+
+    Scale shape: one narrow projection + one map-side-combinable
+    groupBy — the shuffle carries at most #groups x 2^p register rows,
+    never event rows.  NULL values drop (COUNT DISTINCT semantics).
+    """
+    from wpvectordb_spark.operators.curation import id_hash
+
+    wbits = 32 - int(p)
+    h = id_hash(F.col(value_col))
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    # rank via BINARY-STRING LENGTH, not floor(log2): Spark's log2
+    # compiles to ln(x)/ln(2), which is one float division away from
+    # flooring to k-1 at exact powers of two — an off-by-one register
+    # rank that silently diverges engines.  length(conv(w, 10, 2)) - 1
+    # IS floor(log2(w)) in pure integer/string ops (DuckDB mirror:
+    # length(bin(w))), exact everywhere.
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.conv(w, 10, 2)))
+        .cast("int")
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.shiftright(h, wbits).cast("long").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register frames to a coarser grouping by pointwise
+    ``max(rho)`` — lossless by the HLL merge property (max is
+    associative/commutative, so hourly->daily == daily-from-raw
+    EXACTLY, register for register; test-asserted and pinned under the
+    driver oracle by the ``hllmerge`` arm).  ``group_cols`` is the
+    COARSER key (e.g. day instead of hour); the input may carry extra
+    finer-grained columns, which are dropped."""
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    p: int = HLL_P,
+    round_to: int = 6,
+) -> DataFrame:
+    """Registers -> cardinality estimate per group: the standard
+    raw-HLL formula ``alpha * m^2 / sum(2^-rho_j)`` (unseen registers
+    contribute 2^0 = 1) with the small-range linear-counting correction
+    ``m * ln(m / zeros)`` when the raw estimate is under ``2.5m`` and
+    empty registers remain (Flajolet et al. 2007 §4; the 32-bit
+    large-range correction is omitted — at cardinalities approaching
+    2^32 per group, raise ``p`` / widen the hash instead).
+
+    Returns ``(group..., n_registers, approx_distinct)`` —
+    ``approx_distinct`` rounded to ``round_to`` (the estimate ends in
+    ``ln``/division, whose last-ulp behavior is the one engine-varying
+    step; the register SUM itself is exact, see ``HLL_P``).
+
+    Scale shape: one #registers-row aggregation — the events never
+    participate."""
+    m = 1 << int(p)
+    alpha_m2 = _hll_alpha(m) * m * m
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("_seen"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_z"),
+    )
+    zeros = (F.lit(m) - F.col("_seen")).cast("double")
+    raw = F.lit(alpha_m2) / (F.col("_z") + zeros)
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.col("_seen").cast("long").alias("n_registers"),
+        F.round(est, round_to).alias("approx_distinct"),
+    )
+
+
+def sql_hll_estimate(
+    source_sql: str,
+    group_cols: list[str],
+    value_col: str = "user_id",
+    p: int = HLL_P,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror of ``hll_registers`` + ``hll_estimate`` over a
+    source relation (same Wang hash, same integer bucket/rank split,
+    same Python-computed alpha literal, same correction branch)."""
+    from wpvectordb_spark.operators.curation import sql_id_hash
+
+    m = 1 << int(p)
+    wbits = 32 - int(p)
+    alpha_m2 = _hll_alpha(m) * m * m
+    h = sql_id_hash(value_col)
+    groups = ", ".join(group_cols)
+    return f"""
+        WITH hll_rows AS (
+          SELECT {groups},
+                 CAST(({h}) // {1 << wbits} AS BIGINT) AS bucket,
+                 -- binary-string length, same reason as the Spark side:
+                 -- floor(log2) at exact powers of two is engine-fragile
+                 CAST(CASE WHEN ({h}) % {1 << wbits} = 0 THEN {wbits + 1}
+                      ELSE {wbits + 1} - length(bin(({h}) % {1 << wbits}))
+                      END AS INT) AS rho
+          FROM ({source_sql}) WHERE {value_col} IS NOT NULL
+        ),
+        hll_regs AS (
+          SELECT {groups}, bucket, MAX(rho) AS rho
+          FROM hll_rows GROUP BY {groups}, bucket
+        ),
+        hll_agg AS (
+          SELECT {groups}, COUNT(*) AS seen,
+                 SUM(power(2.0, -rho)) AS z
+          FROM hll_regs GROUP BY {groups}
+        )
+        SELECT {groups}, CAST(seen AS BIGINT) AS n_registers,
+               round(CASE WHEN {alpha_m2!r} / (z + ({m} - seen))
+                               <= {2.5 * m!r}
+                           AND {m} - seen > 0
+                     THEN {float(m)!r} * ln({float(m)!r}
+                                            / CAST({m} - seen AS DOUBLE))
+                     ELSE {alpha_m2!r} / (z + ({m} - seen)) END,
+                     {round_to}) AS approx_distinct
+        FROM hll_agg
+    """
+
+
+def approx_distinct_rollup(
+    events: DataFrame,
+    level: str = "day",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "user_id",
+    p: int = HLL_P,
+) -> DataFrame:
+    """Per-(calendar bucket, type) approximate distinct count through
+    the portable sketch in one call — the hypertable continuous-
+    aggregate shape: ``date_trunc(level)`` buckets, registers, estimate.
+    Returns (window_start, <type_col>, n_registers, approx_distinct).
+    Persist :func:`hll_registers`' frame instead when coarser rollups
+    will be derived later (registers merge; estimates do not)."""
+    base = events.select(
+        F.date_trunc(level, F.col(ts_col).cast("timestamp")).alias(
+            "window_start"
+        ),
+        F.col(type_col),
+        F.col(value_col),
+    )
+    regs = hll_registers(base, ["window_start", type_col], value_col, p)
+    return hll_estimate(regs, ["window_start", type_col], p)

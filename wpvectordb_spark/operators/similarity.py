@@ -2267,13 +2267,14 @@ def retrain_ivf_index(
     query batch, never per serve.  The decision collect is one row; the
     rebuild is the same two jobs as ``build_ivf_index``.
     """
-    import os
-    import shutil
-
-    from wpvectordb_spark.operators import search as S
+    if _read_ivfpq_params(spark, path) is not None:
+        raise ValueError(
+            "retrain_ivf_index: this index has an IVFPQ params sidecar — "
+            "rebuilding it as plain IVF would silently drop the codes and "
+            "geometry; use retrain_ivfpq_index"
+        )
 
     def _measure() -> DataFrame:
-        vectors = spark.read.parquet(f"{path}/vectors")
         approx = ivf_topk_many(
             spark,
             queries,
@@ -2286,27 +2287,86 @@ def retrain_ivf_index(
             query_vec_col=query_vec_col,
             expected_dim=expected_dim,
         )
-        exact = S.search_many(
-            vectors.select(
-                F.col(id_col).alias("id"), F.col(vector_col).alias("vector")
-            ),
-            queries,
-            n=k,
-            two_phase=False,
-            code_col=None,
-            mag_col=None,
-            query_id_col=query_id_col,
-            query_vec_col=query_vec_col,
-            expected_dim=expected_dim,
-        )
-        return recall_report(
-            approx.select(query_id_col, id_col),
-            exact.select(query_id_col, F.col("id").alias(id_col)),
-            query_col=query_id_col,
-            id_col=id_col,
+        return _exact_recall_of(
+            spark, path, approx, queries, k, id_col, vector_col,
+            query_id_col, query_vec_col, expected_dim,
         )
 
-    dec = retrain_decision(_measure(), threshold=threshold).collect()[0]
+    def _build_staging(staging: str) -> None:
+        nc = n_clusters
+        if nc is None:
+            # preserve the index's geometry: re-train the SAME number
+            # of centroids on the grown corpus (bounded read — the
+            # centroid table is n_clusters rows)
+            nc = spark.read.parquet(f"{path}/centroids").count()
+        build_ivf_index(
+            spark.read.parquet(f"{path}/vectors").select(id_col, vector_col),
+            staging,
+            n_clusters=int(nc),
+            id_col=id_col,
+            vector_col=vector_col,
+        )
+
+    return _closed_retrain_loop(
+        path, _measure, _build_staging, threshold, rebuild
+    )
+
+
+def _exact_recall_of(
+    spark,
+    path: str,
+    approx: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vector_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    expected_dim: int | None,
+) -> DataFrame:
+    """Recall report of ``approx`` against the brute-force cosine top-k
+    over the index's OWN stored vectors (both persisted layouts store
+    the float vector next to the derived columns) — the shared
+    measurement half of the retrain loops."""
+    from wpvectordb_spark.operators import search as S
+
+    vectors = spark.read.parquet(f"{path}/vectors")
+    exact = S.search_many(
+        vectors.select(
+            F.col(id_col).alias("id"), F.col(vector_col).alias("vector")
+        ),
+        queries,
+        n=k,
+        two_phase=False,
+        code_col=None,
+        mag_col=None,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        expected_dim=expected_dim,
+    )
+    return recall_report(
+        approx.select(query_id_col, id_col),
+        exact.select(query_id_col, F.col("id").alias(id_col)),
+        query_col=query_id_col,
+        id_col=id_col,
+    )
+
+
+def _closed_retrain_loop(
+    path: str,
+    measure,
+    build_staging,
+    threshold: float,
+    rebuild: bool,
+) -> dict:
+    """Shared measure -> decide -> rebuild-and-swap skeleton of the two
+    retrain loops.  The swap follows the facades' staging/rename order
+    (build aside, live aside, promote, drop old), so a kill at any
+    point leaves the old or the new index, never zero copies."""
+    import os
+    import shutil
+
+    dec = retrain_decision(measure(), threshold=threshold).collect()[0]
     out = {
         "n_queries": dec["n_queries"],
         "n_below": dec["n_below"],
@@ -2318,22 +2378,11 @@ def retrain_ivf_index(
     }
     if not (rebuild and out["retrain"]):
         return out
-    if n_clusters is None:
-        # preserve the index's geometry: re-train the SAME number of
-        # centroids on the grown corpus (bounded read — the centroid
-        # table is n_clusters rows)
-        n_clusters = spark.read.parquet(f"{path}/centroids").count()
     staging = path + "__retrain"
     if os.path.isdir(staging):
         shutil.rmtree(staging)  # debris from a kill mid-build: the live
         # index was never touched, so a stale staging dir is disposable
-    build_ivf_index(
-        spark.read.parquet(f"{path}/vectors").select(id_col, vector_col),
-        staging,
-        n_clusters=int(n_clusters),
-        id_col=id_col,
-        vector_col=vector_col,
-    )
+    build_staging(staging)
     old = path + "__old"
     if os.path.isdir(old):
         shutil.rmtree(old)
@@ -2341,6 +2390,77 @@ def retrain_ivf_index(
     os.rename(staging, path)
     shutil.rmtree(old)
     out["rebuilt"] = True
-    after = retrain_decision(_measure(), threshold=threshold).collect()[0]
+    after = retrain_decision(measure(), threshold=threshold).collect()[0]
     out["recall_after"] = after["mean_recall"]
     return out
+
+
+def retrain_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    threshold: float = 0.9,
+    k: int = 10,
+    n_probe: int = 4,
+    n_clusters: int | None = None,
+    rebuild: bool = True,
+    id_col: str = "vec_id",
+    vector_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vector",
+) -> dict:
+    """:func:`retrain_ivf_index` for the IVFPQ family — the same closed
+    measure -> flag -> re-train -> swap loop, serving the monitoring
+    batch through ``ivfpq_topk_many`` (probe-pruned + ADC + exact
+    rerank) and rebuilding through ``build_ivfpq_index`` with the
+    geometry read from the params sidecar (dim/m/n_codes/residual are
+    index identity and are preserved; ``n_clusters`` may be widened —
+    the standard response when appended mass deserves its own cells).
+    Centroids AND codebooks re-train on the full corpus, codes
+    re-encode — exactly what FAISS means by re-training an IndexIVFPQ.
+    Pre-sidecar indexes refuse (no recorded geometry to preserve);
+    returns the same report dict as the IVF form."""
+    params = _read_ivfpq_params(spark, path)
+    if params is None:
+        raise ValueError(
+            "retrain_ivfpq_index: no params sidecar under "
+            f"{path!r} — pre-sidecar indexes carry no geometry to "
+            "rebuild with (use retrain_ivf_index for plain-IVF layouts)"
+        )
+    dim, m = int(params["dim"]), int(params["m"])
+
+    def _measure() -> DataFrame:
+        approx = ivfpq_topk_many(
+            spark,
+            path,
+            queries,
+            dim=dim,
+            m=m,
+            k=k,
+            n_probe=n_probe,
+            id_col=id_col,
+            vector_col=vector_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        return _exact_recall_of(
+            spark, path, approx, queries, k, id_col, vector_col,
+            query_id_col, query_vec_col, dim,
+        )
+
+    def _build_staging(staging: str) -> None:
+        build_ivfpq_index(
+            spark.read.parquet(f"{path}/vectors").select(id_col, vector_col),
+            staging,
+            dim=dim,
+            n_clusters=int(n_clusters or params["n_clusters"]),
+            m=m,
+            n_codes=int(params["n_codes"]),
+            residual=bool(params["residual"]),
+            id_col=id_col,
+            vector_col=vector_col,
+        )
+
+    return _closed_retrain_loop(
+        path, _measure, _build_staging, threshold, rebuild
+    )
