@@ -5357,9 +5357,11 @@ def oracle_sql() -> dict[str, str]:
             -- sketch estimate, n_users = seen registers).  The
             -- hllmerge arm (hourly registers merged to daily by
             -- register max) EQUALS the direct form by the sketch's
-            -- merge property — max is associative — so one CTE serves
-            -- both tags, the zstream/telescoping pattern.
-            SELECT 'hll' AS kind, h.window_start, h.event_type,
+            -- merge property — max is associative — so ONE executed
+            -- subquery serves both tags via the 2-row tag cross join
+            -- (the zstream telescoping argument, without even
+            -- re-running the CTE text).
+            SELECT t.kind, h.window_start, h.event_type,
                    x.n_exact AS n_events, h.approx_distinct AS sum_value,
                    h.n_registers AS n_users
             FROM ({E.sql_hll_estimate(
@@ -5375,23 +5377,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1, 2
             ) x ON h.window_start = x.window_start
                AND h.event_type = x.event_type
-            UNION ALL
-            SELECT 'hllmerge' AS kind, h.window_start, h.event_type,
-                   x.n_exact AS n_events, h.approx_distinct AS sum_value,
-                   h.n_registers AS n_users
-            FROM ({E.sql_hll_estimate(
-                f"SELECT CAST(date_trunc('day', {ev}) AS TIMESTAMP)"
-                " AS window_start, event_type, user_id FROM events",
-                ["window_start", "event_type"],
-            )}) h
-            JOIN (
-              SELECT CAST(date_trunc('day', {ev}) AS TIMESTAMP)
-                       AS window_start,
-                     event_type,
-                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
-              FROM events GROUP BY 1, 2
-            ) x ON h.window_start = x.window_start
-               AND h.event_type = x.event_type
+            CROSS JOIN (VALUES ('hll'), ('hllmerge')) t(kind)
         """,
         "events_sessionize": sessionize_sql,
         "join_asof": """

@@ -95,12 +95,15 @@ def main() -> None:
     # bench records nothing, so BUDGET_SEC still governs).
     quiet_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "0"))
     waited_for_quiet = 0.0
-    while (
-        waited_for_quiet < quiet_wait
-        and not (os.getloadavg()[0] < 1.0 and os.getloadavg()[1] < 1.0)
-    ):
-        time.sleep(5)
-        waited_for_quiet += 5
+    while waited_for_quiet < quiet_wait:
+        la = os.getloadavg()  # one read per poll: both averages from
+        # the same instant
+        if la[0] < 1.0 and la[1] < 1.0:
+            break
+        tick = min(5.0, quiet_wait - waited_for_quiet)  # never overshoot
+        # the configured budget by a partial tick
+        time.sleep(tick)
+        waited_for_quiet += tick
     if waited_for_quiet:
         print(
             f"# waited {waited_for_quiet:.0f}s of {quiet_wait:.0f}s for a "

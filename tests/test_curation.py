@@ -1450,6 +1450,20 @@ def test_weighted_budget_sample_fills_mass_within_one_doc(spark, duck):
     )
     with pytest.raises(Exception, match="negative weight"):
         CU.weighted_budget_sample(with_neg, budgets).collect()
+    # ...but an UNBUDGETED stratum keeps its documented silent drop —
+    # its rows can never be sampled, so a negative weight there is
+    # inert (and the unchanged mirror drops it too)
+    with_neg_unbudgeted = weighted.select(
+        "doc_id", "lang", "weight"
+    ).unionByName(
+        spark.createDataFrame(
+            [(997, -0.5, "de")], "doc_id long, weight double, lang string"
+        ).select("doc_id", "lang", "weight")
+    )
+    kept4 = CU.weighted_budget_sample(with_neg_unbudgeted, budgets).collect()
+    assert sorted(r["doc_id"] for r in kept4) == sorted(
+        r["doc_id"] for r in kept
+    )
     # mirror parity on the same frame
     duck.execute(
         "CREATE OR REPLACE TEMP TABLE wbs_in(doc_id BIGINT, lang VARCHAR,"

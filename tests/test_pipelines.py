@@ -376,3 +376,43 @@ def test_curate_training_corpus_soft_dedup_manifest_mode(spark, tmp_path):
         curate_training_corpus(
             docs, manifest_dir=mdir, **{**kwargs, "soft_dedup": False}
         )
+
+
+def test_manifest_params_accept_pre_soft_dedup_dirs(spark, tmp_path):
+    """A manifest dir written BEFORE the soft_dedup parameter existed
+    (its _params.json lacks the key) must still resume under the same
+    configuration — parameter-surface upgrades must not force full
+    recomputes (code-review round 10)."""
+    import json
+    import os
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "lang", "text")
+    )
+    kwargs = dict(quality_quantile=0.25, near_dup_threshold=0.5,
+                  num_shards=4, seq_len=256)
+    mdir = str(tmp_path / "legacy")
+    out1 = {
+        tuple(r)
+        for r in curate_training_corpus(docs, manifest_dir=mdir, **kwargs).collect()
+    }
+    # simulate the pre-upgrade sidecar: drop the soft_dedup key
+    pfile = os.path.join(mdir, "_params.json")
+    params = json.loads(open(pfile).read())
+    assert params.pop("soft_dedup") is False
+    with open(pfile, "w") as fh:
+        fh.write(json.dumps(params, sort_keys=True))
+    out2 = {
+        tuple(r)
+        for r in curate_training_corpus(docs, manifest_dir=mdir, **kwargs).collect()
+    }
+    assert out2 == out1  # adopted, not refused
+    # but a soft_dedup=True rerun over the legacy dir still refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different"):
+        curate_training_corpus(
+            docs, manifest_dir=mdir, soft_dedup=True, **kwargs
+        )

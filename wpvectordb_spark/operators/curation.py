@@ -641,9 +641,10 @@ def weighted_budget_sample(
     so the kept set is no longer a prefix and the fill semantics are
     meaningless.  REFUSED loudly, not computed: the per-stratum stats
     aggregation (already in the plan — no extra scan) carries
-    ``min(weight)``, and a stratum whose minimum is negative raises at
-    execution time.  The DuckDB mirror is unchanged (it never sees the
-    out-of-contract input).
+    ``min(weight)``, and a BUDGETED stratum whose minimum is negative
+    raises at execution time (unbudgeted strata keep the documented
+    silent drop — their rows can never be sampled).  The DuckDB mirror
+    is unchanged (it never sees the out-of-contract input).
 
     Returns kept rows as (id, stratum, weight).
 
@@ -688,9 +689,12 @@ def weighted_budget_sample(
     # consumed by the prefilter, so Catalyst can't prune it): when the
     # stratum's min micro-weight is negative the row errors instead of
     # feeding a non-monotonic cumsum.  Zero extra scans — _wmin comes
-    # from the stats agg the prefilter already needs.
+    # from the stats agg the prefilter already needs.  UNBUDGETED
+    # strata keep their documented drop semantics (and the mirror's):
+    # their rows can never be sampled, so a negative weight there is
+    # inert, not a poisoned fill.
     b_checked = F.when(
-        F.col("_wmin") >= 0, budget
+        (F.col("_wmin") >= 0) | (budget <= 0), budget
     ).otherwise(
         F.raise_error(
             F.concat(

@@ -2191,14 +2191,22 @@ def retrain_decision(
     """
     thr = float(threshold)
     mean_r = F.round(F.avg(recall_col), round_to)
+    # empty-report coalesces mirror the SQL form's COALESCE/CASE-ELSE
+    # exactly (a zero-query report verdicts n_below=0, retrain=0 in
+    # BOTH engines — no evidence is not a re-train trigger; mean/min
+    # stay NULL as the honest "nothing measured")
     return report.agg(
         F.count("*").cast("long").alias("n_queries"),
-        F.sum((F.col(recall_col) < thr).cast("long"))
+        F.coalesce(
+            F.sum((F.col(recall_col) < thr).cast("long")), F.lit(0)
+        )
         .cast("long")
         .alias("n_below"),
         mean_r.alias("mean_recall"),
         F.min(recall_col).alias("min_recall"),
-        (mean_r < F.lit(thr)).cast("long").alias("retrain"),
+        F.coalesce((mean_r < F.lit(thr)).cast("long"), F.lit(0)).alias(
+            "retrain"
+        ),
     )
 
 
@@ -2267,6 +2275,13 @@ def retrain_ivf_index(
     query batch, never per serve.  The decision collect is one row; the
     rebuild is the same two jobs as ``build_ivf_index``.
     """
+    from wpvectordb_spark.table import _check_local_path, _recover_snapshot
+
+    # driver-local rename surgery ahead: refuse/normalize URI paths (the
+    # os-vs-Spark mismatch class _check_local_path documents) and heal a
+    # swap orphaned between the two renames of a previous retrain
+    path = _check_local_path(path)
+    _recover_snapshot(path)
     if _read_ivfpq_params(spark, path) is not None:
         raise ValueError(
             "retrain_ivf_index: this index has an IVFPQ params sidecar — "
@@ -2361,8 +2376,13 @@ def _closed_retrain_loop(
 ) -> dict:
     """Shared measure -> decide -> rebuild-and-swap skeleton of the two
     retrain loops.  The swap follows the facades' staging/rename order
-    (build aside, live aside, promote, drop old), so a kill at any
-    point leaves the old or the new index, never zero copies."""
+    (build aside, live aside, promote, drop old): a kill anywhere
+    leaves the data in at most one rename of recovery — the one window
+    between the two renames leaves ``path`` absent with the old copy
+    intact at ``path__old``, and the callers heal that on their next
+    invocation via ``table._recover_snapshot`` before measuring (same
+    contract as the facades; readers racing that window see no live
+    dir, the documented single-writer trade)."""
     import os
     import shutil
 
@@ -2420,6 +2440,10 @@ def retrain_ivfpq_index(
     re-encode — exactly what FAISS means by re-training an IndexIVFPQ.
     Pre-sidecar indexes refuse (no recorded geometry to preserve);
     returns the same report dict as the IVF form."""
+    from wpvectordb_spark.table import _check_local_path, _recover_snapshot
+
+    path = _check_local_path(path)
+    _recover_snapshot(path)
     params = _read_ivfpq_params(spark, path)
     if params is None:
         raise ValueError(

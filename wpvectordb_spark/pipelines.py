@@ -59,7 +59,16 @@ def _guard_manifest_params(manifest_dir: str, params: dict) -> None:
     if os.path.exists(path):
         with open(path) as fh:
             existing = fh.read()
-        if existing != blob:
+        # compare as dicts with defaults for keys ADDED since the dir
+        # was written: a pre-soft-dedup manifest dir was implicitly
+        # written under soft_dedup=False, and refusing it on a
+        # byte-compare would force a full recompute after every
+        # parameter-surface upgrade (only additions with a backward-
+        # equivalent default may be listed here)
+        old = json.loads(existing)
+        for key, legacy_default in (("soft_dedup", False),):
+            old.setdefault(key, legacy_default)
+        if old != params:
             raise ValueError(
                 f"manifest_dir {manifest_dir!r} was written with different "
                 f"parameters ({existing}) than this call ({blob}) — reruns "
