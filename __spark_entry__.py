@@ -3268,22 +3268,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Keys whose results changed this round are ordered FIRST in case the
     window is time-bounded rather than count-bounded."""
     return {
-        # --- changed in round 9 (front of window): multimodal_features
-        # gains the 'dedupv' byte_verify arm (blake2b channel invisible
-        # on the collision-free corpus); events_windows the 'zdense'
-        # calendar-spine densified arm + the 'zstream' streaming-monitor
-        # arm (telescoping integer window counts); curate_sample_pack
-        # the 'wsample' weighted-mass sampler arm (soft-dedup weights as
-        # fractional mass, integer micro-mass cumsum); dedup_exact the
-        # 'norm' CCNet-normalized fuzzy-exact arm; ann_lsh_ivf the
-        # 'recall<qid>' index recall report; text_analyze's doc arm
-        # passes fused=False explicitly (the default reverted to the
-        # fused single projection per round-8 ADVICE) ---
-        "multimodal_features": _q_multimodal_features_merged,
-        "events_windows": _q_events_windows,
+        # --- changed in round 10 (front of window): curate_sample_pack
+        # gains the 'softpipe' arm (curate_training_corpus(
+        # soft_dedup=True) — weights instead of near-dup drops, mass
+        # budgets instead of token budgets); events_windows the 'hll' +
+        # 'hllmerge' portable-HLL distinct-rollup arms (one executed
+        # mirror subquery serves both tags); ann_lsh_ivf the 'rdecide'
+        # retrain-decision arm (+ the recall report barriered);
+        # dedup_minhash_lsh's persists became localCheckpoint barriers
+        # (values unchanged) ---
         "curate_sample_pack": _q_curate_sample_pack,
-        "dedup_exact": _q_dedup_exact_merged,  # + 'diff' snapshot audit
+        "events_windows": _q_events_windows,
         "ann_lsh_ivf": _q_ann_lsh_ivf,
+        "dedup_minhash_lsh": _q_dedup_minhash_components,
+        # --- changed in round 9: multimodal_features
+        # gains the 'dedupv' byte_verify arm (blake2b channel invisible
+        # on the collision-free corpus); dedup_exact the
+        # 'norm' CCNet-normalized fuzzy-exact arm; text_analyze's doc
+        # arm passes fused=False explicitly (the default reverted to
+        # the fused single projection per round-8 ADVICE) ---
+        "multimodal_features": _q_multimodal_features_merged,
+        "dedup_exact": _q_dedup_exact_merged,  # + 'diff' snapshot audit
         "text_analyze": _q_text_analyze_merged,
         # --- changed in round 8: index_build gained
         # the 'export' reference-wire-format roundtrip arm (JSON-text
@@ -3312,7 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pooling arm; k7_json_codec's ingest fixture pins the
         # bare-`null` quarantine line ---
         "events_conversion_funnel": _q_events_funnel_merged,
-        "dedup_minhash_lsh": _q_dedup_minhash_components,
+        # (dedup_minhash_lsh moved to the round-10 front block)
         "dedup_embedding": _q_dedup_embedding,  # + 'pool' mean pooling
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,  # + 'cont' arm
         "k7_json_codec": _q_k7_json_codec,
