@@ -186,3 +186,36 @@ def test_round9_operators_on_empty_and_edge_inputs(spark, empty_docs, empty_even
     )
     r = M.media_exact_dedup(nulls, byte_verify=True).collect()
     assert len(r) == 1 and r[0]["dup_count"] == 2  # NULLs both -> b""
+
+
+def test_round10_operators_on_empty_and_edge_inputs(spark, empty_events):
+    """Round-10 additions under the standing empty/edge probe: the HLL
+    family on empty/all-NULL inputs, retrain_decision on an empty
+    recall report (the mirror-parity coalesces), and the soft-dedup
+    pipeline over an empty corpus."""
+    from wpvectordb_spark.operators import similarity as SIM
+    from wpvectordb_spark.pipelines import curate_training_corpus
+
+    assert E.approx_distinct_rollup(empty_events).count() == 0
+    nulls = spark.createDataFrame(
+        [("a", None), ("a", None)], "g string, user_id long"
+    )
+    regs = E.hll_registers(nulls, ["g"])
+    assert regs.count() == 0  # NULLs drop like COUNT DISTINCT
+    assert E.hll_estimate(regs, ["g"]).count() == 0
+    # empty recall report -> a defined, mirror-identical verdict
+    empty_rep = spark.createDataFrame(
+        [], "query_id long, n_hit long, n_exact long, recall double"
+    )
+    row = SIM.retrain_decision(empty_rep, threshold=0.9).collect()[0]
+    assert (row["n_queries"], row["n_below"], row["retrain"]) == (0, 0, 0)
+    assert row["mean_recall"] is None and row["min_recall"] is None
+    # soft-dedup pipeline over an empty corpus: no stage crashes, the
+    # weight column still exists in the (empty) manifest
+    empty_corpus = spark.createDataFrame(
+        [], "doc_id long, lang string, text string"
+    )
+    out = curate_training_corpus(
+        empty_corpus, budgets={"en": 5.0}, soft_dedup=True, persist=False
+    )
+    assert out.count() == 0 and "weight" in out.columns

@@ -374,3 +374,38 @@ def test_round9_plan_shapes(spark):
     final = plan.split("Initial Plan")[0]
     assert len(re.findall(r"Exchange", final)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_round10_plan_shapes(spark):
+    """Round-10 operators: hll_registers is ONE map-side-combinable
+    aggregation (a single hash exchange, no join — events collapse to
+    register rows before anything shuffles); the full rollup adds only
+    the #registers-row estimate agg; retrain_decision is one global
+    aggregation with no window or join."""
+    import re
+
+    from wpvectordb_spark.operators import events as E
+    from wpvectordb_spark.operators import similarity as SIM
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    day = ev.select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("ws"),
+        "event_type",
+        "user_id",
+    )
+    plan = _plan(E.hll_registers(day, ["ws", "event_type"]))
+    final = plan.split("Initial Plan")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final)) == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+    plan = _plan(E.approx_distinct_rollup(ev))
+    final = plan.split("Initial Plan")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", final)) <= 2, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+    rep = spark.createDataFrame(
+        [(0, 10, 10, 1.0)], "query_id long, n_hit long, n_exact long,"
+        " recall double"
+    )
+    plan = _plan(SIM.retrain_decision(rep))
+    assert "Window" not in plan and "Join" not in plan, plan
