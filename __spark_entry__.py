@@ -2049,6 +2049,25 @@ def _q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_percentiles_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles PLUS the portable HdrHistogram sketch readout,
+    tagged: ``exact`` rows are the interpolated truth, ``hdr`` rows the
+    log-bucketed mergeable sketch's nearest-rank midpoints (<= 2^-6
+    relative error by construction; the histogram is the rollup state a
+    100 TB p99 monitor persists per hour and max-merges — the quantile
+    sibling of the hll arms).  Unlike ``approx_percentile``'s
+    implementation-defined internals, the sketch is explicit integer
+    arithmetic, so it sits under the hash oracle."""
+    exact = _q_events_percentiles(spark, sf_dir).select(
+        F.lit("exact").alias("kind"), "event_type", "p50", "p90", "p99"
+    )
+    hdr = E.hdr_quantiles(
+        E.hdr_histogram(load_events(spark, sf_dir), ["event_type"]),
+        ["event_type"],
+    ).select(F.lit("hdr").alias("kind"), "event_type", "p50", "p90", "p99")
+    return exact.unionByName(hdr)
+
+
 # --- merged driver queries ----------------------------------------------------
 # The driver evaluates (at most) the first ~50 queries() entries, so the
 # registry is consolidated to EXACTLY 50 keys: related operators union into
@@ -3281,6 +3300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windows": _q_events_windows,
         "ann_lsh_ivf": _q_ann_lsh_ivf,
         "dedup_minhash_lsh": _q_dedup_minhash_components,
+        "events_percentiles": _q_events_percentiles_merged,  # + 'hdr'
+        # HdrHistogram sketch arm (round 10)
         # --- changed in round 9: multimodal_features
         # gains the 'dedupv' byte_verify arm (blake2b channel invisible
         # on the collision-free corpus); dedup_exact the
@@ -3343,7 +3364,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_interval_sessions": _q_join_interval_sessions,
         "events_sessionize": _q_events_sessionize,
         "events_user_profile": _q_events_user_profile,
-        "events_percentiles": _q_events_percentiles,
         "k3_k4_sign_code_hex": _q_k3_k4_sign_code_hex,
         "dedup_simhash": _q_dedup_simhash,
         "queue_cleanup": _q_queue_cleanup,
@@ -5626,12 +5646,19 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
             ) WHERE rnk <= 3
         """,
-        "events_percentiles": """
-            SELECT event_type,
+        "events_percentiles": f"""
+            SELECT 'exact' AS kind, event_type,
                    round(quantile_cont(value, 0.5), 9) AS p50,
                    round(quantile_cont(value, 0.9), 9) AS p90,
                    round(quantile_cont(value, 0.99), 9) AS p99
             FROM events GROUP BY event_type
+            UNION ALL
+            -- portable HdrHistogram sketch readout (log-bucketed
+            -- mergeable histogram, nearest-rank midpoints)
+            SELECT 'hdr' AS kind, event_type, p50, p90, p99
+            FROM ({E.sql_hdr_quantiles(
+                "SELECT event_type, value FROM events", ["event_type"]
+            )})
         """,
         "rel_top_customers": """
             SELECT c_custkey, c_name, n_orders,

@@ -482,6 +482,11 @@ def main() -> None:
             "events_hll_rollup": lambda: force(
                 EV.approx_distinct_rollup(events)
             ),
+            "events_hdr_quantiles": lambda: force(
+                EV.hdr_quantiles(
+                    EV.hdr_histogram(events, ["event_type"]), ["event_type"]
+                )
+            ),
             "curate_weighted_sample": lambda: force(
                 CU.weighted_budget_sample(
                     _wsample_weighted(), entry.WSAMPLE_BUDGETS

@@ -189,6 +189,8 @@ EXPECTED_ARMS = {
         },
     ),
     "text_terms_tfidf": ("kind", {"bm25", "ppl", "rrf", "tfidf", "top"}),
+    # round 10: exact percentiles + the portable HdrHistogram sketch
+    "events_percentiles": ("kind", {"exact", "hdr"}),
     # round 7: + the N-step sequence_funnel 'seq' arm (exploded
     # completed prefix; zero-completion users keep one all-NULL row)
     "events_conversion_funnel": ("kind", {"conv", "seq"}),

@@ -1979,3 +1979,46 @@ def test_hll_estimate_sql_mirror_parity(spark, duck):
         key=repr,
     )
     assert r == s
+
+
+def test_hdr_histogram_merge_accuracy_and_guards(spark):
+    """The quantile sketch's contracts: (1) histograms MERGE by summing
+    counts — per-split histograms re-aggregated equal the direct one
+    exactly (the rollup guarantee); (2) nearest-rank readouts land
+    within the 2^-(sub_bits+1) relative-error envelope against the
+    exact percentiles; (3) small integer-scaled values are EXACT
+    (dedicated unit buckets); (4) negative values refuse loudly; (5)
+    NULLs drop."""
+    import pytest as _pytest
+
+    rows = [("a", float(v)) for v in range(1, 4001)]  # uniform 1..4000
+    rows.append(("a", None))
+    df = spark.createDataFrame(rows, "g string, value double")
+    hist = E.hdr_histogram(df, ["g"])
+    # merge: doc_id%3-style split -> per-split histograms -> re-sum
+    split = df.withColumn(
+        "b", (F.monotonically_increasing_id() % 3).cast("int")
+    )
+    parts = E.hdr_histogram(split, ["b", "g"])
+    merged = parts.groupBy("g", "bucket").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    assert sorted(map(tuple, hist.collect())) == sorted(
+        map(tuple, merged.select("g", "bucket", "n").collect())
+    )
+    q = E.hdr_quantiles(hist, ["g"]).collect()[0]
+    for name, truth in (("p50", 2000.0), ("p90", 3600.0), ("p99", 3960.0)):
+        assert abs(q[name] - truth) / truth < 2 ** -(E.HDR_SUB_BITS + 1) + 0.01, (
+            name, q[name],
+        )
+    # tiny values (< 2^sub_bits scaled units) sit in exact unit buckets
+    small = spark.createDataFrame(
+        [("s", v / 1000.0) for v in range(1, 21)], "g string, value double"
+    )
+    sq = E.hdr_quantiles(E.hdr_histogram(small, ["g"]), ["g"]).collect()[0]
+    assert sq["p50"] == 0.010  # unit bucket [10,10]: midpoint IS the value
+    with _pytest.raises(Exception, match="negative value"):
+        E.hdr_histogram(
+            spark.createDataFrame([("a", -1.0)], "g string, value double"),
+            ["g"],
+        ).collect()

@@ -795,3 +795,187 @@ def approx_distinct_rollup(
     )
     regs = hll_registers(base, ["window_start", type_col], value_col, p)
     return hll_estimate(regs, ["window_start", type_col], p)
+
+
+#: HdrHistogram-style geometry: values scale to integer units (x1000 =
+#: 3 decimal digits preserved), buckets keep the top HDR_SUB_BITS+1
+#: significant bits — relative error <= 2^-(HDR_SUB_BITS+1) ~ 1.6%.
+HDR_SCALE = 1000
+HDR_SUB_BITS = 5
+
+
+def hdr_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    scale: int = HDR_SCALE,
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """PORTABLE log-bucketed value histogram per group — the mergeable
+    QUANTILE sketch next to :func:`hll_registers`' distinct sketch
+    (HdrHistogram's layout, Tene's high-dynamic-range histogram:
+    integer-scale the value, keep its top ``sub_bits + 1`` significant
+    bits; exponent via BINARY-STRING LENGTH, the same engine-exact
+    trick as the HLL rank — no float log anywhere).  The same bucket
+    comes out of any engine, so the sketch itself sits under the hash
+    oracle, unlike ``approx_percentile``'s implementation-defined
+    KLL/GK internals.
+
+    Returns ``(group..., bucket, n)`` with bucket ids MONOTONIC in the
+    value (shift-major, significand-minor encoding), which is what
+    makes the quantile readout one ordered cumsum.  Bucket counts are
+    integer sums, so histograms MERGE by adding counts — per-hour
+    histograms roll up to day/month (or accumulate across streaming
+    micro-batches) without rescanning events, and the merged histogram
+    is IDENTICAL to the direct one for any split (test-asserted).
+
+    Values must be NON-NEGATIVE (raises per-row otherwise — a silent
+    clamp would distort the low quantiles); NULLs drop like any
+    aggregate input.  Relative error <= ``2^-(sub_bits+1)`` (~1.6% at
+    the default) above ``2^sub_bits`` scaled units; values below that
+    are EXACT (dedicated unit buckets).
+
+    Scale shape: one narrow projection + one map-side-combinable
+    groupBy; the shuffle carries at most #groups x #buckets rows
+    (#buckets ~ (64 - sub_bits) * 2^(sub_bits+1), a few thousand),
+    never event rows.
+    """
+    b = int(sub_bits)
+    iv = F.when(
+        F.col(value_col) < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("hdr_histogram: negative value "),
+                F.col(value_col).cast("string"),
+                F.lit(" — the sketch is defined for non-negative values"),
+            )
+        ).cast("long"),
+    ).otherwise(F.floor(F.col(value_col) * scale).cast("long"))
+    e = F.length(F.conv(iv, 10, 2))  # bit length; conv(0)='0' -> 1
+    shift = F.greatest(e - F.lit(b + 1), F.lit(0)).cast("int")
+    # call_function: the classic F.shiftright binding only accepts a
+    # Python int for the shift; the SQL function takes a column
+    bucket = shift.cast("long") * F.lit(1 << (b + 2)) + F.call_function(
+        "shiftright", iv, shift
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    probs: dict[str, float] | None = None,
+    scale: int = HDR_SCALE,
+    sub_bits: int = HDR_SUB_BITS,
+    round_to: int = 9,
+) -> DataFrame:
+    """Quantile readout over a :func:`hdr_histogram` frame: nearest-rank
+    (smallest bucket whose cumulative count reaches ``ceil(q * n)``),
+    reported as the bucket's MIDPOINT value — deterministic integer
+    cumsum + one conditional-min aggregation per requested quantile,
+    engine-portable end to end.  ``probs`` defaults to the p50/p90/p99
+    monitoring triple; keys become output column names.
+
+    Scale shape: one #buckets-row window per group + one aggregation —
+    the events never participate (they already collapsed into the
+    histogram, possibly hours or merges ago)."""
+    if probs is None:
+        probs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    b = int(sub_bits)
+    shift = F.floor(F.col("bucket") / F.lit(1 << (b + 2))).cast("int")
+    top = F.col("bucket") - shift.cast("long") * F.lit(1 << (b + 2))
+    lo = F.call_function("shiftleft", top, shift)
+    hi = lo + F.call_function("shiftleft", F.lit(1).cast("long"), shift) - F.lit(1)
+    rep = (lo + hi).cast("double") / F.lit(2.0) / F.lit(float(scale))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*group_cols)
+    cum = (
+        hist.withColumn("_rep", rep)
+        .withColumn("_cum", F.sum("n").over(w))
+        .withColumn("_n", F.sum("n").over(wn))
+    )
+    aggs = [
+        F.round(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.ceil(F.lit(float(q)) * F.col("_n")),
+                    F.col("_rep"),
+                )
+            ),
+            round_to,
+        ).alias(name)
+        for name, q in probs.items()
+    ]
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def sql_hdr_quantiles(
+    source_sql: str,
+    group_cols: list[str],
+    value_col: str = "value",
+    probs: dict[str, float] | None = None,
+    scale: int = HDR_SCALE,
+    sub_bits: int = HDR_SUB_BITS,
+    round_to: int = 9,
+) -> str:
+    """DuckDB mirror of ``hdr_histogram`` + ``hdr_quantiles`` over a
+    source relation (same bin()-length exponent, same shift-major
+    bucket encoding, same nearest-rank readout)."""
+    if probs is None:
+        probs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    b = int(sub_bits)
+    groups = ", ".join(group_cols)
+    iv = f"CAST(floor({value_col} * {int(scale)}) AS BIGINT)"
+    reads = ",\n               ".join(
+        f"round(MIN(CASE WHEN cum >= ceil({q!r} * n_total)"
+        f" THEN rep END), {round_to}) AS {name}"
+        for name, q in probs.items()
+    )
+    return f"""
+        WITH hdr_iv AS (
+          SELECT {groups}, {iv} AS iv
+          FROM ({source_sql}) WHERE {value_col} IS NOT NULL
+        ),
+        hdr_b AS (
+          SELECT {groups},
+                 greatest(length(bin(iv)) - {b + 1}, 0) AS sh,
+                 iv
+          FROM hdr_iv
+        ),
+        hdr_hist AS (
+          SELECT {groups},
+                 sh * {1 << (b + 2)} + (iv // power(2, sh)::BIGINT)
+                   AS bucket,
+                 COUNT(*) AS n
+          FROM hdr_b GROUP BY ALL
+        ),
+        hdr_rep AS (
+          SELECT {groups}, bucket, n,
+                 bucket // {1 << (b + 2)} AS sh,
+                 bucket % {1 << (b + 2)} AS top
+          FROM hdr_hist
+        ),
+        hdr_cum AS (
+          SELECT {groups},
+                 CAST((top * power(2, sh)::BIGINT)
+                      + (top * power(2, sh)::BIGINT
+                         + power(2, sh)::BIGINT - 1) AS DOUBLE)
+                   / 2.0 / {float(scale)!r} AS rep,
+                 SUM(n) OVER (PARTITION BY {groups} ORDER BY bucket ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(n) OVER (PARTITION BY {groups}) AS n_total
+          FROM hdr_rep
+        )
+        SELECT {groups},
+               {reads}
+        FROM hdr_cum GROUP BY {groups}
+    """
