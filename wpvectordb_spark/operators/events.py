@@ -31,7 +31,10 @@ def tumbling_window_agg(
     count, whose per-(window, type) distinct is a second full shuffle of
     user ids — fine at test SF, the wrong default at 100 TB.  Mirrors
     ``user_activity``'s exact/approx pairing; the oracle checks the exact
-    arm (HLL results are implementation-defined)."""
+    arm (``approx_count_distinct``'s HLL++ sketch is implementation-
+    defined — :func:`hll_registers` is the PORTABLE, oracle-checkable,
+    MERGEABLE alternative when the distinct count must be reproducible
+    or rolled up across windows)."""
     n_users = (
         F.count_distinct("user_id")
         if exact_distinct
