@@ -2022,3 +2022,112 @@ def test_hdr_histogram_merge_accuracy_and_guards(spark):
             spark.createDataFrame([("a", -1.0)], "g string, value double"),
             ["g"],
         ).collect()
+
+
+def _wang32(x: int) -> int:
+    h = x % (1 << 32)
+    for _ in range(2):
+        h = ((h >> 16) ^ h) * 0x45D9F3B % (1 << 32)
+    return (h >> 16) ^ h
+
+
+def _round_half_away(x: float, dp: int) -> float:
+    import math
+
+    s = 10**dp
+    return math.floor(abs(x) * s + 0.5) / s * (1 if x >= 0 else -1)
+
+
+def test_hll_mirror_vs_pure_python_reference_randomized(duck):
+    """Seeded randomized cross-validation of the HLL spec: the DuckDB
+    mirror (already pinned == Spark by the parity test) must equal a
+    pure-Python implementation of the same spec — Wang hash, bucket/rank
+    split by bit length, exact register sum, alpha formula,
+    linear-counting branch.  Three independent implementations agreeing
+    kills spec-level bugs the two-engine pair could share."""
+    import math
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n_distinct = rng.choice([5, 300, 5000])
+        vals = [rng.randrange(0, 10**9) for _ in range(n_distinct)]
+        rows = vals + [rng.choice(vals) for _ in range(n_distinct // 2)]
+        # pure-Python reference
+        p = 10
+        m, wbits = 1 << p, 32 - p
+        regs: dict[int, int] = {}
+        for v in rows:
+            h = _wang32(v)
+            b, w = h >> wbits, h & ((1 << wbits) - 1)
+            rho = wbits + 1 if w == 0 else wbits + 1 - w.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        zeros = m - len(regs)
+        z = sum(2.0 ** -r for r in regs.values())
+        alpha_m2 = 0.7213 / (1 + 1.079 / m) * m * m
+        raw = alpha_m2 / (z + zeros)
+        est = (
+            m * math.log(m / zeros)
+            if raw <= 2.5 * m and zeros > 0
+            else raw
+        )
+        expect = (len(regs), _round_half_away(est, 6))
+        duck.execute("CREATE OR REPLACE TEMP TABLE hll_in(g VARCHAR, user_id BIGINT)")
+        duck.executemany(
+            "INSERT INTO hll_in VALUES (?, ?)", [("a", v) for v in rows]
+        )
+        got = duck.sql(
+            E.sql_hll_estimate("SELECT * FROM hll_in", ["g"])
+        ).fetchall()
+        assert got == [("a", *expect)], (seed, got, expect)
+        duck.execute("DROP TABLE hll_in")
+
+
+def test_hdr_mirror_vs_pure_python_reference_randomized(duck):
+    """The same three-way treatment for the quantile sketch: DuckDB
+    mirror vs a pure-Python implementation of the bucket encoding and
+    nearest-rank readout, over seeded random value sets spanning unit
+    buckets, several shift levels, and duplicates."""
+    import math
+    import random
+
+    scale, b = E.HDR_SCALE, E.HDR_SUB_BITS
+    for seed in (3, 11, 99):
+        rng = random.Random(seed)
+        rows = (
+            [rng.uniform(0, 0.03) for _ in range(rng.randrange(5, 40))]
+            + [rng.uniform(0, 500) for _ in range(rng.randrange(50, 400))]
+            + [rng.uniform(0, 50000) for _ in range(rng.randrange(5, 50))]
+        )
+        rows += [rng.choice(rows) for _ in range(20)]  # duplicates
+        buckets: dict[int, int] = {}
+        for v in rows:
+            iv = math.floor(v * scale)
+            e = iv.bit_length() if iv > 0 else 1
+            sh = max(e - (b + 1), 0)
+            bk = sh * (1 << (b + 2)) + (iv >> sh)
+            buckets[bk] = buckets.get(bk, 0) + 1
+        n = sum(buckets.values())
+        expect = []
+        for q in (0.5, 0.9, 0.99):
+            target = math.ceil(q * n)
+            cum = 0
+            for bk in sorted(buckets):
+                cum += buckets[bk]
+                if cum >= target:
+                    sh, top = bk // (1 << (b + 2)), bk % (1 << (b + 2))
+                    lo = top << sh
+                    hi = lo + (1 << sh) - 1
+                    expect.append(
+                        _round_half_away((lo + hi) / 2.0 / scale, 9)
+                    )
+                    break
+        duck.execute("CREATE OR REPLACE TEMP TABLE hdr_in(g VARCHAR, value DOUBLE)")
+        duck.executemany(
+            "INSERT INTO hdr_in VALUES (?, ?)", [("a", v) for v in rows]
+        )
+        got = duck.sql(
+            E.sql_hdr_quantiles("SELECT * FROM hdr_in", ["g"])
+        ).fetchall()
+        assert got == [("a", *expect)], (seed, got, expect)
+        duck.execute("DROP TABLE hdr_in")
