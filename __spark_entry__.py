@@ -3007,9 +3007,11 @@ def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohorts plus the volume-anomaly monitor in three forms (``zscore``
     batch, ``zdense`` calendar-spine densified, ``zstream`` the
     streaming kernel's accumulated counts) plus the portable-HLL
-    distinct rollup in two forms (``hll`` daily-direct, ``hllmerge``
-    hourly registers merged to daily — identical by the sketch's merge
-    property, so one mirror serves both), tagged.  Column reuse:
+    distinct rollup in three forms (``hll`` daily-direct, ``hllmerge``
+    hourly registers merged to daily, ``shll`` the streaming kernel's
+    accumulated per-batch registers — all identical by the sketch's
+    merge property, so one executed mirror subquery serves the three),
+    tagged.  Column reuse:
     cohort rows carry the period offset in ``event_type`` (as string),
     the active count in ``n_events``, the retention ratio in
     ``sum_value`` and the cohort size in ``n_users``; the z arms carry
@@ -3136,6 +3138,22 @@ def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_registers").cast("long").alias("n_users"),
         )
     )
+    # streaming accumulation of the SAME sketch: per-batch registers
+    # max-merge to the one-shot registers for any split, so the
+    # accumulated estimates equal the hll arm's — a third tag off the
+    # shared mirror subquery
+    shll = (
+        _stream_distinct_estimates(spark, sf_dir)
+        .join(exact_day, ["window_start", "event_type"])
+        .select(
+            F.lit("shll").alias("kind"),
+            "window_start",
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_events"),
+            F.col("approx_distinct").alias("sum_value"),
+            F.col("n_registers").cast("long").alias("n_users"),
+        )
+    )
     return (
         tumble.unionByName(slide)
         .unionByName(cohort)
@@ -3144,7 +3162,42 @@ def _q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(zstream)
         .unionByName(hll)
         .unionByName(hllmerge)
+        .unionByName(shll)
     )
+
+
+def _stream_distinct_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive ``streams._distinct_ingest_apply`` over a fixed 3-way
+    split of the events table (event_id % 3 as batch ids 0/1/2,
+    compact_every=2 forcing a snapshot fold mid-run), then max-merge
+    and estimate — the streaming distinct monitor's read path.  State
+    lives in a throwaway temp dir; the read localCheckpoints eagerly
+    (_read_state_stable) so the dir can be removed before the caller's
+    collect."""
+    import shutil
+
+    from wpvectordb_spark.streaming import streams as ST
+
+    ev = load_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="distinct_arm_")
+    regs_dir = os.path.join(root, "registers")
+    os.makedirs(regs_dir)
+    try:
+        for bid in range(3):
+            ST._distinct_ingest_apply(
+                spark,
+                regs_dir,
+                ev.where(F.pmod(F.col("event_id"), F.lit(3)) == bid),
+                bid,
+                compact_every=2,
+            )
+        raw = ST._read_state_stable(
+            spark, regs_dir, ST._DISTINCT_STATE_SCHEMA
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    merged = E.hll_merge(raw, ["window_start", "event_type"])
+    return E.hll_estimate(merged, ["window_start", "event_type"])
 
 
 def _stream_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5402,7 +5455,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1, 2
             ) x ON h.window_start = x.window_start
                AND h.event_type = x.event_type
-            CROSS JOIN (VALUES ('hll'), ('hllmerge')) t(kind)
+            CROSS JOIN (VALUES ('hll'), ('hllmerge'), ('shll')) t(kind)
         """,
         "events_sessionize": sessionize_sql,
         "join_asof": """

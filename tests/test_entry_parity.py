@@ -121,10 +121,11 @@ EXPECTED_ARMS = {
     "events_windows": (
         "kind",
         # round 10: + the portable-HLL distinct rollup ('hll' daily
-        # direct, 'hllmerge' hourly-merged — equal by the merge
-        # property, one mirror serves both)
+        # direct, 'hllmerge' hourly-merged, 'shll' the streaming
+        # kernel's accumulated registers — all equal by the merge
+        # property, one executed mirror subquery serves the three)
         {"cohort", "slide", "tumble", "zscore", "zdense", "zstream",
-         "hll", "hllmerge"},
+         "hll", "hllmerge", "shll"},
     ),
     # round 7: + 'pool' (chunk->doc mean pooling, flattened cells)
     "dedup_embedding": ("engine", {"arrow", "catalyst", "semdedup", "pool"}),

@@ -1308,3 +1308,72 @@ def test_stream_anomaly_replay_exactly_once_and_restart_refused(
     assert got == want
     with pytest.raises(RuntimeError, match="batch"):
         ST._anomaly_ingest_apply(spark, counts_dir, ev, 0)
+
+
+def test_stream_distinct_monitor_matches_batch(spark, tmp_path):
+    """Exact batch-equivalence for the streaming distinct monitor:
+    per-batch HLL registers max-merge to EXACTLY the one-shot registers
+    for any split (max is associative), so the read-time estimates
+    equal approx_distinct_rollup over the whole corpus."""
+    from wpvectordb_spark.operators import events as E
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src = str(tmp_path / "ev_src_d")
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp,"
+            " event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    get_estimates, query = ST.stream_distinct_monitor(
+        spark, stream, compact_every=2  # force a snapshot fold mid-run
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    streamed = sorted(map(tuple, get_estimates().collect()), key=repr)
+    batch = sorted(
+        map(tuple, E.approx_distinct_rollup(ev).collect()), key=repr
+    )
+    assert streamed == batch and len(streamed) > 3
+
+
+def test_stream_distinct_replay_exactly_once_and_restart_refused(
+    spark, tmp_path
+):
+    """A replayed micro-batch overwrites its own register delta (a
+    re-max of identical rows — no inflation); a batch-id restart over
+    existing state refuses loudly."""
+    import os
+
+    import pytest
+
+    from wpvectordb_spark.operators import events as E
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    regs_dir = str(tmp_path / "regs")
+    os.makedirs(regs_dir)
+    b0 = ev.where(F.col("event_id") % 2 == 0)
+    b1 = ev.where(F.col("event_id") % 2 == 1)
+    ST._distinct_ingest_apply(spark, regs_dir, b0, 0)
+    ST._distinct_ingest_apply(spark, regs_dir, b1, 1)
+    ST._distinct_ingest_apply(spark, regs_dir, b1, 1)  # replay of batch 1
+    raw = ST._read_state_stable(spark, regs_dir, ST._DISTINCT_STATE_SCHEMA)
+    merged = E.hll_merge(raw, ["window_start", "event_type"])
+    got = sorted(
+        map(
+            tuple,
+            E.hll_estimate(merged, ["window_start", "event_type"]).collect(),
+        ),
+        key=repr,
+    )
+    want = sorted(
+        map(tuple, E.approx_distinct_rollup(ev).collect()), key=repr
+    )
+    assert got == want
+    with pytest.raises(RuntimeError, match="batch"):
+        ST._distinct_ingest_apply(spark, regs_dir, ev, 0)

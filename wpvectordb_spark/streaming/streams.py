@@ -1123,6 +1123,132 @@ def stream_anomaly_monitor(
     return get_scores, query
 
 
+# --- streaming distinct-count monitor ------------------------------------------
+
+_DISTINCT_STATE_SCHEMA = (
+    "_batch_id long, window_start timestamp, event_type string,"
+    " bucket long, rho int"
+)
+
+
+def _distinct_ingest_apply(
+    spark: SparkSession,
+    regs_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    level: str = "day",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "user_id",
+    compact_every: int = 16,
+) -> None:
+    """One micro-batch of the distinct monitor — module-level so the
+    exactly-once replay contract is directly testable.  The batch
+    reduces to its per-(window, type) PORTABLE-HLL registers
+    (``events.hll_registers`` — at most #groups x 2^p rows, never
+    event- or user-sized) written as the batch's delta; the pre-state
+    read runs for the refusal guards only (the ingest streams'
+    contract)."""
+    from wpvectordb_spark.operators import events as E
+
+    bid = int(batch_id)
+    _read_state(spark, regs_dir, _DISTINCT_STATE_SCHEMA, before_batch=bid)
+    base = batch_df.select(
+        F.date_trunc(level, F.col(ts_col).cast("timestamp")).alias(
+            "window_start"
+        ),
+        F.col(type_col).alias("event_type"),
+        F.col(value_col),
+    )
+    regs = E.hll_registers(
+        base, ["window_start", "event_type"], value_col
+    ).select(
+        F.lit(bid).cast("long").alias("_batch_id"),
+        "window_start",
+        "event_type",
+        "bucket",
+        "rho",
+    )
+    regs.write.mode("overwrite").parquet(os.path.join(regs_dir, f"b{bid}"))
+    _compact_state(
+        spark,
+        regs_dir,
+        _DISTINCT_STATE_SCHEMA,
+        before_batch=bid,
+        compact_every=compact_every,
+    )
+
+
+def stream_distinct_monitor(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    level: str = "day",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "user_id",
+    state_path: str | None = None,
+    checkpoint_path: str | None = None,
+    compact_every: int = 16,
+):
+    """Streaming distinct-count monitor: ``approx_distinct_rollup``
+    maintained incrementally over a live event stream through the
+    PORTABLE HLL sketch — per-day unique users per type, updated as
+    events arrive, without ever storing user ids.
+
+    EXACT batch-equivalence for ANY split (the register analog of the
+    anomaly monitor's integer-sum telescoping, test-asserted): a
+    register is a per-(window, type, bucket) MAX of a per-event pure
+    function, and max is associative/commutative — so max-merging
+    per-batch registers equals the one-shot registers over the union,
+    and the estimate stage (``hll_estimate``, run at READ time) sees
+    identical input.  Late events are handled by the same property: a
+    straggler can only raise its register, exactly as it would have in
+    batch.  Compaction UNIONS state rows and the read-time merge
+    re-maxes, so snapshot folds never lose or double anything.
+
+    State is O(#windows x #types x 2^p) rows per batch; ``b<batch_id>``
+    overwrite subdirs + snapshot compaction + batch-id restart refusal
+    — the ingest streams' exactly-once contract.
+
+    Returns ``(get_estimates, query)``; ``get_estimates()`` re-lists
+    state and returns (window_start, event_type, n_registers,
+    approx_distinct) — the ``approx_distinct_rollup`` columns."""
+    from wpvectordb_spark.operators import events as E
+
+    root = _state_root(state_path, "stream_distinct_")
+    regs_dir = os.path.join(root, "registers")
+    os.makedirs(regs_dir, exist_ok=True)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _distinct_ingest_apply(
+            spark,
+            regs_dir,
+            batch_df,
+            batch_id,
+            level=level,
+            ts_col=ts_col,
+            type_col=type_col,
+            value_col=value_col,
+            compact_every=compact_every,
+        )
+
+    ckpt = checkpoint_path or os.path.join(
+        tempfile.gettempdir(), f"ckpt_dist_{uuid.uuid4().hex[:8]}"
+    )
+    query = (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def get_estimates() -> DataFrame:
+        raw = _read_state_stable(spark, regs_dir, _DISTINCT_STATE_SCHEMA)
+        merged = E.hll_merge(raw, ["window_start", "event_type"])
+        return E.hll_estimate(merged, ["window_start", "event_type"])
+
+    return get_estimates, query
+
+
 # --- streaming decontamination -------------------------------------------------
 
 _DECON_RESULTS_SCHEMA = (
