@@ -226,14 +226,22 @@ def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 4)],
         "id_a long, id_b long",
     )
-    local = sorted(map(tuple, D.connected_components(pairs).collect()))
+    # small_graph_pairs=0 forces the distributed path on both arms — the
+    # driver union-find never checkpoints, so the default would bypass
+    # the reliable-checkpoint machinery this test exists to exercise
+    local = sorted(
+        map(
+            tuple,
+            D.connected_components(pairs, small_graph_pairs=0).collect(),
+        )
+    )
     sc = spark.sparkContext
     before = sc.getCheckpointDir()
     reliable = sorted(
         map(
             tuple,
             D.connected_components(
-                pairs, checkpoint_dir=str(tmp_path / "ckpt")
+                pairs, checkpoint_dir=str(tmp_path / "ckpt"), small_graph_pairs=0
             ).collect(),
         )
     )
@@ -723,12 +731,38 @@ def test_connected_components_vs_union_find(spark):
 def test_connected_components_chain(spark):
     """A 60-node path is ONE component rooted at 0 — the adversarial case
     for naive label propagation (rounds = diameter); star-contraction
-    must converge in O(log^2 n) rounds well under the iteration cap."""
+    must converge in O(log^2 n) rounds well under the iteration cap.
+    ``small_graph_pairs=0`` forces the distributed path (the default
+    would route a 59-edge graph to the driver union-find)."""
     chain = [(i, i + 1) for i in range(59)]
     df = spark.createDataFrame(chain, "id_a long, id_b long")
-    rows = D.connected_components(df).collect()
+    rows = D.connected_components(df, small_graph_pairs=0).collect()
     assert len(rows) == 60
     assert {r["component_id"] for r in rows} == {0}
+
+
+def test_connected_components_driver_and_distributed_paths_agree(spark):
+    """The adaptive gate must be invisible: the driver union-find fast
+    path (default) and the forced star-contraction path
+    (``small_graph_pairs=0``) return the identical (doc_id,
+    component_id) set on a random multi-component graph."""
+    import random
+
+    random.seed(23)
+    edges = []
+    for base in (0, 1000, 2000):  # three disjoint clusters + noise
+        nodes = [base + i for i in range(40)]
+        edges += [
+            (random.choice(nodes), random.choice(nodes)) for _ in range(55)
+        ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = sorted(map(tuple, D.connected_components(df).collect()))
+    dist = sorted(
+        map(tuple, D.connected_components(df, small_graph_pairs=0).collect())
+    )
+    assert fast == dist
+    assert len(fast) == len({d for d, _ in fast})  # one row per node
 
 
 def test_connected_components_empty_and_duplicate_edges(spark):

@@ -1003,3 +1003,102 @@ def test_retrain_ivfpq_index_closes_the_loop(spark, tmp_path_factory):
     SIM.build_ivf_index(spark.createDataFrame(base, schema), ivf_path, n_clusters=2)
     with pytest.raises(ValueError, match="sidecar"):
         SIM.retrain_ivfpq_index(spark, ivf_path, q, threshold=0.9, k=5)
+
+
+def test_fsutil_hadoop_fs_semantics(spark, tmp_path):
+    """fsutil routes surgery through the Hadoop FileSystem API; on a
+    local path and on a file:/ URI the semantics must match the POSIX
+    calls it replaced: recursive delete, missing-path delete no-op,
+    rename, and a LOUD refusal of an existing rename destination (the
+    Hadoop move-INTO-directory fallback would nest the new snapshot
+    inside the old one)."""
+    from wpvectordb_spark import fsutil
+
+    for prefix in ("", "file:"):
+        root = tmp_path / ("plain" if prefix == "" else "uri")
+        (root / "a" / "sub").mkdir(parents=True)
+        (root / "a" / "sub" / "f.txt").write_text("x")
+        (root / "b").mkdir()
+        a, b, c = (
+            prefix + str(root / "a"),
+            prefix + str(root / "b"),
+            prefix + str(root / "c"),
+        )
+        assert fsutil.exists(spark, a) and fsutil.is_dir(spark, a)
+        assert not fsutil.exists(spark, c)
+        with pytest.raises(IOError, match="destination exists"):
+            fsutil.rename(spark, a, b)
+        fsutil.rename(spark, a, c)
+        assert not fsutil.exists(spark, a)
+        assert (root / "c" / "sub" / "f.txt").read_text() == "x"
+        fsutil.delete(spark, c)  # recursive
+        assert not fsutil.exists(spark, c)
+        fsutil.delete(spark, c)  # missing-path no-op
+
+
+def test_retrain_heals_swap_debris(spark, tmp_path_factory):
+    """ADVICE round 10: a kill after the promote rename but before the
+    old-copy drop leaves a stale path__old beside the LIVE index; loop
+    entry must drop it (it previously persisted until the next flagged
+    rebuild).  The between-renames window (path absent, data in
+    path__old) must still recover by renaming back."""
+    import shutil
+
+    td = str(tmp_path_factory.mktemp("heal"))
+    path = f"{td}/ivf"
+    base = [(i, [1.0, 0.0]) for i in range(10)] + [
+        (100 + i, [0.0, 1.0]) for i in range(10)
+    ]
+    schema = "vec_id long, embedding array<double>"
+    SIM.build_ivf_index(spark.createDataFrame(base, schema), path, n_clusters=2)
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vector array<double>"
+    )
+    # stale __old beside a live index (kill-after-promote debris)
+    shutil.copytree(path, path + "__old")
+    out = SIM.retrain_ivf_index(spark, path, q, threshold=0.5, k=5, n_probe=1)
+    assert out["mean_recall"] == 1.0
+    assert not os.path.exists(path + "__old")
+    # between-the-renames window: path absent, only copy at __old
+    os.rename(path, path + "__old")
+    out = SIM.retrain_ivf_index(spark, path, q, threshold=0.5, k=5, n_probe=1)
+    assert out["mean_recall"] == 1.0
+    assert os.path.isdir(path) and not os.path.exists(path + "__old")
+
+
+def test_retrain_over_file_uri(spark, tmp_path_factory):
+    """The closed loop end-to-end with the index addressed as a file:/
+    URI — the path shape a Hadoop-backed deployment hands around.  The
+    POSIX os.rename swap could never see such a path; the fsutil swap
+    must flag, rebuild, promote, and restore recall identically."""
+    td = str(tmp_path_factory.mktemp("uri_retrain"))
+    local = f"{td}/ivf"
+    path = "file:" + local
+
+    def vec(*xs):
+        return [float(x) for x in xs]
+
+    e0, e1 = vec(1, 0, 0, 0), vec(0, 1, 0, 0)
+    base = (
+        [(0, e0), (1, e1)]
+        + [(10 + i, e0) for i in range(20)]
+        + [(30 + i, e1) for i in range(20)]
+    )
+    schema = "vec_id long, embedding array<double>"
+    SIM.build_ivf_index(spark.createDataFrame(base, schema), path, n_clusters=2)
+    q = spark.createDataFrame(
+        [(0, vec(0.05, 0, 1, 0))],
+        "query_id long, query_vector array<double>",
+    )
+    drift = [(2, vec(0, 0.4, 1, 0)), (3, vec(0, 0.41, 1, 0))] + [
+        (200 + i, vec(0, 0.4, 1, 0)) for i in range(10)
+    ]
+    SIM.append_to_ivf_index(spark, spark.createDataFrame(drift, schema), path)
+    out = SIM.retrain_ivf_index(
+        spark, path, q, threshold=0.9, k=5, n_probe=1, n_clusters=4
+    )
+    assert out["retrain"] is True and out["rebuilt"] is True
+    assert out["recall_after"] == 1.0
+    assert os.path.isdir(local)
+    assert not os.path.exists(local + "__old")
+    assert not os.path.exists(local + "__retrain")

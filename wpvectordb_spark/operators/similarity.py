@@ -2275,13 +2275,14 @@ def retrain_ivf_index(
     query batch, never per serve.  The decision collect is one row; the
     rebuild is the same two jobs as ``build_ivf_index``.
     """
-    from wpvectordb_spark.table import _check_local_path, _recover_snapshot
+    from wpvectordb_spark import fsutil
 
-    # driver-local rename surgery ahead: refuse/normalize URI paths (the
-    # os-vs-Spark mismatch class _check_local_path documents) and heal a
-    # swap orphaned between the two renames of a previous retrain
-    path = _check_local_path(path)
-    _recover_snapshot(path)
+    # rename surgery ahead, routed through the Hadoop FileSystem API so
+    # the swap works wherever the index lives (local path, file:/,
+    # hdfs://, s3a:// — resolved from the path's scheme); heal a swap
+    # orphaned between the two renames of a previous retrain, and drop
+    # a stale __old from a kill after the promote (ADVICE round 10)
+    fsutil.recover_snapshot(spark, path)
     if _read_ivfpq_params(spark, path) is not None:
         raise ValueError(
             "retrain_ivf_index: this index has an IVFPQ params sidecar — "
@@ -2379,14 +2380,18 @@ def _closed_retrain_loop(
     (build aside, live aside, promote, drop old): a kill anywhere
     leaves the data in at most one rename of recovery — the one window
     between the two renames leaves ``path`` absent with the old copy
-    intact at ``path__old``, and the callers heal that on their next
-    invocation via ``table._recover_snapshot`` before measuring (same
-    contract as the facades; readers racing that window see no live
-    dir, the documented single-writer trade)."""
-    import os
-    import shutil
+    intact at ``path__old``, and the callers heal that (plus a stale
+    ``__old`` from a kill after the promote) on their next invocation
+    via ``fsutil.recover_snapshot`` before measuring (same contract as
+    the facades; readers racing that window see no live dir, the
+    documented single-writer trade).  All surgery goes through the
+    Hadoop FileSystem API (``fsutil``) so the loop works unchanged when
+    the index lives on HDFS/S3 instead of the driver's local disk."""
+    from wpvectordb_spark import fsutil
 
-    dec = retrain_decision(measure(), threshold=threshold).collect()[0]
+    measured = measure()
+    spark = measured.sparkSession
+    dec = retrain_decision(measured, threshold=threshold).collect()[0]
     out = {
         "n_queries": dec["n_queries"],
         "n_below": dec["n_below"],
@@ -2399,16 +2404,15 @@ def _closed_retrain_loop(
     if not (rebuild and out["retrain"]):
         return out
     staging = path + "__retrain"
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)  # debris from a kill mid-build: the live
-        # index was never touched, so a stale staging dir is disposable
+    # debris from a kill mid-build: the live index was never touched, so
+    # a stale staging dir is disposable (delete is a no-op when absent)
+    fsutil.delete(spark, staging)
     build_staging(staging)
     old = path + "__old"
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
+    fsutil.delete(spark, old)
+    fsutil.rename(spark, path, old)
+    fsutil.rename(spark, staging, path)
+    fsutil.delete(spark, old)
     out["rebuilt"] = True
     after = retrain_decision(measure(), threshold=threshold).collect()[0]
     out["recall_after"] = after["mean_recall"]
@@ -2440,10 +2444,9 @@ def retrain_ivfpq_index(
     re-encode — exactly what FAISS means by re-training an IndexIVFPQ.
     Pre-sidecar indexes refuse (no recorded geometry to preserve);
     returns the same report dict as the IVF form."""
-    from wpvectordb_spark.table import _check_local_path, _recover_snapshot
+    from wpvectordb_spark import fsutil
 
-    path = _check_local_path(path)
-    _recover_snapshot(path)
+    fsutil.recover_snapshot(spark, path)
     params = _read_ivfpq_params(spark, path)
     if params is None:
         raise ValueError(
