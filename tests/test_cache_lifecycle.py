@@ -1,0 +1,100 @@
+"""Round-11 lifecycle guard: library operators with a ``persist=`` flag
+must not register CacheManager entries they cannot hand the caller a
+release handle for (round-10 verdict item 2 — the `_q_dedup_minhash_lsh`
+leak class one layer down).
+
+Each shared-intermediate barrier is now a LAZY ``localCheckpoint``
+(blocks die with the frame via the ContextCleaner when the caller drops
+it), so invoking a persisting operator repeatedly must leave the
+session's CacheManager exactly as it found it — and results must be
+identical with the barrier on and off.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _cache_empty(spark) -> bool:
+    """True when the session CacheManager holds no entries (the thing a
+    handle-less .persist() grows per call)."""
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select("doc_id", "text", "lang")
+        .where(F.col("doc_id") < 800)
+    )
+
+
+def _invocations(docs):
+    from wpvectordb_spark.operators import curation as CU
+    from wpvectordb_spark.operators import dedup as D
+    from wpvectordb_spark.operators import retrieval as R
+    from wpvectordb_spark.operators import text_analysis as TA
+
+    corpus = docs.select("doc_id", "text")
+    half_a = corpus.where("doc_id % 2 = 0")
+    half_b = corpus.where("doc_id % 2 = 1")
+    target = docs.where(F.col("lang") == "en").select("doc_id", "text")
+    return {
+        "minhash_lsh_dedup_pairs": lambda p: D.minhash_lsh_dedup_pairs(
+            corpus, threshold=0.5, persist=p
+        ),
+        # incremental path: barriers are unconditional (sh_d always, sh_c
+        # when it bands the corpus itself) — same lambda both arms
+        "incremental_dedup_pairs": lambda p: D.incremental_dedup_pairs(
+            half_a, half_b, threshold=0.5
+        ),
+        # remove_duplicate_spans barriers internally via _span_detection
+        # (persist flows from its caller); exercise the public cut path
+        "remove_duplicate_spans": lambda p: D.remove_duplicate_spans(
+            corpus, k=8, min_docs=2
+        ),
+        "bm25_term_scores": lambda p: R.bm25_term_scores(
+            docs, ["batch", "scan"], persist=p
+        ),
+        "unigram_logprob_scores": lambda p: TA.unigram_logprob_scores(
+            corpus, persist=p
+        ),
+        "pack_sequences": lambda p: CU.pack_sequences(docs, persist=p),
+        "expand_budgets": lambda p: CU.expand_budgets(
+            docs.select("doc_id", "lang"), {"en": 50, "de": 20}
+        ),
+        "dsir_topk": lambda p: CU.dsir_topk(corpus, target, k=50, persist=p),
+    }
+
+
+def test_persisting_operators_leave_cache_manager_alone(spark, docs):
+    """Invoke every flag-persisting operator twice (barrier arm) and
+    assert the CacheManager entry count never grows."""
+    spark.catalog.clearCache()
+    assert _cache_empty(spark)
+    for name, make in _invocations(docs).items():
+        for _ in range(2):
+            make(True).write.format("noop").mode("overwrite").save()
+        assert _cache_empty(spark), (
+            f"{name}: persist=True registered a CacheManager entry with "
+            "no release handle"
+        )
+
+
+def test_barrier_arm_matches_unbarriered_arm(spark, docs):
+    """The barrier is a pure sharing optimization: persist=True and
+    persist=False must produce identical rows."""
+    from tests.conftest import rows_key
+
+    for name, make in _invocations(docs).items():
+        on = make(True)
+        off = make(False)
+        assert rows_key(on.columns, on.collect()) == rows_key(
+            off.columns, off.collect()
+        ), f"{name}: persist arms diverge"

@@ -151,11 +151,13 @@ def test_pack_sequences_two_pass_prefix_sum(spark):
         assert cur["seq_start"] in (prev["seq_end"], prev["seq_end"] + 1)
 
 
-def test_assign_clusters_plan_is_hash_aggregate(spark):
-    """IVF centroid assignment must be broadcast-join + hash aggregate:
-    no Sort and no Window anywhere — the argmax is max_by with partial
-    aggregation, so the exchange carries ~one row per vector instead of
-    the full |vectors| x k candidate set."""
+def test_assign_clusters_plan_is_shuffle_free_projection(spark):
+    """IVF centroid assignment must be ONE narrow projection over the
+    broadcast centroid-ARRAY row: no Sort, no Window, no aggregation of
+    exploded candidates, and NO shuffle of the vector side at all — the
+    round-11 rewrite of the max_by form, whose struct ordering key
+    compiled to Sort(|vectors| x k) -> SortAggregate ->
+    Exchange(|vectors| rows with embeddings) -> Sort -> SortAggregate."""
     from wpvectordb_spark.operators import similarity as SIM
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -163,7 +165,59 @@ def test_assign_clusters_plan_is_hash_aggregate(spark):
     plan = _plan(SIM.assign_clusters(emb, cents))
     assert "Window" not in plan, plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
-    assert "max_by" in plan, plan
+    assert "SortAggregate" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_assign_clusters_fold_matches_maxby_reference(spark):
+    """The round-11 fold rewrite must reproduce the old cross-join +
+    max_by assignment EXACTLY — same winners, same 9-dp sims — including
+    the NULL / ragged-dim / empty-centroid edges.  The reference here is
+    the old formulation rebuilt inline (cross join + max_by over the
+    (sim, -cluster_id) struct key)."""
+    from pyspark.sql import functions as F
+
+    from wpvectordb_spark.functions import kernels as K
+    from wpvectordb_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # corpus + a NULL-embedding row and a ragged (wrong-dim) row
+    dim_probe = emb.select(F.size("embedding").alias("d")).first()["d"]
+    edges = spark.createDataFrame(
+        [(900001, None), (900002, [0.5] * (dim_probe // 2))],
+        f"vec_id long, embedding array<float>",
+    )
+    vectors = emb.unionByName(edges)
+    cents = SIM.deterministic_centroids(emb, 16)
+
+    got = SIM.assign_clusters(vectors, cents)
+
+    joined = vectors.crossJoin(F.broadcast(cents))
+    cos = K.cosine_similarity(
+        F.col("embedding"), F.col("centroid"), None, F.col("centroid_mag")
+    )
+    best = F.max_by(
+        F.struct(F.col("cluster_id"), F.col("_sim")),
+        F.struct(F.col("_sim").alias("s"), (-F.col("cluster_id")).alias("nc")),
+    )
+    want = (
+        joined.withColumn("_sim", cos)
+        .groupBy("vec_id")
+        .agg(F.first(F.col("embedding")).alias("embedding"), best.alias("_b"))
+        .select(
+            "vec_id",
+            F.col("_b.cluster_id").alias("cluster_id"),
+            F.round(F.col("_b._sim"), 9).alias("centroid_sim"),
+        )
+    )
+    g = {r["vec_id"]: (r["cluster_id"], r["centroid_sim"]) for r in got.collect()}
+    w = {r["vec_id"]: (r["cluster_id"], r["centroid_sim"]) for r in want.collect()}
+    assert g == w
+    # empty centroid table -> empty assignment (the old join semantics)
+    empty_c = cents.where("cluster_id < 0")
+    assert SIM.assign_clusters(vectors, empty_c).count() == 0
 
 
 def test_semantic_dedup_plan_broadcasts_centroids(spark):

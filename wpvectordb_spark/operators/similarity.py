@@ -323,32 +323,81 @@ def assign_clusters(
     id_col: str = "vec_id",
     vector_col: str = "embedding",
 ) -> DataFrame:
-    """IVF index build: nearest centroid (max cosine) per vector via a
-    broadcast cross join + ``max_by`` hash aggregate.  Deterministic
-    tie-break on cluster_id (equal sims -> smallest id, via the
-    lexicographic (sim, -cluster_id) order key).
+    """IVF index build: nearest centroid (max cosine) per vector via ONE
+    per-row fold over the broadcast centroid array.  Deterministic
+    tie-break on cluster_id (equal sims -> smallest id, the same
+    lexicographic (sim, -cluster_id) order the previous ``max_by`` form
+    used — the fold compares the identical struct key, so NULL-sim
+    vectors still land on the smallest cluster_id with a NULL
+    ``centroid_sim``).
 
-    A hash aggregate, NOT a row_number window: a vector's k centroid
-    rows are adjacent after the broadcast cross join, so partial
-    aggregation collapses them map-side and the exchange carries ~one
-    row per vector — the window form sorts and shuffles the full
-    |vectors| x k candidate set (measured 1.02 s -> 0.36 s for the sf0.1
-    assignment, identical output; the gap widens with corpus size and
-    centroid count)."""
-    joined = vectors.crossJoin(F.broadcast(centroids))
-    cos = K.cosine_similarity(
-        F.col(vector_col), F.col("centroid"), None, F.col("centroid_mag")
-    )
-    best = F.max_by(
-        F.struct(F.col("cluster_id"), F.col("_sim")),
-        F.struct(
-            F.col("_sim").alias("s"), (-F.col("cluster_id")).alias("nc")
-        ),
+    SHAPE (round 11, guide §2.4 "remove shuffles outright"): the old
+    broadcast-cross-join + ``max_by`` form exploded k candidate rows per
+    vector and re-grouped them by ``id_col`` — rows that never left
+    their partition — and ``max_by`` with a struct ordering key is NOT
+    hash-aggregable, so the plan was Sort(|vectors| x k, payload
+    included) -> partial SortAggregate -> Exchange(|vectors| rows WITH
+    embeddings) -> Sort -> SortAggregate.  Collapsing the (bounded,
+    already-broadcast) centroid table to ONE array row first makes the
+    assignment a single narrow projection: Scan -> BroadcastNestedLoop
+    (1-row build) -> Project — zero sorts, zero shuffles of vector
+    payloads (plans/r11/ann_ivf_{before,after}.txt).  Arithmetic per
+    (vector, centroid) pair is unchanged (same cosine expression), and
+    the vector's own magnitude is now computed once per row instead of
+    once per candidate pair — the same float value, so assignments and
+    sims are bit-identical (test-asserted against the corpus + NULL /
+    ragged-dim / empty-centroid edges)."""
+    cents = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cluster_id"), F.col("centroid"), F.col("centroid_mag")
+                )
+            )
+        ).alias("_cents")
+    ).where(F.size("_cents") > 0)  # empty centroid table -> empty result,
+    # matching the old cross-join form (agg-without-groupBy always emits
+    # one row; the guard restores the join's empty-propagation)
+
+    def _fold(vm):
+        # vm is a BOUND lambda variable (one-element transform bind, the
+        # collapse-proof _bind1 pattern): a projected `_vmag` column
+        # would be re-inlined into the fold lambda by CollapseProject
+        # and recomputed per centroid — the exact trap PERFORMANCE.md
+        # item 34 documents.
+        def _step(acc, c):
+            sim = K.cosine_similarity(
+                F.col(vector_col), c["centroid"], vm, c["centroid_mag"]
+            )
+            new_key = F.struct(sim.alias("s"), (-c["cluster_id"]).alias("nc"))
+            acc_key = F.struct(
+                acc["_sim"].alias("s"), (-acc["cluster_id"]).alias("nc")
+            )
+            # strict > over the ascending-cluster_id array == max_by's
+            # (sim, -cluster_id) argmax; struct ordering handles NULL
+            # sims exactly as max_by's struct key did (NULL lowest)
+            return F.when(
+                acc["cluster_id"].isNull() | (new_key > acc_key),
+                F.struct(
+                    c["cluster_id"].alias("cluster_id"), sim.alias("_sim")
+                ),
+            ).otherwise(acc)
+
+        return F.aggregate(
+            F.col("_cents"),
+            F.struct(
+                F.lit(None).cast("long").alias("cluster_id"),
+                F.lit(None).cast("double").alias("_sim"),
+            ),
+            _step,
+        )
+
+    best = F.element_at(
+        F.transform(F.array(K.magnitude(vector_col)), _fold), 1
     )
     return (
-        joined.withColumn("_sim", cos)
-        .groupBy(id_col)
-        .agg(F.first(F.col(vector_col)).alias(vector_col), best.alias("_best"))
+        vectors.crossJoin(F.broadcast(cents))
+        .withColumn("_best", best)
         .select(
             F.col(id_col),
             F.col(vector_col),

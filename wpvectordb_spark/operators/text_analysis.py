@@ -754,9 +754,11 @@ def unigram_logprob_scores(
     )
     if persist:
         # two consumers (vocab agg + score-join probe) would otherwise
-        # re-tokenize and re-explode the whole corpus; same
-        # shared-intermediate persist as the minhash shingle table
-        toks = toks.persist()
+        # re-tokenize and re-explode the whole corpus; lazy call-scoped
+        # localCheckpoint barrier, GC-released — same shared-intermediate
+        # rule as the minhash shingle table (round-10 verdict item 2:
+        # .persist() here had no release handle)
+        toks = toks.localCheckpoint(eager=False)
     vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = toks.join(vocab, "term").crossJoin(F.broadcast(total)).select(
