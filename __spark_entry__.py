@@ -2114,6 +2114,7 @@ def _q_text_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vector")
     )
     vec = S.brute_force_topk(emb, _query_vector(spark, sf_dir), n=10, id_col="doc_id")
+    # bounded(<=10): rank stamping over brute_force_topk's n=10 output
     w = Window.orderBy(F.col("cosine_similarity").desc(), F.col("doc_id").asc())
     vecr = vec.select("doc_id", F.row_number().over(w).alias("rnk"))
     rrf = R.rrf_fuse_many(

@@ -416,3 +416,21 @@ def test_manifest_params_accept_pre_soft_dedup_dirs(spark, tmp_path):
         curate_training_corpus(
             docs, manifest_dir=mdir, soft_dedup=True, **kwargs
         )
+
+
+def test_manifest_params_corrupted_file_refuses_loudly(tmp_path):
+    """A truncated/corrupted _params.json must raise the explanatory
+    ValueError (with the raw contents in the message), not a bare
+    JSONDecodeError (ADVICE round 10)."""
+    import os
+
+    import pytest as _pytest
+
+    from wpvectordb_spark.pipelines import _guard_manifest_params
+
+    mdir = str(tmp_path / "corrupt")
+    os.makedirs(mdir)
+    with open(os.path.join(mdir, "_params.json"), "w") as fh:
+        fh.write('{"quality_quantile": 0.2')  # truncated write
+    with _pytest.raises(ValueError, match="unreadable"):
+        _guard_manifest_params(mdir, {"quality_quantile": 0.25})

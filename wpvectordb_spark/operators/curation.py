@@ -441,6 +441,7 @@ def waterfill_budgets_frame(
     # saturation order: capacity/weight ascending.  One IEEE division —
     # both engines produce the identical double, ties break on stratum.
     r = F.col("capacity").cast("double") / F.col("weight")
+    # bounded(<=#strata): the input is the per-stratum caps/weights frame
     order = Window.orderBy(r.asc(), F.col("stratum").asc())
     run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = s.select(

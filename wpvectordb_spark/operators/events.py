@@ -644,6 +644,15 @@ def hll_registers(
     Scale shape: one narrow projection + one map-side-combinable
     groupBy — the shuffle carries at most #groups x 2^p register rows,
     never event rows.  NULL values drop (COUNT DISTINCT semantics).
+
+    INTEGER-ID CONTRACT (same as ``stratified_sample``'s ``id_hash``):
+    ``value_col`` must be integer-castable — the Wang hash operates on
+    the value AS A NUMBER, so a non-numeric string id fails mid-job
+    with CAST_INVALID_INPUT (and the DuckDB mirror fails differently),
+    while a NUMERIC string silently hashes by its numeric value.  Hash
+    string ids to integers first (``xxhash64`` on the Spark side needs
+    a DuckDB-matchable mirror — the portable route is a pre-assigned
+    integer surrogate id, which a warehouse rollup has anyway).
     """
     from wpvectordb_spark.operators.curation import id_hash
 
@@ -834,7 +843,12 @@ def hdr_histogram(
 
     Values must be NON-NEGATIVE (raises per-row otherwise — a silent
     clamp would distort the low quantiles); NULLs drop like any
-    aggregate input.  Relative error <= ``2^-(sub_bits+1)`` (~1.6% at
+    aggregate input.  The raise is a DOCUMENTED CONTRACT, not a filter:
+    a caller whose data may legitimately go negative must pre-filter
+    (or floor) BEFORE the sketch — wiring this operator raw into a
+    merged multi-arm query means one out-of-contract row fails the
+    whole query, and a SQL mirror has no equivalent per-row guard
+    (ADVICE round 10).  Relative error <= ``2^-(sub_bits+1)`` (~1.6% at
     the default) above ``2^sub_bits`` scaled units; values below that
     are EXACT (dedicated unit buckets).
 

@@ -167,8 +167,8 @@ def bm25_topk(
         .orderBy(F.col("_score").desc(), F.col(id_col).asc())
         .limit(n)
     )
-    # rank assignment AFTER the top-k: the window sees <= n rows, so the
-    # single-partition window is bounded by the ask, not the corpus
+    # bounded(<=n): rank assignment AFTER the top-k — the window sees the
+    # limit(n) output, so it is bounded by the ask, not the corpus
     w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
     out_score = F.round("_score", round_to) if round_to is not None else F.col("_score")
     return ranked.select(
@@ -197,6 +197,7 @@ def rrf_fuse(
     score = F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("_ra")), F.lit(0.0)) + F.coalesce(
         F.lit(1.0) / (F.lit(k) + F.col("_rb")), F.lit(0.0)
     )
+    # bounded(<=2k rows): the fusion input is two top-k ranking lists
     w = Window.orderBy(F.col("_score").desc(), F.col(id_col).asc())
     out = joined.select(F.col(id_col), score.alias("_score"))
     out_score = F.round("_score", round_to) if round_to is not None else F.col("_score")

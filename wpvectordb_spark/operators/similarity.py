@@ -1053,8 +1053,8 @@ def pq_codebooks(
         )
         .orderBy(F.col(id_col).asc())
         .limit(n_codes)
-        # row_number over the n_codes-row frame: single-partition window
-        # on a bounded tiny input, never the full table
+        # bounded(<=n_codes): row_number over the limit(n_codes) frame —
+        # single-partition window on a tiny input, never the full table
         .withColumn(
             "code_id",
             F.row_number().over(Window.orderBy(F.col(id_col).asc())) - 1,

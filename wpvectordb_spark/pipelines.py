@@ -65,7 +65,18 @@ def _guard_manifest_params(manifest_dir: str, params: dict) -> None:
         # byte-compare would force a full recompute after every
         # parameter-surface upgrade (only additions with a backward-
         # equivalent default may be listed here)
-        old = json.loads(existing)
+        try:
+            old = json.loads(existing)
+        except ValueError:
+            # corrupted/truncated params file: raise the SAME explanatory
+            # refusal the mismatch path produces (with the raw contents),
+            # not a bare JSONDecodeError (ADVICE round 10)
+            raise ValueError(
+                f"manifest_dir {manifest_dir!r} has an unreadable "
+                f"_params.json ({existing!r}) — it cannot be proven to "
+                f"match this call's parameters ({blob}); reruns must use "
+                "the original configuration, or a fresh manifest_dir"
+            )
         for key, legacy_default in (("soft_dedup", False),):
             old.setdefault(key, legacy_default)
         if old != params:

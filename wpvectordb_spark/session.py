@@ -18,7 +18,16 @@ def get_spark(app_name: str = "wpvectordb_spark", shuffle_partitions: int | None
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
-        ncores = os.cpu_count() or 8
+        # Scale-adaptive, not host-constant: size the default to the
+        # core count the session will actually RUN with ($SPARK_GRAFT_CPUS
+        # when set — the driver benches at reduced core counts to measure
+        # scaling, and a local[8] session with 32-partition shuffles
+        # measures scheduling overhead, not the query), falling back to
+        # the machine's cores.  SPARK_SHUFFLE_PARTITIONS still overrides
+        # outright; on a real cluster set it to ~2-3x total cores (or
+        # lean on AQE coalescing, enabled below, with an advisory
+        # partition size) — see docs/SCALE.md.
+        ncores = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(ncores)))
     builder = (
         SparkSession.builder.master(master)

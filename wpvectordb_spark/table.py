@@ -258,6 +258,8 @@ class VectorTable:
 
         missing = df.where(F.col("id").isNull())
         counts = missing.groupBy("post_id").agg(F.count("*").alias("_n"))
+        # bounded(<=#posts): window over the per-post COUNT aggregate —
+        # one row per post needing ids, never the chunk table
         w_off = (
             Window.orderBy(F.col("post_id").asc_nulls_first())
             .rowsBetween(Window.unboundedPreceding, -1)
