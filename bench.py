@@ -35,7 +35,11 @@ $SPARK_GRAFT_BENCH_MIN_ATTEMPTS passes (default 2) run even when the
 canary holds, because contention ROAMS between keys within
 stable-canary windows and only min-across-passes removes it.  "window"
 is quiet only when BOTH the pre-launch 1-min and 5-min loadavg were
-< 1 AND some pass held a stable canary.
+< 1 AND some pass held a stable canary AND the canary's best ABSOLUTE
+time sits on its quiet floor ($SPARK_GRAFT_BENCH_CANARY_QUIET, default
+0.5 s — round 11: loadavg cannot see cgroup/VM neighbors; a
+steady-but-slow canary pair is a contaminated window that drift alone
+cannot flag).
 
 $SPARK_GRAFT_BENCH_QUIET_WAIT=<seconds> additionally GATES the launch:
 poll up to that long for both loadavg readings to drop under 1 before
@@ -597,9 +601,26 @@ def main() -> None:
     # stable pass is exactly the roaming-contention configuration the
     # minima exist to strip (item 64) — don't label it comparable
     min_attempts_met = len(attempts) >= min(ATTEMPTS_MIN, ATTEMPTS_MAX)
+    canary_best = min(c for att in attempts for c in att["canary_sec"])
+    # ... and the canary's ABSOLUTE level must sit on its documented
+    # floor (round 11): loadavg is blind to cgroup/VM NEIGHBORS — one
+    # run this round launched at loadavg [0.13, 0.31] with a stable
+    # 13.8%-drift pass and still measured every key ~40-60% over its
+    # floor, visible ONLY as canary_best 0.588 vs the 0.36-0.45 quiet
+    # floor (PERFORMANCE.md).  The pure-CPU canary's wall time on a
+    # quiet 32-core host of this class is ~0.36-0.45 s; above
+    # $SPARK_GRAFT_BENCH_CANARY_QUIET (default 0.5) the window is
+    # labeled contaminated no matter what loadavg said.  Labeling only —
+    # timings, keys, and aggregation are unchanged.
+    canary_quiet_max = float(
+        os.environ.get("SPARK_GRAFT_BENCH_CANARY_QUIET", "0.5")
+    )
     window = (
         "quiet"
-        if prelaunch_quiet and any_stable and min_attempts_met
+        if prelaunch_quiet
+        and any_stable
+        and min_attempts_met
+        and canary_best <= canary_quiet_max
         else "contaminated"
     )
 
@@ -658,7 +679,7 @@ def main() -> None:
         "quiet_wait_sec": round(waited_for_quiet),
         "loadavg_prelaunch": loadavg_prelaunch,
         "window": window,
-        "canary_best": min(c for att in attempts for c in att["canary_sec"]),
+        "canary_best": canary_best,
         "cpus": os.cpu_count(),
         "git_sha": git_sha,
     }
