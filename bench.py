@@ -109,7 +109,11 @@ def main() -> None:
     # stall); when it is >= 1 the default becomes 180 s of bounded
     # polling.  The env var still overrides in both directions (0
     # disables entirely).
-    _quiet_default = "180" if os.getloadavg()[0] >= 1.0 else "0"
+    # (both averages gate the default, matching the quiet rule below —
+    # a decaying 5-min average with a calm 1-min reading is exactly the
+    # residual-load case the rule exists for)
+    _la0 = os.getloadavg()
+    _quiet_default = "180" if (_la0[0] >= 1.0 or _la0[1] >= 1.0) else "0"
     quiet_wait = float(
         os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", _quiet_default)
     )

@@ -98,3 +98,46 @@ def test_barrier_arm_matches_unbarriered_arm(spark, docs):
         assert rows_key(on.columns, on.collect()) == rows_key(
             off.columns, off.collect()
         ), f"{name}: persist arms diverge"
+
+
+def test_checkpoint_blocks_drain_after_frame_gc(spark, docs):
+    """The barrier blocks themselves must be call-scoped: once the
+    returned frame is garbage-collected, the ContextCleaner reclaims
+    the localCheckpoint RDD blocks — executor storage does not grow per
+    call (the CacheManager probe above cannot see checkpoint blocks, so
+    this asserts the storage side directly)."""
+    import gc
+    import time
+
+    from wpvectordb_spark.operators import dedup as D
+
+    def stored_ids() -> set[int]:
+        return {
+            i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    # DELTA-based: earlier tests in this shared session may still have
+    # their own blocks awaiting the ContextCleaner; only the RDD ids
+    # THIS call materializes must drain once its frame is dropped
+    before = stored_ids()
+    out = D.minhash_lsh_dedup_pairs(
+        docs.select("doc_id", "text"), threshold=0.5, persist=True
+    )
+    out.write.format("noop").mode("overwrite").save()
+    mine = stored_ids() - before
+    assert mine  # the barrier materialized blocks
+    del out
+    # release the py4j proxies first (Python gc), then ask the JVM for a
+    # GC — the ContextCleaner reclaims via weak references, which only
+    # enqueue on a JVM collection (its own periodic GC is 30 min)
+    gc.collect()
+    spark._jvm.System.gc()
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline and stored_ids() & mine:
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(2)
+    assert not (stored_ids() & mine), (
+        "localCheckpoint blocks survived frame GC — the barrier is not "
+        "call-scoped"
+    )

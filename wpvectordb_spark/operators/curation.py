@@ -875,7 +875,12 @@ def expand_budgets(
         # join — unbarriered, the scan + count join + hash run twice.
         # Lazy call-scoped localCheckpoint, GC-released (a .persist()
         # here leaked one CacheManager entry per call; round-10 verdict
-        # item 2)
+        # item 2).  The barrier leaf carries no stats, so the extras
+        # left join below is planned SortMergeJoin and left to AQE to
+        # demote at runtime — deliberately NOT a forced broadcast:
+        # extras is Σ per-stratum remainders, which is O(stratum size)
+        # when budgets approach multiples of the stratum count, far
+        # over any broadcast budget at scale.
         .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window

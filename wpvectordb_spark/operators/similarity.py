@@ -346,7 +346,14 @@ def assign_clusters(
     the vector's own magnitude is now computed once per row instead of
     once per candidate pair — the same float value, so assignments and
     sims are bit-identical (test-asserted against the corpus + NULL /
-    ragged-dim / empty-centroid edges)."""
+    ragged-dim / empty-centroid edges).
+
+    DUPLICATE-ID CONTRACT: ``id_col`` is assumed unique (a vector
+    table's primary key, as every call site guarantees).  A duplicated
+    id now yields one assignment row PER INPUT ROW — each deterministic
+    for its own vector — where the old groupBy form collapsed
+    duplicates to one row via a NONDETERMINISTIC ``first(embedding)``;
+    deduplicate upstream if ids can repeat."""
     cents = centroids.agg(
         F.array_sort(
             F.collect_list(
