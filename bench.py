@@ -46,11 +46,19 @@ poll up to that long for both loadavg readings to drop under 1 before
 starting, then proceed regardless with the honest label — gives the
 artifact of record the best chance of being the quiet one
 ("quiet_wait_sec" records the actual wait).  The DEFAULT is
-load-conditional (round-10 verdict item 5): 0 when the pre-launch 1-min
-loadavg is already quiet (< 1), 180 s of bounded polling when it is not
-— so an unattended launch into a busy window waits for quiet without
-anyone setting an env var, while quiet launches never stall.  Set the
-env var to override either way (0 disables).
+load-conditional (round-10 verdict item 5): 0 when BOTH the pre-launch
+1-min and 5-min loadavg are already quiet (< 1), 180 s of bounded
+polling when either is not (a calm 1-min with a decaying 5-min average
+is exactly the residual-load case the wait exists for) — so an
+unattended launch into a busy window waits for quiet without anyone
+setting an env var, while quiet launches never stall.  Set the env var
+to override either way (0 disables).
+
+$SPARK_GRAFT_BENCH_KEYS=<comma list> restricts the run to the named
+headline/extras keys (unknown names raise) — the targeted-measurement
+mode ab_bench.py uses for interleaved same-window A/Bs.  UNSET for any
+artifact of record: a filtered run's totals are not comparable and the
+final line marks itself "keys_filtered": true.
 """
 
 from __future__ import annotations
@@ -79,6 +87,20 @@ CANARY_DRIFT_MAX = 0.15
 # fits setup + two sf0.1 passes (~9 min measured) with headroom under
 # any plausible caller timeout; raise it for deliberate long sweeps.
 BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "900"))
+# Optional key filter for TARGETED measurement runs (ab_bench.py's
+# interleaved A/Bs re-measure 1-3 keys per JVM; a full 48-key pass per
+# alternation would make same-window pairs impossible).  Unset = the
+# full frozen key set — the only artifact-of-record configuration.
+_keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS", "").strip()
+KEYS_FILTER: set[str] | None = (
+    {k.strip() for k in _keys_env.split(",") if k.strip()}
+    if _keys_env
+    else None
+)
+
+
+def _want(name: str) -> bool:
+    return KEYS_FILTER is None or name in KEYS_FILTER
 
 
 def main() -> None:
@@ -198,7 +220,7 @@ def main() -> None:
         "text_fingerprint": entry._q_text_fingerprint,
         "curate_pack_sequences": entry._q_curate_pack_sequences,
     }
-    headline = list(qmap)
+    headline = [k for k in qmap if _want(k)]
 
     # warm the JVM/codegen once with a trivial action, and the Python
     # worker pool with a trivial mapInPandas (so the first Pandas-UDF
@@ -293,40 +315,52 @@ def main() -> None:
     # 8-entry codes + exact rerank (the 32x-memory-shrink scan path).
     # Codebook + encode are index-build-time costs, excluded like the IVF
     # index build; localCheckpoint materializes the codes once.
-    pq_cb = SIM._collect_codebooks(
-        SIM.pq_codebooks(emb, dim=entry.PQ_DIM, m=entry.PQ_M, n_codes=entry.PQ_CODES),
-        entry.PQ_M,
-    )
-    pq_codes = SIM._pq_encode_from_cb(
-        emb, pq_cb, entry.PQ_DIM, entry.PQ_M, "vec_id", "embedding"
-    ).localCheckpoint()
-    ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
-    SIM.build_ivf_index(emb, ivf_dir, n_clusters=16)
-    ivfpq_dir = tempfile.mkdtemp(prefix="bench_ivfpq_")
-    SIM.build_ivfpq_index(
-        emb, ivfpq_dir, dim=entry.PQ_DIM,
-        n_clusters=16, m=entry.PQ_M, n_codes=entry.PQ_CODES,
-    )
-    ivfpqres_dir = tempfile.mkdtemp(prefix="bench_ivfpqres_")
-    SIM.build_ivfpq_index(
-        emb, ivfpqres_dir, dim=entry.PQ_DIM,
-        n_clusters=16, m=entry.PQ_M, n_codes=entry.PQ_CODES, residual=True,
-    )
+    # (Every shared-setup block below is skipped when a KEYS_FILTER run
+    # requests none of its consumer keys — setup is untimed, but A/B
+    # alternations pay its wall clock per JVM.)
+    pq_cb = pq_codes = None
+    if _want("ann_pq_serve") or _want("ann_pq_batch_50"):
+        pq_cb = SIM._collect_codebooks(
+            SIM.pq_codebooks(emb, dim=entry.PQ_DIM, m=entry.PQ_M, n_codes=entry.PQ_CODES),
+            entry.PQ_M,
+        )
+        pq_codes = SIM._pq_encode_from_cb(
+            emb, pq_cb, entry.PQ_DIM, entry.PQ_M, "vec_id", "embedding"
+        ).localCheckpoint()
+    ivf_dir = ivfpq_dir = ivfpqres_dir = ingest_root = None
+    if _want("ann_ivf_batch_50"):
+        ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+        SIM.build_ivf_index(emb, ivf_dir, n_clusters=16)
+    if _want("ann_ivfpq") or _want("ann_ivfpq_batch_50"):
+        ivfpq_dir = tempfile.mkdtemp(prefix="bench_ivfpq_")
+        SIM.build_ivfpq_index(
+            emb, ivfpq_dir, dim=entry.PQ_DIM,
+            n_clusters=16, m=entry.PQ_M, n_codes=entry.PQ_CODES,
+        )
+    if _want("ann_ivfpq_res"):
+        ivfpqres_dir = tempfile.mkdtemp(prefix="bench_ivfpqres_")
+        SIM.build_ivfpq_index(
+            emb, ivfpqres_dir, dim=entry.PQ_DIM,
+            n_clusters=16, m=entry.PQ_M, n_codes=entry.PQ_CODES, residual=True,
+        )
     # raw-corpus ingestion: the JSONL drop is pre-written once (setup
     # excluded, like the index builds); timed = splittable text scan +
     # full-schema from_json parse + quarantine split, both frames forced
-    ingest_root = tempfile.mkdtemp(prefix="bench_ingest_")
-    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).write.mode(
-        "overwrite"
-    ).json(os.path.join(ingest_root, "drop"))
+    if _want("ingest_jsonl"):
+        ingest_root = tempfile.mkdtemp(prefix="bench_ingest_")
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).write.mode(
+            "overwrite"
+        ).json(os.path.join(ingest_root, "drop"))
     # epoch expansion: ~2.6x budgets over per-lang counts (computed once
     # outside the timed region — the budgets are the operator's INPUT)
-    _eb_counts = {
-        r["lang"]: r["cnt"]
-        for r in docs.where(F.col("lang").isNotNull())
-        .groupBy("lang").agg(F.count("*").alias("cnt")).collect()
-    }
-    _eb_budgets = {k: int(v * 2.6) for k, v in _eb_counts.items()}
+    _eb_budgets = {}
+    if _want("epoch_expand"):
+        _eb_counts = {
+            r["lang"]: r["cnt"]
+            for r in docs.where(F.col("lang").isNotNull())
+            .groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+        }
+        _eb_budgets = {k: int(v * 2.6) for k, v in _eb_counts.items()}
     maint_root = tempfile.mkdtemp(prefix="bench_maint_")
 
     def _wsample_weighted():
@@ -362,13 +396,15 @@ def main() -> None:
         # batch search: 50 query vectors against the whole table in one
         # plan — the Spark-native generalization (not in queries(): no
         # single-query oracle)
-        timings["search_batch_50"] = timed(
-            lambda: force(S.search_many(vectors, qs, n=5, code_col=None, mag_col=None))
-        )
+        if _want("search_batch_50"):
+            timings["search_batch_50"] = timed(
+                lambda: force(S.search_many(vectors, qs, n=5, code_col=None, mag_col=None))
+            )
         # Arrow/numpy cosine fast path vs the Catalyst expression form
-        timings["search_brute_force_arrow"] = timed(
-            lambda: force(SIM.brute_force_topk_arrow(emb, qv, n=10))
-        )
+        if _want("search_brute_force_arrow"):
+            timings["search_brute_force_arrow"] = timed(
+                lambda: force(SIM.brute_force_topk_arrow(emb, qv, n=10))
+            )
 
         # table maintenance: the OPTIMIZE rewrite itself — a deliberately
         # fragmented events copy (32 writer files, shuffled order)
@@ -377,15 +413,16 @@ def main() -> None:
         # rewrite (the clustered read-side payoff is test-asserted via
         # footer stats, not timed here).
         _maint_dirs = []
-        for i in range(RUNS):
-            d = os.path.join(maint_root, f"a{attempt}_t{i}")
-            (
-                spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-                .orderBy(F.xxhash64("event_id"))
-                .repartition(32)
-                .write.mode("overwrite").parquet(d)
-            )
-            _maint_dirs.append(d)
+        if _want("maint_compact_zorder"):
+            for i in range(RUNS):
+                d = os.path.join(maint_root, f"a{attempt}_t{i}")
+                (
+                    spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+                    .orderBy(F.xxhash64("event_id"))
+                    .repartition(32)
+                    .write.mode("overwrite").parquet(d)
+                )
+                _maint_dirs.append(d)
         _maint_iter = iter(_maint_dirs)
 
         # --- extras: round-3+ operators, PRINTED but NOT part of the
@@ -523,6 +560,17 @@ def main() -> None:
                 entry._softpipe_manifest(spark, SF_DIR)
             ),
         }
+        if KEYS_FILTER is not None:
+            unknown = KEYS_FILTER - (
+                set(qmap)
+                | {"search_batch_50", "search_brute_force_arrow"}
+                | set(extra_map)
+            )
+            if unknown:
+                raise ValueError(
+                    f"SPARK_GRAFT_BENCH_KEYS names unknown keys: {sorted(unknown)}"
+                )
+            extra_map = {k: v for k, v in extra_map.items() if _want(k)}
         extras: dict[str, float] = {}
         for name, fn in extra_map.items():
             extras[name] = timed(fn)
@@ -579,11 +627,9 @@ def main() -> None:
                     file=sys.stderr,
                 )
     finally:
-        shutil.rmtree(ivf_dir, ignore_errors=True)
-        shutil.rmtree(ivfpq_dir, ignore_errors=True)
-        shutil.rmtree(ivfpqres_dir, ignore_errors=True)
-        shutil.rmtree(maint_root, ignore_errors=True)
-        shutil.rmtree(ingest_root, ignore_errors=True)
+        for d in (ivf_dir, ivfpq_dir, ivfpqres_dir, maint_root, ingest_root):
+            if d is not None:
+                shutil.rmtree(d, ignore_errors=True)
 
     # headline statistic: per-key MINIMA across passes — items 58-59's
     # five-window sweep showed minima sit on the per-key floors while
@@ -684,9 +730,19 @@ def main() -> None:
         "loadavg_prelaunch": loadavg_prelaunch,
         "window": window,
         "canary_best": canary_best,
-        "cpus": os.cpu_count(),
+        # the SESSION's core count, not the machine's: the driver benches
+        # at reduced core counts (local[$SPARK_GRAFT_CPUS]) to measure
+        # scaling, and round 11's 8-core artifact internally claimed
+        # "cpus": 32 because this recorded os.cpu_count() (verdict item 2)
+        "cpus": (
+            int(os.environ["SPARK_GRAFT_CPUS"])
+            if os.environ.get("SPARK_GRAFT_CPUS", "").isdigit()
+            else os.cpu_count()
+        ),
         "git_sha": git_sha,
     }
+    if KEYS_FILTER is not None:
+        final["keys_filtered"] = True
     # never let the canonical line outgrow the driver's ~2,000-char tail
     # capture (round 8's failure mode): shed optional fields first, then
     # coarsen the per-key precision (3dp -> 2dp costs nothing a minima

@@ -141,3 +141,42 @@ def test_checkpoint_blocks_drain_after_frame_gc(spark, docs):
         "localCheckpoint blocks survived frame GC — the barrier is not "
         "call-scoped"
     )
+
+
+def test_barrier_mode_escape_hatch(spark, docs, tmp_path):
+    """Round-12 (verdict item 6): the lazy-localCheckpoint barriers are
+    not scale-safe under executor loss, so the barrier helper exposes a
+    session-level mode knob.  ``reliable`` (with a checkpoint dir)
+    and ``none`` must both produce identical rows to the default;
+    ``reliable`` WITHOUT a checkpoint dir must refuse loudly rather
+    than silently downgrade; unknown modes are refused."""
+    from tests.conftest import rows_key
+    from wpvectordb_spark.operators import dedup as D
+
+    corpus = docs.select("doc_id", "text")
+    base = D.minhash_lsh_dedup_pairs(corpus, threshold=0.5)
+    want = rows_key(base.columns, base.collect())
+
+    sc = spark.sparkContext
+    had_dir = not sc._jsc.sc().getCheckpointDir().isEmpty()
+    try:
+        if not had_dir:
+            # refusal must precede the directory existing
+            spark.conf.set("spark.wpvectordb.barrier", "reliable")
+            with pytest.raises(ValueError, match="checkpoint"):
+                D.minhash_lsh_dedup_pairs(corpus, threshold=0.5).collect()
+            sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        else:  # another test already pinned a session checkpoint dir
+            spark.conf.set("spark.wpvectordb.barrier", "reliable")
+        got = D.minhash_lsh_dedup_pairs(corpus, threshold=0.5)
+        assert rows_key(got.columns, got.collect()) == want
+
+        spark.conf.set("spark.wpvectordb.barrier", "none")
+        got = D.minhash_lsh_dedup_pairs(corpus, threshold=0.5)
+        assert rows_key(got.columns, got.collect()) == want
+
+        spark.conf.set("spark.wpvectordb.barrier", "bogus")
+        with pytest.raises(ValueError, match="bogus"):
+            D.minhash_lsh_dedup_pairs(corpus, threshold=0.5).collect()
+    finally:
+        spark.conf.unset("spark.wpvectordb.barrier")

@@ -104,3 +104,58 @@ def test_simhash_pairs_identical_across_engines(spark, docs):
     a = D.simhash_near_dup_pairs(docs, max_hamming=3, engine="arrow")
     c = D.simhash_near_dup_pairs(docs, max_hamming=3, engine="catalyst")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, c.collect()))
+
+
+def test_span_window_hashes_engines_identical(spark, docs):
+    """The span-detection window-hash fold (round 12's Arrow kernel) must
+    be bit-identical between engines on the real corpus — the DuckDB
+    span oracles mirror the Catalyst arithmetic."""
+    d = docs.select("doc_id", "text")
+    a, _, _ = D._span_detection(
+        d, 8, 2, "doc_id", "text", carry_tokens=False, persist=False,
+        engine="arrow",
+    )
+    c, _, _ = D._span_detection(
+        d, 8, 2, "doc_id", "text", carry_tokens=False, persist=False,
+        engine="catalyst",
+    )
+    j = a.withColumnRenamed("_ws", "_wa").join(
+        c.withColumnRenamed("_ws", "_wc"), "doc_id"
+    )
+    assert j.count() > 0
+    assert j.where(~F.col("_wa").eqNullSafe(F.col("_wc"))).count() == 0
+
+
+def test_span_window_hashes_arrow_edges(spark):
+    """NULL text, empty text, shorter-than-k, and exactly-k documents:
+    the kernel must emit [] (never NULL) for short/NULL rows and match
+    the HOF form element-for-element everywhere (k=4 makes doc 4 the
+    exactly-one-window case)."""
+    d = _edge_docs(spark)
+    a, _, _ = D._span_detection(
+        d, 4, 2, "doc_id", "text", carry_tokens=False, persist=False,
+        engine="arrow",
+    )
+    c, _, _ = D._span_detection(
+        d, 4, 2, "doc_id", "text", carry_tokens=False, persist=False,
+        engine="catalyst",
+    )
+    am = {r["doc_id"]: r["_ws"] for r in a.collect()}
+    cm = {r["doc_id"]: r["_ws"] for r in c.collect()}
+    assert am == cm
+    assert am[2] == [] and am[3] == [] and am[5] == []  # empty/NULL/short
+    assert len(am[4]) == 1  # exactly k tokens -> one window
+    assert len(am[1]) == 2
+
+
+def test_span_cut_engines_identical(spark, docs):
+    """remove_duplicate_spans end to end: identical rows (ids, counts,
+    rewritten text) under both window-hash engines."""
+    d = docs.select("doc_id", "text").limit(300)
+    rows_a = sorted(
+        map(tuple, D.remove_duplicate_spans(d, k=8, min_docs=2, engine="arrow").collect())
+    )
+    rows_c = sorted(
+        map(tuple, D.remove_duplicate_spans(d, k=8, min_docs=2, engine="catalyst").collect())
+    )
+    assert rows_a == rows_c

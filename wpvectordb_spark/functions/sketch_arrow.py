@@ -131,3 +131,67 @@ def simhash_arrow(hashes: Column | str, bits: int = 32) -> Column:
         return pd.Series(out, dtype=object)
 
     return _sh(hashes if isinstance(hashes, Column) else F.col(hashes))
+
+
+def span_window_hashes_arrow(token_hashes: Column | str, k: int) -> Column:
+    """Arrow form of the ExactSubstr window-hash fold in
+    ``dedup._span_detection``: for every k-token window of a document's
+    token-hash array, the packed ~60-bit hash
+
+        h1 * HASH_MOD2 + h2
+        h1 = fold over the window of (a * 31 + t) % HASH_MOD
+        h2 = fold over the window of (a * HASH_MUL2 + t) % HASH_MOD2
+
+    BIT-IDENTICAL to the Catalyst ``transform(sequence(...),
+    i -> aggregate(slice(...)))`` form (same constants, same fold order,
+    same empty-array-for-short/NULL semantics) — asserted by
+    tests/test_sketch_arrow.py and the DuckDB oracle.  The HOF form
+    re-slices and re-folds per window (O(k * tokens) interpreted
+    lambda steps, ~16 modmuls/token at k=8); here the k fold steps are
+    k vectorized passes over the batch's concatenated token hashes.
+
+    Range: token hashes are < HASH_MOD < 2^30, so
+    h1 * 31 + t < 2^35 and h2 * 131 + t < 2^38 stay exact in int64;
+    the packed hash is < 1.1e18 < 2^63.  Windows spanning row
+    boundaries in the concatenation are computed and discarded
+    (k - 1 waste rows per document — negligible).
+    """
+    from wpvectordb_spark.functions.text import HASH_MOD, HASH_MOD2, HASH_MUL2
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _ws(ths: pd.Series) -> pd.Series:
+        # [] (never NULL) for NULL/short rows — the HOF form's
+        # when(size >= k, fold).otherwise(array()) contract
+        out: list[list[int]] = [[] for _ in range(len(ths))]
+        arrs: list[np.ndarray] = []
+        rows: list[int] = []
+        for j, v in enumerate(ths):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.int64)
+            if a.size < k:
+                continue
+            arrs.append(a)
+            rows.append(j)
+        if not rows:
+            return pd.Series(out)
+        lens = np.array([a.size for a in arrs], dtype=np.int64)
+        offsets = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        concat = np.concatenate(arrs)
+        nw = concat.size - k + 1
+        h1 = np.zeros(nw, dtype=np.int64)
+        h2 = np.zeros(nw, dtype=np.int64)
+        for j in range(k):
+            seg = concat[j : j + nw]
+            h1 = (h1 * 31 + seg) % HASH_MOD
+            h2 = (h2 * HASH_MUL2 + seg) % HASH_MOD2
+        ws = h1 * HASH_MOD2 + h2
+        for i, row in enumerate(rows):
+            o = int(offsets[i])
+            out[row] = ws[o : o + int(lens[i]) - k + 1].tolist()
+        return pd.Series(out)
+
+    return _ws(
+        token_hashes if isinstance(token_hashes, Column) else F.col(token_hashes)
+    )

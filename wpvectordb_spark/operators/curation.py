@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wpvectordb_spark.barrier import call_barrier
 from wpvectordb_spark.functions import text as X
 
 HASH_RANGE = 1 << 32
@@ -151,7 +152,7 @@ def pack_sequences(
         # accumulated one resident entry per distinct input (round-10
         # verdict item 2); persist=False still skips the barrier and
         # accepts the double scan.
-        t = t.localCheckpoint(eager=False)
+        t = call_barrier(t)
     sub = t.groupBy("_pid", stratum_col).agg(F.sum("n_tokens").alias("_part_sum"))
     w_off = (
         Window.partitionBy(stratum_col)
@@ -881,7 +882,7 @@ def expand_budgets(
         # extras is Σ per-stratum remainders, which is O(stratum size)
         # when budgets approach multiples of the stratum count, far
         # over any broadcast budget at scale.
-        .localCheckpoint(eager=False)
+        .transform(call_barrier)
     )
     from pyspark.sql import Window
 
@@ -1631,6 +1632,7 @@ def decontaminate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_holdout: bool = True,
+    engine: str | None = None,
 ) -> DataFrame:
     """Span-level decontamination: REDACT every run of >= ``k``
     consecutive tokens that also occurs in the holdout/eval set, instead
@@ -1658,16 +1660,23 @@ def decontaminate_spans(
     Returns ``(id, n_tokens, n_kept, text)`` for every corpus document;
     untouched documents round-trip with ``n_kept == n_tokens``.
     """
-    from wpvectordb_spark.operators.dedup import _cut_rewrite, _span_detection
+    from wpvectordb_spark.operators.dedup import (
+        DEFAULT_SKETCH_ENGINE,
+        _cut_rewrite,
+        _span_detection,
+    )
 
+    if engine is None:
+        engine = DEFAULT_SKETCH_ENGINE
     base, wins, _ = _span_detection(
-        docs, k, 2, id_col, text_col, carry_tokens=True
+        docs, k, 2, id_col, text_col, carry_tokens=True, engine=engine
     )
     # min_docs=1 makes the detection's >= min_docs distinct-doc filter a
     # no-op: its dup_hashes output IS the holdout's distinct hash set
     # (persist=False: the holdout base has exactly one consumer)
     _, _, hold_h = _span_detection(
-        holdout, k, 1, id_col, text_col, carry_tokens=False, persist=False
+        holdout, k, 1, id_col, text_col, carry_tokens=False, persist=False,
+        engine=engine,
     )
     if broadcast_holdout:
         hold_h = F.broadcast(hold_h)
@@ -1957,7 +1966,7 @@ def dsir_topk(
 
     raw = feats(corpus)  # two consumers: raw model + scoring
     if persist:
-        raw = raw.localCheckpoint(eager=False)
+        raw = call_barrier(raw)
     rawm = raw.groupBy("bucket").agg(F.count("*").alias("r_cnt"))
     tgtm = feats(target).groupBy("bucket").agg(F.count("*").alias("t_cnt"))
     r_tot = rawm.agg(F.sum("r_cnt").alias("r_tot"))

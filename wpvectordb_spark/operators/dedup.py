@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from wpvectordb_spark.barrier import call_barrier
 from wpvectordb_spark.functions import kernels as K
 from wpvectordb_spark.functions import sketch_arrow as SA
 from wpvectordb_spark.functions import text as X
@@ -558,7 +559,7 @@ def minhash_lsh_dedup_pairs(
     sh = _shingle_side(docs, id_col, text_col, shingle_k)
     if persist:
         # lazy call-scoped barrier, GC-released (see docstring)
-        sh = sh.localCheckpoint(eager=False)
+        sh = call_barrier(sh)
     sigs = sh.select(
         F.col(id_col), _mh_sig(F.col("sh"), num_hashes, engine).alias("signature")
     )
@@ -646,10 +647,8 @@ def incremental_dedup_pairs(
     own_corpus_banding = corpus_bands is None
     sh_c = _shingle_side(corpus, id_col, text_col, shingle_k)
     if own_corpus_banding:
-        sh_c = sh_c.localCheckpoint(eager=False)
-    sh_d = _shingle_side(delta, id_col, text_col, shingle_k).localCheckpoint(
-        eager=False
-    )
+        sh_c = call_barrier(sh_c)
+    sh_d = call_barrier(_shingle_side(delta, id_col, text_col, shingle_k))
 
     def _banded(sh: DataFrame, out: str) -> DataFrame:
         sigs = sh.select(
@@ -1188,6 +1187,7 @@ def duplicate_span_stats(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = DEFAULT_SKETCH_ENGINE,
 ) -> DataFrame:
     """ExactSubstr-style duplicate-span detection (Lee et al., "Deduplicating
     Training Data Makes Language Models Better", ACL'22): find spans of
@@ -1220,7 +1220,7 @@ def duplicate_span_stats(
     never shuffles — only (hash, doc, pos) triples.
     """
     base, wins, dup_hashes = _span_detection(
-        docs, k, min_docs, id_col, text_col, carry_tokens=False
+        docs, k, min_docs, id_col, text_col, carry_tokens=False, engine=engine
     )
     dup_wins = wins.join(dup_hashes, "h", "left_semi")
     merge = (
@@ -1252,6 +1252,7 @@ def _span_detection(
     text_col: str,
     carry_tokens: bool,
     persist: bool = True,
+    engine: str = DEFAULT_SKETCH_ENGINE,
 ):
     """The ONE detection pipeline shared by ``duplicate_span_stats`` and
     ``remove_duplicate_spans`` (a fold/guard tweak changes exactly one
@@ -1298,16 +1299,28 @@ def _span_detection(
             F.col(id_col), X.token_hashes(text_col).alias("_th")
         )
         keep = [F.col(id_col)]
-    base = hashed.select(
-        *keep,
-        F.when(F.size("_th") >= k, F.expr(fold))
-        .otherwise(F.array().cast("array<long>"))
-        .alias("_ws"),
-    )
+    # window-hash engine (same convention as the minhash signatures):
+    # "arrow" computes the identical fold in numpy over Arrow batches;
+    # "catalyst" keeps the pure-JVM HOF form for JIT-warm clusters.
+    # The HOF form pays ~2k interpreted slice-fold steps per token
+    # (k=8); at bench scale (~50-token docs) the fold is only ~0.5 s of
+    # the ~2.2 s cut key — a measured WASH locally (round 12, probe in
+    # OPTIMIZATION_r12.md) — but the per-token cost is constant in
+    # document length, so the vectorized form is the scale default for
+    # the long-document corpora this pipeline exists for (guide §4.2).
+    # Bit-equality is pinned by tests/test_sketch_arrow.py.
+    if engine == "arrow":
+        ws = SA.span_window_hashes_arrow(F.col("_th"), k)
+    else:
+        ws = (
+            F.when(F.size("_th") >= k, F.expr(fold))
+            .otherwise(F.array().cast("array<long>"))
+        )
+    base = hashed.select(*keep, ws.alias("_ws"))
     if persist:
         # lazy call-scoped barrier, GC-released — not a CacheManager
         # entry the caller has no handle to (round-10 verdict item 2)
-        base = base.localCheckpoint(eager=False)
+        base = call_barrier(base)
     wins = base.select(F.col(id_col), F.posexplode("_ws").alias("pos", "h"))
     dup_hashes = (
         wins.groupBy("h")
@@ -1391,6 +1404,7 @@ def remove_duplicate_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = DEFAULT_SKETCH_ENGINE,
 ) -> DataFrame:
     """The CUT step of ExactSubstr dedup (Lee et al., ACL'22): rewrite
     every document with its duplicated spans removed — the actual output
@@ -1415,7 +1429,7 @@ def remove_duplicate_spans(
     of interval lists.
     """
     base, wins, dup_hashes = _span_detection(
-        docs, k, min_docs, id_col, text_col, carry_tokens=True
+        docs, k, min_docs, id_col, text_col, carry_tokens=True, engine=engine
     )
     dup_wins = wins.join(dup_hashes, "h", "left_semi")
     return _cut_rewrite(base, dup_wins, k, id_col, text_col)

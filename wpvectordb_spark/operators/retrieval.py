@@ -31,6 +31,7 @@ import re as _re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from wpvectordb_spark.barrier import call_barrier
 from wpvectordb_spark.functions import text as X
 
 RRF_K = 60  # Cormack et al.'s constant
@@ -104,7 +105,7 @@ def bm25_term_scores(
     )
     if persist:
         # lazy call-scoped barrier, GC-released (see docstring)
-        narrow = narrow.localCheckpoint(eager=False)
+        narrow = call_barrier(narrow)
     base = narrow.select(
         F.col(id_col), "dl", F.explode("_match").alias("term")
     )

@@ -1373,6 +1373,39 @@ def pq_topk(
     )
 
 
+def _pq_qd_tables(
+    cb: list[list[list[float]]],
+    qvecs: list[list[float]],
+    sub: int,
+) -> list[list[list[float]]]:
+    """Per-TARGET ADC distance tables ``qd[t][j][code]`` folded
+    driver-side in the same left-fold order as the engine/oracle kernels
+    (IEEE binary64 sub/mul/add are bit-identical across Python, the JVM,
+    and DuckDB) — the ONE place the batched serving arithmetic lives,
+    whether the tables are then embedded as literals
+    (:func:`_pq_qd2d_terms`) or shipped as broadcast-join DATA
+    (:func:`_qd_data_terms` callers).  Non-finite distances are refused
+    exactly like the literal path's ``_sql_double`` would refuse them."""
+    tables: list[list[list[float]]] = []
+    for v in qvecs:
+        per_sub = []
+        for j, book in enumerate(cb):
+            q_j = v[j * sub : (j + 1) * sub]
+            row = []
+            for word in book:
+                acc = 0.0
+                for x, y in zip(q_j, word):
+                    acc = acc + (x - y) * (x - y)
+                row.append(acc)
+                if acc != acc or acc in (float("inf"), float("-inf")):
+                    raise ValueError(
+                        f"pq: non-finite codebook/query value {acc!r}"
+                    )
+            per_sub.append(row)
+        tables.append(per_sub)
+    return tables
+
+
 def _pq_qd2d_terms(
     cb: list[list[list[float]]],
     qvecs: list[list[float]],
@@ -1387,31 +1420,41 @@ def _pq_qd2d_terms(
     expression-chain form (one named_struct per query) was falsified at
     scale: Janino blew its 64KB method limit at ~200 queries
     (interpreted fallback) and OOM'd the driver heap compiling ~500 —
-    see PERFORMANCE.md item 38.  Distances are folded driver-side in
-    the same left-fold order as the engine/oracle kernels (IEEE
-    binary64 sub/mul/add are bit-identical across Python, the JVM, and
-    DuckDB).  The emitted terms reference columns ``ord_col`` (the
-    joined/exploded ordinal of the TARGET vector — a query for flat PQ,
-    a (query, probed-cluster) residual pair for residual IVFPQ) and
-    ``codes`` (the stored PQ code array)."""
+    see PERFORMANCE.md item 38.  Kept for the SINGLE-query serving paths
+    (one m x n_codes table, a tiny literal); the BATCHED paths ship the
+    same tables as broadcast-join data instead (round 12: parsing and
+    analyzing |batch| x m x n_codes literal doubles cost more driver
+    time per plan than the whole scan).  The emitted terms reference
+    columns ``ord_col`` (the joined/exploded ordinal of the TARGET
+    vector — a query for flat PQ, a (query, probed-cluster) residual
+    pair for residual IVFPQ) and ``codes`` (the stored PQ code array)."""
+    tables = _pq_qd_tables(cb, qvecs, sub)
     terms = []
     for j in range(len(cb)):
-        inner = []
-        for v in qvecs:
-            q_j = v[j * sub : (j + 1) * sub]
-            row = []
-            for word in cb[j]:
-                acc = 0.0
-                for x, y in zip(q_j, word):
-                    acc = acc + (x - y) * (x - y)
-                row.append(acc)
-            inner.append(_sql_double_array(row))
-        qd2d = "array(" + ", ".join(inner) + ")"
+        qd2d = (
+            "array("
+            + ", ".join(_sql_double_array(t[j]) for t in tables)
+            + ")"
+        )
         terms.append(
             f"element_at(element_at({qd2d}, {ord_col} + 1),"
             f" CAST(codes[{j}] + 1 AS INT))"
         )
     return terms
+
+
+def _qd_data_terms(m: int, qd_col: str = "_qd") -> list[str]:
+    """ADC lookup terms over a per-row DATA column ``qd_col[j][code]``
+    (the broadcast-join form of the tables ``_pq_qd_tables`` builds):
+    same m-term fixed-order ``element_at`` chain as the literal form,
+    reading the joined row's own table instead of a constant — plan size
+    and analysis cost are CONSTANT in |queries| (guide §3.1: broadcast
+    the small side as data, don't rebuild a wide literal plan)."""
+    return [
+        f"element_at(element_at({qd_col}, {j + 1}),"
+        f" CAST(codes[{j}] + 1 AS INT))"
+        for j in range(m)
+    ]
 
 
 def _collect_query_batch(
@@ -1514,18 +1557,40 @@ def pq_topk_many(
     _check_codeword_widths(cb, dim // m, "pq_topk_many")
     if encoded is None:
         encoded = _pq_encode_from_cb(vectors, cb, dim, m, id_col, vector_col)
-    nq = len(qs)
-    qd2d_terms = _pq_qd2d_terms(cb, [v for _, v in qs], sub)
-    scored = encoded.select(
-        F.col(id_col),
-        F.col("codes"),
-        F.expr(f"explode(sequence(0, {nq - 1}))").alias("_qidx"),
-        F.spark_partition_id().alias("_pid"),
-    ).select(
-        F.col("_qidx"),
-        F.col(id_col),
-        F.expr(" + ".join(qd2d_terms)).alias("_adc"),
-        "_pid",
+    # ADC tables ride a broadcast CROSS join as DATA (one _qd row per
+    # query) instead of |batch| x m x n_codes folded literals: the
+    # literal form cost more driver time PARSING/analyzing the constant
+    # arrays per plan than the scan itself at batch 50, and the data
+    # form's plan is constant-size in the batch (round 12; guide §3.1).
+    # Same driver-side fold (_pq_qd_tables), same fixed-order m-term
+    # chain — _adc is bit-identical, so results are unchanged.
+    qd = _pq_qd_tables(cb, [v for _, v in qs], sub)
+    qdf = spark.createDataFrame(
+        [(i, qid, v, qd[i]) for i, (qid, v) in enumerate(qs)],
+        T.StructType(
+            [
+                T.StructField("_qidx", T.IntegerType()),
+                T.StructField(query_id_col, qid_type),
+                T.StructField("_qv", T.ArrayType(T.DoubleType())),
+                T.StructField(
+                    "_qd", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+            ]
+        ),
+    )
+    scored = (
+        encoded.select(
+            F.col(id_col),
+            F.col("codes"),
+            F.spark_partition_id().alias("_pid"),
+        )
+        .crossJoin(F.broadcast(qdf.select("_qidx", "_qd")))
+        .select(
+            F.col("_qidx"),
+            F.col(id_col),
+            F.expr(" + ".join(_qd_data_terms(m))).alias("_adc"),
+            "_pid",
+        )
     )
     aord = [F.col("_adc").asc_nulls_last(), F.col(id_col).asc()]
     w_local = Window.partitionBy("_qidx", "_pid").orderBy(*aord)
@@ -1537,16 +1602,6 @@ def pq_topk_many(
         .withColumn("_arank", F.row_number().over(w_adc))
         .where(F.col("_arank") <= cf)
         .select("_qidx", id_col)
-    )
-    qdf = spark.createDataFrame(
-        [(i, qid, v) for i, (qid, v) in enumerate(qs)],
-        T.StructType(
-            [
-                T.StructField("_qidx", T.IntegerType()),
-                T.StructField(query_id_col, qid_type),
-                T.StructField("_qv", T.ArrayType(T.DoubleType())),
-            ]
-        ),
     )
     refetch = vectors.select(id_col, vector_col).join(F.broadcast(surv), id_col)
     joined = refetch.join(F.broadcast(qdf), "_qidx")
@@ -2043,55 +2098,64 @@ def ivfpq_topk_many(
         .where(F.col("_prank") <= n_probe)
         .select("_qidx", "cluster_id")
     )
-    probes = probes.localCheckpoint(eager=True)  # Q x n_probe rows; computed
-    # once here instead of once for the id-collect and once per downstream join
-    probe_ids = sorted(
-        r["cluster_id"]
-        for r in probes.select("cluster_id").distinct().collect()
-        # bounded collect: <= n_clusters distinct values regardless of |queries|
+    # ONE bounded collect (Q x n_probe rows) replaces the round-11
+    # eager localCheckpoint + distinct-collect pair: the probe pairs are
+    # driver-sized by construction, and the fan-out frame is rebuilt
+    # driver-side below WITH its ADC tables attached, so probe ranking
+    # costs one job instead of two and the downstream join broadcasts a
+    # local relation instead of a checkpointed distributed one.
+    pair_rows = sorted(
+        (int(r["_qidx"]), int(r["cluster_id"])) for r in probes.collect()
     )
+    probe_ids = sorted({cid for _, cid in pair_rows})
     clustered = vectors_idx.where(
         F.col("cluster_id").isin(probe_ids)  # literal IN -> partition pruning
     )
     clustered = _restrict_candidates(clustered, where, candidates, id_col)
+    # ADC tables ride the (already required) fan-out join as DATA — a
+    # ``_qd`` table column per (query[, probed-cluster]) row — instead
+    # of |batch| x m x n_codes folded literals (round 12: parsing and
+    # analyzing the literal arrays cost more driver time per plan than
+    # the probed scan; guide §3.1).  Same driver-side fold
+    # (_pq_qd_tables), same fixed-order m-term chain — _adc is
+    # bit-identical, so results are unchanged.
     if residual:
         # residual ADC: one distance table per (query, probed-cluster)
-        # PAIR over the target q - centroid_c.  The pairs and the probed
-        # centroids are both bounded collects (Q x n_probe rows /
-        # <= n_clusters rows), pair ordinals are deterministic (sorted),
-        # and the broadcast pair frame replaces the probe frame in the
-        # fan-out join — generated code stays constant-size (item 38),
-        # only the table DATA grows by the extra n_probe factor.
+        # PAIR over the target q - centroid_c (both bounded collects).
         cent_map = {
             int(r["cluster_id"]): [float(x) for x in r["centroid"]]
             for r in centroids.where(
                 F.col("cluster_id").isin(probe_ids)
             ).collect()
         }
-        pair_rows = sorted(
-            (int(r["_qidx"]), int(r["cluster_id"])) for r in probes.collect()
-        )
         targets = [
             [x - c for x, c in zip(qs[qi][1], cent_map[cid])]
             for qi, cid in pair_rows
         ]
-        pairs_df = spark.createDataFrame(
-            [(p, qi, cid) for p, (qi, cid) in enumerate(pair_rows)],
-            "_pidx int, _qidx int, cluster_id long",
-        )
-        fanout = F.broadcast(pairs_df)
-        qd2d_terms = _pq_qd2d_terms(cb, targets, sub, ord_col="_pidx")
+        qd = _pq_qd_tables(cb, targets, sub)
     else:
-        fanout = F.broadcast(probes)
-        qd2d_terms = _pq_qd2d_terms(cb, [v for _, v in qs], sub)
+        qd_per_query = _pq_qd_tables(cb, [v for _, v in qs], sub)
+        qd = [qd_per_query[qi] for qi, _ in pair_rows]
+    fanout_df = spark.createDataFrame(
+        [(qi, cid, qd[p]) for p, (qi, cid) in enumerate(pair_rows)],
+        T.StructType(
+            [
+                T.StructField("_qidx", T.IntegerType()),
+                T.StructField("cluster_id", T.LongType()),
+                T.StructField(
+                    "_qd", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+            ]
+        ),
+    )
     scored = (
         clustered.select(id_col, "cluster_id", "codes")
-        .join(fanout, "cluster_id")
+        .join(F.broadcast(fanout_df), "cluster_id")
         .select(
             F.col("_qidx"),
             F.col(id_col),
             F.col("cluster_id"),
-            F.expr(" + ".join(qd2d_terms)).alias("_adc"),
+            F.expr(" + ".join(_qd_data_terms(m))).alias("_adc"),
             F.spark_partition_id().alias("_pid"),
         )
     )

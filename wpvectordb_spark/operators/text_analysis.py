@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wpvectordb_spark.barrier import call_barrier
 from wpvectordb_spark.functions import text as X
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
@@ -758,7 +759,7 @@ def unigram_logprob_scores(
         # localCheckpoint barrier, GC-released — same shared-intermediate
         # rule as the minhash shingle table (round-10 verdict item 2:
         # .persist() here had no release handle)
-        toks = toks.localCheckpoint(eager=False)
+        toks = call_barrier(toks)
     vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = toks.join(vocab, "term").crossJoin(F.broadcast(total)).select(

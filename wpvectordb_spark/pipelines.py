@@ -67,6 +67,11 @@ def _guard_manifest_params(manifest_dir: str, params: dict) -> None:
         # equivalent default may be listed here)
         try:
             old = json.loads(existing)
+            if not isinstance(old, dict):
+                # valid-but-non-object JSON ('null', '[]', '"x"') parses
+                # fine and would crash at old.setdefault with a bare
+                # AttributeError (ADVICE round 11) — same refusal path
+                raise ValueError("non-object params JSON")
         except ValueError:
             # corrupted/truncated params file: raise the SAME explanatory
             # refusal the mismatch path produces (with the raw contents),

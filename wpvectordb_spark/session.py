@@ -27,7 +27,10 @@ def get_spark(app_name: str = "wpvectordb_spark", shuffle_partitions: int | None
         # outright; on a real cluster set it to ~2-3x total cores (or
         # lean on AQE coalescing, enabled below, with an advisory
         # partition size) — see docs/SCALE.md.
-        ncores = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+        # clamp: SPARK_GRAFT_CPUS="0" would set shuffle.partitions=0, an
+        # invalid conf that fails at the first shuffle with an opaque
+        # error (ADVICE round 11)
+        ncores = max(1, int(cpus)) if cpus.isdigit() else (os.cpu_count() or 8)
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(ncores)))
     builder = (
         SparkSession.builder.master(master)
