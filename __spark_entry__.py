@@ -1681,7 +1681,12 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = ST.stream_events(spark, sf_dir)
     agg = ST.stream_tumbling_counts(stream, "1 hour")
-    return ST.run_stream_to_completion(spark, agg, output_mode="complete")
+    # bounded-cardinality state (#windows x #event_types): a handful of
+    # state stores is right at ANY scale — see BOUNDED_STATE_PARTITIONS
+    return ST.run_stream_to_completion(
+        spark, agg, output_mode="complete",
+        state_partitions=ST.BOUNDED_STATE_PARTITIONS,
+    )
 
 
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1691,6 +1696,9 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = ST.stream_events(spark, sf_dir)
     sw = ST.stream_session_counts(stream, gap="30 minutes", watermark="0 seconds")
+    # user-keyed state is corpus-cardinality (UNBOUNDED at scale) —
+    # stays on the session's shuffle-partition default, not the
+    # bounded-state store count the tumbling agg pins
     return ST.run_stream_to_completion(spark, sw, output_mode="complete")
 
 

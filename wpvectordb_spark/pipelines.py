@@ -298,24 +298,50 @@ def curate_training_corpus(
     )
     # 3. per-stratum quality gate (the filter projects survivors' ids;
     # semi-join them back so text flows on to the later stages)
-    def _quality(k: DataFrame) -> DataFrame:
+    def _quality_ids(k: DataFrame) -> DataFrame:
         scored = k.withColumn("quality", TA.quality_score(text_col))
-        good = CU.quality_quantile_filter(
+        return CU.quality_quantile_filter(
             scored, quantile=quality_quantile, stratum_col=stratum_col, id_col=id_col
         ).select(id_col)
-        return k.join(good, id_col, "left_semi")
 
-    kept = _stage("quality_gate", lambda k=kept: _quality(k))
-    # 4. decontamination
-    if holdout is not None:
-        def _decontam(k: DataFrame) -> DataFrame:
-            flags = CU.decontaminate(
-                k, holdout, threshold=decontam_shingles, id_col=id_col, text_col=text_col
+    def _clean_ids(k: DataFrame) -> DataFrame:
+        flags = CU.decontaminate(
+            k, holdout, threshold=decontam_shingles, id_col=id_col, text_col=text_col
+        )
+        return flags.where(F.col("contaminated") == 0).select(id_col)
+
+    if manifest_dir is None and holdout is not None:
+        # 3+4 FUSED behind one in-session barrier (round 12): the
+        # quality gate's quantile is computed over the SAME input pool
+        # either way, and decontamination judges each document against
+        # the holdout alone — the two survivor sets commute, so
+        # k ⋉ good ⋉ clean equals the sequential result row-for-row
+        # while paying ONE stage barrier (one full-corpus
+        # materialization + one scheduling round) instead of two.  The
+        # trade: the decontamination fold runs over the pre-quality
+        # pool, ~1/(1-quantile) more rows — bounded, and cheaper than
+        # materializing an extra full-text checkpoint at any scale.
+        # Manifest mode keeps the two separate stage manifests below:
+        # resume/adoption semantics are a durability contract, and the
+        # sequential form is what the stage layout pins.
+        kept = _stage(
+            "quality_gate",
+            lambda k=kept: k.join(_quality_ids(k), id_col, "left_semi").join(
+                _clean_ids(k), id_col, "left_semi"
+            ),
+        )
+        stage_no[0] += 1  # keep downstream stage numbering identical
+    else:
+        kept = _stage(
+            "quality_gate",
+            lambda k=kept: k.join(_quality_ids(k), id_col, "left_semi"),
+        )
+        # 4. decontamination
+        if holdout is not None:
+            kept = _stage(
+                "decontaminate",
+                lambda k=kept: k.join(_clean_ids(k), id_col, "left_semi"),
             )
-            clean = flags.where(F.col("contaminated") == 0).select(id_col)
-            return k.join(clean, id_col, "left_semi")
-
-        kept = _stage("decontaminate", lambda k=kept: _decontam(k))
     # 5. DSIR selection toward the target distribution
     if dsir_target is not None:
         def _dsir(k: DataFrame) -> DataFrame:

@@ -77,24 +77,63 @@ def stream_tumbling_counts(
     )
 
 
+#: default state-store partition count for BOUNDED-cardinality stateful
+#: aggregations (tumbling counts: state rows = #windows x #event_types,
+#: fixed by the time range and type vocabulary — NOT by data volume or
+#: cluster size).  Each state partition costs a store init + a delta
+#: file write per micro-batch, so sizing stores to the session core
+#: count pays pure overhead: measured at sf0.1/local[32], the tumbling
+#: key is 1.63 s with 32 stores vs 0.94 s with 8 vs 0.83 s with 1 —
+#: ~45% of the key is store count.  8 keeps per-store state in the low
+#: hundreds of rows for any realistic window/type product; this is a
+#: STATE-size policy, not a core-count tune (on a 2048-core cluster 8
+#: is still right for hundreds of groups, while 2048 stores each
+#: holding <1 row would be strictly worse).  Unbounded-cardinality
+#: state (per-user sessionization) must NOT use this — size those to
+#: #keys / target-rows-per-store via state_partitions= explicitly.
+BOUNDED_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
+
 def run_stream_to_completion(
-    spark: SparkSession, streaming_df: DataFrame, output_mode: str = "append"
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming query over its (static) file source until all
     available data is processed; return the memory-sink contents.
     The throwaway checkpoint directory is deleted once the query stops —
-    each call would otherwise leave a dir in the temp root forever."""
+    each call would otherwise leave a dir in the temp root forever.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    query START only (restored immediately after): Structured Streaming
+    freezes the stateful-operator partition count into the checkpoint at
+    first batch, so this is the one knob that decides how many state
+    stores the query maintains forever.  Pass
+    ``BOUNDED_STATE_PARTITIONS`` for aggregations whose state
+    cardinality is bounded (see its docstring); leave ``None`` (the
+    session default) for key-cardinality state."""
     import shutil
 
     name = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    old_parts = None
+    if state_partitions is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     try:
         q.processAllAvailable()
     finally:
