@@ -180,3 +180,24 @@ def test_barrier_mode_escape_hatch(spark, docs, tmp_path):
             D.minhash_lsh_dedup_pairs(corpus, threshold=0.5).collect()
     finally:
         spark.conf.unset("spark.wpvectordb.barrier")
+
+
+def test_index_builds_leave_cache_manager_alone(spark, tmp_path):
+    """Round-12 (verdict item 8): the IVF/IVFPQ build functions persist
+    their tiny centroid frames internally with a try/finally release —
+    every consumer is an action inside the call, so the CacheManager
+    must be empty again the moment the build returns (and on the
+    failure path, which the finally covers)."""
+    import os as _os
+
+    from wpvectordb_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(_os.path.join(SF_DIR, "embeddings.parquet"))
+    spark.catalog.clearCache()
+    assert _cache_empty(spark)
+    SIM.build_ivf_index(emb, str(tmp_path / "ivf"), n_clusters=8)
+    assert _cache_empty(spark), "build_ivf_index retained a cache entry"
+    SIM.build_ivfpq_index(
+        emb, str(tmp_path / "ivfpq"), dim=64, n_clusters=8, m=8, n_codes=16
+    )
+    assert _cache_empty(spark), "build_ivfpq_index retained a cache entry"
